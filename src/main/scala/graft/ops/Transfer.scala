@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.catalog.SerializableHadoopConf
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Distributed file-transfer actions (SURVEY.md §2.1 S3-S6): the engine's
+  * replacement for the reference's sequential per-file HTTPS loops
+  * (`upload_file.py:215-226`, `download_file.py:215-226`,
+  * `move_file.py:130-143`, `delete_file.py:127-133`).
+  *
+  * Execution model: the (src, dest) manifest is a DataFrame; the side
+  * effect runs in `foreachPartition`, one Hadoop `FileSystem` handle per
+  * task, so transfer parallelism = min(#files, cluster task slots) instead
+  * of the reference's 1. All four clouds' stores (abfss/s3a/gs/file) share
+  * the `FileSystem` API, so tests run against `file://` temp dirs with the
+  * exact code paths production would use.
+  *
+  * Semantics preserved from the reference:
+  *  - upload refuses to overwrite an existing destination
+  *    (`upload_file.py:188-190`) — `overwrite = false` raises
+  *    [[BlueprintError.DestinationExists]];
+  *  - move = server-side rename when the store supports it, else
+  *    copy+delete (`move_file.py:78-107`);
+  *  - delete of a missing file raises [[BlueprintError.DeleteError]]
+  *    (`delete_file.py:259-261`).
+  */
+object Transfer {
+
+  /** Copy every (`src_path`, `dest_path`) row. Used for both upload and
+    * download — direction is just which side is remote. */
+  def copyFiles(manifest: DataFrame, overwrite: Boolean = false): Unit = {
+    val conf = serializableConf(manifest)
+    manifest.select("src_path", "dest_path").foreachPartition {
+      (rows: Iterator[Row]) =>
+        val cache = new FsCache(conf)
+        rows.foreach { r =>
+          val src = new Path(r.getString(0))
+          val dst = new Path(r.getString(1))
+          val srcFs = cache.get(src)
+          val dstFs = cache.get(dst)
+          if (!overwrite && dstFs.exists(dst))
+            throw BlueprintError.DestinationExists(dst.toString)
+          val parent = dst.getParent
+          if (parent != null && !dstFs.exists(parent)) dstFs.mkdirs(parent)
+          FileUtil.copy(srcFs, src, dstFs, dst, false, overwrite, conf.value)
+        }
+    }
+  }
+
+  /** Move every (`src_path`, `dest_path`) row: metadata `rename` first
+    * (HNS accounts / posix), copy+delete fallback (flat namespaces) —
+    * exactly the reference's copy-then-delete with the fast path added. */
+  def moveFiles(manifest: DataFrame): Unit = {
+    val conf = serializableConf(manifest)
+    manifest.select("src_path", "dest_path").foreachPartition {
+      (rows: Iterator[Row]) =>
+        val cache = new FsCache(conf)
+        rows.foreach { r =>
+          val src = new Path(r.getString(0))
+          val dst = new Path(r.getString(1))
+          val fs = cache.get(src)
+          try {
+            val parent = dst.getParent
+            if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+            val renamed = fs.rename(src, dst)
+            if (!renamed) {
+              FileUtil.copy(fs, src, cache.get(dst), dst, true, false, conf.value)
+            }
+          } catch {
+            case e: Exception => throw BlueprintError.MoveError(
+              src.toString, dst.toString, e)
+          }
+        }
+    }
+  }
+
+  /** Delete every `path` row. */
+  def deleteFiles(manifest: DataFrame): Unit = {
+    val conf = serializableConf(manifest)
+    manifest.select("path").foreachPartition { (rows: Iterator[Row]) =>
+      val cache = new FsCache(conf)
+      rows.foreach { r =>
+        val p = new Path(r.getString(0))
+        val fs = cache.get(p)
+        val ok =
+          try fs.delete(p, false)
+          catch { case e: Exception =>
+            throw BlueprintError.DeleteError(p.toString, e) }
+        if (!ok) throw BlueprintError.DeleteError(
+          p.toString, new java.io.FileNotFoundException(p.toString))
+      }
+    }
+  }
+
+  /** One `FileSystem` per (scheme, authority) per task. */
+  private final class FsCache(conf: SerializableHadoopConf) {
+    private val m = scala.collection.mutable.HashMap.empty[String, FileSystem]
+    def get(p: Path): FileSystem = {
+      val uri = p.toUri
+      val key = s"${uri.getScheme}://${uri.getAuthority}"
+      m.getOrElseUpdate(key, {
+        val fs = p.getFileSystem(conf.value)
+        // ChecksumFileSystem (file://) would write .crc sidecars next to
+        // every copy — not a real transfer artifact on any object store.
+        fs.setWriteChecksum(false)
+        fs
+      })
+    }
+  }
+
+  private def serializableConf(df: DataFrame): SerializableHadoopConf =
+    new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+}
