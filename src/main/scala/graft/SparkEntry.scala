@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.RefQueries
+import graft.queries.{AnalyticsQueries, RefQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    RefQueries.defs
+    RefQueries.defs ++ AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

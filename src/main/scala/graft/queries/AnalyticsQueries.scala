@@ -1,0 +1,309 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** EXT analytics inventory (SURVEY.md §7 step 4): the full relational
+  * operator surface — aggregation, joins of every flavor, windows, set
+  * ops, date/JSON functions — over the TPC-H-ish fixtures, each entry
+  * DuckDB-oracle-checked.
+  *
+  * Determinism rules (FIXTURES.md): every query ends in a total ORDER BY;
+  * double aggregates are cast to exact decimals per-row BEFORE summing
+  * (double summation is order-dependent under distributed execution —
+  * decimal sums are exact and identical in both engines), then cast back
+  * to double; double division/products happen on identical operands in
+  * both engines, hence identical results.
+  */
+object AnalyticsQueries {
+
+  /** Exact money sum: per-row decimal cast -> exact sum -> double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // hash aggregation with multiple aggregates (TPC-H Q1 shape)
+    QueryDef("q1_pricing_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // selective filter + computed projection (pushdown exercise).
+    // round() on DOUBLE diverges between engines (Java rounds the shortest
+    // decimal repr, C rounds the binary value) — so the product is taken
+    // over exact decimals (inputs all have <=2 decimal digits) and rounded
+    // as a decimal, identically on both sides.
+    QueryDef("q2_filter_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(1 - l_discount AS DECIMAL(4,2))
+        |             * CAST(1 + l_tax AS DECIMAL(4,2)), 2) AS DOUBLE) AS charge
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1) - col("l_discount")).cast(DecimalType(4, 2)) *
+            (lit(1) + col("l_tax")).cast(DecimalType(4, 2)), 2)
+            .cast("double").as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // global sort + limit (top-k)
+    QueryDef("q3_topk_orders",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // broadcast hash join (small dim broadcast explicitly)
+    QueryDef("q4_brand_revenue",
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+
+    // 5-way star join: fact -> orders -> customer -> nation -> region
+    QueryDef("q5_region_revenue",
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    },
+
+    // left-semi + left-anti joins against a filtered right side
+    QueryDef("q6_semi_anti",
+      """WITH urgent AS (SELECT DISTINCT o_custkey FROM orders
+        |                WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_mktsegment,
+        |  COUNT(*) FILTER (WHERE u.o_custkey IS NOT NULL) AS with_urgent,
+        |  COUNT(*) FILTER (WHERE u.o_custkey IS NULL) AS without_urgent
+        |FROM customer c LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct()
+      val c = Tables.customer(s, d)
+      val semi = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("with_urgent"))
+      val anti = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("without_urgent"))
+      semi.join(anti, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("with_urgent"), lit(0L)).as("with_urgent"),
+          coalesce(col("without_urgent"), lit(0L)).as("without_urgent"))
+        .orderBy("c_mktsegment")
+    },
+
+    // window ranking: top-3 parts per brand
+    QueryDef("q7_window_rank",
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    },
+
+    // rollup (grouping sets); NULL group keys coalesced to a sentinel so
+    // null-ordering differences between engines can't bite
+    QueryDef("q8_rollup",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // set operation: EXCEPT (distinct) — customers with urgent orders but
+    // no low-priority orders
+    QueryDef("q9_setops",
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .except(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // date functions: monthly order volume
+    QueryDef("q10_monthly_orders",
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("month")
+    },
+
+    // JSON extraction from the events.props string column
+    QueryDef("q11_json_extract",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // tumbling 10-minute window aggregation (batch twin of the streaming
+    // query; SURVEY.md §2.7) — Spark's window() aligns to the epoch, the
+    // oracle reproduces the alignment with exact integer micros math
+    QueryDef("q12_tumbling_window",
+      """SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // distinct aggregation
+    QueryDef("q13_distinct_agg",
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // scalar "subquery": orders above the global average price
+    QueryDef("q14_above_avg",
+      """WITH stats AS (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         / COUNT(*) AS avg_price FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders, stats WHERE o_totalprice > avg_price
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val stats = o.agg(
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      o.crossJoin(broadcast(stats))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // sessionization: lag + conditional flag + running sum (rich windows);
+    // 30-minute gap threshold in exact integer microseconds on both sides
+    QueryDef("q15_sessionize",
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |t AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s)
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id")
+        .agg(max("session_id").cast("bigint").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+  )
+}
