@@ -1,6 +1,7 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, RefQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, MultimodalQueries,
+  RefQueries, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    RefQueries.defs ++ AnalyticsQueries.defs
+    RefQueries.defs ++ AnalyticsQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,217 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness:
+  *
+  *  1. exact (content hash)                      — [[keepFirstExact]]
+  *  2. token-set canonical signature             — [[tokenSetSignature]]
+  *  3. MinHash + LSH banding                     — [[minhashes]] / [[bandKeys]]
+  *  4. SimHash (bitwise majority)                — [[simhash16]]
+  *  5. n-gram Jaccard similarity join            — [[jaccardPairs]]
+  *
+  * Scale design: everything is shuffle-on-key (groupBy doc signature /
+  * explode token index), never a cross join. MinHash/SimHash signatures
+  * are computed per-row inside whole-stage codegen via higher-order
+  * functions over the token array — one pass over the corpus, O(k·|doc|).
+  *
+  * Cross-engine determinism: token hash = md5-hex-derived 31-bit int
+  * ([[TextAnalysis.tokenHash31]]); permutations are fixed (a,b) constants
+  * exposed to the SQL oracle via [[minhashPerm]]; all arithmetic stays in
+  * exact 64-bit integers (no overflow: a,b < 2^31, x < 2^31 => a*x+b <
+  * 2^62).
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+
+  // -------- 1. exact --------
+
+  /** Keep-first exact dedup: survivor = min(id) per identical content. */
+  def keepFirstExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // -------- 2. token-set signature --------
+
+  /** Canonical signature of the distinct-token SET (order/multiplicity
+    * insensitive) — catches the fixture's reordered duplicates. */
+  def tokenSetSignature(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(TextAnalysis.tokens(text))), " "))
+
+  // -------- 3. MinHash + LSH --------
+
+  /** Fixed permutation constants (i = 0..k-1), identical in Spark and the
+    * SQL oracle: a = (2i+1) * 1103515245 mod 2^31-1 (odd), b = i *
+    * 1000000007 mod 2^31-1. */
+  def minhashPerm(i: Int): (Long, Long) = {
+    val m = 2147483647L
+    (((2L * i + 1) * 1103515245L) % m, (i * 1000000007L) % m)
+  }
+
+  /** k min-hashes over the distinct-token set: element i is
+    * min over tokens of (a_i * h31(tok) + b_i) mod 2^31-1. */
+  def minhashes(text: Column, k: Int = 16): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(text))
+    val hashes = (0 until k).map { i =>
+      val (a, b) = minhashPerm(i)
+      array_min(transform(toks,
+        t => (lit(a) * TextAnalysis.tokenHash31(t) + lit(b)) % 2147483647L))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH band keys: rows-per-band minhashes folded into one long per band.
+    * Docs sharing ANY band key are near-dup candidates. */
+  def bandKeys(mh: Column, bands: Int = 4, rowsPerBand: Int = 4): Column = {
+    val keys = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r =>
+        element_at(mh, b * rowsPerBand + r + 1))
+      slice.foldLeft(lit(b.toLong)) { (acc, h) => (acc * 31L + h) % P }
+    }
+    array(keys: _*)
+  }
+
+  // -------- 4. SimHash --------
+
+  /** k-bit SimHash over the distinct-token set: bit j is set iff the
+    * majority of token hashes have bit j set (count(set)*2 >= n).
+    * 24 bits by default — enough to push random collisions below the
+    * corpus pair count while staying cheap to mirror in SQL. */
+  def simhash(text: Column, bits: Int = 24): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(text))
+    val hashes = transform(toks, t => TextAnalysis.tokenHash31(t))
+    val n = size(hashes)
+    (0 until bits).map { j =>
+      val ones = size(filter(hashes,
+        h => shiftright(h, j) % 2L === 1L))
+      when(ones * 2 >= n, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // -------- scale-path signature computation (explode + hash agg) --------
+  //
+  // The per-row array forms above ([[minhashes]], [[simhash]]) are
+  // CodegenFallback higher-order functions AND recompute the md5 token
+  // hash once per permutation/bit. The index forms below hash each
+  // (doc, token) exactly once and turn signature computation into a
+  // fully codegen'd hash aggregate — the shape that survives a 100 TB
+  // corpus (shuffle keyed on doc id, no interpreted lambdas).
+
+  /** Exploded distinct-shingle index: (id, n_sh, shingle, h) — h =
+    * [[TextAnalysis.tokenHash31]], computed once per (doc, shingle). */
+  def tokenIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+      .select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .withColumn("h", TextAnalysis.tokenHash31(col("shingle")))
+
+  /** MinHash signatures as one hash-agg over the token index:
+    * (id, n_sh, m0..m{k-1}). Identical values to [[minhashes]]. */
+  def minhashSignatures(index: DataFrame, k: Int = 16): DataFrame = {
+    val aggs = (0 until k).map { i =>
+      val (a, b) = minhashPerm(i)
+      min((lit(a) * col("h") + lit(b)) % 2147483647L).as(s"m$i")
+    }
+    index.groupBy("id", "n_sh").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band-key columns over a [[minhashSignatures]] frame (same fold as
+    * [[bandKeys]]). */
+  def bandKeyCols(bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      (0 until rowsPerBand).foldLeft(lit(b.toLong)) { (acc, r) =>
+        (acc * 31L + col(s"m${b * rowsPerBand + r}")) % P
+      }
+    }
+    array(keys: _*)
+  }
+
+  /** SimHash via the token index: per-bit conditional sums in one
+    * hash agg. Identical values to [[simhash]]. */
+  def simhashFromIndex(index: DataFrame, bits: Int = 24): DataFrame = {
+    val oneAggs = (0 until bits).map { j =>
+      sum(shiftright(col("h"), j) % 2L).as(s"ones$j")
+    } :+ count(lit(1)).as("n_toks")
+    val grouped = index.groupBy("id").agg(oneAggs.head, oneAggs.tail: _*)
+    val sh = (0 until bits).map { j =>
+      when(col(s"ones$j") * 2 >= col("n_toks"), lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    grouped.select(col("id"), sh.as("simhash"))
+  }
+
+  // -------- 5. n-gram Jaccard similarity join --------
+
+  /** Distinct n-gram shingles of the ordered token stream (n=1 => the
+    * distinct-token set). */
+  def shingles(text: Column, n: Int): Column =
+    if (n == 1) array_distinct(TextAnalysis.tokens(text))
+    else {
+      val toks = TextAnalysis.tokens(text)
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(-1))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    }
+
+  /** Exact Jaccard for a given candidate-pair set, via the token index
+    * (two codegen'd joins + hash agg; no interpreted array ops):
+    * intersection = count of shingles shared by the pair. */
+  def candidateJaccard(cand: DataFrame, index: DataFrame): DataFrame = {
+    val ia = index.select(col("id").as("id_a"), col("n_sh").as("na"),
+      col("shingle"))
+    val ib = index.select(col("id").as("id_b"), col("n_sh").as("nb"),
+      col("shingle"))
+    cand.join(ia, Seq("id_a"))
+      .join(ib, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un"))
+      .select("id_a", "id_b", "inter", "un", "jaccard")
+  }
+
+  /** EXACT all-pairs Jaccard similarity join: returns (id_a, id_b,
+    * intersection, union, jaccard) for every pair with J >= threshold,
+    * id_a < id_b.
+    *
+    * Plan: explode the shingle index (doc, shingle) -> self-join on
+    * shingle -> count per pair = |A∩B| -> J from per-doc sizes. This is
+    * the inverted-index similarity join — shuffle is bounded by the
+    * posting-list sizes, never a cross join. (On zipfian corpora add
+    * prefix filtering; the fixture's ~40-token vocabulary makes every
+    * token a full posting list, which small doc counts absorb.)
+    */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.9): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val index = withSh.select(col("id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val a = index.select(col("id").as("id_a"), col("n_sh").as("na"),
+      col("shingle"))
+    val b = index.select(col("id").as("id_b"), col("n_sh").as("nb"),
+      col("shingle").as("shingle_b"))
+    // size-compatibility pruning: J >= t implies min(na,nb)/max(na,nb)
+    // >= t (inter <= min, union >= max). Pure integer predicate, applied
+    // inside the join => prunes shuffle output without changing results.
+    val tNum = math.round(threshold * 100).toInt
+    a.join(b, col("shingle") === col("shingle_b") &&
+        col("id_a") < col("id_b") &&
+        col("na") * tNum <= col("nb") * 100 &&
+        col("nb") * tNum <= col("na") * 100)
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "un", "jaccard")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * All cosine math runs on QUANTIZED integers: q_i = floor(v_i * 1e6) as
+  * long. Rationale (SURVEY.md §5 determinism rules):
+  *  - integer sums commute exactly -> results independent of partitioning
+  *    and aggregation order (a distributed-correctness property, not just
+  *    an oracle convenience);
+  *  - float->int quantization (`floor`) and integer ops are bit-identical
+  *    across engines, so DuckDB oracles can replay the math;
+  *  - max |q| <= 2^21-ish for unit-normed embeddings => dot products stay
+  *    far below 2^63 (64 dims * (2^21)^2 = 2^47).
+  *
+  * Scale paths:
+  *  - [[annTopK]]: brute-force top-k for one query vector — a single
+  *    narrow map + TakeOrdered; at 100 TB this is the per-query scan you
+  *    accept, or the re-rank stage after [[lshBands]] pre-filtering.
+  *  - [[bandedPairs]]: sign-random-projection LSH banding for all-pairs
+  *    near-dup — candidates are same-band joins (shuffle on band key, no
+  *    cross join), then exact re-rank.
+  *  - [[bruteForcePairs]]: exact all-pairs (block-nested via cross join) —
+  *    correct at any SF but O(n²); kept as the small-n oracle-checkable
+  *    baseline and the recall yardstick for the banded variant.
+  */
+object Similarity {
+
+  /** floor(v * 1e6) per element, as longs. Exact in both engines: a
+    * float's value times 1e6 is exactly representable in double (24-bit
+    * mantissa * 20-bit constant < 53 bits), and floor never ties. */
+  def quantize(emb: Column): Column =
+    transform(emb, v => floor(v * 1000000d).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors — custom
+    * codegen'd expression ([[graft.functions.LongArrayDot]]); the
+    * `aggregate(zip_with(...))` equivalent is CodegenFallback and ~20x
+    * slower on per-pair hot paths. */
+  def qdot(qa: Column, qb: Column): Column =
+    graft.functions.LongArrayDot(qa, qb)
+
+  /** Exact integer squared norm. */
+  def qnorm2(q: Column): Column = graft.functions.LongArrayDot(q, q)
+
+  /** Quantized cosine similarity: qdot / sqrt(qn_a * qn_b), computed from
+    * exact integers with one sqrt and one division (bit-identical in any
+    * IEEE-754 engine). */
+  def cosineQ(qa: Column, qb: Column): Column =
+    qdot(qa, qb).cast("double") /
+      sqrt(qnorm2(qa).cast("double") * qnorm2(qb).cast("double"))
+
+  /** Brute-force top-k nearest neighbours of one stored vector.
+    * Quantization+norm are per-row projections (computed once per input
+    * row, under the join); only the codegen'd dot runs per pair. The
+    * top-k is a TakeOrdered — no global sort materialization. */
+  def annTopK(
+      emb: DataFrame, queryVecId: Long, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryVecId)
+      .select(quantize(col(embCol)).as("qq"))
+      .withColumn("qn2", qnorm2(col("qq")))
+    emb.filter(col(idCol) =!= queryVecId)
+      .select(col(idCol), quantize(col(embCol)).as("qe"))
+      .withColumn("en2", qnorm2(col("qe")))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        (qdot(col("qe"), col("qq")).cast("double") /
+          sqrt(col("en2").cast("double") * col("qn2").cast("double")))
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-random-projection band keys. The "hyperplanes" are the
+    * coordinate axes of dims [bandId*rowsPerBand, ...) — deterministic,
+    * engine-portable, and adequate for banding: band key b_j =
+    * fold of sign bits of that dim slice. Docs sharing any band key are
+    * candidates. */
+  def signBandKeys(q: Column, bands: Int = 4, rowsPerBand: Int = 8): Column = {
+    val keys = (0 until bands).map { b =>
+      (0 until rowsPerBand).foldLeft(lit(b.toLong)) { (acc, r) =>
+        acc * 2L + when(element_at(q, b * rowsPerBand + r + 1) >= 0L, 1L)
+          .otherwise(0L)
+      }
+    }
+    array(keys: _*)
+  }
+
+  /** LSH-banded near-dup pairs: same-band candidates, exact quantized
+    * cosine re-rank, threshold filter. Never materializes the n² space. */
+  def bandedPairs(
+      emb: DataFrame, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+      .withColumn("band", explode(signBandKeys(col("q"), bands, rowsPerBand)))
+    val a = q.select(col("band"), col("id").as("id_a"), col("q").as("qa"),
+      col("n2").as("na2"))
+    val b = q.select(col("band"), col("id").as("id_b"), col("q").as("qb"),
+      col("n2").as("nb2"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (qdot(col("qa"), col("qb")).cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+          .as("score"))
+      .distinct()   // a pair can collide in several bands
+      .filter(col("score") >= threshold)
+  }
+
+  /** Exact all-pairs with threshold — O(n²), the correctness baseline. */
+  def bruteForcePairs(
+      emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val a = q.select(col("id").as("id_a"), col("q").as("qa"), col("n2").as("na2"))
+    val b = q.select(col("id").as("id_b"), col("q").as("qb"), col("n2").as("nb2"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (qdot(col("qa"), col("qb")).cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+          .as("score"))
+      .filter(col("score") >= threshold)
+  }
+}

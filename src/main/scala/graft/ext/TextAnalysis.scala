@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * token statistics, stopword/language heuristics, document
+  * fingerprinting. All pure `Column` compositions over
+  * `org.apache.spark.sql.functions` (codegen'd, no UDFs), with exact
+  * integer/decimal math wherever a DuckDB oracle compares results.
+  *
+  * Cross-engine determinism: token hashes derive from `md5` hex (identical
+  * in any engine) reduced to 31-bit ints; ratios are integer-over-integer
+  * double divisions (single well-defined op -> identical bits).
+  */
+object TextAnalysis {
+
+  val HashPrime = 1000000007L
+
+  /** Whitespace tokenization (the corpus is space-separated tokens). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** A BPE-ish fallback tokenizer for raw text: splits on word/punct
+    * boundaries like a byte-pair pre-tokenizer would. */
+  def regexTokens(text: Column): Column =
+    // contiguous letters+digits | single punctuation — close to GPT-2's
+    // pre-tokenizer classes, without lookahead (unsupported in RE2/ICU)
+    expr(s"regexp_extract_all(${text.toString}, '[\\\\p{L}\\\\p{N}]+|[^\\\\p{L}\\\\p{N}\\\\s]', 0)")
+
+  /** Stable 31-bit token hash: first 15 hex chars of md5, parsed base-16,
+    * reduced mod 2^31-1. Reproducible in any SQL engine. */
+  def tokenHash31(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % 2147483647L
+
+  /** Rolling polynomial fingerprint over the ORDERED token stream:
+    * h = fold(0, (acc, x31) -> (acc*31 + x31) mod 1e9+7). Order-sensitive
+    * (reordered dups get different fingerprints; use MinHash for those). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => tokenHash31(t)),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % HashPrime)
+
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+  def nDistinct(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** English stopword hits (vocabulary-appropriate subset). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+  def nStopwords(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords.map(lit): _*)))
+      .cast("long")
+
+  /** Heuristic language ID: stopword-ratio thresholding (the fixture's
+    * token vocabulary carries no character-level signal, so the heuristic
+    * is ratio-based; a char-n-gram profile variant lives in
+    * [[charNgramProfile]] for realistic corpora). */
+  def langIdHeuristic(text: Column): Column =
+    when(nStopwords(text).cast("double") / nTokens(text) >= 0.05, lit("en"))
+      .otherwise(lit("other"))
+
+  /** Char-trigram profile (top fragments of a doc) — the building block of
+    * real n-gram language ID; exposed for library users and tests. */
+  def charNgramProfile(text: Column, n: Int = 3): Column = {
+    val cleaned = lower(regexp_replace(text, "\\s+", "_"))
+    when(length(cleaned) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), length(cleaned) - n),   // inclusive bound
+        i => substring(cleaned, lit(1) + i, lit(n))))
+  }
+
+  /** Composite quality score in [0,1] from exact integer counts; formula
+    * mirrored token-for-token in the SQL oracle so double ops bit-match:
+    * 0.5*distinct_ratio + 0.3*min(1, n_tokens/100) + 0.2*stop_ratio*5
+    * (capped). */
+  def qualityScore(text: Column): Column = {
+    val nt = nTokens(text).cast("double")
+    val distinctRatio = nDistinct(text).cast("double") / nt
+    val lengthScore = least(lit(1.0), nt / 100.0)
+    val stopScore = least(lit(1.0),
+      nStopwords(text).cast("double") / nt * 5.0)
+    distinctRatio * 0.5 + lengthScore * 0.3 + stopScore * 0.2
+  }
+}

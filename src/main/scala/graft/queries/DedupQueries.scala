@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` (SURVEY.md north-star ops). The
+  * oracle SQL mirrors the Spark math exactly — token hashes are
+  * md5-derived 31-bit ints and all arithmetic is 64-bit integer, so both
+  * engines produce identical values (constants come from the same Scala
+  * definitions via string interpolation).
+  */
+object DedupQueries {
+
+  /** DuckDB fragment: TextAnalysis.tokenHash31. */
+  private def sqlH31(t: String): String =
+    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+
+  private val sqlToks =
+    "list_distinct(string_split(text, ' '))"
+
+  /** DuckDB fragment: Dedup.minhashes element i. */
+  private def sqlMinhash(i: Int): String = {
+    val (a, b) = Dedup.minhashPerm(i)
+    s"list_min(list_transform(toks, t -> ($a * ${sqlH31("t")} + $b) % 2147483647))"
+  }
+
+  /** DuckDB fragment: Dedup.bandKeys band b over columns m0..m31.
+    * 2 bands x 16 rows: the corpus has ~0.78 background Jaccard (40-word
+    * vocabulary), so shallow bands admit a large fraction of ALL pairs as
+    * candidates (8-row bands: ~14% = 1.7M pairs at sf0.1). 16-row bands
+    * admit ~1.9%, keep 100% recall for identical token sets (the planted
+    * dup type) and ~69% for J=0.95. */
+  private def sqlBand(b: Int, rowsPerBand: Int = 16): String =
+    (0 until rowsPerBand).foldLeft(s"${b}::BIGINT") { (acc, r) =>
+      s"(($acc) * 31 + m${b * rowsPerBand + r}) % ${Dedup.P}"
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // 1. exact content-hash dedup (keep-first)
+    QueryDef("dedup_exact_keep_first",
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Dedup.keepFirstExact(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
+    // 2. token-set canonical signature: reordered duplicates
+    QueryDef("dedup_tokenset_groups",
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |         string_split(text, ' '))), ' ')) AS sig,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY keep_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(Dedup.tokenSetSignature(col("text")).as("sig"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+        .orderBy("keep_id")
+    },
+
+    // 3. MinHash + LSH banding + exact Jaccard re-rank
+    QueryDef("dedup_minhash_lsh", {
+      val mh = (0 until 32).map(i => s"${sqlMinhash(i)} AS m$i").mkString(",\n    ")
+      val bands = (0 until 2).map(b => s"${sqlBand(b)} AS band_$b").mkString(",\n    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, toks,
+         |    $mh
+         |  FROM t),
+         |k AS (
+         |  SELECT doc_id, toks,
+         |    $bands
+         |  FROM m),
+         |banded AS (
+         |  SELECT doc_id, toks, unnest([band_0, band_1]) AS band
+         |  FROM k),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_intersect(ta.toks, tb.toks))::BIGINT AS inter,
+         |    (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))::BIGINT AS un
+         |  FROM cand c JOIN t ta ON ta.doc_id = c.id_a
+         |              JOIN t tb ON tb.doc_id = c.id_b)
+         |SELECT id_a, id_b, inter, un,
+         |       CAST(inter AS DOUBLE) / un AS jaccard
+         |FROM j WHERE CAST(inter AS DOUBLE) / un >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      // scale path: one hash per (doc, token), signatures + candidates +
+      // re-rank all as codegen'd joins/aggregates (Dedup scaladoc)
+      val idx = Dedup.tokenIndex(Tables.documents(s, d), "doc_id", "text", 1)
+      val sig = Dedup.minhashSignatures(idx, 32)
+      val banded = sig
+        .withColumn("band", explode(Dedup.bandKeyCols(2, 16)))
+        .select("id", "band")
+      val cand = banded.select(col("band"), col("id").as("id_a"))
+        .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      Dedup.candidateJaccard(cand, idx)
+        .filter(col("jaccard") >= 0.95)
+        .orderBy("id_a", "id_b")
+    },
+
+    // 4. SimHash: 24-bit bitwise-majority signature; hamming-0 pairs
+    QueryDef("dedup_simhash_pairs", {
+      val bits = (0 until 24).map { j =>
+        s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) >= len(hs) THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform($sqlToks, t -> ${sqlH31("t")}) AS hs
+         |  FROM documents),
+         |s AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+         |FROM s a JOIN s b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      val sh = Dedup.simhashFromIndex(
+        Dedup.tokenIndex(Tables.documents(s, d), "doc_id", "text", 1), 24)
+      sh.select(col("id").as("id_a"), col("simhash"))
+        .join(sh.select(col("id").as("id_b"),
+          col("simhash").as("simhash_b")),
+          col("simhash") === col("simhash_b") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "simhash")
+        .orderBy("id_a", "id_b")
+    },
+
+    // 5. exact n-gram Jaccard similarity join (n=1: the fixture's dups are
+    // reorderings, so unigram sets carry the signal; n=3 shingles are
+    // exercised in DedupSpec with planted ordered dups)
+    QueryDef("dedup_jaccard_pairs",
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |i AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_sh, unnest(toks) AS shingle
+        |  FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+        |  FROM i a JOIN i b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, inter, na + nb - inter AS un,
+        |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.jaccardPairs(
+          Tables.documents(s, d).filter(col("lang") === "en"),
+          "doc_id", "text", n = 1, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+  )
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over `documents`: token statistics, quality
+  * scoring, language-ID heuristic, fingerprinting, corpus token
+  * frequencies. Ratios are single double divisions of exact integers, so
+  * the oracle formulas (mirrored token-for-token) produce identical bits.
+  */
+object TextQueries {
+
+  private def sqlH31(t: String): String =
+    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+
+  private val sqlStop =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // per-document token statistics
+    QueryDef("text_stats",
+      """SELECT doc_id,
+        |  length(text) AS text_len,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS distinct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("text_len"),
+        TextAnalysis.nTokens(col("text")).as("n_tokens"),
+        TextAnalysis.nDistinct(col("text")).as("n_distinct"),
+        (TextAnalysis.nDistinct(col("text")).cast("double") /
+          TextAnalysis.nTokens(col("text"))).as("distinct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring + stopword-based language heuristic
+    QueryDef("text_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' '))::BIGINT AS nt,
+         |    len(list_distinct(string_split(text, ' ')))::BIGINT AS nd,
+         |    len(list_filter(string_split(text, ' '),
+         |        t -> list_contains($sqlStop, t)))::BIGINT AS ns
+         |  FROM documents)
+         |SELECT doc_id, ns AS n_stopwords,
+         |  CASE WHEN CAST(ns AS DOUBLE) / nt >= 0.05
+         |       THEN 'en' ELSE 'other' END AS lang_pred,
+         |  CAST(nd AS DOUBLE) / nt * 0.5
+         |    + LEAST(1.0, CAST(nt AS DOUBLE) / 100.0) * 0.3
+         |    + LEAST(1.0, CAST(ns AS DOUBLE) / nt * 5.0) * 0.2 AS quality
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.nStopwords(col("text")).as("n_stopwords"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // order-sensitive rolling polynomial fingerprint
+    QueryDef("text_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(string_split(text, ' '), t -> ${sqlH31("t")})),
+         |    (acc, x) -> (acc * 31 + x) % ${TextAnalysis.HashPrime}) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // corpus-level token frequency (explode + aggregate), top 20
+    QueryDef("text_token_freq",
+      """SELECT token, COUNT(*) AS freq,
+        |       COUNT(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("freq"), countDistinct("doc_id").as("doc_freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(20)
+    },
+
+    // per-language corpus profile (group + exact ratios)
+    QueryDef("text_lang_profile",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("total_chars"),
+          sum(TextAnalysis.nTokens(col("text"))).cast("bigint")
+            .as("total_tokens"))
+        .orderBy("lang")
+    },
+  )
+}

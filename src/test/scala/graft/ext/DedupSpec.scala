@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "dog lazy the over jumps fox brown quick the"),   // reordering of 0
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup (1 tok)
+    (4L, "completely different text about spark engines"),
+    (5L, "another unrelated document mentioning nothing relevant")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first id per content") {
+    val out = Dedup.keepFirstExact(docs, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "n_copies")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("token-set signature unifies reorderings but not near dups") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.tokenSetSignature(col("text")).as("sig"))
+      .as[(Long, String)].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) == sigs(2L))   // reordering: same distinct-token set
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("minhash signatures identical for same token set, close for near dup") {
+    val mh = docs.select(col("doc_id"), Dedup.minhashes(col("text"), 16).as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(mh(0L) == mh(2L))
+    assert(mh(0L) != mh(4L))
+    val agree03 = mh(0L).zip(mh(3L)).count { case (a, b) => a == b }
+    val agree04 = mh(0L).zip(mh(4L)).count { case (a, b) => a == b }
+    assert(agree03 > agree04, s"near dup $agree03 vs unrelated $agree04")
+  }
+
+  test("simhash: hamming 0 for reorderings, small for near dups, large otherwise") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 24).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) == 0)
+    assert(ham(sh(0L), sh(3L)) < ham(sh(0L), sh(4L)))
+  }
+
+  test("3-gram shingles catch ordered dups, miss reorderings") {
+    val sh3 = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh3(0L).toSet == sh3(1L).toSet)
+    assert(sh3(0L).toSet.intersect(sh3(2L).toSet).isEmpty) // reordered
+    assert(sh3(0L).size == 7) // 9 tokens -> 7 trigrams
+  }
+
+  test("jaccardPairs n=1 finds reordering + near dup above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
+        threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) &&
+      pairs.contains((1L, 2L)))
+    assert(pairs.contains((0L, 3L)))   // 8/10 = 0.8 >= 0.7... (7 shared of 8/8)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccardPairs n=3 only pairs ordered dups") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = graft.Tables.embeddings(spark, sfDir)
+
+  test("annTopK returns k rows, scores in [-1,1], sorted desc") {
+    val rows = Similarity.annTopK(emb, 0L, 10)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
+    assert(rows.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+    assert(!rows.exists(_._1 == 0L))
+  }
+
+  test("quantized cosine tracks float cosine within 1e-4") {
+    val exact = emb.filter(col("vec_id").isin(0L, 1L))
+      .select("embedding").as[Seq[Float]].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    val want = cos(exact(0), exact(1))
+    val got = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.quantize(col("embedding")).as("qa"))
+      .crossJoin(emb.filter(col("vec_id") === 1L)
+        .select(Similarity.quantize(col("embedding")).as("qb")))
+      .select(Similarity.cosineQ(col("qa"), col("qb")))
+      .as[Double].collect()(0)
+    assert(math.abs(want - got) < 1e-4, s"want $want got $got")
+  }
+
+  test("banded pairs are a subset of brute-force pairs with decent recall") {
+    val brute = Similarity.bruteForcePairs(emb, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Similarity.bandedPairs(emb, 0.3, bands = 4, rowsPerBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(brute), "banded must be exact on surviving pairs")
+    assert(brute.nonEmpty)
+    val recall = banded.size.toDouble / brute.size
+    assert(recall > 0.01, s"recall $recall (banded ${banded.size} of ${brute.size})")
+  }
+
+  test("banded recall near 1 for high-cosine planted pairs") {
+    // plant: vector 9000 = tiny perturbation of vector 0 (cos ~ 1)
+    val v0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].collect()(0)
+    val planted = (v0.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.001f else x }, 9000L)
+    val df = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((planted._2, planted._1)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")))
+    val pairs = Similarity.bandedPairs(df, 0.99, bands = 4, rowsPerBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 9000L)), s"high-cos pair must survive banding: $pairs")
+  }
+}
