@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the engine's batch operators
+  * (SURVEY.md §2.7): the same event-table semantics as `q12` / `q15`, on
+  * an unbounded source with watermarks and managed state.
+  *
+  * Sources: any streaming DataFrame with the `events` schema — in
+  * production `readStream.parquet(dir)` (the FileStreamSource is the
+  * streaming twin of the S1/S2 catalog scan: it lists new files per
+  * micro-batch with the same prefix pushdown), in tests a MemoryStream.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Streaming file source over a directory of event parquet — new files
+    * are discovered and processed incrementally per micro-batch. */
+  def fromDirectory(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** q12's tumbling window, streaming: 10-minute windows per event type
+    * with a 10-minute watermark bounding state. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserSessionState(nEvents: Long, lastUs: Long, sessions: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** q15's sessionization, streaming: per-user session counting with a
+    * 30-minute gap, held in managed `GroupState` (the
+    * mapGroupsWithState pattern — state lives in the state store,
+    * checkpointed, recoverable). */
+  def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[UserSessionState]) =>
+          val prev = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue, 0L))
+          // order within the micro-batch (streams deliver unordered)
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (n, last, sessions) = (prev.nEvents, prev.lastUs, prev.sessions)
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (last == Long.MinValue || us - last > gapUs) sessions += 1
+            last = us
+            n += 1
+          }
+          state.update(UserSessionState(n, last, sessions))
+          UserSessions(userId, n, sessions)
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+  import EventStream._
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed counts over a memory stream match the batch equivalent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(1), 10, "click", 1.0), Event(2, ts(5), 11, "click", 2.0),
+      Event(3, ts(12), 10, "view", 3.0), Event(4, ts(14), 12, "click", 4.0))
+    mem.addData(events: _*)
+    val q = windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select("window_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got == Set(
+        (ts(0), "click", 2L), (ts(10), "view", 1L), (ts(10), "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("file stream discovers new files incrementally") {
+    val dir = Files.createTempDirectory("stream-in")
+    val batch1 = Seq(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "b", 1.0))
+    batch1.toDF().write.parquet(dir.resolve("f1.parquet").toString)
+    val q = fromDirectory(spark, dir.toUri.toString + "/*")
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_out").count() == 2)
+      Seq(Event(3, ts(2), 2, "c", 1.0)).toDF()
+        .write.parquet(dir.resolve("f2.parquet").toString)
+      q.processAllAvailable()
+      assert(spark.table("file_out").count() == 3)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization counts sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: two events 5 min apart -> one session
+      mem.addData(Event(1, ts(0), 7, "a", 1.0), Event(2, ts(5), 7, "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: 40-min gap -> second session
+      mem.addData(Event(3, ts(45), 7, "a", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("sess_out")
+        .filter(col("user_id") === 7)
+        .orderBy(col("n_events").desc).limit(1)
+        .as[UserSessions].collect()(0)
+      assert(last == UserSessions(7L, 3L, 2L))
+    } finally q.stop()
+  }
+}
