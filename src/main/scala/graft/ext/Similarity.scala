@@ -111,6 +111,49 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** IVF-style partitioned ANN: vectors are assigned to their nearest
+    * "centroid" (deterministic: the first `nCentroids` stored vectors —
+    * a real deployment would k-means them; assignment, probing and
+    * re-ranking are the structural parts), the query probes its `nProbe`
+    * closest centroids, and only those clusters are scanned. At scale the
+    * assignment is a write-time partition key => a top-k query scans
+    * nProbe/nCentroids of the data instead of all of it. */
+  def ivfTopK(
+      emb: DataFrame, queryVecId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val cent = e.filter(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("id"), col("q"), col("n2"), col("cid"),
+        (qdot(col("q"), col("cq")).cast("double") /
+          sqrt(col("n2").cast("double") * col("cn2").cast("double")))
+          .as("cscore"))
+    val byVec = Window.partitionBy("id")
+      .orderBy(col("cscore").desc, col("cid"))
+    val assign = scored
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      .select(col("id"), col("cid").as("cluster_id"))
+    val probes = scored.filter(col("id") === queryVecId)
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") <= nProbe)
+      .select(col("cid").as("cluster_id"))
+    val qv = e.filter(col("id") === queryVecId)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    e.join(assign, Seq("id"))
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("id"), col("cluster_id"),
+        (qdot(col("q"), col("qq")).cast("double") /
+          sqrt(col("n2").cast("double") * col("qn2").cast("double")))
+          .as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Exact all-pairs with threshold — O(n²), the correctness baseline. */
   def bruteForcePairs(
       emb: DataFrame, threshold: Double,

@@ -271,6 +271,43 @@ object AnalyticsQueries {
         .orderBy("o_orderstatus")
     },
 
+    // cube: all grouping-set combinations over two dimensions
+    QueryDef("q16_cube",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // BPE-ish regex tokenization over the raw JSON props strings
+    // (word-or-single-punct classes, the pre-tokenizer shape)
+    QueryDef("q17_regex_tokens",
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(regexp_extract_all(props,
+        |    '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS token
+        |  FROM events)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 15""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .select(explode(expr(
+            "regexp_extract_all(props, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]', 0)"))
+            .as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(15)
+    },
+
     // sessionization: lag + conditional flag + running sum (rich windows);
     // 30-minute gap threshold in exact integer microseconds on both sides
     QueryDef("q15_sessionize",

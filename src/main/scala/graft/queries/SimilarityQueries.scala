@@ -104,6 +104,35 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // IVF-style partitioned ANN: assign to nearest of 16 centroid
+    // vectors, probe the query's 4 nearest clusters, exact top-10 within
+    QueryDef("ann_ivf_topk",
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, ${sqlQ("embedding")} AS q FROM embeddings),
+         |cent AS (
+         |  SELECT id AS cid, q AS cq FROM e WHERE id < 16),
+         |scored AS (
+         |  SELECT e.id, e.q, cent.cid, ${sqlCosine("e.q", "cent.cq")} AS cscore
+         |  FROM e, cent),
+         |ranked AS (
+         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY cscore DESC, cid) AS rn
+         |  FROM scored),
+         |assign AS (
+         |  SELECT id, cid AS cluster_id FROM ranked WHERE rn = 1),
+         |probes AS (
+         |  SELECT cid AS cluster_id FROM ranked WHERE id = 0 AND rn <= 4),
+         |qv AS (SELECT q AS qq FROM e WHERE id = 0)
+         |SELECT e.id AS vec_id, a.cluster_id, ${sqlCosine("e.q", "qq")} AS score
+         |FROM e JOIN assign a ON e.id = a.id
+         |       JOIN probes p ON a.cluster_id = p.cluster_id, qv
+         |WHERE e.id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
+          nCentroids = 16, nProbe = 4)
+        .withColumnRenamed("id", "vec_id")
+    },
+
     // exact all-pairs near-dup (the O(n²) correctness baseline for the
     // banded variant; small n only)
     QueryDef("sim_bruteforce_pairs",

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class SkewAndSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedEquiJoin equals the plain join on skewed data") {
+    // 90% of rows share one hot key
+    val large = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100)
+        .as("k"), col("id").as("v"))
+    val small = spark.range(100).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("name"))
+    val plain = large.join(small, Seq("k")).select("k", "v", "name")
+    val salted = Skew.saltedEquiJoin(large, small, "k", buckets = 8)
+      .select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("sinks: parquet/csv/json round-trip preserves data") {
+    val df = graft.Tables.nation(spark, sfDir)
+    val base = Files.createTempDirectory("sinks")
+    df.write.parquet(s"$base/p")
+    df.write.option("header", "true").csv(s"$base/c")
+    df.write.json(s"$base/j")
+    val p = spark.read.parquet(s"$base/p")
+    val c = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/c")
+    val j = spark.read.json(s"$base/j")
+    assert(p.count() == 25 && c.count() == 25 && j.count() == 25)
+    val want = df.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    assert(p.orderBy("n_nationkey").collect().map(_.toSeq).toSeq == want)
+    assert(c.select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").as[(Int, String, Int)].collect().toSeq ==
+      want.map(r => (r(0), r(1), r(2))))
+    // json loses column order + int width but not content
+    assert(j.select(col("n_nationkey").cast("int"), col("n_name"),
+      col("n_regionkey").cast("int"))
+      .orderBy("n_nationkey").as[(Int, String, Int)].collect().toSeq ==
+      want.map(r => (r(0), r(1), r(2))))
+  }
+}
