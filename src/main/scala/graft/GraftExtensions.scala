@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{LongArrayDot, RegExpReplaceFirst}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's custom Catalyst expressions as SQL functions,
+  * so `spark.sql(...)` users get them too. Two installation paths:
+  *
+  * {{{
+  * // at session build (preferred — works via config too):
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * //   or .config("spark.sql.extensions", "graft.GraftExtensions")
+  * // into an already-running session:
+  * GraftExtensions.register(spark)
+  *
+  * spark.sql("SELECT regexp_replace_first(name, '\\.', '_1.') FROM files")
+  * spark.sql("SELECT long_array_dot(qa, qb) FROM pairs")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("regexp_replace_first"),
+      info("regexp_replace_first",
+        "regexp_replace_first(str, regexp, rep) - replaces the FIRST regexp match in str with rep (Python re.sub count=1 semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "regexp_replace_first(str, regexp, rep)")
+        RegExpReplaceFirst(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("long_array_dot"),
+      info("long_array_dot",
+        "long_array_dot(a, b) - exact integer dot product of two array<bigint> columns."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "long_array_dot(a, b)")
+        LongArrayDot(args(0), args(1))
+      }))
+
+  /** Install into an existing session (builder extensions only apply at
+    * first session creation). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
