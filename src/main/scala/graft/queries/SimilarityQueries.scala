@@ -16,9 +16,11 @@ object SimilarityQueries {
   private def sqlQ(embCol: String): String =
     s"list_transform($embCol, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
-  /** DuckDB fragment: Similarity.cosineQ over quantized list columns. */
+  /** DuckDB fragment: Similarity.cosineQ over quantized list columns
+    * (dimension-generic: iterates the common prefix like LongArrayDot). */
   private def sqlCosine(qa: String, qb: String): String =
-    s"""CAST(list_sum(list_transform(range(1, 65), i -> $qa[i] * $qb[i])) AS DOUBLE)
+    s"""CAST(list_sum(list_transform(range(1, least(len($qa), len($qb)) + 1),
+       |       i -> $qa[i] * $qb[i])) AS DOUBLE)
        | / sqrt(CAST(list_sum(list_transform($qa, x -> x * x)) AS DOUBLE)
        |        * CAST(list_sum(list_transform($qb, x -> x * x)) AS DOUBLE))""".stripMargin
 
