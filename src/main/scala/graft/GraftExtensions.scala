@@ -20,8 +20,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.RegexPrefixPushdown)
+  }
 }
 
 object GraftExtensions {
@@ -51,8 +53,13 @@ object GraftExtensions {
 
   /** Install into an existing session (builder extensions only apply at
     * first session creation). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    val extra = spark.sessionState.experimentalMethods
+    if (!extra.extraOptimizations.contains(graft.plans.RegexPrefixPushdown))
+      extra.extraOptimizations =
+        extra.extraOptimizations :+ graft.plans.RegexPrefixPushdown
+  }
 }

@@ -133,7 +133,37 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // 5. exact n-gram Jaccard similarity join (n=1: the fixture's dups are
+    // 5. embedding-cosine near-dup dedup: drop every document that has a
+    // lower-id neighbour at quantized cosine >= 0.35 (vec_id == doc_id in
+    // the fixtures); exact pair set via the codegen'd integer dot product
+    QueryDef("dedup_embedding_survivors",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a, e b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND CAST(list_sum(list_transform(
+        |          range(1, least(len(a.q), len(b.q)) + 1),
+        |          i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |        / sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE)
+        |               * CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))
+        |        >= 0.35)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val pairs = graft.ext.Similarity
+        .bruteForcePairs(Tables.embeddings(s, d), threshold = 0.35)
+        .select(col("id_b").as("doc_id"))
+      Tables.documents(s, d)
+        .join(pairs, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // 6. exact n-gram Jaccard similarity join (n=1: the fixture's dups are
     // reorderings, so unigram sets carry the signal; n=3 shingles are
     // exercised in DedupSpec with planted ordered dups)
     QueryDef("dedup_jaccard_pairs",
