@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every left row, the single most recent right row with
+  * `rightTs <= leftTs` within the same key group. Spark has no native
+  * operator for this (SURVEY.md §2.4 lists the join surface; as-of is the
+  * canonical "operator the engine adds").
+  *
+  * Implementation is the UNION-SORT algorithm, not a range join: tag both
+  * inputs, sort each key group by (ts, side) with right rows first at
+  * equal timestamps (ASOF `>=` semantics), then propagate the last seen
+  * right row with `last_value(ignoreNulls)` over an unbounded-preceding
+  * frame. One shuffle on the key + one sort — O(n log n) per group,
+  * versus the O(n·m) explosion of the naive `leftTs >= rightTs` range
+  * join + argmax. This is the plan shape that survives 100 TB: shuffle
+  * keyed on the join key, a single window pass, no cross product.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      build side (its columns are emitted with `prefix`)
+    * @param keyCols    equi-key columns present in both inputs
+    * @param tsCol      event-time column present in both inputs
+    * @param valueCols  right-side columns to carry (besides its ts)
+    * @param prefix     prefix for emitted right-side columns
+    */
+  def leftAsOf(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side flag: right rows sort BEFORE left rows at equal ts => a right
+    // row at exactly leftTs is visible (>= semantics, DuckDB ASOF parity)
+    val taggedLeft = left
+      .withColumn("__side", lit(1))
+      .withColumn(s"$prefix$tsCol", lit(null).cast(left.schema(tsCol).dataType))
+    val taggedRight0 = right.select(
+      (keyCols.map(col) :+ col(tsCol).as(s"$prefix$tsCol")) ++
+        valueCols.map(c => col(c).as(s"$prefix$c")): _*)
+      .withColumn("__side", lit(0))
+      .withColumn(tsCol, col(s"$prefix$tsCol"))
+    // align schemas: left rows carry null right-values, right rows carry
+    // null left-values
+    val allRightVals = valueCols.map(c => s"$prefix$c")
+    val taggedLeftFull = allRightVals.foldLeft(taggedLeft) { (df, c) =>
+      df.withColumn(c, lit(null).cast(taggedRight0.schema(c).dataType))
+    }
+    val leftOnlyCols = leftCols.diff(keyCols :+ tsCol)
+    val taggedRightFull = leftOnlyCols.foldLeft(taggedRight0) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val ordered: Seq[Column] =
+      (leftCols ++ Seq("__side", s"$prefix$tsCol") ++ allRightVals).map(col)
+    val unioned = taggedLeftFull.select(ordered: _*)
+      .unionByName(taggedRightFull.select(ordered: _*))
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = (s"$prefix$tsCol" +: allRightVals).foldLeft(unioned) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}

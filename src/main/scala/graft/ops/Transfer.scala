@@ -93,6 +93,23 @@ object Transfer {
     }
   }
 
+  /** Catalog diff for incremental sync: files present in `src` but absent
+    * from (or differently sized in) `dst`, by relative `name` — the
+    * SURVEY.md §2.4 "source EXCEPT dest" primitive. A left-anti/outer
+    * join on the two catalog scans: one shuffle keyed on name, no data
+    * movement until the resulting manifest is executed. */
+  def syncPlan(srcCatalog: DataFrame, dstCatalog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = srcCatalog.select(col("path").as("src_path"), col("name"),
+      col("size").as("src_size"))
+    val d = dstCatalog.select(col("name"), col("size").as("dst_size"))
+    s.join(d, Seq("name"), "left_outer")
+      .filter(col("dst_size").isNull || col("dst_size") =!= col("src_size"))
+      .select(col("src_path"), col("name"), col("src_size"),
+        when(col("dst_size").isNull, lit("missing")).otherwise(lit("changed"))
+          .as("reason"))
+  }
+
   /** One `FileSystem` per (scheme, authority) per task. */
   private final class FsCache(conf: SerializableHadoopConf) {
     private val m = scala.collection.mutable.HashMap.empty[String, FileSystem]

@@ -308,6 +308,55 @@ object AnalyticsQueries {
           .limit(15)
     },
 
+    // as-of join (custom operator, ops.AsOfJoin): every click paired with
+    // the user's most recent prior-or-simultaneous purchase. Timestamps
+    // are micro-truncated on BOTH sides before the join so the oracle's
+    // nanosecond source can't flip a boundary comparison.
+    QueryDef("q18_asof_join",
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events),
+        |c AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |       epoch_us(p.ts) AS purchase_ts_us,
+        |       p.value AS purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.ops.AsOfJoin.leftAsOf(clicks, purchases,
+          keyCols = Seq("user_id"), tsCol = "ts",
+          valueCols = Seq("value"), prefix = "purchase_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+          col("purchase_value"))
+        .orderBy("event_id")
+    },
+
+    // deterministic per-group sampling: k rows per group by md5 order —
+    // the distributed-reproducible alternative to rand() sampling
+    QueryDef("q19_group_sample",
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("lang", "rn")
+    },
+
     // sessionization: lag + conditional flag + running sum (rich windows);
     // 30-minute gap threshold in exact integer microseconds on both sides
     QueryDef("q15_sessionize",

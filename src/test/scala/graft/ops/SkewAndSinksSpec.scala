@@ -44,4 +44,28 @@ class SkewAndSinksSpec extends SparkSpec {
       .orderBy("n_nationkey").as[(Int, String, Int)].collect().toSeq ==
       want.map(r => (r(0), r(1), r(2))))
   }
+
+  test("syncPlan finds missing and changed files only") {
+    import graft.catalog.FileCatalog
+    val a = Files.createTempDirectory("sync-a")
+    val b = Files.createTempDirectory("sync-b")
+    Files.writeString(a.resolve("same.txt"), "xx")
+    Files.writeString(b.resolve("same.txt"), "xx")
+    Files.writeString(a.resolve("changed.txt"), "longer content")
+    Files.writeString(b.resolve("changed.txt"), "short")
+    Files.writeString(a.resolve("missing.txt"), "new")
+    val plan = Transfer.syncPlan(
+      FileCatalog.list(spark, a.toUri.toString),
+      FileCatalog.list(spark, b.toUri.toString))
+      .select("name", "reason").as[(String, String)].collect().toMap
+    assert(plan == Map("changed.txt" -> "changed", "missing.txt" -> "missing"))
+  }
+
+  test("approx_count_distinct tracks exact within 5% on orders") {
+    val o = graft.Tables.orders(spark, sfDir)
+    val exact = o.select(countDistinct("o_custkey")).as[Long].collect()(0)
+    val approx = o.select(approx_count_distinct("o_custkey")).as[Long].collect()(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
 }
