@@ -176,6 +176,83 @@ object Dedup {
       .select("id_a", "id_b", "inter", "un", "jaccard")
   }
 
+  // -------- bitset Jaccard (small-vocabulary fast path) --------
+  //
+  // When the DISTINCT shingle vocabulary is small (≤ a few thousand —
+  // decided by inspecting `index.select("shingle").distinct().count()`,
+  // the same kind of stats-driven choice as broadcast-vs-shuffle), each
+  // doc's shingle set packs into an array<long> bitmask and intersection
+  // cardinality becomes Σ popcount(a&b) — a codegen'd per-pair O(vocab/64)
+  // loop instead of a posting-list join. The fixture's ~40-token
+  // vocabulary means ONE long per doc; the posting-list variant
+  // ([[jaccardPairs]]) remains the general-corpus path.
+
+  /** Per-doc bitmasks over the global shingle vocabulary: (id, n_sh,
+    * mask array<long>). Vocabulary indexed by sorted order
+    * (deterministic); masks are DENSE (every word slot present, zeros
+    * for empty words) so element i of any two masks refers to the same
+    * vocabulary slice. The one driver-side action (vocab count) is the
+    * stats inspection that justifies choosing this path at all. */
+  def tokenMasks(index: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = index.select("shingle").distinct()
+      .withColumn("bit",
+        row_number().over(Window.orderBy("shingle")) - 1)
+    val numWords = ((vocab.count() + 63) / 64).toInt
+    index.join(broadcast(vocab), Seq("shingle"))
+      .withColumn("word", (col("bit") / 64).cast("int"))
+      .withColumn("wbit", col("bit") % 64)
+      .groupBy("id", "n_sh", "word")
+      .agg(bit_or(expr("shiftleft(1L, cast(wbit AS int))")).as("bits"))
+      .groupBy("id", "n_sh")
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("wordmap"))
+      .withColumn("mask", transform(
+        sequence(lit(0), lit(numWords - 1)),
+        w => coalesce(element_at(col("wordmap"), w), lit(0L))))
+      .drop("wordmap")
+  }
+
+  /** EXACT all-pairs Jaccard >= threshold via bitmask block-nested join.
+    * Same results as [[jaccardPairs]]; applicable when the vocabulary is
+    * small enough to pack (an n² candidate space bounded by doc count —
+    * use inside blocks/bands at scale). */
+  def jaccardPairsBitset(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.9): DataFrame = {
+    val masks = tokenMasks(tokenIndex(df, idCol, textCol, n))
+    val a = masks.select(col("id").as("id_a"), col("n_sh").as("na"),
+      col("mask").as("mask_a"))
+    val b = masks.select(col("id").as("id_b"), col("n_sh").as("nb"),
+      col("mask").as("mask_b"))
+    val tNum = math.round(threshold * 100).toInt
+    a.join(b,
+        col("id_a") < col("id_b") &&
+        col("na") * tNum <= col("nb") * 100 &&
+        col("nb") * tNum <= col("na") * 100)
+      .withColumn("inter",
+        graft.functions.LongArrayPopcntAnd(col("mask_a"), col("mask_b")))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "un", "jaccard")
+  }
+
+  /** Exact Jaccard for candidate pairs via bitmasks (popcount re-rank —
+    * replaces [[candidateJaccard]]'s token join when masks fit). */
+  def candidateJaccardBitset(cand: DataFrame, masks: DataFrame): DataFrame = {
+    val a = masks.select(col("id").as("id_a"), col("n_sh").as("na"),
+      col("mask").as("mask_a"))
+    val b = masks.select(col("id").as("id_b"), col("n_sh").as("nb"),
+      col("mask").as("mask_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.LongArrayPopcntAnd(col("mask_a"), col("mask_b")))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un"))
+      .select("id_a", "id_b", "inter", "un", "jaccard")
+  }
+
   /** EXACT all-pairs Jaccard similarity join: returns (id_a, id_b,
     * intersection, union, jaccard) for every pair with J >= threshold,
     * id_a < id_b.

