@@ -44,4 +44,27 @@ class AsOfJoinSpec extends SparkSpec {
       .select("id", "asof_ts").as[(Long, Option[Timestamp])].collect().toMap
     assert(ts(2L).contains(t(15)) && ts(3L).isEmpty)
   }
+
+  test("differential: leftAsOf equals naive range-join argmax on random data") {
+    val rnd = new scala.util.Random(42)
+    val lftRows = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", t(rnd.nextInt(1000))))
+    val rgtRows = (1 to 150).map(i =>
+      (s"k${rnd.nextInt(10)}", t(rnd.nextInt(1000)), i.toDouble))
+      .distinct
+    // unique (k, ts) on the right so the as-of row is well-defined
+    val rgtUnique = rgtRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val l = lftRows.toDF("id", "k", "ts")
+    val r = rgtUnique.toDF("k", "ts", "v")
+    val got = AsOfJoin.leftAsOf(l, r, Seq("k"), "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    // naive: for each left row, the right row with max ts <= left ts
+    val rightByKey = rgtUnique.groupBy(_._1)
+    val want = lftRows.map { case (id, k, ts) =>
+      id -> rightByKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(ts))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    assert(got == want)
+  }
 }

@@ -72,4 +72,25 @@ class EventStreamSpec extends SparkSpec {
       assert(last == UserSessions(7L, 3L, 2L))
     } finally q.stop()
   }
+
+  test("streaming dedup: watermark + dropDuplicates drops re-sent events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 1.0))
+      q.processAllAvailable()
+      // re-send event 1 (at-least-once upstream) + one new event
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(3, ts(2), 1, "a", 1.0))
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.col
+      val n = spark.table("dedup_out").collect()(0).getLong(0)
+      assert(n == 3, s"expected 3 unique events, got $n")
+    } finally q.stop()
+  }
 }
