@@ -308,6 +308,56 @@ object AnalyticsQueries {
           .limit(15)
     },
 
+    // exact percentiles with linear interpolation (same formula both
+    // engines: value at rank (n-1)*p, linearly interpolated on identical
+    // parquet doubles)
+    QueryDef("q20_percentiles",
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .orderBy("o_orderpriority")
+    },
+
+    // histogram: fixed-width integer bucketing (exact floor math)
+    QueryDef("q21_histogram",
+      """SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 25.0).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .orderBy("bucket")
+    },
+
+    // BPE training step: most frequent adjacent character pairs across
+    // the corpus (the merge-candidate counting loop of byte-pair encoding)
+    QueryDef("q22_bpe_pairs",
+      """SELECT pair, COUNT(*) AS freq FROM (
+        |  SELECT substring(s, i, 2) AS pair
+        |  FROM (SELECT replace(text, ' ', '_') AS s FROM documents),
+        |       UNNEST(range(1, length(s))) AS u(i))
+        |GROUP BY pair ORDER BY freq DESC, pair LIMIT 25""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(split(regexp_replace(col("text"), " ", "_"), "").as("t"))
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], t[i]))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("pair"))
+          .limit(25)
+    },
+
     // as-of join (custom operator, ops.AsOfJoin): every click paired with
     // the user's most recent prior-or-simultaneous purchase. Timestamps
     // are micro-truncated on BOTH sides before the join so the oracle's
