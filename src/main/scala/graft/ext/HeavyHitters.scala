@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra-Gries heavy-hitters sketch as a typed `Aggregator` (the engine's
+  * one custom UDAF — SURVEY.md §2.6): bounded-memory frequent-item
+  * estimation with the classic guarantee that any item with true
+  * frequency > n/capacity survives, and estimates undercount by at most
+  * n/capacity. Mergeable (the buffer union is pruned back to capacity),
+  * so it composes with partial aggregation.
+  *
+  * Exact-top-k queries in the suite use window functions (oracle-able);
+  * this is the bounded-memory alternative for cardinalities where an
+  * exact group-by would not fit — the 100 TB corpus-vocabulary case.
+  */
+class HeavyHitters(capacity: Int)
+    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+  require(capacity > 0)
+
+  override def zero: Map[String, Long] = Map.empty
+
+  private def prune(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= capacity) m
+    else {
+      // decrement-by-min and drop zeros (Misra-Gries step)
+      val dec = m.values.min
+      m.flatMap { case (k, v) =>
+        if (v - dec > 0) Some(k -> (v - dec)) else None
+      }
+    }
+
+  override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+    prune(b.updated(a, b.getOrElse(a, 0L) + 1L))
+
+  override def merge(
+      x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+    prune(y.foldLeft(x) { case (acc, (k, v)) =>
+      acc.updated(k, acc.getOrElse(k, 0L) + v)
+    })
+
+  override def finish(b: Map[String, Long]): Seq[(String, Long)] =
+    b.toSeq.sortBy { case (k, v) => (-v, k) }
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    Encoders.kryo[Seq[(String, Long)]]
+}

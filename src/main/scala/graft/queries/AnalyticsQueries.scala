@@ -308,6 +308,38 @@ object AnalyticsQueries {
           .limit(15)
     },
 
+    // pivot / crosstab: order counts by status x priority
+    QueryDef("q23_pivot",
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy("o_orderpriority")
+    },
+
+    // INTERSECT: customers that placed both urgent AND low orders
+    QueryDef("q24_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW")
+          .select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
     // exact percentiles with linear interpolation (same formula both
     // engines: value at rank (n-1)*p, linearly interpolated on identical
     // parquet doubles)
@@ -348,11 +380,13 @@ object AnalyticsQueries {
         |       UNNEST(range(1, length(s))) AS u(i))
         |GROUP BY pair ORDER BY freq DESC, pair LIMIT 25""".stripMargin) {
       (s, d) =>
+        // explode an index range + codegen'd substring — the array-of-chars
+        // + transform/concat form is CodegenFallback and ~8x slower
         Tables.documents(s, d)
-          .select(split(regexp_replace(col("text"), " ", "_"), "").as("t"))
-          .select(explode(expr(
-            "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], t[i]))"))
-            .as("pair"))
+          .select(regexp_replace(col("text"), " ", "_").as("s"))
+          .select(col("s"),
+            explode(sequence(lit(1), length(col("s")) - 1)).as("i"))
+          .select(expr("substring(s, i, 2)").as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("freq"))
           .orderBy(col("freq").desc, col("pair"))
           .limit(25)
