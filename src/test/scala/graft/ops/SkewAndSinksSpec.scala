@@ -68,4 +68,21 @@ class SkewAndSinksSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("sinks: orc and text round-trips") {
+    val base = Files.createTempDirectory("sinks2")
+    val df = graft.Tables.region(spark, sfDir)
+    df.write.orc(s"$base/o")
+    assert(spark.read.orc(s"$base/o").orderBy("r_regionkey")
+      .collect().map(_.toSeq).toSeq ==
+      df.orderBy("r_regionkey").collect().map(_.toSeq).toSeq)
+    df.select(concat_ws("|", col("r_regionkey"), col("r_name")).as("value"))
+      .write.text(s"$base/t")
+    val back = spark.read.text(s"$base/t")
+      .select(split(col("value"), "\\|").as("p"))
+      .select(col("p").getItem(0).cast("int").as("k"),
+        col("p").getItem(1).as("n"))
+    assert(back.orderBy("k").as[(Int, String)].collect().toSeq ==
+      df.orderBy("r_regionkey").as[(Int, String)].collect().toSeq)
+  }
 }
