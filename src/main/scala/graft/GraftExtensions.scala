@@ -49,6 +49,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "long_array_dot(a, b)")
         LongArrayDot(args(0), args(1))
+      }),
+    (FunctionIdentifier("long_array_popcnt_and"),
+      info("long_array_popcnt_and",
+        "long_array_popcnt_and(a, b) - bitset intersection cardinality of two array<bigint> bitmask columns."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "long_array_popcnt_and(a, b)")
+        graft.functions.LongArrayPopcntAnd(args(0), args(1))
       }))
 
   /** Install into an existing session (builder extensions only apply at

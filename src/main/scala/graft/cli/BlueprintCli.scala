@@ -50,7 +50,12 @@ object BlueprintCli {
     var a = Args(op = argv(0))
     var i = 1
     while (i < argv.length) {
-      val v = () => { i += 1; argv(i) }
+      val v = () => {
+        i += 1
+        if (i >= argv.length) throw new IllegalArgumentException(
+          s"flag ${argv(i - 1)} requires a value")
+        argv(i)
+      }
       argv(i) match {
         case "--container-uri"               => a = a.copy(containerUri = v())
         case "--local-root"                  => a = a.copy(localRoot = v())
@@ -107,7 +112,14 @@ object BlueprintCli {
     }
 
   def main(argv: Array[String]): Unit = {
-    val a = parse(argv)
+    // parse failures are usage errors (exit 2), not JVM stack traces —
+    // same contract as argparse's SystemExit(2)
+    val a =
+      try parse(argv)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage); sys.exit(2)
+      }
     val builder = SparkSession.builder()
       .appName(s"graft-${a.op}")
       .withExtensions(new graft.GraftExtensions)

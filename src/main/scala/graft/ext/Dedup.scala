@@ -84,11 +84,14 @@ object Dedup {
     val toks = array_distinct(TextAnalysis.tokens(text))
     val hashes = transform(toks, t => TextAnalysis.tokenHash31(t))
     val n = size(hashes)
-    (0 until bits).map { j =>
+    val sig = (0 until bits).map { j =>
       val ones = size(filter(hashes,
         h => shiftright(h, j) % 2L === 1L))
       when(ones * 2 >= n, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
+    // empty token set => no majority anywhere => 0 (matches the index
+    // form, which emits no row; 0*2 >= 0 would otherwise set EVERY bit)
+    when(n === 0, 0L).otherwise(sig)
   }
 
   /** Hamming distance between two simhash values (bit_count of xor). */
@@ -225,11 +228,11 @@ object Dedup {
       col("mask").as("mask_a"))
     val b = masks.select(col("id").as("id_b"), col("n_sh").as("nb"),
       col("mask").as("mask_b"))
-    val tNum = math.round(threshold * 100).toInt
+    val tNum = math.floor(threshold * 10000).toLong
     a.join(b,
         col("id_a") < col("id_b") &&
-        col("na") * tNum <= col("nb") * 100 &&
-        col("nb") * tNum <= col("na") * 100)
+        col("na") * tNum <= col("nb") * 10000L &&
+        col("nb") * tNum <= col("na") * 10000L)
       .withColumn("inter",
         graft.functions.LongArrayPopcntAnd(col("mask_a"), col("mask_b")))
       .withColumn("un", col("na") + col("nb") - col("inter"))
@@ -277,13 +280,14 @@ object Dedup {
     val b = index.select(col("id").as("id_b"), col("n_sh").as("nb"),
       col("shingle").as("shingle_b"))
     // size-compatibility pruning: J >= t implies min(na,nb)/max(na,nb)
-    // >= t (inter <= min, union >= max). Pure integer predicate, applied
-    // inside the join => prunes shuffle output without changing results.
-    val tNum = math.round(threshold * 100).toInt
+    // >= t (inter <= min, union >= max). Integer predicate with the
+    // threshold FLOORED to 4 decimals — flooring can only under-prune,
+    // never drop a qualifying pair.
+    val tNum = math.floor(threshold * 10000).toLong
     a.join(b, col("shingle") === col("shingle_b") &&
         col("id_a") < col("id_b") &&
-        col("na") * tNum <= col("nb") * 100 &&
-        col("nb") * tNum <= col("na") * 100)
+        col("na") * tNum <= col("nb") * 10000L &&
+        col("nb") * tNum <= col("na") * 10000L)
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
       .withColumn("un", col("na") + col("nb") - col("inter"))

@@ -23,8 +23,11 @@ class HeavyHitters(capacity: Int)
   private def prune(m: Map[String, Long]): Map[String, Long] =
     if (m.size <= capacity) m
     else {
-      // decrement-by-min and drop zeros (Misra-Gries step)
-      val dec = m.values.min
+      // Misra-Gries: subtract the (capacity+1)-th largest count, so at
+      // most `capacity` positive entries survive in ONE pass (a plain
+      // decrement-by-min would leave up to 2x capacity after a merge of
+      // two full buffers)
+      val dec = m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
       m.flatMap { case (k, v) =>
         if (v - dec > 0) Some(k -> (v - dec)) else None
       }

@@ -24,8 +24,11 @@ object TextAnalysis {
     * boundaries like a byte-pair pre-tokenizer would. */
   def regexTokens(text: Column): Column =
     // contiguous letters+digits | single punctuation — close to GPT-2's
-    // pre-tokenizer classes, without lookahead (unsupported in RE2/ICU)
-    expr(s"regexp_extract_all(${text.toString}, '[\\\\p{L}\\\\p{N}]+|[^\\\\p{L}\\\\p{N}\\\\s]', 0)")
+    // pre-tokenizer classes, without lookahead (unsupported in RE2/ICU).
+    // call_function keeps the real Column (toString-interpolated SQL
+    // breaks on qualified/lambda-bound columns).
+    call_function("regexp_extract_all", text,
+      lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))
 
   /** Stable 31-bit token hash: first 15 hex chars of md5, parsed base-16,
     * reduced mod 2^31-1. Reproducible in any SQL engine. */

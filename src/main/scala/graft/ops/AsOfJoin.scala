@@ -57,12 +57,23 @@ object AsOfJoin {
     val unioned = taggedLeftFull.select(ordered: _*)
       .unionByName(taggedRightFull.select(ordered: _*))
 
+    // pack the right row into ONE struct and forward-fill it atomically:
+    // per-column fills could combine fields of two different right rows
+    // when a right value column is null. The struct is non-null for every
+    // right row (even with null members), so last(ignoreNulls) picks a
+    // whole row. Struct order also gives equal-ts right rows a
+    // deterministic winner (lexicographic on (ts, values)).
+    val asofStruct = struct((s"$prefix$tsCol" +: allRightVals).map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, asofStruct.asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = (s"$prefix$tsCol" +: allRightVals).foldLeft(unioned) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned
+      .withColumn("__asof",
+        last(when(col("__side") === 0, asofStruct), ignoreNulls = true)
+          .over(w))
+    val unpacked = (s"$prefix$tsCol" +: allRightVals).foldLeft(filled) {
+      (df, c) => df.withColumn(c, col("__asof").getField(c))
     }
-    filled.filter(col("__side") === 1).drop("__side")
+    unpacked.filter(col("__side") === 1).drop("__side", "__asof")
   }
 }

@@ -59,13 +59,17 @@ object Transfer {
         rows.foreach { r =>
           val src = new Path(r.getString(0))
           val dst = new Path(r.getString(1))
-          val fs = cache.get(src)
+          val srcFs = cache.get(src)
+          val dstFs = cache.get(dst)
           try {
             val parent = dst.getParent
-            if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
-            val renamed = fs.rename(src, dst)
+            if (parent != null && !dstFs.exists(parent)) dstFs.mkdirs(parent)
+            // rename is only defined within one file system; cross-store
+            // moves go straight to copy+delete (the reference's own shape)
+            val sameStore = srcFs.getUri == dstFs.getUri
+            val renamed = sameStore && srcFs.rename(src, dst)
             if (!renamed) {
-              FileUtil.copy(fs, src, cache.get(dst), dst, true, false, conf.value)
+              FileUtil.copy(srcFs, src, dstFs, dst, true, false, conf.value)
             }
           } catch {
             case e: Exception => throw BlueprintError.MoveError(

@@ -35,6 +35,10 @@ object RegexPrefixPushdown extends Rule[LogicalPlan] {
     * the scan conservatively (only plain literal chars are taken). */
   private[plans] def literalPrefix(pattern: String): Option[String] = {
     if (!pattern.startsWith("^")) return None
+    // top-level alternation voids the anchor for later branches
+    // (`^logs/|tmp/` matches 'tmp/x' anywhere) — bail on any '|',
+    // conservatively including parenthesized ones
+    if (pattern.contains('|')) return None
     val sb = new StringBuilder
     var i = 1
     var done = false

@@ -44,8 +44,20 @@ object BlueprintStream {
       .select(col("path"), col("length"))
     val root = if (containerUri.endsWith("/")) containerUri
       else containerUri + "/"
+    // match on the root-relative NAME like the batch blueprint (the
+    // source's `path` is an absolute URI; matching on it would expose
+    // the watch-dir prefix to the user's pattern)
+    val globIdx = watchDir.indexWhere(c => "*?[{".contains(c))
+    val rootPart =
+      if (globIdx < 0) watchDir
+      else watchDir.substring(0, watchDir.lastIndexOf('/', globIdx))
+    val marker =
+      new org.apache.hadoop.fs.Path(rootPart).toUri.getPath.stripSuffix("/") + "/"
+    val name = col("path")
+      .substr(locate(marker, col("path")) + marker.length, lit(1 << 20))
     files
-      .filter(RegexMatch(pattern).predicate(col("path")))
+      .withColumn("name", name)
+      .filter(RegexMatch(pattern).predicate(col("name")))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))

@@ -95,4 +95,5 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(a == b)   // 3-gram vocab > 64 => exercises multi-long masks
   }
+
 }

@@ -32,4 +32,11 @@ class HeavyHittersSpec extends SparkSpec {
     assert(exact.keySet.subsetOf(sketch),
       s"missing: ${exact.keySet.diff(sketch)}")
   }
+
+  test("merge of two full disjoint buffers prunes back to capacity") {
+    val hh = new HeavyHitters(8)
+    val b1 = (1 to 8).map(i => s"a$i" -> 5L).toMap
+    val b2 = (1 to 8).map(i => s"b$i" -> 5L).toMap
+    assert(hh.merge(b1, b2).size <= 8)
+  }
 }

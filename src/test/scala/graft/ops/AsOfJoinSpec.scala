@@ -67,4 +67,15 @@ class AsOfJoinSpec extends SparkSpec {
     }.toMap
     assert(got == want)
   }
+
+  test("right row with null value is carried atomically (no column mixing)") {
+    val l2 = Seq((1L, "u", t(30))).toDF("id", "k", "ts")
+    val r2 = Seq(("u", t(10), Some(5.0)), ("u", t(20), None: Option[Double]))
+      .toDF("k", "ts", "v")
+    val row = AsOfJoin.leftAsOf(l2, r2, Seq("k"), "ts", Seq("v"))
+      .select("asof_ts", "asof_v")
+      .as[(Option[java.sql.Timestamp], Option[Double])].collect()(0)
+    // most recent right row is (t20, null) — both fields from THAT row
+    assert(row._1.contains(t(20)) && row._2.isEmpty, row.toString)
+  }
 }

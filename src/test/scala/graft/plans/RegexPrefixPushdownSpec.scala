@@ -48,4 +48,13 @@ class RegexPrefixPushdownSpec extends SparkSpec {
     val twice = RegexPrefixPushdown(once)
     assert(once fastEquals twice)
   }
+
+  test("top-level alternation is NOT rewritten (would drop rows)") {
+    assert(RegexPrefixPushdown.literalPrefix("^logs/|tmp/") == None)
+    import spark.implicits._
+    val df = Seq("logs/a", "tmp/x", "other").toDF("p")
+    val got = df.filter(col("p").rlike("^logs/|tmp/"))
+      .as[String].collect().toSet
+    assert(got == Set("logs/a", "tmp/x"))
+  }
 }
