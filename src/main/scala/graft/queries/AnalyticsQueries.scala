@@ -211,7 +211,7 @@ object AnalyticsQueries {
     // JSON extraction from the events.props string column
     QueryDef("q11_json_extract",
       """SELECT event_type,
-        |  CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
@@ -376,13 +376,17 @@ object AnalyticsQueries {
     QueryDef("q22_bpe_pairs",
       """SELECT pair, COUNT(*) AS freq FROM (
         |  SELECT substring(s, i, 2) AS pair
-        |  FROM (SELECT replace(text, ' ', '_') AS s FROM documents),
+        |  FROM (SELECT replace(text, ' ', '_') AS s FROM documents
+        |        WHERE length(text) >= 2),
         |       UNNEST(range(1, length(s))) AS u(i))
         |GROUP BY pair ORDER BY freq DESC, pair LIMIT 25""".stripMargin) {
       (s, d) =>
         // explode an index range + codegen'd substring — the array-of-chars
-        // + transform/concat form is CodegenFallback and ~8x slower
+        // + transform/concat form is CodegenFallback and ~8x slower.
+        // length guard: Spark's sequence(1, 0) yields a DESCENDING [1,0]
+        // (negative default step) where DuckDB's range(1,1) is empty
         Tables.documents(s, d)
+          .filter(length(col("text")) >= 2)
           .select(regexp_replace(col("text"), " ", "_").as("s"))
           .select(col("s"),
             explode(sequence(lit(1), length(col("s")) - 1)).as("i"))
@@ -402,7 +406,10 @@ object AnalyticsQueries {
         |         make_timestamp(epoch_us(ts)) AS ts
         |  FROM events),
         |c AS (SELECT * FROM ev WHERE event_type = 'click'),
-        |p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |p AS (
+        |  SELECT * FROM ev WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
         |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
         |       epoch_us(p.ts) AS purchase_ts_us,
         |       p.value AS purchase_value
@@ -413,7 +420,14 @@ object AnalyticsQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
+      // tie-elimination: ASOF's pick among equal-ts right rows is
+      // unspecified in SQL engines — keep one purchase per (user, ts)
+      // (max event_id) in BOTH engines so the as-of row is well-defined
+      val dedupWin = Window.partitionBy("user_id", "ts")
+        .orderBy(col("event_id").desc)
       val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(dedupWin))
+        .filter(col("__rn") === 1).drop("__rn")
       graft.ops.AsOfJoin.leftAsOf(clicks, purchases,
           keyCols = Seq("user_id"), tsCol = "ts",
           valueCols = Seq("value"), prefix = "purchase_")
