@@ -93,4 +93,46 @@ class EventStreamSpec extends SparkSpec {
       assert(n == 3, s"expected 3 unique events, got $n")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: clicks joined to purchases within 10 min") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val b = buys.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
+        col("value").as("buy_value"))
+    val joined = c.join(b,
+      col("user_id") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts(0), 5, "click", 0.0))
+      buys.addData(Event(2, ts(5), 5, "purchase", 9.0),   // within window
+        Event(3, ts(20), 5, "purchase", 7.0))             // outside
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("click_id", "buy_value").as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .groupBy().count()
+      .writeStream.format("memory").queryName("ddww_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(1, ts(0), 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("ddww_out").collect()(0).getLong(0) == 1)
+    } finally q.stop()
+  }
 }
