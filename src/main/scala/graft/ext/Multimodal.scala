@@ -41,10 +41,14 @@ object Multimodal {
   }
 
   /** One decoded record: the typed metadata a real image decode would
-    * yield. */
+    * yield, plus extracted features — a 16-bin coarse byte histogram
+    * (REAL computation over the payload, codec-free) and the post-resize
+    * dimensions. */
   final case class DecodedMeta(
       doc_id: Long, format: String, byte_len: Long,
-      width: Int, height: Int, channels: Int)
+      width: Int, height: Int, channels: Int,
+      resized_w: Int, resized_h: Int,
+      features: Seq[Long])
 
   /** STUB decoder — the container ships no codecs. Deterministic fake:
     * dimensions derived from the payload's first bytes so tests are
@@ -54,12 +58,27 @@ object Multimodal {
     * iterator, no per-row setup).
     */
   object StubDecoder {
+    /** Target edge for the resize step (as a real pipeline would
+      * normalize to a model's input resolution). */
+    val ResizeTarget = 224
+
     def decodeOne(id: Long, payload: Array[Byte]): DecodedMeta = {
-      // ??? <- real codec goes here; deterministic fake below
+      // ??? <- real codec goes here; deterministic fake dims below
       val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
       val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+      val w = 64 + (b0 % 64)
+      val h = 64 + (b1 % 64)
+      // resize: scale shorter edge to ResizeTarget, keep aspect (the
+      // arithmetic is the real operator; pixel resampling is the codec's)
+      val scale = ResizeTarget.toDouble / math.min(w, h)
+      // feature extraction: REAL 16-bin byte histogram over the payload
+      val hist = new Array[Long](16)
+      payload.foreach(b => hist((b & 0xff) >> 4) += 1L)
       DecodedMeta(id, "stub", payload.length.toLong,
-        width = 64 + (b0 % 64), height = 64 + (b1 % 64), channels = 3)
+        width = w, height = h, channels = 3,
+        resized_w = math.round(w * scale).toInt,
+        resized_h = math.round(h * scale).toInt,
+        features = hist.toSeq)
     }
 
     /** The pipeline: binary DataFrame -> partition-batched decode ->

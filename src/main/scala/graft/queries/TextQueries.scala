@@ -93,6 +93,37 @@ object TextQueries {
           .limit(20)
     },
 
+    // token-rarity quality signal: mean corpus frequency of a doc's
+    // tokens (rare-token-dense docs score low) — a join of each doc's
+    // token stream against the global frequency table, all exact integer
+    // counts with one final double division
+    QueryDef("text_rarity",
+      """WITH tf AS (
+        |  SELECT token, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |dt AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |SELECT dt.doc_id,
+        |  COUNT(*) AS n_tokens,
+        |  CAST(SUM(tf.freq) AS BIGINT) AS freq_mass,
+        |  CAST(SUM(tf.freq) AS DOUBLE) / COUNT(*) AS mean_token_freq
+        |FROM dt JOIN tf ON dt.token = tf.token
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      toks.join(tf, Seq("token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("freq").cast("bigint").as("freq_mass"),
+          (sum("freq").cast("double") / count(lit(1)))
+            .as("mean_token_freq"))
+        .orderBy("doc_id")
+    },
+
     // per-language corpus profile (group + exact ratios)
     QueryDef("text_lang_profile",
       """SELECT lang, COUNT(*) AS n_docs,

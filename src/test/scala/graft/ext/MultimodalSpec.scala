@@ -24,6 +24,12 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 50)
     assert(out.forall(m => m.width >= 64 && m.width < 128 &&
       m.height >= 64 && m.height < 128 && m.channels == 3))
+    // resize keeps aspect with shorter edge at the target
+    assert(out.forall(m =>
+      math.min(m.resized_w, m.resized_h) == Multimodal.StubDecoder.ResizeTarget))
+    // features: real byte histogram, mass equals payload length
+    assert(out.forall(m => m.features.length == 16 &&
+      m.features.sum == m.byte_len))
     // determinism: same input -> same metadata
     val again = Multimodal.StubDecoder.decode(df).collect()
     assert(out.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
