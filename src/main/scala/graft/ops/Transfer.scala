@@ -114,6 +114,35 @@ object Transfer {
           .as("reason"))
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files (ceil(total/target) output files).
+    * The 100 TB maintenance primitive for streaming-ingest landing zones
+    * (FileStreamSink and per-batch uploads accrete small files that
+    * degrade scan parallelism and NameNode/listing pressure). Returns
+    * (filesBefore, filesAfter). */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(path.getParent, path.getName + "__compact_tmp")
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // atomically swap (single-FS rename)
+    val bak = new Path(path.getParent, path.getName + "__compact_bak")
+    fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak, true)
+    val after = fs.listStatus(path)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
   /** One `FileSystem` per (scheme, authority) per task. */
   private final class FsCache(conf: SerializableHadoopConf) {
     private val m = scala.collection.mutable.HashMap.empty[String, FileSystem]

@@ -85,4 +85,13 @@ class SkewAndSinksSpec extends SparkSpec {
     assert(back.orderBy("k").as[(Int, String)].collect().toSeq ==
       df.orderBy("r_regionkey").as[(Int, String)].collect().toSeq)
   }
+
+  test("compact rewrites a many-file parquet dir preserving data") {
+    val dir = Files.createTempDirectory("compact").resolve("t").toString
+    graft.Tables.orders(spark, sfDir).repartition(24).write.parquet(dir)
+    val before = graft.Tables.load(spark, sfDir, "orders").count()
+    val (nBefore, nAfter) = Transfer.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore >= 24 && nAfter == 1, s"$nBefore -> $nAfter")
+    assert(spark.read.parquet(dir).count() == before)
+  }
 }
