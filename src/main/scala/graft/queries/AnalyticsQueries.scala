@@ -308,6 +308,32 @@ object AnalyticsQueries {
           .limit(15)
     },
 
+    // running total + month-over-month growth over pre-aggregated months
+    // (cumulative frame + lag on a bounded series; the monthly rollup
+    // shrinks the data before the unpartitioned window, so the single
+    // partition holds ~tens of rows at any SF)
+    QueryDef("q25_monthly_running",
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, rev,
+        |  CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (ORDER BY month
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev,
+        |  rev - LAG(rev) OVER (ORDER BY month) AS mom_delta
+        |FROM m ORDER BY month""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("month")
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+        .withColumn("running_rev",
+          sum(col("rev").cast(DecimalType(18, 4)))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
+        .withColumn("mom_delta", col("rev") - lag("rev", 1).over(w))
+        .orderBy("month")
+    },
+
     // pivot / crosstab: order counts by status x priority
     QueryDef("q23_pivot",
       """SELECT o_orderpriority,
