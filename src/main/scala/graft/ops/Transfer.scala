@@ -119,7 +119,15 @@ object Transfer {
     * The 100 TB maintenance primitive for streaming-ingest landing zones
     * (FileStreamSink and per-batch uploads accrete small files that
     * degrade scan parallelism and NameNode/listing pressure). Returns
-    * (filesBefore, filesAfter). */
+    * (filesBefore, filesAfter); (0, 0) when there is nothing to compact.
+    *
+    * The swap is TWO renames (dir -> bak, tmp -> dir), not atomic:
+    * readers racing the swap can see a missing directory for an instant,
+    * so run compaction in the pipeline's maintenance window. Every
+    * rename result is checked; on failure the original is rolled back
+    * and the backup is never deleted until the new directory is in
+    * place. A leftover backup from a crashed prior run aborts the
+    * operation (manual recovery beats silently picking a side). */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -128,15 +136,23 @@ object Transfer {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(path)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (parts.isEmpty) return (0, 0)
+    val bak = new Path(path.getParent, path.getName + "__compact_bak")
+    if (fs.exists(bak)) throw new IllegalStateException(
+      s"stale backup $bak from a previous compact run — recover it first")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(path.getParent, path.getName + "__compact_tmp")
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    // atomically swap (single-FS rename)
-    val bak = new Path(path.getParent, path.getName + "__compact_bak")
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
+    if (!fs.rename(path, bak)) throw new java.io.IOException(
+      s"compact: could not move $path aside; directory untouched")
+    if (!fs.rename(tmp, path)) {
+      // roll the original back before failing — never leave dir missing
+      fs.rename(bak, path)
+      throw new java.io.IOException(
+        s"compact: could not install $tmp; original restored")
+    }
     fs.delete(bak, true)
     val after = fs.listStatus(path)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -94,4 +94,15 @@ class SkewAndSinksSpec extends SparkSpec {
     assert(nBefore >= 24 && nAfter == 1, s"$nBefore -> $nAfter")
     assert(spark.read.parquet(dir).count() == before)
   }
+
+  test("compact: empty dir is a no-op; stale backup aborts") {
+    val empty = Files.createTempDirectory("compact-empty")
+    assert(Transfer.compact(spark, empty.toString) == (0, 0))
+    val dir = Files.createTempDirectory("compact-stale").resolve("t")
+    graft.Tables.region(spark, sfDir).write.parquet(dir.toString)
+    Files.createDirectory(dir.getParent.resolve("t__compact_bak"))
+    intercept[IllegalStateException] {
+      Transfer.compact(spark, dir.toString)
+    }
+  }
 }
