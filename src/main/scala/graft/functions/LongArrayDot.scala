@@ -22,6 +22,10 @@ case class LongArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_dot"
+  // a null ELEMENT in either array nulls the whole product (SQL-style);
+  // the per-element branch is never taken on containsNull=false data, so
+  // the hot loop stays branch-predicted free
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -30,6 +34,7 @@ case class LongArrayDot(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -45,6 +50,7 @@ case class LongArrayDot(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;

@@ -20,6 +20,8 @@ case class LongArrayPopcntAnd(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_popcnt_and"
+  // null ELEMENT in either mask word => null result (see LongArrayDot)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -28,6 +30,7 @@ case class LongArrayPopcntAnd(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
       i += 1
     }
@@ -43,6 +46,7 @@ case class LongArrayPopcntAnd(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
          |}
          |${ev.value} = $acc;

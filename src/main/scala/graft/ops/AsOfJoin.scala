@@ -37,7 +37,11 @@ object AsOfJoin {
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .withColumn(s"$prefix$tsCol", lit(null).cast(left.schema(tsCol).dataType))
-    val taggedRight0 = right.select(
+    // a right row with NULL ts can never satisfy rightTs <= leftTs (the
+    // comparison is undefined); unfiltered it would sort first and get
+    // forward-filled into every later left row. DuckDB ASOF drops them too.
+    val rightNonNullTs = right.filter(col(tsCol).isNotNull)
+    val taggedRight0 = rightNonNullTs.select(
       (keyCols.map(col) :+ col(tsCol).as(s"$prefix$tsCol")) ++
         valueCols.map(c => col(c).as(s"$prefix$c")): _*)
       .withColumn("__side", lit(0))

@@ -48,6 +48,13 @@ object EventStream {
   def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapUs = 1800L * 1000000L
+    // exact microseconds (epochSecond*1e6 + nano/1e3) — getTime*1000 would
+    // drop sub-millisecond components and could flip a gap-boundary
+    // classification relative to the batch twin q15's unix_micros
+    def micros(ts: java.sql.Timestamp): Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserSessionState, UserSessions](
@@ -56,10 +63,10 @@ object EventStream {
          state: GroupState[UserSessionState]) =>
           val prev = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue, 0L))
           // order within the micro-batch (streams deliver unordered)
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var (n, last, sessions) = (prev.nEvents, prev.lastUs, prev.sessions)
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = micros(e.ts)
             if (last == Long.MinValue || us - last > gapUs) sessions += 1
             last = us
             n += 1

@@ -68,6 +68,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("right rows with NULL timestamp never match (rightTs <= leftTs undefined)") {
+    val l2 = Seq((1L, "u", t(30))).toDF("id", "k", "ts")
+    val r2 = Seq(("u", None: Option[Timestamp], 99.0), ("u", Some(t(10)), 5.0))
+      .toDF("k", "ts", "v")
+    val row = AsOfJoin.leftAsOf(l2, r2, Seq("k"), "ts", Seq("v"))
+      .select("asof_v").as[Option[Double]].collect()(0)
+    // the null-ts row must NOT be forward-filled; t10 wins
+    assert(row.contains(5.0))
+  }
+
   test("right row with null value is carried atomically (no column mixing)") {
     val l2 = Seq((1L, "u", t(30))).toDF("id", "k", "ts")
     val r2 = Seq(("u", t(10), Some(5.0)), ("u", t(20), None: Option[Double]))
