@@ -198,10 +198,22 @@ object Dedup {
     * stats inspection that justifies choosing this path at all. */
   def tokenMasks(index: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocab = index.select("shingle").distinct()
-      .withColumn("bit",
-        row_number().over(Window.orderBy("shingle")) - 1)
-    val numWords = ((vocab.count() + 63) / 64).toInt
+    val distinctSh = index.select("shingle").distinct()
+    val nVocab = distinctSh.count() // the stats inspection (scaladoc above)
+    // vocabulary numbering: below ~64k entries a single-partition window
+    // is one tiny stage; above it (web-scale vocabularies) switch to
+    // range-partitioned parallel ordinals so no stage ever sees the whole
+    // vocabulary. Ordinals are identical either way (total order).
+    val vocab =
+      if (nVocab <= 65536)
+        distinctSh.withColumn("bit",
+          row_number().over(Window.orderBy("shingle")) - 1)
+      else
+        graft.ops.ZipIndex
+          .withOrdinal(distinctSh, "__rn", Seq(col("shingle")))
+          .withColumn("bit", (col("__rn") - 1).cast("int"))
+          .drop("__rn")
+    val numWords = ((nVocab + 63) / 64).toInt
     index.join(broadcast(vocab), Seq("shingle"))
       .withColumn("word", (col("bit") / 64).cast("int"))
       .withColumn("wbit", col("bit") % 64)

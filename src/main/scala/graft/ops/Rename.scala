@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.functions.PathFunctions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The rename-mapping projection (SURVEY.md §2.3 X6 + §2.5 A2): given a
@@ -24,10 +23,11 @@ import org.apache.spark.sql.functions._
   * order). The engine defines the spec as order-by-`path` so results are
   * deterministic under any partitioning (SURVEY.md §2.5 A3).
   *
-  * Scale note: the global ordinal is a total order, so Spark plans the
-  * `row_number` window as a single-partition exchange. That is fine for
-  * rename manifests (bounded by match count); the ordinal is only computed
-  * at all when an explicit destination name requires enumeration.
+  * Scale note: the global ordinal is a total order, but it is NOT computed
+  * with a single-partition window — [[ZipIndex.withOrdinal]] range-partitions
+  * on the sort key and adds per-partition offsets, so enumeration of a
+  * 100M-file manifest stays parallel. The `UnlessSingle` total count is a
+  * scalar aggregate broadcast back (no `count() OVER ()` global window).
   */
 object RenamePlan {
 
@@ -51,16 +51,22 @@ object RenamePlan {
       numbering: Numbering,
       pathCol: String = "path"): DataFrame = {
     val p = col(pathCol)
-    val fileNumber = numbering match {
-      case Numbering.Never => lit(null).cast("int")
+    val numbered = numbering match {
+      case Numbering.Never =>
+        catalog.withColumn("file_number", lit(null).cast("int"))
       case Numbering.Always =>
-        row_number().over(Window.orderBy(p))
+        ZipIndex.withOrdinal(catalog, "file_number", Seq(p))
+          .withColumn("file_number", col("file_number").cast("int"))
       case Numbering.UnlessSingle =>
-        when(count(lit(1)).over(Window.partitionBy()) === 1, lit(null).cast("int"))
-          .otherwise(row_number().over(Window.orderBy(p)))
+        val total = catalog.agg(count(lit(1)).as("__total"))
+        ZipIndex.withOrdinal(catalog, "__ord", Seq(p))
+          .crossJoin(broadcast(total))
+          .withColumn("file_number",
+            when(col("__total") === 1, lit(null).cast("int"))
+              .otherwise(col("__ord").cast("int")))
+          .drop("__ord", "__total")
     }
-    catalog
-      .withColumn("file_number", fileNumber)
+    numbered
       .withColumn("dest_path",
         destFullPathCol(
           lit(destFolder),

@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   * machine.
   *
   * Plan: range-repartition on the sort key (the same exchange a global
-  * sort uses), `row_number` WITHIN each range partition (parallel), then
-  * add per-partition row-count offsets — computed with a tiny auxiliary
-  * aggregation (#partitions rows) broadcast back. Two narrow passes over
-  * the data, no single-partition stage; ordinals are identical to the
-  * single-partition window for any total sort key.
+  * sort uses) and sort within partitions, so partition i holds the rank
+  * range (offset_i, offset_i + count_i]. The in-partition position comes
+  * free from `monotonically_increasing_id()`'s bit layout
+  * (partitionId * 2^33 + rowOffset, assigned in flow order — i.e. sorted
+  * order here), so no WindowExec and no second hash exchange. Offsets are
+  * a prefix sum over the per-partition counts — #partitions rows, a
+  * driver-sized side relation broadcast back. The counts sub-plan shares
+  * the range exchange via ReuseExchange, so the data shuffles once.
   */
 object ZipIndex {
+
+  private val MidBits = 33 // monotonically_increasing_id: pid << 33 | offset
 
   /** Adds `ordCol` = 1-based ordinal of the row under `orderBy` (which
     * must be a total order for deterministic results).
@@ -29,31 +34,24 @@ object ZipIndex {
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // one exchange: range partitioner on the sort key; rows within each
-    // partition sorted locally => partition i holds rank range
-    // (offset_i, offset_i + count_i]
     val ranged = df.repartitionByRange(n, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__local",
-      row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pid"))
-          .orderBy(orderBy: _*)))
-    // per-partition counts: #partitions rows — a driver-sized side table.
-    // prefix-sum via triangular self-join (O(n²) on ≤ numParts rows)
-    // rather than an unpartitioned window, so no single-partition
-    // WindowExec appears anywhere in the plan
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), MidBits).cast("int"))
+      .withColumn("__local", col("__mid").bitwiseAND((1L << MidBits) - 1))
+    // per-partition counts (map-side combine => one row per partition on
+    // the wire), prefix-summed via triangular join (O(n²) on ≤ numParts
+    // rows) — no unpartitioned window anywhere in the plan
     val counts = ranged.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg((max(col("__local")) + 1L).as("__cnt"))
     val earlier = counts.select(col("__pid").as("__pid2"),
       col("__cnt").as("__cnt2"))
     val offsets = counts
       .join(earlier, col("__pid2") < col("__pid"), "left")
       .groupBy(col("__pid"))
       .agg(coalesce(sum(col("__cnt2")), lit(0L)).as("__offset"))
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(ordCol, col("__offset") + col("__local"))
-      .drop("__pid", "__local", "__offset")
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(ordCol, col("__offset") + col("__local") + 1L)
+      .drop("__mid", "__pid", "__local", "__offset")
   }
 }

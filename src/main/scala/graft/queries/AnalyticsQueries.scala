@@ -110,11 +110,20 @@ object AnalyticsQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      // dims: nation/region are structurally tiny -> explicit broadcast
+      // onto customer (no shuffle on the customer side). customer is NOT
+      // broadcast by hand: at 100 TB it's a fact-sized table, so the join
+      // is declared as a shuffle join and AQE downgrades it to broadcast
+      // from runtime stats when the filtered dim side is actually small.
+      val dims = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
         .groupBy("r_name")
         .agg(
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
