@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching via K-Minimum-Values (KMV / bottom-k).
+  *
+  * The sketch keeps the k smallest DISTINCT hash values of a stream; if
+  * hashes are uniform on [0, M], the k-th smallest value h_k estimates
+  * density: n ≈ (k-1) · M / h_k. Properties that matter here:
+  *
+  *  - **Deterministic**: hashes are md5-derived 31-bit ints
+  *    ([[TextAnalysis.tokenHash31]]) — no RNG, so the estimate is
+  *    identical under any partitioning, any engine, any run. (HLL
+  *    implementations differ across engines; KMV with a fixed hash is
+  *    exactly reproducible, which is why it can be DuckDB-oracle-checked.)
+  *  - **Mergeable**: union of two sketches = merge the value sets, keep
+  *    the k smallest — exactly the bottom-k of the union. Partial
+  *    aggregation (map-side combine) is lossless; sketch state is O(k)
+  *    per group no matter how many rows feed it.
+  *  - **Exact below k**: fewer than k distinct hashes => the estimate IS
+  *    the distinct count (of hashes; md5 collisions below 2^31 are the
+  *    usual birthday caveat).
+  *
+  * Two forms: [[kmvDistinct]] (DataFrame-native: distinct + per-group
+  * bottom-k via window — the oracle-comparable query shape) and
+  * [[KmvAggregator]] (typed `Aggregator`, the O(k)-state mergeable form
+  * for `agg`/streaming use).
+  */
+object Sketches {
+
+  val M: Long = 2147483647L // hash domain: 31-bit md5-derived ints
+
+  /** Per-group KMV distinct estimate over `hashCol` (a LongType column of
+    * uniform hashes in [0, M]). Returns groupCols ++ (n_kept, kth_hash,
+    * est_distinct). `est_distinct` is a double: exact count when the
+    * group has < k distinct hashes, else (k-1)·M/h_k. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], hashCol: String,
+      k: Int = 256): DataFrame = {
+    val distinctHashes = df.select(
+      (groupCols.map(col) :+ col(hashCol).as("__h")): _*).distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    distinctHashes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(M.toDouble) /
+            col("kth_hash").cast("double")))
+  }
+
+  /** Sketch state: sorted distinct bottom-k hashes (ascending). */
+  final case class Kmv(k: Int, values: Seq[Long]) {
+    def insert(h: Long): Kmv =
+      if (values.contains(h)) this
+      else {
+        val merged = (values :+ h).sorted.take(k)
+        copy(values = merged)
+      }
+    def merge(other: Kmv): Kmv =
+      copy(values = (values ++ other.values).distinct.sorted.take(k))
+    def estimate: Double =
+      if (values.size < k) values.size.toDouble
+      else (k - 1).toDouble * M.toDouble / values.last.toDouble
+  }
+
+  /** Typed mergeable KMV aggregator over pre-hashed long values — the
+    * custom-UDAF (`Aggregator`) form: O(k) state, lossless partial
+    * aggregation, usable in batch `agg` and streaming state. */
+  final class KmvAggregator(k: Int = 256)
+      extends Aggregator[Long, Kmv, Double] {
+    def zero: Kmv = Kmv(k, Vector.empty)
+    def reduce(b: Kmv, a: Long): Kmv = b.insert(a)
+    def merge(b1: Kmv, b2: Kmv): Kmv = b1.merge(b2)
+    def finish(r: Kmv): Double = r.estimate
+    def bufferEncoder: Encoder[Kmv] = Encoders.product[Kmv]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

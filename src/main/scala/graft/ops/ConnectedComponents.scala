@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * missing step between a near-duplicate PAIR list (Dedup.jaccardPairs /
+  * LSH candidates) and a deduplicated corpus: pairs (a,b),(b,c) must
+  * collapse into ONE cluster {a,b,c} with a single survivor, which is
+  * transitive closure, not a join.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Every vertex keeps p(v) = smallest id known reachable. Each round
+  * combines
+  *   (a) hook:  p(v) <- min over neighbours u of p(u)   (edge join), and
+  *   (b) jump:  p(v) <- p(p(v))                          (label self-join),
+  * so labels race down edges AND down the pointer forest — the jump
+  * doubles propagation distance per round, giving O(log diameter) rounds
+  * on chain-shaped components (near-dup clusters are usually dense, i.e.
+  * diameter ~2, converging in 2-3 rounds).
+  *
+  * Fixpoint = component minimum: labels are monotonically non-increasing
+  * and bounded by the component min m (labels are always reachable vertex
+  * ids). If some v held p(v) > m at a fixpoint, take the first vertex on
+  * a v→…→m path whose successor's label is m: the hook step would lower
+  * it — contradiction. Σ p(v) therefore strictly decreases every
+  * non-final round, and ONE scalar aggregate per round detects
+  * convergence.
+  *
+  * Scale: each round is two shuffles (edge hash-join on vertex id +
+  * label self-join), both keyed on vertex id — no cross joins, state is
+  * one row per vertex. Rounds localCheckpoint (eager) so the plan/lineage
+  * stays O(1) per round instead of growing exponentially.
+  */
+object ConnectedComponents {
+
+  /** (id, comp) for every vertex in `edges`; comp = min id in the
+    * component. Vertices with no edges don't appear (left-join the
+    * original entity table and coalesce to self for singletons). */
+  def components(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 40): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), col("a")).as("p"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("p"))).head.getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val hooked = sym
+        .join(labels.select(col("id").as("b"), col("p")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("p")).as("pe"))
+      val jumped = labels
+        .join(labels.select(col("id").as("p"), col("p").as("pj")), Seq("p"))
+        .select(col("id"), col("pj"))
+      val prev = labels
+      labels = prev
+        .join(hooked, Seq("id"), "left")
+        .join(jumped, Seq("id"), "left")
+        .select(col("id"),
+          least(col("p"), coalesce(col("pe"), col("p")),
+            coalesce(col("pj"), col("p"))).as("p"))
+        .localCheckpoint(true)
+      val s = labels.agg(sum(col("p"))).head.getLong(0)
+      converged = s == prevSum // labels only decrease => sum is a fixpoint test
+      prevSum = s
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    labels.withColumnRenamed("p", "comp")
+  }
+
+  /** Cluster assignment for a corpus: every `idCol` row of `entities`
+    * mapped to (id, cluster_rep, cluster_size); vertices absent from
+    * `pairs` become singleton clusters of themselves. */
+  def assignClusters(
+      entities: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val comps = components(pairs, srcCol, dstCol)
+      .select(col("id").as(idCol), col("comp"))
+    val assigned = entities.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val sizes = assigned.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_rep"))
+      .select(col(idCol), col("cluster_rep"), col("cluster_size"))
+  }
+}

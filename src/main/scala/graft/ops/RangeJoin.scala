@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned (bucketed) range join — the scalable plan for joins whose ONLY
+  * predicate is an inequality (`point BETWEEN start AND end`). Spark's
+  * built-in planner can't hash such a join and falls back to
+  * BroadcastNestedLoopJoin (a cross-join scan of every point against
+  * every interval). Binning turns it into an equi-join: each interval is
+  * exploded to the fixed-width buckets it covers, each point maps to
+  * exactly one bucket, and the range predicate remains as a residual
+  * filter after the bucket equi-join. Shuffle is keyed on bucket id —
+  * cost O(|points| + Σ span/width), never |points|·|intervals|.
+  *
+  * Width is the dial: ~the median interval span is a good default
+  * (≤2 buckets per interval while keeping buckets selective); hot
+  * buckets (skewed time ranges) are AQE-skew-join territory.
+  */
+object RangeJoin {
+
+  /** Exact floor(x / w) on longs (`div` truncates toward zero; correcting
+    * with pmod keeps negative points/starts on the right bucket). */
+  private def floorDiv(x: Column, w: Long): Column =
+    call_function("div", x - pmod(x, lit(w)), lit(w))
+
+  /** Joins each row of `points` to every row of `intervals` whose
+    * HALF-OPEN range [startCol, endCol) contains `pointCol`. All three
+    * columns must be LongType in the same unit (e.g. epoch micros).
+    * Output = point columns ++ interval columns. Intervals with
+    * end <= start match nothing and are dropped. */
+  def pointInInterval(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pts = points.withColumn("__pb", floorDiv(col(pointCol), bucketWidth))
+    val ivs = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__ib", explode(sequence(
+        floorDiv(col(startCol), bucketWidth),
+        floorDiv(col(endCol) - 1, bucketWidth))))
+    pts.join(ivs,
+        col("__pb") === col("__ib") &&
+        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__pb", "__ib")
+  }
+}

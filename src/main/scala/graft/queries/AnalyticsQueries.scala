@@ -524,5 +524,103 @@ object AnalyticsQueries {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
+
+    // pure range join (NO equi key): events landing in each user's first
+    // active hour. Spark can only plan inequality-only joins as a
+    // nested-loop scan; ops.RangeJoin bins intervals to fixed-width
+    // buckets and equi-joins on bucket id (15-min buckets here). The
+    // oracle states the same join as a plain inequality (DuckDB IEJoin —
+    // an independent algorithm).
+    QueryDef("q26_range_join",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id AS owner, MIN(us) AS w_start,
+        |             MIN(us) + 3600000000 AS w_end
+        |      FROM e GROUP BY 1),
+        |j AS (SELECT w.owner, e.user_id
+        |      FROM w JOIN e ON e.us >= w.w_start AND e.us < w.w_end)
+        |SELECT owner, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM j GROUP BY owner ORDER BY owner""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val w = e.groupBy(col("user_id").as("owner"))
+        .agg(min("us").as("w_start"))
+        .withColumn("w_end", col("w_start") + 3600000000L)
+      graft.ops.RangeJoin
+        .pointInInterval(e, "us", w, "w_start", "w_end", 900000000L)
+        .groupBy("owner")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("owner")
+    },
+
+    // analytic-function suite: lead/lag/ntile/percent_rank/cume_dist/
+    // first_value + a sliding exact-decimal frame, partitioned by a
+    // high-cardinality key (per-customer order history — parallel at any
+    // scale). The in-partition order (o_orderdate, o_orderkey) is total,
+    // so every rank-derived double is the same single division in both
+    // engines.
+    QueryDef("q27_analytic_suite",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice) OVER w AS prev_price,
+        |  LEAD(o_totalprice) OVER w AS next_price,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 300)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first_value(col("o_orderkey")).over(w).as("first_ok"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .over(w.rowsBetween(-2, 0)).cast("double").as("rolling3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // correlated subqueries through the SQL entry point: EXISTS with a
+    // per-row correlated predicate + NOT EXISTS, exercising Catalyst's
+    // subquery decorrelation (RewritePredicateSubquery => semi/anti join
+    // with the correlated condition as join predicate — no per-row
+    // re-execution at any scale).
+    QueryDef("q28_correlated_exists",
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT'
+        |      AND o.o_totalprice > 50 * c.c_acctbal)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        |      AND o.o_totalprice > 100 * c.c_acctbal)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal
+              |FROM customer c
+              |WHERE EXISTS (
+              |    SELECT 1 FROM orders o
+              |    WHERE o.o_custkey = c.c_custkey
+              |      AND o.o_orderpriority = '1-URGENT'
+              |      AND o.o_totalprice > 50 * c.c_acctbal)
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM orders o
+              |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              |      AND o.o_totalprice > 100 * c.c_acctbal)
+              |ORDER BY c_custkey""".stripMargin)
+    },
   )
 }

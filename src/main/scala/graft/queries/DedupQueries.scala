@@ -36,6 +36,26 @@ object DedupQueries {
       s"(($acc) * 31 + m${b * rowsPerBand + r}) % ${Dedup.P}"
     }
 
+  /** Shared CTE chain: exact unigram-Jaccard pairs (J >= 0.9) over the
+    * English documents — `jp(id_a, id_b, inter, un, jaccard)`. Mirrors
+    * [[Dedup.jaccardPairsBitset]]. */
+  private val sqlJaccardEnCtes =
+    """d AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE lang = 'en'),
+      |i AS (
+      |  SELECT doc_id, len(toks)::BIGINT AS n_sh, unnest(toks) AS shingle
+      |  FROM d),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+      |  FROM i a JOIN i b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |jp AS (
+      |  SELECT id_a, id_b, inter, na + nb - inter AS un,
+      |         CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |  FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // 1. exact content-hash dedup (keep-first)
@@ -169,25 +189,48 @@ object DedupQueries {
     // reorderings, so unigram sets carry the signal; n=3 shingles are
     // exercised in DedupSpec with planted ordered dups)
     QueryDef("dedup_jaccard_pairs",
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-        |  FROM documents WHERE lang = 'en'),
-        |i AS (
-        |  SELECT doc_id, len(toks)::BIGINT AS n_sh, unnest(toks) AS shingle
-        |  FROM d),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
-        |  FROM i a JOIN i b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT id_a, id_b, inter, na + nb - inter AS un,
-        |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      s"""WITH $sqlJaccardEnCtes
+        |SELECT id_a, id_b, inter, un, jaccard
+        |FROM jp ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.jaccardPairsBitset(
           Tables.documents(s, d).filter(col("lang") === "en"),
           "doc_id", "text", n = 1, threshold = 0.9)
         .orderBy("id_a", "id_b")
+    },
+
+    // 7. near-dup CLUSTERS: transitive closure of the J>=0.9 pair graph
+    // (pairs (a,b),(b,c) collapse to one cluster; survivor = min doc_id).
+    // Spark: iterative min-label propagation + pointer jumping
+    // (ops.ConnectedComponents); oracle: recursive-CTE reachability —
+    // an independent algorithm for the same fixpoint.
+    QueryDef("dedup_cluster_assign",
+      s"""WITH RECURSIVE $sqlJaccardEnCtes,
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM jp
+        |  UNION SELECT id_b, id_a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep
+        |  FROM reach GROUP BY u),
+        |assign AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep
+        |  FROM d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |sizes AS (
+        |  SELECT cluster_rep, COUNT(*) AS cluster_size
+        |  FROM assign GROUP BY 1)
+        |SELECT a.doc_id, a.cluster_rep, s.cluster_size
+        |FROM assign a JOIN sizes s ON s.cluster_rep = a.cluster_rep
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("lang") === "en")
+      val pairs = Dedup.jaccardPairsBitset(docs, "doc_id", "text",
+        n = 1, threshold = 0.9)
+      graft.ops.ConnectedComponents
+        .assignClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
     },
   )
 }

@@ -138,5 +138,43 @@ object TextQueries {
             .as("total_tokens"))
         .orderBy("lang")
     },
+
+    // KMV (bottom-k) distinct-token sketch per language, side by side
+    // with the exact count it approximates. Bottom-16 of md5-derived
+    // hashes — deterministic (no RNG), mergeable (partial agg keeps the
+    // k smallest), and therefore exactly reproducible in the oracle —
+    // unlike engine-specific HLL. est = (k-1)*M/h_k once >= k distinct.
+    QueryDef("text_kmv_distinct",
+      s"""WITH th AS (
+        |  SELECT DISTINCT lang,
+        |    (('0x' || substring(md5(token), 1, 15))::BIGINT % 2147483647) AS h
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)),
+        |r AS (
+        |  SELECT lang, h,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM th),
+        |k AS (
+        |  SELECT lang, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+        |  FROM r WHERE rn <= 16 GROUP BY lang),
+        |ex AS (SELECT lang, COUNT(*) AS exact_distinct FROM th GROUP BY lang)
+        |SELECT k.lang, k.n_kept, k.kth_hash,
+        |  CASE WHEN k.n_kept < 16 THEN CAST(k.n_kept AS DOUBLE)
+        |       ELSE 15.0 * 2147483647.0 / CAST(k.kth_hash AS DOUBLE)
+        |  END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM k JOIN ex ON ex.lang = k.lang
+        |ORDER BY k.lang""".stripMargin) { (s, d) =>
+      val hashed = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .select(col("lang"), TextAnalysis.tokenHash31(col("token")).as("h"))
+      val sk = graft.ext.Sketches.kmvDistinct(hashed, Seq("lang"), "h", 16)
+      val exact = hashed.distinct().groupBy("lang")
+        .agg(count(lit(1)).as("exact_distinct"))
+      sk.join(exact, Seq("lang"))
+        .select("lang", "n_kept", "kth_hash", "est_distinct", "exact_distinct")
+        .orderBy("lang")
+    },
   )
 }

@@ -1,0 +1,52 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashed(n: Int, group: String) =
+    (1 to n).map(i => (group, s"$group-tok-$i")).toDF("g", "t")
+      .select(col("g"), TextAnalysis.tokenHash31(col("t")).as("h"))
+
+  test("exact below k; estimate within 20% above k") {
+    val df = hashed(40, "small").union(hashed(5000, "big"))
+    val got = Sketches.kmvDistinct(df, Seq("g"), "h", 256)
+      .select("g", "est_distinct").as[(String, Double)].collect().toMap
+    assert(got("small") == 40.0)
+    assert(math.abs(got("big") - 5000) / 5000.0 < 0.2, s"est=${got("big")}")
+  }
+
+  test("partition independence: same estimate at any parallelism") {
+    val df = hashed(3000, "g")
+    val ests = Seq(1, 3, 16).map { p =>
+      Sketches.kmvDistinct(df.repartition(p), Seq("g"), "h", 128)
+        .select("est_distinct").as[Double].head()
+    }
+    assert(ests.distinct.size == 1)
+  }
+
+  test("aggregator matches the DataFrame form and merges losslessly") {
+    val vals = hashed(2000, "g").select("h").as[Long].collect()
+    val k = 64
+    val wantKth = vals.distinct.sorted.take(k).last
+    val agg = new Sketches.KmvAggregator(k)
+    // split into chunks, reduce each, merge in arbitrary order
+    val chunks = vals.grouped(137).toSeq
+    val sketches = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+    val merged = scala.util.Random.shuffle(sketches)
+      .foldLeft(agg.zero)(agg.merge)
+    assert(merged.values.last == wantKth)
+    val dfEst = Sketches.kmvDistinct(hashed(2000, "g"), Seq("g"), "h", k)
+      .select("est_distinct").as[Double].head()
+    assert(agg.finish(merged) == dfEst)
+  }
+
+  test("duplicate values do not perturb the sketch") {
+    val agg = new Sketches.KmvAggregator(8)
+    val a = Seq(5L, 3L, 9L, 3L, 5L, 1L).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq(1L, 3L, 5L, 9L).foldLeft(agg.zero)(agg.reduce)
+    assert(a == b)
+  }
+}

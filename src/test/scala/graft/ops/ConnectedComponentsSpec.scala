@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("u", "v"), "u", "v")
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference union-find for differential checks. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    // min-relabel: root found by union-by-min is already the min id
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("long chain (worst-case diameter) collapses to the min id") {
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 30L).toSet)
+  }
+
+  test("two components and edge direction independence") {
+    val got = cc(Seq((5L, 3L), (3L, 9L), (20L, 10L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 10L -> 10L, 20L -> 10L))
+  }
+
+  test("differential vs union-find on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).filter(e => e._1 != e._2)
+    assert(cc(edges) == unionFind(edges))
+  }
+
+  test("assignClusters covers singletons and sizes") {
+    val entities = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents
+      .assignClusters(entities, "doc_id", pairs, "id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 1L), (5L, 5L, 2L), (6L, 5L, 2L),
+      (7L, 7L, 1L), (8L, 8L, 1L)))
+  }
+}

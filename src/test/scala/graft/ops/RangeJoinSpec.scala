@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("differential vs naive inequality join on random data") {
+    val rnd = new scala.util.Random(23)
+    val points = (1 to 400).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "p")
+    val intervals = (1 to 60).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, s, s + rnd.nextInt(120).toLong)
+    }.toDF("iid", "s", "e")
+    for (width <- Seq(1L, 7L, 64L, 5000L)) {
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = points.join(intervals,
+          col("p") >= col("s") && col("p") < col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"width=$width")
+    }
+  }
+
+  test("half-open boundaries: start inclusive, end exclusive") {
+    val points = Seq((1L, 10L), (2L, 19L), (3L, 20L)).toDF("pid", "p")
+    val intervals = Seq((1L, 10L, 20L)).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 4L)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("empty and negative-width intervals match nothing") {
+    val points = Seq((1L, 5L)).toDF("pid", "p")
+    val intervals = Seq((1L, 5L, 5L), (2L, 9L, 3L)).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 10L)
+      .count() == 0)
+  }
+
+  test("negative values bucket correctly (floor, not truncate)") {
+    val points = Seq((1L, -15L), (2L, -1L), (3L, 0L)).toDF("pid", "p")
+    val intervals = Seq((1L, -20L, 1L)).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 8L)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("no BroadcastNestedLoopJoin in the plan") {
+    val points = spark.range(100).toDF("p")
+    val intervals = spark.range(10).select(
+      (col("id") * 10).as("s"), (col("id") * 10 + 5).as("e"))
+    val plan = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
