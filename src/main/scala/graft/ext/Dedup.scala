@@ -157,9 +157,12 @@ object Dedup {
     if (n == 1) array_distinct(TextAnalysis.tokens(text))
     else {
       val toks = TextAnalysis.tokens(text)
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      // guard short docs explicitly: Spark's sequence(0, -1) is the
+      // DESCENDING sequence [0, -1], not empty
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
     }
 
   /** Exact Jaccard for a given candidate-pair set, via the token index

@@ -176,5 +176,37 @@ object TextQueries {
         .select("lang", "n_kept", "kth_hash", "est_distinct", "exact_distinct")
         .orderBy("lang")
     },
+
+    // benchmark decontamination: flag corpus docs sharing 5-gram shingles
+    // with the src0 "benchmark" slice. The benchmark shingle set is
+    // broadcast (eval suites are tiny next to a training corpus), so the
+    // corpus side never shuffles before the per-doc hit aggregation.
+    QueryDef("text_contamination",
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(
+        |    range(0, len(tk) - 4),
+        |    i -> array_to_string(tk[i+1:i+5], ' '))) AS sh
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM d WHERE source = 'src0'),
+        |t AS (
+        |  SELECT doc_id, len(sh)::BIGINT AS n_sh, unnest(sh) AS shingle
+        |  FROM d WHERE source <> 'src0'),
+        |hits AS (
+        |  SELECT t.doc_id, t.n_sh, COUNT(*) AS n_hits
+        |  FROM t JOIN bench b ON b.shingle = t.shingle GROUP BY 1, 2)
+        |SELECT doc_id, n_sh, n_hits,
+        |       CAST(n_hits AS DOUBLE) / n_sh AS contamination
+        |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Decontamination.ngramHits(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", n = 5)
+        .select("doc_id", "n_sh", "n_hits", "contamination")
+        .orderBy("doc_id")
+    },
   )
 }
