@@ -155,15 +155,11 @@ object Dedup {
     * distinct-token set). */
   def shingles(text: Column, n: Int): Column =
     if (n == 1) array_distinct(TextAnalysis.tokens(text))
-    else {
-      val toks = TextAnalysis.tokens(text)
-      // guard short docs explicitly: Spark's sequence(0, -1) is the
-      // DESCENDING sequence [0, -1], not empty
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-    }
+    // n>1: codegen'd single-pass expression (the built-in
+    // transform/slice/array_join composition is CodegenFallback —
+    // interpreted per element; see WordShingles scaladoc). Returns []
+    // for docs shorter than n.
+    else graft.functions.WordShingles(text, n)
 
   /** Exact Jaccard for a given candidate-pair set, via the token index
     * (two codegen'd joins + hash agg; no interpreted array ops):

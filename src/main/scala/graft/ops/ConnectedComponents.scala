@@ -40,11 +40,18 @@ object ConnectedComponents {
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 40): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // materialize the edge list once BEFORE symmetrizing: it is
+    // re-joined every round, it is usually an expensive pipeline (an LSH
+    // or Jaccard similarity join), and the union would otherwise
+    // evaluate that pipeline twice (once per direction)
+    val once = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint(true)
+    val sym = once.union(once.select(col("b").as("a"), col("a").as("b")))
+    // lazy checkpoints: the convergence aggregate right after is the one
+    // action that materializes them — one job per round, not two
     var labels = sym.groupBy(col("a").as("id"))
       .agg(least(min(col("b")), col("a")).as("p"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labels.agg(sum(col("p"))).head.getLong(0)
     var round = 0
     var converged = false
@@ -62,7 +69,7 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("p"), coalesce(col("pe"), col("p")),
             coalesce(col("pj"), col("p"))).as("p"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labels.agg(sum(col("p"))).head.getLong(0)
       converged = s == prevSum // labels only decrease => sum is a fixpoint test
       prevSum = s
