@@ -11,9 +11,14 @@ object DevBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = args.headOption.map(_.toInt).getOrElse(3)
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    // first arg is the rep count if numeric, else a query name (reps=3)
+    val firstIsReps = args.headOption.exists(_.forall(_.isDigit))
+    val reps = if (firstIsReps) args.head.toInt else 3
+    val rest = if (firstIsReps) args.drop(1).toSeq else args.toSeq
+    val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}; " +
+      s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -199,19 +199,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val distinctSh = index.select("shingle").distinct()
     val nVocab = distinctSh.count() // the stats inspection (scaladoc above)
-    // vocabulary numbering: below ~64k entries a single-partition window
-    // is one tiny stage; above it (web-scale vocabularies) switch to
-    // range-partitioned parallel ordinals so no stage ever sees the whole
-    // vocabulary. Ordinals are identical either way (total order).
-    val vocab =
-      if (nVocab <= 65536)
-        distinctSh.withColumn("bit",
-          row_number().over(Window.orderBy("shingle")) - 1)
-      else
-        graft.ops.ZipIndex
-          .withOrdinal(distinctSh, "__rn", Seq(col("shingle")))
-          .withColumn("bit", (col("__rn") - 1).cast("int"))
-          .drop("__rn")
+    // this whole code path only exists for SMALL vocabularies (dense
+    // O(vocab/64) masks per doc + a broadcast of the vocab — both blow
+    // up long before the single-partition numbering window would); big
+    // vocabularies belong on the posting-list path, so enforce the
+    // contract rather than half-scaling one step of it
+    require(nVocab <= (1L << 20),
+      s"tokenMasks is the small-vocabulary fast path (got $nVocab distinct " +
+        "shingles); use jaccardPairs / candidateJaccard for large vocabularies")
+    val vocab = distinctSh.withColumn("bit",
+      row_number().over(Window.orderBy("shingle")) - 1)
     val numWords = ((nVocab + 63) / 64).toInt
     index.join(broadcast(vocab), Seq("shingle"))
       .withColumn("word", (col("bit") / 64).cast("int"))

@@ -55,11 +55,11 @@ object Sketches {
   /** Sketch state: sorted distinct bottom-k hashes (ascending). */
   final case class Kmv(k: Int, values: Seq[Long]) {
     def insert(h: Long): Kmv =
-      if (values.contains(h)) this
-      else {
-        val merged = (values :+ h).sorted.take(k)
-        copy(values = merged)
-      }
+      // full sketch + h not below the cutoff: the overwhelmingly common
+      // case on the per-row reduce path once the sketch saturates — O(1)
+      if (values.size == k && h >= values.last) this
+      else if (values.contains(h)) this
+      else copy(values = (values :+ h).sorted.take(k))
     def merge(other: Kmv): Kmv =
       copy(values = (values ++ other.values).distinct.sorted.take(k))
     def estimate: Double =

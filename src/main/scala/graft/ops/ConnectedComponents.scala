@@ -36,7 +36,9 @@ object ConnectedComponents {
 
   /** (id, comp) for every vertex in `edges`; comp = min id in the
     * component. Vertices with no edges don't appear (left-join the
-    * original entity table and coalesce to self for singletons). */
+    * original entity table and coalesce to self for singletons).
+    * Vertex ids must be an integral type ("smallest id" and the Σlabel
+    * convergence test are numeric). */
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 40): DataFrame = {
@@ -52,7 +54,12 @@ object ConnectedComponents {
     var labels = sym.groupBy(col("a").as("id"))
       .agg(least(min(col("b")), col("a")).as("p"))
       .localCheckpoint(false)
-    var prevSum = labels.agg(sum(col("p"))).head.getLong(0)
+    // coalesce: sum over an EMPTY label frame (edgeless graph — the
+    // common clean-corpus case) is null, not 0
+    def labelSum(): Long =
+      labels.agg(coalesce(sum(col("p")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum()
+    if (labels.isEmpty) return labels.withColumnRenamed("p", "comp")
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -70,7 +77,7 @@ object ConnectedComponents {
           least(col("p"), coalesce(col("pe"), col("p")),
             coalesce(col("pj"), col("p"))).as("p"))
         .localCheckpoint(false)
-      val s = labels.agg(sum(col("p"))).head.getLong(0)
+      val s = labelSum()
       converged = s == prevSum // labels only decrease => sum is a fixpoint test
       prevSum = s
       round += 1

@@ -32,14 +32,24 @@ object RangeJoin {
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val bs = floorDiv(col(startCol), bucketWidth)
+    val be = floorDiv(col(endCol) - 1, bucketWidth)
     val pts = points.withColumn("__pb", floorDiv(col(pointCol), bucketWidth))
+    // fail fast on pathological spans (e.g. an open-ended Long.MaxValue
+    // sentinel end) instead of exploding a billion-element sequence; the
+    // guard lives INSIDE the sequence bound so column pruning can't
+    // eliminate it
+    val guardedEnd = when(be - bs >= maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"RangeJoin: interval spans >= $maxBucketsPerInterval buckets " +
+          s"at width $bucketWidth (open-ended sentinel end? widen " +
+          "bucketWidth or cap ends): "),
+        col(startCol), lit(".."), col(endCol)))).otherwise(be)
     val ivs = intervals
       .filter(col(endCol) > col(startCol))
-      .withColumn("__ib", explode(sequence(
-        floorDiv(col(startCol), bucketWidth),
-        floorDiv(col(endCol) - 1, bucketWidth))))
+      .withColumn("__ib", explode(sequence(bs, guardedEnd)))
     pts.join(ivs,
         col("__pb") === col("__ib") &&
         col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

@@ -18,7 +18,7 @@ object Skew {
 
   private val LargeSidePreserving =
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-        "left_anti", "leftanti")
+        "semi", "left_anti", "leftanti", "anti")
 
   def saltedEquiJoin(
       large: DataFrame, small: DataFrame, key: String,

@@ -34,11 +34,20 @@ object ZipIndex {
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint: the counts sub-plan and the output both consume
+    // `ranged`; materializing it once makes them read the SAME partition
+    // boundaries by construction, rather than relying on ReuseExchange
+    // to dedup two range shuffles (if reuse ever failed to fire, two
+    // independently sampled RangePartitioners could disagree and the
+    // offsets would silently mismatch the pids). Costs one cached copy;
+    // lineage is truncated, so executor loss fails the job rather than
+    // recomputing — acceptable for manifest/vocabulary enumeration.
     val ranged = df.repartitionByRange(n, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), MidBits).cast("int"))
       .withColumn("__local", col("__mid").bitwiseAND((1L << MidBits) - 1))
+      .localCheckpoint(false)
     // per-partition counts (map-side combine => one row per partition on
     // the wire), prefix-summed via triangular join (O(n²) on ≤ numParts
     // rows) — no unpartitioned window anywhere in the plan

@@ -43,6 +43,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(edges) == unionFind(edges))
   }
 
+  test("empty edge list: every entity a singleton, no NPE") {
+    val entities = (1L to 4L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = ConnectedComponents
+      .assignClusters(entities, "doc_id", noPairs, "id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == (1L to 4L).map(i => (i, i, 1L)).toSet)
+  }
+
   test("assignClusters covers singletons and sizes") {
     val entities = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -47,6 +47,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  test("pathological interval span fails fast instead of exploding") {
+    val points = Seq((1L, 5L)).toDF("pid", "p")
+    val sentinel = Seq((1L, 0L, Long.MaxValue)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p", sentinel, "s", "e", 1000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("RangeJoin: interval spans")))
+  }
+
   test("no BroadcastNestedLoopJoin in the plan") {
     val points = spark.range(100).toDF("p")
     val intervals = spark.range(10).select(
