@@ -30,7 +30,24 @@ object AsOfJoin {
   def leftAsOf(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,
-      valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+      valueCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    asOf(left, right, keyCols, tsCol, valueCols, prefix, forward = false)
+
+  /** Forward as-of: for every left row, the single EARLIEST right row
+    * with `rightTs >= leftTs` (the feature-engineering twin: "next event
+    * at or after"). Same union-sort plan, traversed in descending time
+    * order. Equal-`rightTs` ties resolve to the lexicographically
+    * smallest (ts, values) struct — deterministic under any partitioning. */
+  def leftAsOfForward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    asOf(left, right, keyCols, tsCol, valueCols, prefix, forward = true)
+
+  private def asOf(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], prefix: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // side flag: right rows sort BEFORE left rows at equal ts => a right
     // row at exactly leftTs is visible (>= semantics, DuckDB ASOF parity)
@@ -68,8 +85,16 @@ object AsOfJoin {
     // whole row. Struct order also gives equal-ts right rows a
     // deterministic winner (lexicographic on (ts, values)).
     val asofStruct = struct((s"$prefix$tsCol" +: allRightVals).map(col): _*)
+    // traversal direction decides the semantics: ascending ts => most
+    // recent rightTs <= leftTs; descending ts => earliest rightTs >=
+    // leftTs. Either way right rows sort before left rows at equal ts
+    // (inclusive semantics), and the struct ordering makes the winner
+    // among equal right timestamps deterministic.
+    val timeOrder =
+      if (forward) Seq(col(tsCol).desc, col("__side").asc, asofStruct.desc)
+      else Seq(col(tsCol).asc, col("__side").asc, asofStruct.asc)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc, asofStruct.asc)
+      .orderBy(timeOrder: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned
       .withColumn("__asof",

@@ -55,4 +55,37 @@ object RangeJoin {
         col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__pb", "__ib")
   }
+
+  /** Joins rows of `left` to rows of `right` whose half-open ranges
+    * OVERLAP: [s1,e1) ∩ [s2,e2) ≠ ∅, i.e. s1 < e2 AND s2 < e1. Both
+    * sides explode to covered buckets and equi-join on bucket id; a pair
+    * sharing several buckets would match once per shared bucket, so the
+    * join keeps only the FIRST shared bucket — the bucket of
+    * max(s1, s2), the overlap's left edge — which each qualifying pair
+    * has exactly one of (no distinct pass needed). */
+  def intervalOverlap(
+      left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      bucketWidth: Long, maxBucketsPerInterval: Long = 100000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String, out: String) = {
+      val bs = floorDiv(col(s), bucketWidth)
+      val be = floorDiv(col(e) - 1, bucketWidth)
+      val guardedEnd = when(be - bs >= maxBucketsPerInterval,
+        raise_error(concat(
+          lit(s"RangeJoin: interval spans >= $maxBucketsPerInterval " +
+            s"buckets at width $bucketWidth: "),
+          col(s), lit(".."), col(e)))).otherwise(be)
+      df.filter(col(e) > col(s))
+        .withColumn(out, explode(sequence(bs, guardedEnd)))
+    }
+    val l = binned(left, leftStart, leftEnd, "__lb")
+    val r = binned(right, rightStart, rightEnd, "__rb")
+    l.join(r,
+        col("__lb") === col("__rb") &&
+        col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
+        col("__lb") === floorDiv(greatest(col(leftStart), col(rightStart)),
+          bucketWidth))
+      .drop("__lb", "__rb")
+  }
 }

@@ -473,6 +473,46 @@ object AnalyticsQueries {
         .orderBy("event_id")
     },
 
+    // FORWARD as-of: each click paired with the user's next purchase at
+    // or after it (ops.AsOfJoin.leftAsOfForward — descending-time
+    // union-sort). Same tie-elimination as q18, but keeping the MIN
+    // value per (user, ts) to match the forward direction's
+    // smallest-struct tie-break.
+    QueryDef("q30_asof_forward",
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events),
+        |c AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT * FROM ev WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY value ASC, event_id ASC) = 1)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |       epoch_us(p.ts) AS next_purchase_ts_us,
+        |       p.value AS next_purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val dedupWin = Window.partitionBy("user_id", "ts")
+        .orderBy(col("value").asc, col("event_id").asc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(dedupWin))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.ops.AsOfJoin.leftAsOfForward(clicks, purchases,
+          keyCols = Seq("user_id"), tsCol = "ts",
+          valueCols = Seq("value"), prefix = "next_purchase_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("next_purchase_ts")).as("next_purchase_ts_us"),
+          col("next_purchase_value"))
+        .orderBy("event_id")
+    },
+
     // deterministic per-group sampling: k rows per group by md5 order —
     // the distributed-reproducible alternative to rand() sampling
     QueryDef("q19_group_sample",
@@ -587,6 +627,40 @@ object AnalyticsQueries {
           sum(col("o_totalprice").cast(DecimalType(18, 4)))
             .over(w.rowsBetween(-2, 0)).cast("double").as("rolling3"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // interval-overlap join: 14-day "campaign" windows around the top-20
+    // orders vs 1-day windows around urgent orders. ops.RangeJoin bins
+    // both interval sets to week buckets and emits each overlapping pair
+    // exactly once (first-shared-bucket rule) — no cross join, no
+    // distinct pass. Oracle states the plain inequality overlap.
+    QueryDef("q29_interval_overlap",
+      """WITH c AS (
+        |  SELECT o_orderkey AS cid, epoch_us(o_orderdate) AS cs,
+        |         epoch_us(o_orderdate) + 1209600000000 AS ce
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20),
+        |u AS (
+        |  SELECT o_orderkey AS uid, epoch_us(o_orderdate) AS us,
+        |         epoch_us(o_orderdate) + 86400000000 AS ue
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |j AS (SELECT cid, uid FROM c JOIN u ON cs < ue AND us < ce)
+        |SELECT cid, COUNT(*) AS n_overlap
+        |FROM j GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+      // o_orderdate is TIMESTAMP_NTZ; cast through session-TZ (UTC)
+      // timestamp so unix_micros matches DuckDB's epoch_us wall-clock
+      val odUs = unix_micros(col("o_orderdate").cast("timestamp"))
+      val c = base.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey").as("cid"), odUs.as("cs"))
+        .withColumn("ce", col("cs") + 14L * 86400000000L)
+      val u = base.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("uid"), odUs.as("us"))
+        .withColumn("ue", col("us") + 86400000000L)
+      graft.ops.RangeJoin
+        .intervalOverlap(c, "cs", "ce", u, "us", "ue", 7L * 86400000000L)
+        .groupBy("cid").agg(count(lit(1)).as("n_overlap"))
+        .orderBy("cid")
     },
 
     // correlated subqueries through the SQL entry point: EXISTS with a

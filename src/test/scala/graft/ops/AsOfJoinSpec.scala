@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
 
@@ -66,6 +67,33 @@ class AsOfJoinSpec extends SparkSpec {
         .sortBy(_._2.getTime).lastOption.map(_._3)
     }.toMap
     assert(got == want)
+  }
+
+  test("forward: earliest right at-or-after, differential vs naive") {
+    val rnd = new scala.util.Random(59)
+    val l2 = (1 to 200).map(i =>
+      (i.toLong, s"u${rnd.nextInt(5)}", t(rnd.nextInt(500)))).toDF("id", "k", "ts")
+    val r2 = (1 to 100).map(i =>
+      (s"u${rnd.nextInt(5)}", t(rnd.nextInt(500) + 1), rnd.nextInt(1000).toDouble))
+      .toDF("k", "ts", "v") // +1s offsets => no left/right ts ties to reason about
+    val got = AsOfJoin.leftAsOfForward(l2, r2, Seq("k"), "ts", Seq("v"))
+      .select("id", "asof_ts", "asof_v")
+      .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+    val naive = l2.as("l").join(r2.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") >= col("l.ts"), "left")
+      .groupBy(col("l.id").as("id"))
+      .agg(min(struct(col("r.ts"), col("r.v"))).as("m"))
+      .select(col("id"), col("m.ts").as("asof_ts"), col("m.v").as("asof_v"))
+      .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+    assert(got == naive)
+  }
+
+  test("forward: right row at exactly leftTs matches (inclusive)") {
+    val l2 = Seq((1L, "u", t(30))).toDF("id", "k", "ts")
+    val r2 = Seq(("u", t(30), 7.0), ("u", t(40), 9.0)).toDF("k", "ts", "v")
+    val v = AsOfJoin.leftAsOfForward(l2, r2, Seq("k"), "ts", Seq("v"))
+      .select("asof_v").as[Double].head()
+    assert(v == 7.0)
   }
 
   test("right rows with NULL timestamp never match (rightTs <= leftTs undefined)") {

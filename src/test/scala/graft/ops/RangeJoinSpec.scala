@@ -47,6 +47,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  test("intervalOverlap differential vs naive, exactly once per pair") {
+    val rnd = new scala.util.Random(47)
+    def mk(n: Int, pre: String) = (1 to n).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(90).toLong)
+    }.toDF(pre + "id", pre + "s", pre + "e")
+    val a = mk(80, "a")
+    val b = mk(80, "b")
+    for (width <- Seq(3L, 32L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(a, "as", "ae", b, "bs", "be", width)
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq
+      val want = a.join(b, col("as") < col("be") && col("bs") < col("ae"))
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == want.sorted, s"width=$width") // incl. multiplicity
+    }
+  }
+
   test("pathological interval span fails fast instead of exploding") {
     val points = Seq((1L, 5L)).toDF("pid", "p")
     val sentinel = Seq((1L, 0L, Long.MaxValue)).toDF("iid", "s", "e")
