@@ -43,6 +43,28 @@ class SketchesSpec extends SparkSpec {
     assert(agg.finish(merged) == dfEst)
   }
 
+  test("streaming: sketch accumulates across micro-batches (mergeable state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val kmvUdaf = udaf(new Sketches.KmvAggregator(32))
+    val q = mem.toDF().toDF("g", "h")
+      .groupBy("g").agg(kmvUdaf(col("h")).as("est"))
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("complete").start()
+    try {
+      val hs = hashed(500, "g").select("h").as[Long].collect()
+      mem.addData(hs.take(250).map(("g", _)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(hs.drop(250).map(("g", _)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_out").select("est").as[Double].head()
+      val batch = Sketches.kmvDistinct(hashed(500, "g"), Seq("g"), "h", 32)
+        .select("est_distinct").as[Double].head()
+      assert(streamed == batch) // incremental state == one-shot bottom-k
+    } finally q.stop()
+  }
+
   test("duplicate values do not perturb the sketch") {
     val agg = new Sketches.KmvAggregator(8)
     val a = Seq(5L, 3L, 9L, 3L, 5L, 1L).foldLeft(agg.zero)(agg.reduce)
