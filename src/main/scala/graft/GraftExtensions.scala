@@ -56,6 +56,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "long_array_popcnt_and(a, b)")
         graft.functions.LongArrayPopcntAnd(args(0), args(1))
+      }),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, n) - distinct ordered word n-grams of a space-separated token stream (first-occurrence order; [] for docs shorter than n)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: n must be an integer literal, got $other")
+        }
+        graft.functions.WordShingles(args(0), n)
       }))
 
   /** Install into an existing session (builder extensions only apply at

@@ -696,5 +696,27 @@ object AnalyticsQueries {
               |      AND o.o_totalprice > 100 * c.c_acctbal)
               |ORDER BY c_custkey""".stripMargin)
     },
+
+    // correlated SCALAR subquery (TPC-H Q2 shape): each customer's
+    // max-price order, selected by comparing against a correlated MAX.
+    // Catalyst decorrelates to an aggregate + join
+    // (RewriteCorrelatedScalarSubquery) — a different rewrite than
+    // q28's predicate subqueries. MAX of doubles picks an exact input
+    // value (no arithmetic), so the equality is engine-stable.
+    QueryDef("q31_correlated_scalar",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (
+        |    SELECT MAX(o2.o_totalprice) FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+              |FROM orders o
+              |WHERE o_totalprice = (
+              |    SELECT MAX(o2.o_totalprice) FROM orders o2
+              |    WHERE o2.o_custkey = o.o_custkey)
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
   )
 }

@@ -55,5 +55,27 @@ object MultimodalQueries {
             .cast("bigint").as("total_bytes"))
         .orderBy("format")
     },
+
+    // the partition-batched decode pipeline, oracle-verified end to end:
+    // StubDecoder's FEATURE step (16-bin byte histogram) is real
+    // computation over the payload, so the typed mapPartitions Dataset
+    // path — the Scala analog of mapInPandas — gets a DuckDB check, not
+    // just a spec. (Corpus is ASCII: byte == codepoint.)
+    QueryDef("mm_histogram",
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+        |         i -> ord(substring(text, i, 1)))) AS byte
+        |  FROM documents)
+        |SELECT doc_id, CAST(byte // 16 AS BIGINT) AS bin, COUNT(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.StubDecoder.decode(docs, "doc_id", "payload")
+        .select(col("doc_id"), posexplode(col("features")))
+        .withColumnsRenamed(Map("pos" -> "bin", "col" -> "n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("bin").cast("long"), col("n"))
+        .orderBy("doc_id", "bin")
+    },
   )
 }

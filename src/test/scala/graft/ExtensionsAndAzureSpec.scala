@@ -30,6 +30,18 @@ class ExtensionsAndAzureSpec extends AnyFunSuite {
     assert(got == 32L)
   }
 
+  test("word_shingles available from SQL") {
+    val got = spark.sql(
+      "SELECT word_shingles('a b c d', 2) AS s"
+    ).collect()(0).getSeq[String](0)
+    assert(got == Seq("a b", "b c", "c d"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b', 1 + 1)").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("regexp_replace_first stays inside whole-stage codegen") {
     val plan = spark.sql(
       """SELECT regexp_replace_first(CAST(id AS STRING), '0', 'x') FROM range(10)"""
