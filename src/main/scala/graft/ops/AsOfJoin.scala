@@ -90,9 +90,15 @@ object AsOfJoin {
     // leftTs. Either way right rows sort before left rows at equal ts
     // (inclusive semantics), and the struct ordering makes the winner
     // among equal right timestamps deterministic.
+    // NULLS FIRST in BOTH directions: a left row with NULL ts has an
+    // undefined comparison against every right ts and must match nothing
+    // — sorting it first gives it an empty preceding frame. (asc is
+    // nulls-first by default; desc defaults to nulls-LAST, which would
+    // hand a null-ts left row the whole partition as its frame.)
     val timeOrder =
-      if (forward) Seq(col(tsCol).desc, col("__side").asc, asofStruct.desc)
-      else Seq(col(tsCol).asc, col("__side").asc, asofStruct.asc)
+      if (forward)
+        Seq(col(tsCol).desc_nulls_first, col("__side").asc, asofStruct.desc)
+      else Seq(col(tsCol).asc_nulls_first, col("__side").asc, asofStruct.asc)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(timeOrder: _*)
       .rowsBetween(Window.unboundedPreceding, 0)

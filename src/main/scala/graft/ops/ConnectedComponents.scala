@@ -54,12 +54,12 @@ object ConnectedComponents {
     var labels = sym.groupBy(col("a").as("id"))
       .agg(least(min(col("b")), col("a")).as("p"))
       .localCheckpoint(false)
-    // coalesce: sum over an EMPTY label frame (edgeless graph — the
-    // common clean-corpus case) is null, not 0
+    // edgeless graph (the common clean-corpus case): nothing to iterate
+    if (labels.isEmpty) return labels.withColumnRenamed("p", "comp")
+    // coalesce defensively: sum over an empty frame is null, not 0
     def labelSum(): Long =
       labels.agg(coalesce(sum(col("p")), lit(0L))).head.getLong(0)
     var prevSum = labelSum()
-    if (labels.isEmpty) return labels.withColumnRenamed("p", "comp")
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {

@@ -24,6 +24,25 @@ object RangeJoin {
   private def floorDiv(x: Column, w: Long): Column =
     call_function("div", x - pmod(x, lit(w)), lit(w))
 
+  /** Explodes each half-open [s, e) interval row to its covered bucket
+    * ids in `out`, dropping empty intervals. Pathological spans (e.g. an
+    * open-ended Long.MaxValue sentinel end) fail fast via `raise_error`
+    * rather than exploding a billion-element sequence; the guard lives
+    * INSIDE the sequence bound so column pruning can't eliminate it. */
+  private def binned(df: DataFrame, s: String, e: String, out: String,
+      bucketWidth: Long, maxBuckets: Long): DataFrame = {
+    val bs = floorDiv(col(s), bucketWidth)
+    val be = floorDiv(col(e) - 1, bucketWidth)
+    val guardedEnd = when(be - bs >= maxBuckets,
+      raise_error(concat(
+        lit(s"RangeJoin: interval spans >= $maxBuckets buckets at width " +
+          s"$bucketWidth (open-ended sentinel end? widen bucketWidth or " +
+          "cap ends): "),
+        col(s), lit(".."), col(e)))).otherwise(be)
+    df.filter(col(e) > col(s))
+      .withColumn(out, explode(sequence(bs, guardedEnd)))
+  }
+
   /** Joins each row of `points` to every row of `intervals` whose
     * HALF-OPEN range [startCol, endCol) contains `pointCol`. All three
     * columns must be LongType in the same unit (e.g. epoch micros).
@@ -34,22 +53,9 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidth: Long, maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val bs = floorDiv(col(startCol), bucketWidth)
-    val be = floorDiv(col(endCol) - 1, bucketWidth)
     val pts = points.withColumn("__pb", floorDiv(col(pointCol), bucketWidth))
-    // fail fast on pathological spans (e.g. an open-ended Long.MaxValue
-    // sentinel end) instead of exploding a billion-element sequence; the
-    // guard lives INSIDE the sequence bound so column pruning can't
-    // eliminate it
-    val guardedEnd = when(be - bs >= maxBucketsPerInterval,
-      raise_error(concat(
-        lit(s"RangeJoin: interval spans >= $maxBucketsPerInterval buckets " +
-          s"at width $bucketWidth (open-ended sentinel end? widen " +
-          "bucketWidth or cap ends): "),
-        col(startCol), lit(".."), col(endCol)))).otherwise(be)
-    val ivs = intervals
-      .filter(col(endCol) > col(startCol))
-      .withColumn("__ib", explode(sequence(bs, guardedEnd)))
+    val ivs = binned(intervals, startCol, endCol, "__ib",
+      bucketWidth, maxBucketsPerInterval)
     pts.join(ivs,
         col("__pb") === col("__ib") &&
         col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
@@ -68,19 +74,10 @@ object RangeJoin {
       right: DataFrame, rightStart: String, rightEnd: String,
       bucketWidth: Long, maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    def binned(df: DataFrame, s: String, e: String, out: String) = {
-      val bs = floorDiv(col(s), bucketWidth)
-      val be = floorDiv(col(e) - 1, bucketWidth)
-      val guardedEnd = when(be - bs >= maxBucketsPerInterval,
-        raise_error(concat(
-          lit(s"RangeJoin: interval spans >= $maxBucketsPerInterval " +
-            s"buckets at width $bucketWidth: "),
-          col(s), lit(".."), col(e)))).otherwise(be)
-      df.filter(col(e) > col(s))
-        .withColumn(out, explode(sequence(bs, guardedEnd)))
-    }
-    val l = binned(left, leftStart, leftEnd, "__lb")
-    val r = binned(right, rightStart, rightEnd, "__rb")
+    val l = binned(left, leftStart, leftEnd, "__lb",
+      bucketWidth, maxBucketsPerInterval)
+    val r = binned(right, rightStart, rightEnd, "__rb",
+      bucketWidth, maxBucketsPerInterval)
     l.join(r,
         col("__lb") === col("__rb") &&
         col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&

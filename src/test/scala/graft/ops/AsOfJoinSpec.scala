@@ -75,7 +75,8 @@ class AsOfJoinSpec extends SparkSpec {
       (i.toLong, s"u${rnd.nextInt(5)}", t(rnd.nextInt(500)))).toDF("id", "k", "ts")
     val r2 = (1 to 100).map(i =>
       (s"u${rnd.nextInt(5)}", t(rnd.nextInt(500) + 1), rnd.nextInt(1000).toDouble))
-      .toDF("k", "ts", "v") // +1s offsets => no left/right ts ties to reason about
+      .toDF("k", "ts", "v") // ranges overlap: equal left/right ts DO occur,
+      // exercising the inclusive >= path (both sides use min-struct ties)
     val got = AsOfJoin.leftAsOfForward(l2, r2, Seq("k"), "ts", Seq("v"))
       .select("id", "asof_ts", "asof_v")
       .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
@@ -86,6 +87,17 @@ class AsOfJoinSpec extends SparkSpec {
       .select(col("id"), col("m.ts").as("asof_ts"), col("m.v").as("asof_v"))
       .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
     assert(got == naive)
+  }
+
+  test("forward: left row with NULL timestamp matches nothing") {
+    val l2 = Seq((1L, "u", None: Option[Timestamp]), (2L, "u", Some(t(5))))
+      .toDF("id", "k", "ts")
+    val r2 = Seq(("u", t(10), 5.0)).toDF("k", "ts", "v")
+    val got = AsOfJoin.leftAsOfForward(l2, r2, Seq("k"), "ts", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    // rightTs >= NULL is undefined: the null-ts left row must stay
+    // unmatched (it would grab the whole partition under desc nulls-last)
+    assert(got == Map(1L -> None, 2L -> Some(5.0)))
   }
 
   test("forward: right row at exactly leftTs matches (inclusive)") {
