@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Misra-Gries heavy-hitters sketch as a typed `Aggregator` (the engine's
@@ -45,8 +46,11 @@ class HeavyHitters(capacity: Int)
   override def finish(b: Map[String, Long]): Seq[(String, Long)] =
     b.toSeq.sortBy { case (k, v) => (-v, k) }
 
+  // real Catalyst encoders (MAP / ARRAY<STRUCT>), not kryo blobs: the
+  // result column stays queryable SQL data (explodable, sinkable to a
+  // memory table) instead of opaque BINARY
   override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+    ExpressionEncoder[Map[String, Long]]()
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
-    Encoders.kryo[Seq[(String, Long)]]
+    ExpressionEncoder[Seq[(String, Long)]]()
 }

@@ -33,6 +33,30 @@ class HeavyHittersSpec extends SparkSpec {
       s"missing: ${exact.keySet.diff(sketch)}")
   }
 
+  test("streaming: sketch state carries the guarantee across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val agg = new HeavyHitters(capacity = 40).toColumn
+    val q = mem.toDS().groupByKey(_._1).mapValues(_._2).agg(agg)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      val rnd = new scala.util.Random(13)
+      def misc(n: Int) = (1 to n).map(_ => (1, s"cold${rnd.nextInt(500)}"))
+      mem.addData(Seq.fill(600)((1, "hot")) ++ misc(400): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(400)((1, "hot")) ++ misc(600): _*)
+      q.processAllAvailable()
+      val sketch = spark.table("hh_out").as[(Int, Seq[(String, Long)])]
+        .collect().head._2
+      // n=2000, capacity=40: anything with true freq > 50 must survive,
+      // estimates undercount by at most n/capacity
+      assert(sketch.head._1 == "hot")
+      assert(sketch.head._2 >= 1000L - 2000L / 40)
+    } finally q.stop()
+  }
+
   test("merge of two full disjoint buffers prunes back to capacity") {
     val hh = new HeavyHitters(8)
     val b1 = (1 to 8).map(i => s"a$i" -> 5L).toMap
