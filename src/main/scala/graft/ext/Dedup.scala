@@ -149,6 +149,45 @@ object Dedup {
     grouped.select(col("id"), sh.as("simhash"))
   }
 
+  // -------- sorted-neighborhood dedup (Hernández–Stolfo) --------
+
+  /** Sorted-neighborhood candidate pairs + exact re-rank: sort the corpus
+    * by a locality-preserving key (SimHash, doc id as tiebreak), assign
+    * parallel ordinals ([[graft.ops.ZipIndex]] — no single-partition
+    * window), and compare only docs within `window` positions of each
+    * other. Classic bounded-comparison dedup: candidates are |corpus| ×
+    * window instead of all pairs, at the cost of recall for near-dups the
+    * sort key separates (the standard multi-pass answer is several sort
+    * keys).
+    *
+    * The ordinal-distance join is binned like [[graft.ops.RangeJoin]]:
+    * each row lands in ordinal blocks floor(r/w) and floor(r/w)+1, pairs
+    * meet in the higher ordinal's own block exactly once — no distinct
+    * pass, no cross join. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, threshold: Double = 0.9): DataFrame = {
+    require(window > 0)
+    val w = window.toLong
+    val idx = tokenIndex(df, idCol, textCol, 1)
+    val sh = simhashFromIndex(idx, 24)
+    val ord = graft.ops.ZipIndex.withOrdinal(
+      sh.select("id", "simhash"), "r", Seq(col("simhash"), col("id")))
+    val emitted = ord
+      .withColumn("__b0", call_function("div", col("r"), lit(w)))
+      .select(col("id"), col("r"),
+        explode(array(col("__b0"), col("__b0") + 1)).as("blk"))
+    val a = emitted.select(col("id").as("ida"), col("r").as("ra"), col("blk"))
+    val b = emitted.select(col("id").as("idb"), col("r").as("rb"), col("blk"))
+    val cand = a.join(b, Seq("blk"))
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") <= w &&
+        col("blk") === call_function("div", col("rb"), lit(w)))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+    candidateJaccardBitset(cand, tokenMasks(idx))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // -------- 5. n-gram Jaccard similarity join --------
 
   /** Distinct n-gram shingles of the ordered token stream (n=1 => the

@@ -232,5 +232,42 @@ object DedupQueries {
         .assignClusters(docs, "doc_id", pairs, "id_a", "id_b")
         .orderBy("doc_id")
     },
+
+    // 8. sorted-neighborhood dedup (Hernández–Stolfo): sort by SimHash,
+    // compare only docs within 10 ordinal positions, exact-Jaccard
+    // re-rank. Bounded comparisons (|corpus|×w, not all pairs); the
+    // oracle reproduces the identical candidate set via row_number.
+    QueryDef("dedup_sorted_neighborhood", {
+      val bits = (0 until 24).map { j =>
+        s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) >= len(hs) THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks,
+         |         list_transform($sqlToks, t -> ${sqlH31("t")}) AS hs
+         |  FROM documents WHERE lang = 'en'),
+         |s AS (SELECT doc_id, toks, ($bits)::BIGINT AS simhash FROM t),
+         |o AS (SELECT doc_id, toks,
+         |        ROW_NUMBER() OVER (ORDER BY simhash, doc_id) AS r
+         |      FROM s),
+         |cand AS (
+         |  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         |         GREATEST(a.doc_id, b.doc_id) AS id_b,
+         |         a.toks AS ta, b.toks AS tb
+         |  FROM o a JOIN o b ON b.r > a.r AND b.r - a.r <= 10),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(ta, tb))::BIGINT AS inter,
+         |    (len(ta) + len(tb) - len(list_intersect(ta, tb)))::BIGINT AS un
+         |  FROM cand)
+         |SELECT id_a, id_b, inter, un,
+         |       CAST(inter AS DOUBLE) / un AS jaccard
+         |FROM j WHERE CAST(inter AS DOUBLE) / un >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      Dedup.sortedNeighborhoodPairs(
+          Tables.documents(s, d).filter(col("lang") === "en"),
+          "doc_id", "text", window = 10, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    },
   )
 }

@@ -177,6 +177,29 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // deterministic train/val split: hash the doc id (md5-derived 31-bit,
+    // the corpus-wide convention) mod 100 — reproducible on any engine,
+    // any partitioning, any run; no rand(). 90/10 split profile per
+    // language.
+    QueryDef("text_train_split",
+      s"""SELECT lang,
+        |  CASE WHEN ${sqlH31("CAST(doc_id AS VARCHAR)")} % 100 < 90
+        |       THEN 'train' ELSE 'val' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(TextAnalysis.tokenHash31(col("doc_id").cast("string"))
+              % 100 < 90, "train").otherwise("val"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.nTokens(col("text"))).cast("bigint")
+              .as("total_tokens"))
+          .orderBy("lang", "split")
+    },
+
     // benchmark decontamination: flag corpus docs sharing 5-gram shingles
     // with the src0 "benchmark" slice. The benchmark shingle set is
     // broadcast (eval suites are tiny next to a training corpus), so the

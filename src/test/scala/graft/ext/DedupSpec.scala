@@ -96,4 +96,27 @@ class DedupSpec extends SparkSpec {
     assert(a == b)   // 3-gram vocab > 64 => exercises multi-long masks
   }
 
+  test("sorted-neighborhood: planted dups found; subset of the full join") {
+    // planted corpus: distinct random docs + reordered-dup pairs. The dup
+    // pairs have identical token SETS => identical SimHash => adjacent in
+    // the (simhash, id) sort (no other doc shares their hash here), so
+    // any window >= 1 finds them.
+    val rnd = new scala.util.Random(83)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def doc() = (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val base = (0 until 40).map(i => (i.toLong, doc()))
+    val dups = base.take(3).map { case (id, toks) =>
+      (id + 1000L, rnd.shuffle(toks)) } // reorderings of docs 0, 1, 2
+    val docs = (base ++ dups)
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val sn = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text", 5, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(Set((0L, 1000L), (1L, 1001L), (2L, 1002L)).subsetOf(sn),
+      s"got $sn")
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 1, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sn.subsetOf(full)) // never invents pairs; bounded-recall subset
+  }
+
 }
