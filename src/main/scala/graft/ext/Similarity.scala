@@ -154,6 +154,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label centroids of quantized vectors: (clabel, qc array<long>),
+    * qc_d = floor(Σ qv_d / n). The floor of the double division is exact
+    * here: when n divides S the quotient is an integer < 2^53; when it
+    * doesn't, the true value sits >= 1/n away from any integer, far
+    * beyond double rounding error — so both engines floor identically.
+    * Integer centroids keep every later distance computation exact. */
+  def labelCentroids(emb: DataFrame, labelCol: String,
+      embCol: String): DataFrame = {
+    val exploded = emb.select(col(labelCol).as("clabel"),
+        posexplode(quantize(col(embCol))))
+      .withColumnsRenamed(Map("pos" -> "d", "col" -> "qv"))
+    exploded.groupBy("clabel", "d")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      .withColumn("c",
+        floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("qc"))
+  }
+
+  /** One k-means ASSIGNMENT step: each vector to its nearest centroid by
+    * exact integer squared distance (|v-c|² = |v|² + |c|² - 2·v·c, three
+    * codegen'd integer dots). Centroids are broadcast — the canonical
+    * iterative-Spark shape where only the k×dims table moves. Ties break
+    * to the smallest centroid label (min over (dist2, clabel) structs —
+    * deterministic under any partitioning). */
+  def assignNearest(vecs: DataFrame, idCol: String, qCol: String,
+      cents: DataFrame): DataFrame = {
+    val vn = vecs.withColumn("__vn2", qnorm2(col(qCol)))
+    val cn = cents.withColumn("__cn2", qnorm2(col("qc")))
+    vn.crossJoin(broadcast(cn))
+      .withColumn("__d2",
+        col("__vn2") + col("__cn2") - lit(2L) * qdot(col(qCol), col("qc")))
+      .groupBy(vecs.columns.map(col): _*)
+      .agg(min(struct(col("__d2"), col("clabel"))).as("__best"))
+      .withColumn("assigned", col("__best.clabel"))
+      .withColumn("dist2", col("__best.__d2"))
+      .drop("__best", "__vn2")
+  }
+
   /** Exact all-pairs with threshold — O(n²), the correctness baseline. */
   def bruteForcePairs(
       emb: DataFrame, threshold: Double,

@@ -148,5 +148,46 @@ object SimilarityQueries {
       Similarity.bruteForcePairs(Tables.embeddings(s, d), threshold = 0.44)
         .orderBy("id_a", "id_b")
     },
+
+    // one k-means ASSIGNMENT step: per-label integer centroids
+    // (floor(sum/n) per dim — exact in both engines), every vector
+    // assigned to its nearest centroid by exact integer squared
+    // distance, confusion counts out. The canonical iterative-Spark
+    // workload shape: only the k×dims centroid table is broadcast.
+    QueryDef("sim_centroid_assign",
+      s"""WITH q AS (
+         |  SELECT vec_id, label, ${sqlQ("embedding")} AS qv FROM embeddings),
+         |dims AS (
+         |  SELECT DISTINCT unnest(range(1, len(qv) + 1)) AS d FROM q),
+         |x AS (
+         |  SELECT q.label, dims.d, qv[dims.d] AS v
+         |  FROM q JOIN dims ON dims.d <= len(qv)),
+         |cent AS (
+         |  SELECT label AS clabel, d,
+         |         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM x GROUP BY 1, 2),
+         |carr AS (SELECT clabel, list(c ORDER BY d) AS qc FROM cent GROUP BY 1),
+         |dist AS (
+         |  SELECT q.vec_id, q.label, carr.clabel,
+         |    list_sum(list_transform(range(1, len(q.qv) + 1),
+         |      i -> (q.qv[i] - carr.qc[i]) * (q.qv[i] - carr.qc[i]))) AS d2
+         |  FROM q, carr),
+         |best AS (
+         |  SELECT vec_id, label, clabel,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                            ORDER BY d2, clabel) AS rn
+         |  FROM dist)
+         |SELECT label, clabel AS assigned, COUNT(*) AS n
+         |FROM best WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val vecs = e.select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("q"))
+      val cents = Similarity.labelCentroids(e, "label", "embedding")
+      Similarity.assignNearest(vecs, "vec_id", "q", cents)
+        .groupBy("label", "assigned")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "assigned")
+    },
   )
 }
