@@ -160,28 +160,27 @@ object Dedup {
     * sort key separates (the standard multi-pass answer is several sort
     * keys).
     *
-    * The ordinal-distance join is binned like [[graft.ops.RangeJoin]]:
-    * each row lands in ordinal blocks floor(r/w) and floor(r/w)+1, pairs
-    * meet in the higher ordinal's own block exactly once — no distinct
-    * pass, no cross join. */
+    * The ordinal-distance join `0 < rb - ra <= w` IS a point-in-interval
+    * join (point rb in [ra+1, ra+w+1)), so it composes directly from
+    * [[graft.ops.RangeJoin.pointInInterval]] — one bin-explode on the
+    * interval side, single-bucket points, each pair exactly once.
+    * NULL-text docs carry no tokens and are excluded from the ordinal
+    * space entirely. */
   def sortedNeighborhoodPairs(
       df: DataFrame, idCol: String, textCol: String,
       window: Int = 10, threshold: Double = 0.9): DataFrame = {
     require(window > 0)
     val w = window.toLong
-    val idx = tokenIndex(df, idCol, textCol, 1)
+    val idx = tokenIndex(df.filter(col(textCol).isNotNull), idCol, textCol, 1)
     val sh = simhashFromIndex(idx, 24)
     val ord = graft.ops.ZipIndex.withOrdinal(
       sh.select("id", "simhash"), "r", Seq(col("simhash"), col("id")))
-    val emitted = ord
-      .withColumn("__b0", call_function("div", col("r"), lit(w)))
-      .select(col("id"), col("r"),
-        explode(array(col("__b0"), col("__b0") + 1)).as("blk"))
-    val a = emitted.select(col("id").as("ida"), col("r").as("ra"), col("blk"))
-    val b = emitted.select(col("id").as("idb"), col("r").as("rb"), col("blk"))
-    val cand = a.join(b, Seq("blk"))
-      .filter(col("rb") > col("ra") && col("rb") - col("ra") <= w &&
-        col("blk") === call_function("div", col("rb"), lit(w)))
+    val a = ord.select(col("id").as("ida"), col("r").as("ra"))
+      .withColumn("__s", col("ra") + 1L)
+      .withColumn("__e", col("ra") + w + 1L)
+    val b = ord.select(col("id").as("idb"), col("r").as("rb"))
+    val cand = graft.ops.RangeJoin
+      .pointInInterval(b, "rb", a, "__s", "__e", bucketWidth = w)
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"))
     candidateJaccardBitset(cand, tokenMasks(idx))

@@ -176,11 +176,15 @@ object Similarity {
 
   /** One k-means ASSIGNMENT step: each vector to its nearest centroid by
     * exact integer squared distance (|v-c|² = |v|² + |c|² - 2·v·c, three
-    * codegen'd integer dots). Centroids are broadcast — the canonical
-    * iterative-Spark shape where only the k×dims table moves. Ties break
-    * to the smallest centroid label (min over (dist2, clabel) structs —
-    * deterministic under any partitioning). */
-  def assignNearest(vecs: DataFrame, idCol: String, qCol: String,
+    * codegen'd integer dots). ALL vectors and centroids must share one
+    * dimensionality — with ragged lengths the dot covers only the common
+    * prefix while the norms cover full arrays, and the identity breaks.
+    * Centroids are broadcast — the canonical iterative-Spark shape where
+    * only the k×dims table moves. Ties break to the smallest centroid
+    * label (min over (dist2, clabel) structs — deterministic under any
+    * partitioning). Groups by ALL columns of `vecs` (callers pass a
+    * frame whose rows are unique). */
+  def assignNearest(vecs: DataFrame, qCol: String,
       cents: DataFrame): DataFrame = {
     val vn = vecs.withColumn("__vn2", qnorm2(col(qCol)))
     val cn = cents.withColumn("__cn2", qnorm2(col("qc")))
@@ -191,7 +195,7 @@ object Similarity {
       .agg(min(struct(col("__d2"), col("clabel"))).as("__best"))
       .withColumn("assigned", col("__best.clabel"))
       .withColumn("dist2", col("__best.__d2"))
-      .drop("__best", "__vn2")
+      .drop("__best")
   }
 
   /** Exact all-pairs with threshold — O(n²), the correctness baseline. */

@@ -244,7 +244,7 @@ object DedupQueries {
       s"""WITH t AS (
          |  SELECT doc_id, $sqlToks AS toks,
          |         list_transform($sqlToks, t -> ${sqlH31("t")}) AS hs
-         |  FROM documents WHERE lang = 'en'),
+         |  FROM documents WHERE lang = 'en' AND text IS NOT NULL),
          |s AS (SELECT doc_id, toks, ($bits)::BIGINT AS simhash FROM t),
          |o AS (SELECT doc_id, toks,
          |        ROW_NUMBER() OVER (ORDER BY simhash, doc_id) AS r

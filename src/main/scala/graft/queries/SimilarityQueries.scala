@@ -184,7 +184,7 @@ object SimilarityQueries {
       val vecs = e.select(col("vec_id"), col("label"),
         Similarity.quantize(col("embedding")).as("q"))
       val cents = Similarity.labelCentroids(e, "label", "embedding")
-      Similarity.assignNearest(vecs, "vec_id", "q", cents)
+      Similarity.assignNearest(vecs, "q", cents)
         .groupBy("label", "assigned")
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "assigned")
