@@ -168,21 +168,42 @@ object Dedup {
     * space entirely. */
   def sortedNeighborhoodPairs(
       df: DataFrame, idCol: String, textCol: String,
-      window: Int = 10, threshold: Double = 0.9): DataFrame = {
-    require(window > 0)
+      window: Int = 10, threshold: Double = 0.9): DataFrame =
+    sortedNeighborhoodPairsMulti(df, idCol, textCol, window, threshold, 1)
+
+  /** Multi-pass sorted-neighborhood: the standard answer to single-key
+    * recall loss is several passes under DIFFERENT sort keys, unioning
+    * the candidate sets. Pass p sorts by the SimHash rotated p·24/passes
+    * bits — rotations reorder which bit disagreements land in the high
+    * (sort-dominating) positions, so near-dups separated under one
+    * rotation are usually adjacent under another. Candidates are
+    * deduplicated BEFORE the exact re-rank (each pair re-ranked once). */
+  def sortedNeighborhoodPairsMulti(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, threshold: Double = 0.9,
+      passes: Int = 2): DataFrame = {
+    require(window > 0 && passes >= 1 && passes <= 24)
     val w = window.toLong
     val idx = tokenIndex(df.filter(col(textCol).isNotNull), idCol, textCol, 1)
     val sh = simhashFromIndex(idx, 24)
-    val ord = graft.ops.ZipIndex.withOrdinal(
-      sh.select("id", "simhash"), "r", Seq(col("simhash"), col("id")))
-    val a = ord.select(col("id").as("ida"), col("r").as("ra"))
-      .withColumn("__s", col("ra") + 1L)
-      .withColumn("__e", col("ra") + w + 1L)
-    val b = ord.select(col("id").as("idb"), col("r").as("rb"))
-    val cand = graft.ops.RangeJoin
-      .pointInInterval(b, "rb", a, "__s", "__e", bucketWidth = w)
-      .select(least(col("ida"), col("idb")).as("id_a"),
-        greatest(col("ida"), col("idb")).as("id_b"))
+    val cand = (0 until passes).map { p =>
+      val rot = p * 24 / passes
+      val key = // 24-bit left rotation by `rot`
+        if (rot == 0) col("simhash")
+        else (shiftleft(col("simhash"), rot) % (1L << 24)) +
+          shiftright(col("simhash"), 24 - rot)
+      val ord = graft.ops.ZipIndex.withOrdinal(
+        sh.select(col("id"), key.as("__key")), "r",
+        Seq(col("__key"), col("id")))
+      val a = ord.select(col("id").as("ida"), col("r").as("ra"))
+        .withColumn("__s", col("ra") + 1L)
+        .withColumn("__e", col("ra") + w + 1L)
+      val b = ord.select(col("id").as("idb"), col("r").as("rb"))
+      graft.ops.RangeJoin
+        .pointInInterval(b, "rb", a, "__s", "__e", bucketWidth = w)
+        .select(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"))
+    }.reduce(_ unionByName _).distinct()
     candidateJaccardBitset(cand, tokenMasks(idx))
       .filter(col("jaccard") >= threshold)
   }

@@ -117,6 +117,12 @@ class DedupSpec extends SparkSpec {
     val full = Dedup.jaccardPairs(docs, "doc_id", "text", 1, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(sn.subsetOf(full)) // never invents pairs; bounded-recall subset
+
+    // multi-pass recall: superset of single-pass, still subset of full
+    val multi = Dedup
+      .sortedNeighborhoodPairsMulti(docs, "doc_id", "text", 5, 0.9, passes = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sn.subsetOf(multi) && multi.subsetOf(full))
   }
 
 }
