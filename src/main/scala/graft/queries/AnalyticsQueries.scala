@@ -697,6 +697,34 @@ object AnalyticsQueries {
               |ORDER BY c_custkey""".stripMargin)
     },
 
+    // null-semantics suite: NULLIF-derived nullable keys, a NULL-SAFE
+    // equality join (Spark <=> / DuckDB IS NOT DISTINCT FROM — NULL
+    // matches NULL, unlike =), null-aware aggregation (COUNT(col) skips
+    // nulls, COUNT(*) doesn't), and explicit NULLS FIRST ordering.
+    QueryDef("q32_null_semantics",
+      """WITH o AS (
+        |  SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS status,
+        |         o_totalprice
+        |  FROM orders),
+        |s AS (SELECT DISTINCT NULLIF(o_orderstatus, 'F') AS status
+        |      FROM orders)
+        |SELECT o.status, COUNT(*) AS n_rows, COUNT(o.status) AS n_nonnull,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM o JOIN s ON o.status IS NOT DISTINCT FROM s.status
+        |GROUP BY o.status
+        |ORDER BY o.status NULLS FIRST""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("F")).as("status"),
+        col("o_totalprice"))
+      val dim = o.select(col("status").as("s_status")).distinct()
+      o.join(dim, col("status") <=> col("s_status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("status")).as("n_nonnull"),
+          dsum(col("o_totalprice")).as("rev"))
+        .orderBy(col("status").asc_nulls_first)
+    },
+
     // correlated SCALAR subquery (TPC-H Q2 shape): each customer's
     // max-price order, selected by comparing against a correlated MAX.
     // Catalyst decorrelates to an aggregate + join
