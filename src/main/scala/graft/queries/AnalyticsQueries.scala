@@ -697,6 +697,31 @@ object AnalyticsQueries {
               |ORDER BY c_custkey""".stripMargin)
     },
 
+    // skew-salted join in the graded inventory: lineitem (large, skewed
+    // at 100 TB) joins the urgent-order dim through ops.Skew's salt
+    // replication — one hot orderkey spreads over 16 reducers. Salting
+    // is result-transparent, so the oracle is the PLAIN join: identical
+    // output proves the rewrite is semantics-preserving.
+    QueryDef("q33_salted_join",
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.ops.Skew
+        .saltedEquiJoin(Tables.lineitem(s, d), urgent, "l_orderkey",
+          buckets = 16)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("rev"))
+        .orderBy("l_returnflag")
+    },
+
     // null-semantics suite: NULLIF-derived nullable keys, a NULL-SAFE
     // equality join (Spark <=> / DuckDB IS NOT DISTINCT FROM — NULL
     // matches NULL, unlike =), null-aware aggregation (COUNT(col) skips

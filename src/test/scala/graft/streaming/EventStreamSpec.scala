@@ -52,6 +52,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: each micro-batch joins the dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((10L, "gold"), (11L, "silver")).toDF("user_id", "tier")
+    val q = mem.toDF().join(dim, Seq("user_id"), "left")
+      .groupBy("tier").count()
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Event(1, ts(0), 10, "a", 1.0), Event(2, ts(1), 12, "b", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(2), 11, "c", 1.0), Event(4, ts(3), 10, "d", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .as[(Option[String], Long)].collect().toSet
+      assert(got == Set((Some("gold"), 2L), (Some("silver"), 1L), (None, 1L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
