@@ -9,7 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: executor-thread WARNs land on stderr interleaved
+    // with stdout in the harness capture and can push the result line out
+    // of its 2000-char tail window
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the session (codegen, FileSourceStrategy, shuffle machinery)
     // so the first measured query doesn't absorb ~4s of infra startup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -28,11 +31,26 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total =
       if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file; the printed line stays under
+    // the harness's 2000-char output-tail window (a full 65+-entry map is
+    // ~2.9 KB and gets truncated mid-line, so the driver can't parse it).
+    // The line reports the total over ALL queries plus the slowest 30.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val slowest = results.toSeq.sortBy(-_._2).take(30)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

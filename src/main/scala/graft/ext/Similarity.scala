@@ -186,6 +186,18 @@ object Similarity {
     * frame whose rows are unique). */
   def assignNearest(vecs: DataFrame, qCol: String,
       cents: DataFrame): DataFrame = {
+    // the cross-join + group-by-all-columns contract breaks silently if
+    // `vecs` carries a column that shadows the centroid frame's or the
+    // internal working names — fail loudly instead
+    val reserved = Seq("clabel", "qc", "__vn2", "__cn2", "__d2", "__best",
+      "assigned", "dist2")
+    val clash = vecs.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"assignNearest: input columns ${clash.mkString(", ")} collide with " +
+        "centroid/working columns; rename them before assignment")
+    require(cents.columns.sorted.sameElements(Array("clabel", "qc")),
+      s"assignNearest: centroid frame must be exactly (clabel, qc), got " +
+        cents.columns.mkString("(", ", ", ")"))
     val vn = vecs.withColumn("__vn2", qnorm2(col(qCol)))
     val cn = cents.withColumn("__cn2", qnorm2(col("qc")))
     vn.crossJoin(broadcast(cn))

@@ -54,12 +54,28 @@ object Sketches {
 
   /** Sketch state: sorted distinct bottom-k hashes (ascending). */
   final case class Kmv(k: Int, values: Seq[Long]) {
+    /** Insertion point of h in the sorted values, or -1 if present —
+      * O(log k) instead of a linear contains + full re-sort. */
+    private def searchPoint(h: Long): Int = {
+      var lo = 0; var hi = values.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val v = values(mid)
+        if (v == h) return -1
+        if (v < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
     def insert(h: Long): Kmv =
       // full sketch + h not below the cutoff: the overwhelmingly common
       // case on the per-row reduce path once the sketch saturates — O(1)
       if (values.size == k && h >= values.last) this
-      else if (values.contains(h)) this
-      else copy(values = (values :+ h).sorted.take(k))
+      else {
+        val i = searchPoint(h)
+        if (i < 0) this // already present
+        else copy(values =
+          ((values.take(i) :+ h) ++ values.drop(i)).take(k))
+      }
     def merge(other: Kmv): Kmv =
       copy(values = (values ++ other.values).distinct.sorted.take(k))
     def estimate: Double =

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * and bounded by the component min m (labels are always reachable vertex
   * ids). If some v held p(v) > m at a fixpoint, take the first vertex on
   * a v→…→m path whose successor's label is m: the hook step would lower
-  * it — contradiction. Σ p(v) therefore strictly decreases every
-  * non-final round, and ONE scalar aggregate per round detects
-  * convergence.
+  * it — contradiction. At least one label therefore strictly decreases
+  * every non-final round, and ONE scalar aggregate per round — the count
+  * of rows whose label changed — detects convergence. (A Σ-labels probe
+  * would be cheaper to state but sum(long) wraps silently at extreme
+  * vertex-id × count magnitudes; a changed-count can't alias.)
   *
   * Scale: each round is two shuffles (edge hash-join on vertex id +
   * label self-join), both keyed on vertex id — no cross joins, state is
@@ -56,10 +58,6 @@ object ConnectedComponents {
       .localCheckpoint(false)
     // edgeless graph (the common clean-corpus case): nothing to iterate
     if (labels.isEmpty) return labels.withColumnRenamed("p", "comp")
-    // coalesce defensively: sum over an empty frame is null, not 0
-    def labelSum(): Long =
-      labels.agg(coalesce(sum(col("p")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -70,16 +68,23 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("p"), col("p").as("pj")), Seq("p"))
         .select(col("id"), col("pj"))
       val prev = labels
-      labels = prev
+      // keep the pre-round label alongside the new one so the SAME lazy
+      // checkpoint serves both the convergence probe and the next round —
+      // still exactly one job per round
+      val stepped = prev
         .join(hooked, Seq("id"), "left")
         .join(jumped, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("p").as("__pold"),
           least(col("p"), coalesce(col("pe"), col("p")),
             coalesce(col("pj"), col("p"))).as("p"))
         .localCheckpoint(false)
-      val s = labelSum()
-      converged = s == prevSum // labels only decrease => sum is a fixpoint test
-      prevSum = s
+      // labels only decrease => zero strict decreases is a fixpoint;
+      // a count can't overflow/alias the way a Σ-labels probe could
+      val changed = stepped
+        .agg(coalesce(sum(when(col("p") < col("__pold"), 1L)), lit(0L)))
+        .head.getLong(0)
+      labels = stepped.drop("__pold")
+      converged = changed == 0L
       round += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Scalable global enumeration — the distributed replacement for
   * `row_number() OVER (ORDER BY ...)`, which moves the whole input to ONE
@@ -12,55 +13,77 @@ import org.apache.spark.sql.functions._
   *
   * Plan: range-repartition on the sort key (the same exchange a global
   * sort uses) and sort within partitions, so partition i holds the rank
-  * range (offset_i, offset_i + count_i]. The in-partition position comes
-  * free from `monotonically_increasing_id()`'s bit layout
-  * (partitionId * 2^33 + rowOffset, assigned in flow order — i.e. sorted
-  * order here), so no WindowExec and no second hash exchange. Offsets are
-  * a prefix sum over the per-partition counts — #partitions rows, a
-  * driver-sized side relation broadcast back. The counts sub-plan shares
-  * the range exchange via ReuseExchange, so the data shuffles once.
+  * range (offset_i, offset_i + count_i]. Partition identity comes from
+  * `spark_partition_id()` (documented, stable); the in-partition position
+  * comes from `monotonically_increasing_id()` relative to the partition's
+  * MINIMUM id — only "ids are assigned in flow order and consecutive
+  * within a partition" is assumed, not the pid<<33 bit layout, and that
+  * assumption is ASSERTED per partition (max-min+1 == count) so engine
+  * drift fails loudly instead of silently corrupting ordinals. Offsets
+  * are a prefix sum over the per-partition counts — ≤ numParts rows,
+  * computed on the driver and broadcast back.
   */
 object ZipIndex {
-
-  private val MidBits = 33 // monotonically_increasing_id: pid << 33 | offset
 
   /** Adds `ordCol` = 1-based ordinal of the row under `orderBy` (which
     * must be a total order for deterministic results).
     *
     * @param numParts range partitions; defaults to
-    *                 spark.sql.shuffle.partitions */
+    *                 spark.sql.shuffle.partitions (or defaultParallelism
+    *                 when that conf is non-numeric, e.g. "auto") */
   def withOrdinal(df: DataFrame, ordCol: String, orderBy: Seq[Column],
       numParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // localCheckpoint: the counts sub-plan and the output both consume
-    // `ranged`; materializing it once makes them read the SAME partition
-    // boundaries by construction, rather than relying on ReuseExchange
-    // to dedup two range shuffles (if reuse ever failed to fire, two
-    // independently sampled RangePartitioners could disagree and the
-    // offsets would silently mismatch the pids). Costs one cached copy;
-    // lineage is truncated, so executor loss fails the job rather than
-    // recomputing — acceptable for manifest/vocabulary enumeration.
+      else scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .filter(_ > 0)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+    // localCheckpoint: the stats job and the output both consume `ranged`;
+    // materializing it once makes them read the SAME partition boundaries
+    // by construction, rather than relying on ReuseExchange to dedup two
+    // range shuffles (if reuse ever failed to fire, two independently
+    // sampled RangePartitioners could disagree and the offsets would
+    // silently mismatch the pids). Costs one cached copy; lineage is
+    // truncated, so executor loss fails the job rather than recomputing —
+    // acceptable for manifest/vocabulary enumeration.
     val ranged = df.repartitionByRange(n, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mid"), MidBits).cast("int"))
-      .withColumn("__local", col("__mid").bitwiseAND((1L << MidBits) - 1))
       .localCheckpoint(false)
-    // per-partition counts (map-side combine => one row per partition on
-    // the wire), prefix-summed via triangular join (O(n²) on ≤ numParts
-    // rows) — no unpartitioned window anywhere in the plan
-    val counts = ranged.groupBy(col("__pid"))
-      .agg((max(col("__local")) + 1L).as("__cnt"))
-    val earlier = counts.select(col("__pid").as("__pid2"),
-      col("__cnt").as("__cnt2"))
-    val offsets = counts
-      .join(earlier, col("__pid2") < col("__pid"), "left")
-      .groupBy(col("__pid"))
-      .agg(coalesce(sum(col("__cnt2")), lit(0L)).as("__offset"))
+    // per-partition (count, min mid, max mid): map-side combine => one row
+    // per partition on the wire, ≤ numParts rows total — driver-sized
+    val stats = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__base"),
+        max(col("__mid")).as("__maxmid"))
+      .collect()
+    stats.foreach { r =>
+      val (pid, cnt, base, maxMid) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // loud guard on the one implementation detail we lean on:
+      // monotonically_increasing_id is consecutive within a partition
+      require(maxMid - base + 1 == cnt,
+        s"ZipIndex: non-consecutive monotonically_increasing_id in " +
+          s"partition $pid (count=$cnt, id span=${maxMid - base + 1}); " +
+          "engine id-assignment changed — ordinals would be corrupt")
+    }
+    // prefix sum in pid order on the driver (≤ numParts entries)
+    val sorted = stats.sortBy(_.getInt(0))
+    var acc = 0L
+    val rows = sorted.map { r =>
+      val off = acc; acc += r.getLong(1)
+      Row(r.getInt(0), r.getLong(2), off)
+    }
+    val offSchema = StructType(Seq(
+      StructField("__pid", IntegerType, nullable = false),
+      StructField("__base", LongType, nullable = false),
+      StructField("__offset", LongType, nullable = false)))
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), offSchema)
     ranged.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(ordCol, col("__offset") + col("__local") + 1L)
-      .drop("__mid", "__pid", "__local", "__offset")
+      .withColumn(ordCol,
+        col("__offset") + (col("__mid") - col("__base")) + 1L)
+      .drop("__mid", "__pid", "__base", "__offset")
   }
 }
