@@ -51,13 +51,32 @@ object Similarity {
     qdot(qa, qb).cast("double") /
       sqrt(qnorm2(qa).cast("double") * qnorm2(qb).cast("double"))
 
+  /** Hard cap for the O(n²) / full-scan differential baselines below.
+    * They exist as correctness yardsticks for the banded/IVF scale paths
+    * and must never silently run a cartesian against a production-sized
+    * table; callers that really want a bigger baseline raise `maxRows`
+    * explicitly and own the cost. */
+  private def guardBaseline(emb: DataFrame, maxRows: Long, op: String,
+      alternative: String): Unit = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"$op is a differential BASELINE limited to maxRows=$maxRows input " +
+        s"vectors (got $n). At scale use $alternative instead, or raise " +
+        "maxRows explicitly if you accept the full cost.")
+  }
+
   /** Brute-force top-k nearest neighbours of one stored vector.
     * Quantization+norm are per-row projections (computed once per input
     * row, under the join); only the codegen'd dot runs per pair. The
-    * top-k is a TakeOrdered — no global sort materialization. */
+    * top-k is a TakeOrdered — no global sort materialization. Guarded:
+    * this is the exact full-scan baseline — [[ivfTopK]] is the scale
+    * path that scans only the probed clusters. */
   def annTopK(
       emb: DataFrame, queryVecId: Long, k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxRows: Long = 10000000L): DataFrame = {
+    guardBaseline(emb, maxRows, "annTopK (full-scan exact baseline)",
+      "ivfTopK (probes nProbe/nCentroids of the data)")
     val q = emb.filter(col(idCol) === queryVecId)
       .select(quantize(col(embCol)).as("qq"))
       .withColumn("qn2", qnorm2(col("qq")))
@@ -111,44 +130,84 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
-  /** IVF-style partitioned ANN: vectors are assigned to their nearest
-    * "centroid" (deterministic: the first `nCentroids` stored vectors —
-    * a real deployment would k-means them; assignment, probing and
-    * re-ranking are the structural parts), the query probes its `nProbe`
-    * closest centroids, and only those clusters are scanned. At scale the
-    * assignment is a write-time partition key => a top-k query scans
-    * nProbe/nCentroids of the data instead of all of it. */
+  /** Centroids of quantized vectors grouped by an existing `assigned`
+    * label column: (clabel, qc array<long>), qc_d = floor(Σ q_d / n).
+    * Exactness of the floor: see [[labelCentroids]]. Clusters that lost
+    * all members simply disappear (k shrinks) — deterministic in any
+    * engine, no RNG re-seeding. */
+  private def recomputeCentroids(assigned: DataFrame, qCol: String,
+      labelCol: String): DataFrame =
+    assigned
+      .select(col(labelCol).as("clabel"), posexplode(col(qCol)))
+      .groupBy("clabel", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .withColumn("c",
+        floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("qc"))
+
+  /** Lloyd-iteration k-means over quantized vectors `e(id, q)`, fully
+    * deterministic so a SQL oracle can replay it:
+    *  - seeds = the first `nCentroids` vectors by id (no RNG);
+    *  - assignment = exact integer squared distance, ties to the
+    *    smallest centroid label ([[assignNearest]]);
+    *  - update = floor(mean) per dim — exact integers (see
+    *    [[labelCentroids]] for the floor-exactness argument).
+    * Between iterations the k×dims model is collected to the driver and
+    * re-literalized — the canonical Spark iterative-ML shape (only the
+    * model state ever moves; lineage stays flat regardless of `iters`).
+    * Returns (clabel, qc). */
+  def trainCentroids(e: DataFrame, nCentroids: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cents = e.filter(col("id") < nCentroids)
+      .select(col("id").cast("long").as("clabel"), col("q").as("qc"))
+    for (_ <- 1 to iters) {
+      val assigned = assignNearest(e.select("id", "q"), "q", cents)
+      val next = recomputeCentroids(assigned, "q", "assigned")
+        .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+      cents = next.toDF("clabel", "qc")
+    }
+    cents
+  }
+
+  /** IVF-style partitioned ANN: k-means-trained centroids
+    * ([[trainCentroids]] — deterministic seeds + `kmeansIters` Lloyd
+    * rounds), every vector assigned to its nearest centroid by exact
+    * integer squared distance, the query probes its `nProbe` closest
+    * centroids, and only those clusters are scanned with the exact
+    * cosine re-rank. At scale the assignment is a write-time partition
+    * key => a top-k query scans nProbe/nCentroids of the data instead
+    * of all of it, and trained (not arbitrary) centroids are what keep
+    * recall high under that pruning. */
   def ivfTopK(
       emb: DataFrame, queryVecId: Long, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
-      .withColumn("n2", qnorm2(col("q")))
-    val cent = e.filter(col("id") < nCentroids)
-      .select(col("id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-    val scored = e.crossJoin(broadcast(cent))
-      .select(col("id"), col("q"), col("n2"), col("cid"),
-        (qdot(col("q"), col("cq")).cast("double") /
-          sqrt(col("n2").cast("double") * col("cn2").cast("double")))
-          .as("cscore"))
-    val byVec = Window.partitionBy("id")
-      .orderBy(col("cscore").desc, col("cid"))
-    val assign = scored
-      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
-      .select(col("id"), col("cid").as("cluster_id"))
-    val probes = scored.filter(col("id") === queryVecId)
-      .withColumn("rn", row_number().over(byVec)).filter(col("rn") <= nProbe)
-      .select(col("cid").as("cluster_id"))
-    val qv = e.filter(col("id") === queryVecId)
-      .select(col("q").as("qq"), col("n2").as("qn2"))
-    e.join(assign, Seq("id"))
+    val cents = trainCentroids(e, nCentroids, kmeansIters)
+    val assign = assignNearest(e.select("id", "q"), "q", cents)
+      .select(col("id"), col("q"), col("assigned").as("cluster_id"))
+    val cn = cents.withColumn("__cn2", qnorm2(col("qc")))
+    val q = e.filter(col("id") === queryVecId)
+      .withColumn("__vn2", qnorm2(col("q")))
+    val probes = q.crossJoin(broadcast(cn))
+      .select(col("clabel").as("cluster_id"),
+        (col("__vn2") + col("__cn2") - lit(2L) * qdot(col("q"), col("qc")))
+          .as("__d2"))
+      .orderBy(col("__d2"), col("cluster_id"))
+      .limit(nProbe)
+      .select("cluster_id")
+    val qv = q.select(col("q").as("qq"), col("__vn2").as("qn2"))
+    assign
       .join(broadcast(probes), Seq("cluster_id"))
       .filter(col("id") =!= queryVecId)
       .crossJoin(broadcast(qv))
       .select(col("id"), col("cluster_id"),
         (qdot(col("q"), col("qq")).cast("double") /
-          sqrt(col("n2").cast("double") * col("qn2").cast("double")))
+          sqrt(qnorm2(col("q")).cast("double") * col("qn2").cast("double")))
           .as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
@@ -210,10 +269,15 @@ object Similarity {
       .drop("__best")
   }
 
-  /** Exact all-pairs with threshold — O(n²), the correctness baseline. */
+  /** Exact all-pairs with threshold — O(n²), the correctness baseline.
+    * Guarded: refuses more than `maxRows` input vectors so the cartesian
+    * can never silently run at scale — [[bandedPairs]] is the scale path. */
   def bruteForcePairs(
       emb: DataFrame, threshold: Double,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxRows: Long = 100000L): DataFrame = {
+    guardBaseline(emb, maxRows, "bruteForcePairs (O(n²) exact baseline)",
+      "bandedPairs (LSH-banded candidates + exact re-rank)")
     val q = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .withColumn("n2", qnorm2(col("q")))
     val a = q.select(col("id").as("id_a"), col("q").as("qa"), col("n2").as("na2"))

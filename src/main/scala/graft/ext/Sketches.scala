@@ -76,8 +76,24 @@ object Sketches {
         else copy(values =
           ((values.take(i) :+ h) ++ values.drop(i)).take(k))
       }
-    def merge(other: Kmv): Kmv =
-      copy(values = (values ++ other.values).distinct.sorted.take(k))
+    /** Linear sorted-merge of two sketches: both value lists are sorted
+      * and distinct, so one O(k) pass yields the bottom-k of the union —
+      * no re-sort, matching the O(log k) insert path. */
+    def merge(other: Kmv): Kmv = {
+      val a = values; val b = other.values
+      val out = Vector.newBuilder[Long]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length) { i += 1; a(i - 1) }
+          else if (i >= a.length) { j += 1; b(j - 1) }
+          else if (a(i) < b(j)) { i += 1; a(i - 1) }
+          else if (b(j) < a(i)) { j += 1; b(j - 1) }
+          else { i += 1; j += 1; a(i - 1) } // equal: consume both sides
+        out += v; n += 1
+      }
+      copy(values = out.result())
+    }
     def estimate: Double =
       if (values.size < k) values.size.toDouble
       else (k - 1).toDouble * M.toDouble / values.last.toDouble

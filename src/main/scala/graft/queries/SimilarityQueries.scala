@@ -106,32 +106,64 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // IVF-style partitioned ANN: assign to nearest of 16 centroid
-    // vectors, probe the query's 4 nearest clusters, exact top-10 within
-    QueryDef("ann_ivf_topk",
+    // IVF-style partitioned ANN with k-means-TRAINED centroids: seeds =
+    // first 16 vectors, 2 deterministic Lloyd rounds (exact integer
+    // squared distance, floor-mean update), assign all vectors to the
+    // trained centroids, probe the query's 4 nearest clusters, exact
+    // top-10 within. The oracle unrolls the same 2 iterations as CTEs.
+    QueryDef("ann_ivf_topk", {
+      // d2(q, c) = Σ (q_i - c_i)² — exact integers, mirrors
+      // |v|² + |c|² - 2·v·c computed by Similarity.assignNearest
+      def d2(q: String, c: String): String =
+        s"""list_sum(list_transform(range(1, len($q) + 1),
+           |      i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))""".stripMargin
+      // one Lloyd round: assign e to cents `cin`, emit assignment CTE
+      // `a$t` and updated-centroid CTE `cout`
+      def round(t: Int, cin: String, cout: String): String =
+        s"""a$t AS (
+           |  SELECT id, q, clabel FROM (
+           |    SELECT e.id, e.q, c.clabel,
+           |      ROW_NUMBER() OVER (PARTITION BY e.id
+           |        ORDER BY ${d2("e.q", "c.qc")}, c.clabel) AS rn
+           |    FROM e, $cin c)
+           |  WHERE rn = 1),
+           |$cout AS (
+           |  SELECT clabel, list(c ORDER BY d) AS qc FROM (
+           |    SELECT clabel, d,
+           |      CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           |    FROM (SELECT clabel, unnest(range(1, len(q) + 1)) AS d,
+           |            unnest(q) AS v
+           |          FROM a$t)
+           |    GROUP BY clabel, d)
+           |  GROUP BY clabel)""".stripMargin
       s"""WITH e AS (
          |  SELECT vec_id AS id, ${sqlQ("embedding")} AS q FROM embeddings),
-         |cent AS (
-         |  SELECT id AS cid, q AS cq FROM e WHERE id < 16),
-         |scored AS (
-         |  SELECT e.id, e.q, cent.cid, ${sqlCosine("e.q", "cent.cq")} AS cscore
-         |  FROM e, cent),
-         |ranked AS (
-         |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id
-         |    ORDER BY cscore DESC, cid) AS rn
-         |  FROM scored),
+         |c0 AS (
+         |  SELECT id AS clabel, q AS qc FROM e WHERE id < 16),
+         |${round(1, "c0", "c1")},
+         |${round(2, "c1", "c2")},
          |assign AS (
-         |  SELECT id, cid AS cluster_id FROM ranked WHERE rn = 1),
+         |  SELECT id, q, clabel AS cluster_id FROM (
+         |    SELECT e.id, e.q, c.clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY e.id
+         |        ORDER BY ${d2("e.q", "c.qc")}, c.clabel) AS rn
+         |    FROM e, c2 c)
+         |  WHERE rn = 1),
          |probes AS (
-         |  SELECT cid AS cluster_id FROM ranked WHERE id = 0 AND rn <= 4),
+         |  SELECT clabel AS cluster_id FROM (
+         |    SELECT c.clabel,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY ${d2("qv.q", "c.qc")}, c.clabel) AS rn
+         |    FROM c2 c, (SELECT q FROM e WHERE id = 0) qv)
+         |  WHERE rn <= 4),
          |qv AS (SELECT q AS qq FROM e WHERE id = 0)
-         |SELECT e.id AS vec_id, a.cluster_id, ${sqlCosine("e.q", "qq")} AS score
-         |FROM e JOIN assign a ON e.id = a.id
-         |       JOIN probes p ON a.cluster_id = p.cluster_id, qv
-         |WHERE e.id <> 0
-         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+         |SELECT a.id AS vec_id, a.cluster_id, ${sqlCosine("a.q", "qq")} AS score
+         |FROM assign a JOIN probes p ON a.cluster_id = p.cluster_id, qv
+         |WHERE a.id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
-          nCentroids = 16, nProbe = 4)
+          nCentroids = 16, nProbe = 4, kmeansIters = 2)
         .withColumnRenamed("id", "vec_id")
     },
 

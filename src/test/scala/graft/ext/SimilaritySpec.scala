@@ -46,6 +46,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.01, s"recall $recall (banded ${banded.size} of ${brute.size})")
   }
 
+  test("trained-IVF recall@10 >= 0.9 vs exact annTopK") {
+    // k-means-trained centroids + 4/16 probes must recover (nearly) the
+    // exact top-10 — the recall yardstick the IVF pruning is graded on
+    val exact = Similarity.annTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, 0L, 10,
+        nCentroids = 16, nProbe = 4, kmeansIters = 2)
+      .select("id").as[Long].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall (ivf=$ivf exact=$exact)")
+  }
+
+  test("k-means training moves centroids and keeps k stable on fixture") {
+    val e = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("q"))
+    val seeds = e.filter(col("id") < 16)
+      .select(col("id").as("clabel"), col("q").as("qc"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val trained = Similarity.trainCentroids(e, nCentroids = 16, iters = 2)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(trained.nonEmpty && trained.size <= 16)
+    // at least one centroid must have moved off its seed vector —
+    // otherwise "training" degenerated to the old id<16 hack
+    assert(trained.exists { case (l, qc) => seeds.get(l).exists(_ != qc) },
+      "Lloyd iterations left every centroid exactly on its seed")
+  }
+
+  test("brute-force baselines refuse oversized inputs with a loud guard") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForcePairs(emb, 0.3, maxRows = 5)
+    }
+    assert(ex.getMessage.contains("bandedPairs"),
+      s"guard must name the scale path: ${ex.getMessage}")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.annTopK(emb, 0L, 10, maxRows = 5)
+    }
+    assert(ex2.getMessage.contains("ivfTopK"),
+      s"guard must name the scale path: ${ex2.getMessage}")
+  }
+
   test("banded recall near 1 for high-cosine planted pairs") {
     // plant: vector 9000 = tiny perturbation of vector 0 (cos ~ 1)
     val v0 = emb.filter(col("vec_id") === 0L)
