@@ -23,6 +23,35 @@ import org.apache.spark.sql.functions._
   * exact 64-bit integers (no overflow: a,b < 2^31, x < 2^31 => a*x+b <
   * 2^62).
   */
+/** Corpus-profile configuration for the MinHash/LSH dedup family. The
+  * defaults are tuned for the test fixture (~40-word vocabulary, 0.78
+  * background Jaccard => deep 16-row bands to keep the candidate rate
+  * ~2% while planted identical-token-set dups keep 100% recall); a real
+  * corpus profiles its background similarity and sets bands/rows
+  * accordingly (more bands => higher recall AND more candidates —
+  * P(candidate) = 1-(1-J^rows)^bands). `shingleN` > 1 switches the
+  * signature base from distinct tokens to ordered n-gram shingles.
+  */
+final case class DedupProfile(
+    k: Int = 32,
+    bands: Int = 2,
+    rowsPerBand: Int = 16,
+    shingleN: Int = 1,
+    threshold: Double = 0.95) {
+  require(k >= 1 && bands >= 1 && rowsPerBand >= 1 && shingleN >= 1,
+    s"DedupProfile: k/bands/rowsPerBand/shingleN must be positive: $this")
+  require(bands * rowsPerBand <= k,
+    s"DedupProfile: bands*rowsPerBand = ${bands * rowsPerBand} exceeds " +
+      s"the k=$k minhash signature: $this")
+  require(threshold > 0.0 && threshold <= 1.0,
+    s"DedupProfile: threshold must be in (0, 1]: $this")
+}
+
+object DedupProfile {
+  /** Fixture-tuned defaults (the constants previous rounds hard-coded). */
+  val default: DedupProfile = DedupProfile()
+}
+
 object Dedup {
 
   val P: Long = 1000000007L
@@ -72,6 +101,39 @@ object Dedup {
       slice.foldLeft(lit(b.toLong)) { (acc, h) => (acc * 31L + h) % P }
     }
     array(keys: _*)
+  }
+
+  /** LSH candidate pairs (id_a < id_b, distinct) under a corpus profile:
+    * banded equi-join on the minhash band keys — candidates bounded by
+    * band collisions, never a cross join. */
+  def lshCandidatesFromIndex(index: DataFrame,
+      profile: DedupProfile = DedupProfile.default): DataFrame = {
+    val sig = minhashSignatures(index, profile.k)
+    val banded = sig
+      .withColumn("band",
+        explode(bandKeyCols(profile.bands, profile.rowsPerBand)))
+      .select("id", "band")
+    banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** End-to-end MinHash/LSH near-dup join under a [[DedupProfile]]:
+    * shingle index -> signatures -> banded candidates -> exact Jaccard
+    * re-rank -> threshold filter. `bitsetRerank` picks the
+    * small-vocabulary popcount fast path ([[candidateJaccardBitset]],
+    * guarded in [[tokenMasks]]) vs the general posting-list re-rank
+    * ([[candidateJaccard]]). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      profile: DedupProfile = DedupProfile.default,
+      bitsetRerank: Boolean = true): DataFrame = {
+    val idx = tokenIndex(df, idCol, textCol, profile.shingleN)
+    val cand = lshCandidatesFromIndex(idx, profile)
+    val reranked =
+      if (bitsetRerank) candidateJaccardBitset(cand, tokenMasks(idx))
+      else candidateJaccard(cand, idx)
+    reranked.filter(col("jaccard") >= profile.threshold)
   }
 
   // -------- 4. SimHash --------

@@ -115,20 +115,12 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       // scale path: one hash per (doc, token), signatures + candidates +
-      // re-rank all as codegen'd joins/aggregates (Dedup scaladoc)
-      val idx = Dedup.tokenIndex(Tables.documents(s, d), "doc_id", "text", 1)
-      val sig = Dedup.minhashSignatures(idx, 32)
-      val banded = sig
-        .withColumn("band", explode(Dedup.bandKeyCols(2, 16)))
-        .select("id", "band")
-      val cand = banded.select(col("band"), col("id").as("id_a"))
-        .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      // popcount re-rank over vocabulary bitmasks (the fixture's ~40-token
-      // vocab packs into one long/doc) — same values as the token join
-      Dedup.candidateJaccardBitset(cand, Dedup.tokenMasks(idx))
-        .filter(col("jaccard") >= 0.95)
+      // re-rank all as codegen'd joins/aggregates (Dedup scaladoc),
+      // parameterized by the corpus profile (defaults = the constants
+      // this oracle unrolls; bitset re-rank = the fixture's ~40-token
+      // vocab packs into one long/doc, same values as the token join)
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          graft.ext.DedupProfile.default, bitsetRerank = true)
         .orderBy("id_a", "id_b")
     },
 

@@ -57,10 +57,12 @@ object MultimodalQueries {
     },
 
     // the partition-batched decode pipeline, oracle-verified end to end:
-    // StubDecoder's FEATURE step (16-bin byte histogram) is real
-    // computation over the payload, so the typed mapPartitions Dataset
-    // path — the Scala analog of mapInPandas — gets a DuckDB check, not
-    // just a spec. (Corpus is ASCII: byte == codepoint.)
+    // text payloads dispatch to the stub fallback whose FEATURE step
+    // (16-bin byte histogram) is real computation over the payload, so
+    // the typed mapPartitions Dataset path — the Scala analog of
+    // mapInPandas — gets a DuckDB check, not just a spec. (Corpus is
+    // ASCII: byte == codepoint. Real PNG/JPEG payloads take the imageio
+    // decode path, covered by MultimodalSpec.)
     QueryDef("mm_histogram",
       """WITH b AS (
         |  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
@@ -70,7 +72,7 @@ object MultimodalQueries {
         |FROM b GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      Multimodal.StubDecoder.decode(docs, "doc_id", "payload")
+      Multimodal.Decoder.decode(docs, "doc_id", "payload")
         .select(col("doc_id"), posexplode(col("features")))
         .withColumnsRenamed(Map("pos" -> "bin", "col" -> "n"))
         .filter(col("n") > 0)

@@ -125,4 +125,50 @@ class DedupSpec extends SparkSpec {
     assert(sn.subsetOf(multi) && multi.subsetOf(full))
   }
 
+  test("DedupProfile: planted-dup recall 100% at defaults") {
+    // identical token sets share every minhash, hence every band key —
+    // the planted-dup pair type must survive banding at ANY profile
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        DedupProfile.default)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) &&
+      pairs.contains((1L, 2L)),
+      s"identical-token-set dups must be found at defaults: $pairs")
+  }
+
+  test("DedupProfile: candidate set grows monotonically in bands") {
+    // band b's key construction is independent of the band count, so
+    // candidates(bands=1) ⊆ candidates(bands=2) at fixed rowsPerBand
+    val idx = Dedup.tokenIndex(docs, "doc_id", "text", 1)
+    val c1 = Dedup.lshCandidatesFromIndex(idx,
+        DedupProfile(k = 32, bands = 1, rowsPerBand = 16))
+      .as[(Long, Long)].collect().toSet
+    val c2 = Dedup.lshCandidatesFromIndex(idx,
+        DedupProfile(k = 32, bands = 2, rowsPerBand = 16))
+      .as[(Long, Long)].collect().toSet
+    assert(c1.subsetOf(c2), s"bands=1 candidates $c1 not within bands=2 $c2")
+    assert(c2.contains((0L, 1L)), "planted dup must be a candidate")
+  }
+
+  test("DedupProfile: invalid geometry fails loudly") {
+    intercept[IllegalArgumentException] {
+      DedupProfile(k = 16, bands = 4, rowsPerBand = 8) // 32 > k
+    }
+    intercept[IllegalArgumentException] { DedupProfile(threshold = 0.0) }
+  }
+
+  test("minhashLshPairs: bitset and posting-list re-ranks agree") {
+    val p = DedupProfile(k = 32, bands = 2, rowsPerBand = 16,
+      threshold = 0.5)
+    val bitset = Dedup.minhashLshPairs(docs, "doc_id", "text", p,
+        bitsetRerank = true)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val postings = Dedup.minhashLshPairs(docs, "doc_id", "text", p,
+        bitsetRerank = false)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bitset == postings, s"bitset $bitset != postings $postings")
+  }
+
 }
