@@ -424,4 +424,80 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "un", "jaccard")
   }
+
+  /** EXACT skew-resistant variant of [[jaccardPairs]] for Zipf corpora.
+    *
+    * The plain posting-list self-join sends ALL |P|² pair-rows of a hot
+    * shingle (a stopword's posting list) to ONE reducer — the 100 TB
+    * skew killer AQE cannot split (the skew is in the join output, not
+    * the input partitions). Here posting lists are profiled first
+    * (one count per shingle); lists with more than `hotCap` docs are
+    * self-joined BLOCK-WISE instead: each doc lands in a chunk
+    * c = hash(id) mod `blocks`, the left side replicates a row to block
+    * keys (c, j) for j >= c, the right side to (i, c) for i <= c, and
+    * the join keys on (shingle, i, j) — every cross-chunk pair meets on
+    * exactly one block key, same-chunk pairs meet only on the diagonal
+    * (ordered by id there), so each pair is produced EXACTLY once and
+    * the |P|² workload spreads over blocks·(blocks+1)/2 reducer keys.
+    * Chunk assignment affects only placement, never the result, so the
+    * output is bit-identical to [[jaccardPairs]] (differential-tested).
+    * Cold shingles take the plain join; both paths feed one
+    * intersection count. */
+  def jaccardPairsSalted(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.9,
+      hotCap: Long = 65536, blocks: Int = 8): DataFrame = {
+    require(blocks >= 2, s"jaccardPairsSalted: blocks must be >= 2 (got " +
+      s"$blocks); with one block use jaccardPairs directly")
+    val index = tokenIndex(df, idCol, textCol, n).drop("h")
+    val freq = index.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val idx = index.join(freq, Seq("shingle"))
+    val tNum = math.floor(threshold * 10000).toLong
+    def sizeCompat(na: Column, nb: Column): Column =
+      na * tNum <= nb * 10000L && nb * tNum <= na * 10000L
+
+    // cold path: the plain posting-list join of jaccardPairs
+    val cold = idx.filter(col("__df") <= hotCap)
+    val coldMatches = cold
+      .select(col("id").as("id_a"), col("n_sh").as("na"), col("shingle"))
+      .join(cold.select(col("id").as("id_b"), col("n_sh").as("nb"),
+          col("shingle").as("__shb")),
+        col("shingle") === col("__shb") && col("id_a") < col("id_b") &&
+          sizeCompat(col("na"), col("nb")))
+      .select("id_a", "id_b", "na", "nb")
+
+    // hot path: block self-join (scaladoc above)
+    val hot = idx.filter(col("__df") > hotCap)
+      .withColumn("__c", pmod(xxhash64(col("id")), lit(blocks.toLong)))
+    val hl = hot
+      .select(col("shingle"), col("id").as("__idl"), col("n_sh").as("__nl"),
+        col("__c").as("__ki"))
+      .withColumn("__kj",
+        explode(sequence(col("__ki"), lit(blocks - 1L))))
+    val hr = hot
+      .select(col("shingle"), col("id").as("__idr"), col("n_sh").as("__nr"),
+        col("__c").as("__kj"))
+      .withColumn("__ki", explode(sequence(lit(0L), col("__kj"))))
+    val hotMatches = hl.join(hr, Seq("shingle", "__ki", "__kj"))
+      // same-chunk pairs exist only on the diagonal key, ordered by id
+      // there; cross-chunk pairs meet exactly once by construction
+      .filter((col("__ki") =!= col("__kj") || col("__idl") < col("__idr")) &&
+        col("__idl") =!= col("__idr") &&
+        sizeCompat(col("__nl"), col("__nr")))
+      .select(
+        least(col("__idl"), col("__idr")).as("id_a"),
+        greatest(col("__idl"), col("__idr")).as("id_b"),
+        when(col("__idl") < col("__idr"), col("__nl")).otherwise(col("__nr"))
+          .as("na"),
+        when(col("__idl") < col("__idr"), col("__nr")).otherwise(col("__nl"))
+          .as("nb"))
+
+    coldMatches.unionByName(hotMatches)
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "un", "jaccard")
+  }
 }

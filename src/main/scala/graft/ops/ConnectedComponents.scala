@@ -31,31 +31,54 @@ import org.apache.spark.sql.functions._
   *
   * Scale: each round is two shuffles (edge hash-join on vertex id +
   * label self-join), both keyed on vertex id — no cross joins, state is
-  * one row per vertex. Rounds localCheckpoint (eager) so the plan/lineage
-  * stays O(1) per round instead of growing exponentially.
+  * one row per vertex. Rounds checkpoint so the plan/lineage stays O(1)
+  * per round instead of growing exponentially: `localCheckpoint` by
+  * default (fast, executor-memory blocks — executor loss FAILS the job),
+  * or reliable `checkpoint` to a fault-tolerant store when
+  * `checkpointDir` is set (each round restartable from the previous
+  * round's files — the 100 TB/1000-executor option, at the cost of one
+  * distributed write per round).
   */
 object ConnectedComponents {
+
+  /** localCheckpoint (default) or reliable checkpoint when a dir is
+    * opted in. Reliable MUST apply to every round: with localCheckpoint
+    * anywhere in the chain, lineage is truncated to executor-memory
+    * blocks and a lost executor is unrecoverable regardless of any
+    * earlier reliable checkpoints. */
+  private def persistStep(df: DataFrame, eager: Boolean,
+      reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
 
   /** (id, comp) for every vertex in `edges`; comp = min id in the
     * component. Vertices with no edges don't appear (left-join the
     * original entity table and coalesce to self for singletons).
     * Vertex ids must be an integral type ("smallest id" and the Σlabel
-    * convergence test are numeric). */
+    * convergence test are numeric).
+    *
+    * @param checkpointDir when set, per-round state goes through
+    *        reliable `df.checkpoint` into this directory (survives
+    *        executor loss) instead of `localCheckpoint` */
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 40): DataFrame = {
+      maxRounds: Int = 40,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // materialize the edge list once BEFORE symmetrizing: it is
     // re-joined every round, it is usually an expensive pipeline (an LSH
     // or Jaccard similarity join), and the union would otherwise
     // evaluate that pipeline twice (once per direction)
-    val once = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .localCheckpoint(true)
+    val once = persistStep(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")),
+      eager = true, reliable)
     val sym = once.union(once.select(col("b").as("a"), col("a").as("b")))
     // lazy checkpoints: the convergence aggregate right after is the one
     // action that materializes them — one job per round, not two
-    var labels = sym.groupBy(col("a").as("id"))
-      .agg(least(min(col("b")), col("a")).as("p"))
-      .localCheckpoint(false)
+    var labels = persistStep(
+      sym.groupBy(col("a").as("id"))
+        .agg(least(min(col("b")), col("a")).as("p")),
+      eager = false, reliable)
     // edgeless graph (the common clean-corpus case): nothing to iterate
     if (labels.isEmpty) return labels.withColumnRenamed("p", "comp")
     var round = 0
@@ -71,13 +94,14 @@ object ConnectedComponents {
       // keep the pre-round label alongside the new one so the SAME lazy
       // checkpoint serves both the convergence probe and the next round —
       // still exactly one job per round
-      val stepped = prev
-        .join(hooked, Seq("id"), "left")
-        .join(jumped, Seq("id"), "left")
-        .select(col("id"), col("p").as("__pold"),
-          least(col("p"), coalesce(col("pe"), col("p")),
-            coalesce(col("pj"), col("p"))).as("p"))
-        .localCheckpoint(false)
+      val stepped = persistStep(
+        prev
+          .join(hooked, Seq("id"), "left")
+          .join(jumped, Seq("id"), "left")
+          .select(col("id"), col("p").as("__pold"),
+            least(col("p"), coalesce(col("pe"), col("p")),
+              coalesce(col("pj"), col("p"))).as("p")),
+        eager = false, reliable)
       // labels only decrease => zero strict decreases is a fixpoint;
       // a count can't overflow/alias the way a Σ-labels probe could
       val changed = stepped
@@ -96,8 +120,10 @@ object ConnectedComponents {
     * `pairs` become singleton clusters of themselves. */
   def assignClusters(
       entities: DataFrame, idCol: String, pairs: DataFrame,
-      srcCol: String, dstCol: String): DataFrame = {
-    val comps = components(pairs, srcCol, dstCol)
+      srcCol: String, dstCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comps = components(pairs, srcCol, dstCol,
+        checkpointDir = checkpointDir)
       .select(col("id").as(idCol), col("comp"))
     val assigned = entities.select(col(idCol))
       .join(comps, Seq(idCol), "left")

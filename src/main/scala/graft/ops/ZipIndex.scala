@@ -30,9 +30,13 @@ object ZipIndex {
     *
     * @param numParts range partitions; defaults to
     *                 spark.sql.shuffle.partitions (or defaultParallelism
-    *                 when that conf is non-numeric, e.g. "auto") */
+    *                 when that conf is non-numeric, e.g. "auto")
+    * @param checkpointDir when set, the materialized ranged frame goes
+    *                 through reliable `df.checkpoint` into this
+    *                 directory — enumeration survives executor loss
+    *                 (the localCheckpoint default fails the job) */
   def withOrdinal(df: DataFrame, ordCol: String, orderBy: Seq[Column],
-      numParts: Int = 0): DataFrame = {
+      numParts: Int = 0, checkpointDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
       else scala.util.Try(
@@ -44,14 +48,19 @@ object ZipIndex {
     // by construction, rather than relying on ReuseExchange to dedup two
     // range shuffles (if reuse ever failed to fire, two independently
     // sampled RangePartitioners could disagree and the offsets would
-    // silently mismatch the pids). Costs one cached copy; lineage is
-    // truncated, so executor loss fails the job rather than recomputing —
-    // acceptable for manifest/vocabulary enumeration.
-    val ranged = df.repartitionByRange(n, orderBy: _*)
+    // silently mismatch the pids). Costs one cached copy; with the
+    // default localCheckpoint lineage is truncated to executor-memory
+    // blocks, so executor loss fails the job rather than recomputing —
+    // acceptable for manifest/vocabulary enumeration; opt into
+    // `checkpointDir` for a fault-tolerant reliable checkpoint instead.
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val prepared = df.repartitionByRange(n, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(false)
+    val ranged =
+      if (checkpointDir.isDefined) prepared.checkpoint(false)
+      else prepared.localCheckpoint(false)
     // per-partition (count, min mid, max mid): map-side combine => one row
     // per partition on the wire, ≤ numParts rows total — driver-sized
     val stats = ranged.groupBy(col("__pid"))

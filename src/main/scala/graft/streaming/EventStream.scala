@@ -36,6 +36,43 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream INTERVAL join — the streaming twin of the batch
+    * interval-overlap/as-of family (q18/q26/q30): every left row joined
+    * to right rows with the same key whose event time falls in
+    * [left.ts, left.ts + upper].
+    *
+    * Both sides carry an event-time watermark, and the time-range
+    * predicate is what makes the state BOUNDED: from `right.ts <=
+    * left.ts + upper` Spark derives a state watermark per side, evicts
+    * buffered rows older than it, and drops late arrivals — without the
+    * range condition a stream-stream join must buffer both streams
+    * forever. Late-data eviction is proven in EventStreamSpec (a
+    * would-match row arriving behind the watermark joins nothing and
+    * state row counts stay flat).
+    *
+    * The two time columns must have distinct names (both appear in the
+    * output); join-key columns are equated by name and deduplicated. */
+  def intervalJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      joinKeys: Seq[String],
+      watermarkDelay: String = "10 minutes",
+      upper: String = "10 minutes"): DataFrame = {
+    require(leftTs != rightTs,
+      s"intervalJoin: time columns must have distinct names (both got " +
+        s"'$leftTs') — rename one side before joining")
+    require(joinKeys.nonEmpty,
+      "intervalJoin: at least one equality key is required (a pure " +
+        "time-range stream-stream join cannot be partitioned)")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val keyCond = joinKeys.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond = r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upper")
+    // drop the right side's copy of each equality key from the output
+    joinKeys.foldLeft(l.join(r, keyCond && timeCond))((d, k) => d.drop(r(k)))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserSessionState(nEvents: Long, lastUs: Long, sessions: Long)

@@ -125,6 +125,27 @@ class DedupSpec extends SparkSpec {
     assert(sn.subsetOf(multi) && multi.subsetOf(full))
   }
 
+  test("salted jaccard join is bit-identical to the plain posting-list join") {
+    // fixture sample: real Zipf-ish shingle distribution (~40-word vocab
+    // => every posting list is "hot" relative to a small cap)
+    val sample = graft.Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").limit(80)
+    def key(r: (Long, Long, Long, Long, Double)) = (r._1, r._2, r._3, r._4)
+    val plain = Dedup.jaccardPairs(sample, "doc_id", "text", 1, 0.5)
+      .as[(Long, Long, Long, Long, Double)].collect().map(key).toSet
+    // every list hot (cap 0): pure block-join path
+    val allHot = Dedup.jaccardPairsSalted(sample, "doc_id", "text", 1, 0.5,
+        hotCap = 0L, blocks = 4)
+      .as[(Long, Long, Long, Long, Double)].collect().map(key).toSet
+    // mixed: some lists cold, some hot
+    val mixed = Dedup.jaccardPairsSalted(sample, "doc_id", "text", 1, 0.5,
+        hotCap = 40L, blocks = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().map(key).toSet
+    assert(plain.nonEmpty, "differential base must have pairs")
+    assert(allHot == plain, s"all-hot diff: ${allHot.diff(plain)} / ${plain.diff(allHot)}")
+    assert(mixed == plain, s"mixed diff: ${mixed.diff(plain)} / ${plain.diff(mixed)}")
+  }
+
   test("DedupProfile: planted-dup recall 100% at defaults") {
     // identical token sets share every minhash, hence every band key —
     // the planted-dup pair type must survive banding at ANY profile

@@ -52,6 +52,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == (1L to 4L).map(i => (i, i, 1L)).toSet)
   }
 
+  test("reliable checkpoint path: same fixpoint, files actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    try {
+      val chain = (1L until 30L).map(i => (i, i + 1))
+      val got = ConnectedComponents.components(
+          chain.toDF("u", "v"), "u", "v", checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(got == cc(chain), "reliable path must reach the same fixpoint")
+      // the opt-in must really go through df.checkpoint: reliable
+      // checkpoint files land under <dir>/<uuid>/rdd-*
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no rdd-* checkpoint dirs under $dir")
+      // end-to-end through assignClusters too
+      val entities = (1L to 30L).toDF("doc_id")
+      val assigned = ConnectedComponents.assignClusters(entities, "doc_id",
+          chain.toDF("id_a", "id_b"), "id_a", "id_b",
+          checkpointDir = Some(dir))
+        .as[(Long, Long, Long)].collect()
+      assert(assigned.forall { case (_, rep, size) => rep == 1L && size == 30L })
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("assignClusters covers singletons and sizes") {
     val entities = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

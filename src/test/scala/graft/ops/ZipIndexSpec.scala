@@ -19,6 +19,24 @@ class ZipIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("reliable checkpoint path: same ordinals, files written") {
+    val dir = java.nio.file.Files.createTempDirectory("zip-ckpt").toString
+    try {
+      val df = (1 to 200).map(i => (i * 7 % 1000, i)).toDF("k", "v")
+      val plain = ZipIndex.withOrdinal(df, "ord", Seq(col("k"), col("v")))
+        .select("v", "ord").as[(Int, Long)].collect().toMap
+      val reliable = ZipIndex.withOrdinal(df, "ord", Seq(col("k"), col("v")),
+          checkpointDir = Some(dir))
+        .select("v", "ord").as[(Int, Long)].collect().toMap
+      assert(reliable == plain)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no rdd-* checkpoint dirs under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("no single-partition WindowExec in the plan") {
     val df = spark.range(100).toDF("id")
     val plan = ZipIndex.withOrdinal(df, "ord", Seq(col("id")))

@@ -117,16 +117,14 @@ class EventStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
     val buys = MemoryStream[Event]
-    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+    val c = clicks.toDF()
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
-    val b = buys.toDF().withWatermark("ts", "10 minutes")
-      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
+    val b = buys.toDF()
+      .select(col("user_id"), col("ts").as("buy_ts"),
         col("value").as("buy_value"))
-    val joined = c.join(b,
-      col("user_id") === col("b_user") &&
-        col("buy_ts") >= col("click_ts") &&
-        col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    val joined = EventStream.intervalJoin(c, "click_ts", b, "buy_ts",
+      Seq("user_id"), "10 minutes", "10 minutes")
     val q = joined.writeStream.format("memory").queryName("ssj_out")
       .outputMode("append").start()
     try {
@@ -137,6 +135,47 @@ class EventStreamSpec extends SparkSpec {
       val got = spark.table("ssj_out")
         .select("click_id", "buy_value").as[(Long, Double)].collect().toSet
       assert(got == Set((1L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("interval join: late data is dropped and state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val c = clicks.toDF()
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val b = buys.toDF()
+      .select(col("user_id"), col("ts").as("buy_ts"),
+        col("value").as("buy_value"))
+    val joined = EventStream.intervalJoin(c, "click_ts", b, "buy_ts",
+      Seq("user_id"), "10 minutes", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: one match inside the interval
+      clicks.addData(Event(1, ts(0), 5, "click", 0.0))
+      buys.addData(Event(2, ts(5), 5, "purchase", 9.0))
+      q.processAllAvailable()
+      // batch 2: advance BOTH watermarks far past the old rows
+      clicks.addData(Event(3, ts(120), 6, "click", 0.0))
+      buys.addData(Event(4, ts(125), 6, "purchase", 1.0))
+      q.processAllAvailable()
+      // batch 3: a would-match purchase arriving way behind the
+      // watermark (ts(2) vs watermark ~ts(110)) must join NOTHING —
+      // the click it would match was evicted from state
+      buys.addData(Event(5, ts(2), 5, "purchase", 99.0))
+      q.processAllAvailable()
+      val got = spark.table("ssj_late")
+        .select("click_id", "buy_value").as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 9.0), (3L, 1.0)),
+        s"late purchase must not join: $got")
+      // bounded state: the time-range condition lets Spark evict rows
+      // older than the state watermark — far fewer buffered rows than
+      // events sent; without eviction every row would sit in state
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4,
+        s"state should hold only post-watermark rows, got $stateRows")
     } finally q.stop()
   }
 
