@@ -70,6 +70,22 @@ object Dedup {
   def tokenSetSignature(text: Column): Column =
     md5(array_join(array_sort(array_distinct(TextAnalysis.tokens(text))), " "))
 
+  /** Incremental dedup — the production shape for a crawl pipeline:
+    * dedup a NEW batch against the accumulated HISTORICAL corpus
+    * without re-clustering anything. Returns the fresh rows whose
+    * canonical token-set signature ([[tokenSetSignature]]) does not
+    * already exist in `corpus` — one hash-agg over the corpus (at scale
+    * a pre-materialized signature store) plus a left-anti join keyed on
+    * the signature. No pair enumeration, no O(n²) anywhere. */
+  def incrementalSurvivors(fresh: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val seen = corpus
+      .select(tokenSetSignature(col(textCol)).as("__sig")).distinct()
+    fresh.withColumn("__sig", tokenSetSignature(col(textCol)))
+      .join(seen, Seq("__sig"), "left_anti")
+      .drop("__sig")
+  }
+
   // -------- 3. MinHash + LSH --------
 
   /** Fixed permutation constants (i = 0..k-1), identical in Spark and the

@@ -72,6 +72,41 @@ object TextAnalysis {
         i => substring(cleaned, lit(1) + i, lit(n))))
   }
 
+  /** Duplicated n-gram SPANS across documents — the exact-substring
+    * duplication signal training-data dedup pipelines act on (boilerplate
+    * headers, license blocks, templated text): every word `n`-gram that
+    * occurs in more than one document, with its document frequency and
+    * first/last carrier. One codegen'd shingle pass per doc
+    * ([[graft.functions.WordShingles]] via [[Dedup.tokenIndex]]) and one
+    * hash-agg keyed on the span — shuffle bounded by distinct spans,
+    * never pairs, so it survives corpus-scale inputs where a pairwise
+    * formulation would not. Spans are doc-distinct, so `n_docs` counts
+    * documents, not occurrences. */
+  def dupSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame =
+    Dedup.tokenIndex(df, idCol, textCol, n)
+      .groupBy(col("shingle").as("span"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+
+  /** Deterministic stratified sampling: keep a row iff
+    * h31(id) mod 1000 < 1000·rate(stratum). No RNG — the same row set
+    * is selected under any partitioning, any engine, any run (the same
+    * hash-threshold trick as the train/val split), and per-stratum
+    * rates let a pipeline downsample overrepresented strata (e.g. a
+    * dominant language) in one narrow filter with zero shuffles. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      strataCol: String, permilRates: Map[String, Int],
+      defaultPermil: Int): org.apache.spark.sql.DataFrame = {
+    require((permilRates.values ++ Seq(defaultPermil)).forall(r =>
+      r >= 0 && r <= 1000), "rates are permil values in [0, 1000]")
+    val permil = permilRates.foldLeft(lit(defaultPermil)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(tokenHash31(col(idCol).cast("string")) % 1000L < permil)
+  }
+
   /** Composite quality score in [0,1] from exact integer counts; formula
     * mirrored token-for-token in the SQL oracle so double ops bit-match:
     * 0.5*distinct_ratio + 0.3*min(1, n_tokens/100) + 0.2*stop_ratio*5

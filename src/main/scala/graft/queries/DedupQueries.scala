@@ -225,6 +225,77 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // 9. incremental dedup: dedup a NEW batch (odd doc_ids) against the
+    // HISTORICAL corpus (even doc_ids) by canonical token-set signature —
+    // the production crawl-pipeline shape: signature anti-join, no pair
+    // enumeration, nothing recomputed over the history
+    QueryDef("dedup_incremental",
+      """WITH h AS (
+        |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |    string_split(text, ' '))), ' ')) AS sig
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |f AS (
+        |  SELECT doc_id, lang, md5(array_to_string(list_sort(list_distinct(
+        |    string_split(text, ' '))), ' ')) AS sig
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, lang FROM f
+        |WHERE sig NOT IN (SELECT sig FROM h)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalSurvivors(
+          fresh = docs.filter(col("doc_id") % 2 === 1),
+          corpus = docs.filter(col("doc_id") % 2 === 0),
+          textCol = "text")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // 10. embedding near-dup survivors via the BANDED scale path: same
+    // shape as dedup_embedding_survivors but candidates come from
+    // sign-LSH banding (no n² cross join) — the plan that survives 100×;
+    // banding is deterministic, so the approximate pair set is too
+    QueryDef("dedup_embedding_banded", {
+      def sqlQz(e: String) =
+        s"list_transform($e, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+      def bandExpr(b: Int): String =
+        (0 until 8).foldLeft(s"${b}::BIGINT") { (acc, r) =>
+          s"(($acc) * 2 + (CASE WHEN q[${b * 8 + r + 1}] >= 0 THEN 1 ELSE 0 END))"
+        }
+      val bands = (0 until 4).map(b => s"${bandExpr(b)} AS band_$b").mkString(",\n    ")
+      s"""WITH e AS (
+         |  SELECT vec_id, ${sqlQz("embedding")} AS q FROM embeddings),
+         |k AS (
+         |  SELECT vec_id, q,
+         |    $bands
+         |  FROM e),
+         |banded AS (
+         |  SELECT vec_id, q, unnest([band_0, band_1, band_2, band_3]) AS band
+         |  FROM k),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(list_sum(list_transform(range(1, least(len(a.q), len(b.q)) + 1),
+         |           i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |      / sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE)
+         |             * CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))
+         |      AS score
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.vec_id < b.vec_id),
+         |dropped AS (
+         |  SELECT DISTINCT id_b FROM pairs WHERE score >= 0.35)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped p WHERE p.id_b = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      val dropped = graft.ext.Similarity
+        .bandedPairs(Tables.embeddings(s, d), threshold = 0.35,
+          bands = 4, rowsPerBand = 8)
+        .select(col("id_b").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // 8. sorted-neighborhood dedup (Hernández–Stolfo): sort by SimHash,
     // compare only docs within 10 ordinal positions, exact-Jaccard
     // re-rank. Bounded comparisons (|corpus|×w, not all pairs); the

@@ -200,6 +200,41 @@ object TextQueries {
           .orderBy("lang", "split")
     },
 
+    // duplicated 8-gram spans across documents: the exact-substring
+    // duplication signal (boilerplate/template detection) — one shingle
+    // pass per doc, one hash-agg keyed on the span; shuffle bounded by
+    // distinct spans, never document pairs
+    QueryDef("text_dup_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, len(tk) - 7),
+        |    i -> array_to_string(tk[i+1:i+8], ' '))) AS sh
+        |  FROM toks),
+        |x AS (SELECT doc_id, unnest(sh) AS span FROM d)
+        |SELECT span, COUNT(*) AS n_docs,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM x GROUP BY span HAVING COUNT(*) > 1
+        |ORDER BY span""".stripMargin) { (s, d) =>
+      TextAnalysis.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("span")
+    },
+
+    // deterministic stratified sampling: downsample the dominant stratum
+    // (en at 30%) and keep the tail at 80% — hash-threshold selection,
+    // zero shuffles, identical row set under any partitioning
+    QueryDef("text_stratified_sample",
+      s"""SELECT doc_id, lang, source FROM documents
+        |WHERE ${sqlH31("CAST(doc_id AS VARCHAR)")} % 1000 <
+        |  CASE WHEN lang = 'en' THEN 300 ELSE 800 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, d),
+          "doc_id", "lang", Map("en" -> 300), defaultPermil = 800)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // benchmark decontamination: flag corpus docs sharing 5-gram shingles
     // with the src0 "benchmark" slice. The benchmark shingle set is
     // broadcast (eval suites are tiny next to a training corpus), so the

@@ -125,6 +125,22 @@ class DedupSpec extends SparkSpec {
     assert(sn.subsetOf(multi) && multi.subsetOf(full))
   }
 
+  test("incremental dedup: fresh batch anti-joined on corpus signatures") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark engines")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "dog lazy the over jumps fox brown quick the"), // reorder of 0
+      (11L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (12L, "a genuinely new document about streaming joins")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalSurvivors(fresh, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(12L),
+      s"reordered and exact dups of corpus docs must be dropped: $got")
+  }
+
   test("salted jaccard join is bit-identical to the plain posting-list join") {
     // fixture sample: real Zipf-ish shingle distribution (~40-word vocab
     // => every posting list is "hot" relative to a small cap)

@@ -48,6 +48,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq("abc", "bcd", "cd_", "d_e"))
   }
 
+  test("dupSpans finds shared n-gram spans, counts docs not occurrences") {
+    val df = Seq(
+      (1L, "x x a b c d e f g h x"),   // contains span "a b c d e f g h"
+      (2L, "a b c d e f g h y z"),     // same span, different context
+      (3L, "a b c d e f g h a b c d e f g h"), // span TWICE in one doc
+      (4L, "nothing shared here at all with anyone else ok")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpans(df, "doc_id", "text", n = 8)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.contains("a b c d e f g h"))
+    // doc 3 carries the span twice but counts ONCE (doc-distinct shingles)
+    assert(got("a b c d e f g h") == (3L, 1L, 3L))
+    assert(!got.keys.exists(_.startsWith("nothing")))
+  }
+
+  test("stratifiedSample: deterministic, stratum-rated, repartition-stable") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val rates = Map("en" -> 300)
+    val a = TextAnalysis.stratifiedSample(docs, "doc_id", "lang", rates, 800)
+      .select("doc_id").as[Long].collect().toSet
+    val b = TextAnalysis.stratifiedSample(docs.repartition(13), "doc_id",
+        "lang", rates, 800)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "selection must be independent of partitioning")
+    // rough rate sanity: en kept near 30%, others near 80%
+    val byLang = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+        rates, 800)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enRate > 0.1 && enRate < 0.5, s"en rate $enRate far from 0.3")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 1500), 800)
+    }
+  }
+
   test("langIdHeuristic agrees with stopword ratio on the fixture") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = docs.select(
