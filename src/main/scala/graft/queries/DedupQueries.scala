@@ -36,6 +36,38 @@ object DedupQueries {
       s"(($acc) * 31 + m${b * rowsPerBand + r}) % ${Dedup.P}"
     }
 
+  /** Shared CTE chain: MinHash signatures -> 2×16 LSH bands -> banded
+    * candidates -> exact Jaccard re-rank numerators `j(id_a, id_b,
+    * inter, un)` over ALL documents. Mirrors [[Dedup.minhashLshPairs]]
+    * at [[graft.ext.DedupProfile.default]]. */
+  private val sqlLshCtes: String = {
+    val mh = (0 until 32).map(i => s"${sqlMinhash(i)} AS m$i").mkString(",\n    ")
+    val bands = (0 until 2).map(b => s"${sqlBand(b)} AS band_$b").mkString(",\n    ")
+    s"""t AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, toks,
+       |    $mh
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, toks,
+       |    $bands
+       |  FROM m),
+       |banded AS (
+       |  SELECT doc_id, toks, unnest([band_0, band_1]) AS band
+       |  FROM k),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(ta.toks, tb.toks))::BIGINT AS inter,
+       |    (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))::BIGINT AS un
+       |  FROM cand c JOIN t ta ON ta.doc_id = c.id_a
+       |              JOIN t tb ON tb.doc_id = c.id_b)""".stripMargin
+  }
+
   /** Shared CTE chain: exact unigram-Jaccard pairs (J >= 0.9) over the
     * English documents — `jp(id_a, id_b, inter, un, jaccard)`. Mirrors
     * [[Dedup.jaccardPairsBitset]]. */
@@ -83,37 +115,12 @@ object DedupQueries {
     },
 
     // 3. MinHash + LSH banding + exact Jaccard re-rank
-    QueryDef("dedup_minhash_lsh", {
-      val mh = (0 until 32).map(i => s"${sqlMinhash(i)} AS m$i").mkString(",\n    ")
-      val bands = (0 until 2).map(b => s"${sqlBand(b)} AS band_$b").mkString(",\n    ")
-      s"""WITH t AS (
-         |  SELECT doc_id, $sqlToks AS toks FROM documents),
-         |m AS (
-         |  SELECT doc_id, toks,
-         |    $mh
-         |  FROM t),
-         |k AS (
-         |  SELECT doc_id, toks,
-         |    $bands
-         |  FROM m),
-         |banded AS (
-         |  SELECT doc_id, toks, unnest([band_0, band_1]) AS band
-         |  FROM k),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT c.id_a, c.id_b,
-         |    len(list_intersect(ta.toks, tb.toks))::BIGINT AS inter,
-         |    (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))::BIGINT AS un
-         |  FROM cand c JOIN t ta ON ta.doc_id = c.id_a
-         |              JOIN t tb ON tb.doc_id = c.id_b)
+    QueryDef("dedup_minhash_lsh",
+      s"""WITH $sqlLshCtes
          |SELECT id_a, id_b, inter, un,
          |       CAST(inter AS DOUBLE) / un AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE) / un >= 0.95
-         |ORDER BY id_a, id_b""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       // scale path: one hash per (doc, token), signatures + candidates +
       // re-rank all as codegen'd joins/aggregates (Dedup scaladoc),
       // parameterized by the corpus profile (defaults = the constants
@@ -222,6 +229,43 @@ object DedupQueries {
         n = 1, threshold = 0.9)
       graft.ops.ConnectedComponents
         .assignClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    },
+
+    // 11. END-TO-END LSH dedup pipeline: MinHash/LSH near-dup pairs
+    // (profile defaults, J >= 0.95) -> connected components -> one
+    // survivor (min doc_id) per cluster. The full corpus-in,
+    // deduplicated-corpus-out composition a training pipeline runs;
+    // oracle re-derives the fixpoint with recursive-CTE reachability
+    // (an independent algorithm, as in dedup_cluster_assign).
+    QueryDef("dedup_pipeline_survivors",
+      s"""WITH RECURSIVE $sqlLshCtes,
+        |lshp AS (
+        |  SELECT id_a, id_b FROM j
+        |  WHERE CAST(inter AS DOUBLE) / un >= 0.95),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM lshp
+        |  UNION SELECT id_b, id_a FROM lshp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |WHERE COALESCE(c.rep, d.doc_id) = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        graft.ext.DedupProfile.default)
+      graft.ops.ConnectedComponents
+        .assignClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .filter(col("doc_id") === col("cluster_rep"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     },
 

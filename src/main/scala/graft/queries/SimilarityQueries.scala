@@ -106,6 +106,51 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // kNN GRAPH construction from banded candidates: symmetric edges,
+    // per-source top-3 neighbours — the building block of graph-based
+    // dedup/clustering over embeddings; candidates come from the LSH
+    // bands (no n² cross join), ranking is a per-source window (high-
+    // cardinality partition key, scale-safe)
+    QueryDef("sim_knn_graph", {
+      val bands = (0 until 4).map(b => s"${sqlBand(b)} AS band_$b").mkString(",\n    ")
+      s"""WITH e AS (
+         |  SELECT vec_id, ${sqlQ("embedding")} AS q FROM embeddings),
+         |k AS (
+         |  SELECT vec_id, q,
+         |    $bands
+         |  FROM e),
+         |banded AS (
+         |  SELECT vec_id, q, unnest([band_0, band_1, band_2, band_3]) AS band
+         |  FROM k),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${sqlCosine("a.q", "b.q")} AS score
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.vec_id < b.vec_id),
+         |kept AS (SELECT id_a, id_b, score FROM pairs WHERE score >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst, score FROM kept
+         |  UNION ALL SELECT id_b, id_a, score FROM kept),
+         |ranked AS (
+         |  SELECT src, dst, score,
+         |    ROW_NUMBER() OVER (PARTITION BY src
+         |                       ORDER BY score DESC, dst) AS rn
+         |  FROM edges)
+         |SELECT src, dst, score, rn FROM ranked WHERE rn <= 3
+         |ORDER BY src, rn""".stripMargin
+    }) { (s, d) =>
+      val kept = Similarity.bandedPairs(Tables.embeddings(s, d),
+        threshold = 0.2, bands = 4, rowsPerBand = 8)
+      val edges = kept
+        .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
+        .unionByName(kept.select(col("id_b").as("src"),
+          col("id_a").as("dst"), col("score")))
+      val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst"))
+      edges.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("src", "rn")
+    },
+
     // IVF-style partitioned ANN with k-means-TRAINED centroids: seeds =
     // first 16 vectors, 2 deterministic Lloyd rounds (exact integer
     // squared distance, floor-mean update), assign all vectors to the

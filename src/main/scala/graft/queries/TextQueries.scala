@@ -200,6 +200,67 @@ object TextQueries {
           .orderBy("lang", "split")
     },
 
+    // sequence packing: assign docs to 4096-token training bins by
+    // cumulative token count in corpus order — the distributed prefix
+    // sum (ops.PrefixSum: range partition + per-partition window +
+    // broadcast offsets), NEVER a single-partition global window
+    QueryDef("text_packing",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       CAST(FLOOR(CAST(start_offset AS DOUBLE) / 4096) AS BIGINT)
+        |         AS bin
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.PrefixSum.packIntoBins(
+          Tables.documents(s, d).select(col("doc_id"),
+            TextAnalysis.nTokens(col("text")).as("n_tokens")),
+          weight = col("n_tokens"), budget = 4096L,
+          orderBy = Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("bin").cast("bigint").as("bin"))
+        .orderBy("doc_id")
+    },
+
+    // quality pruning: drop each language's bottom decile by composite
+    // quality score — per-stratum exact percentile via hash agg (NOT a
+    // per-stratum window), tiny threshold table broadcast back
+    QueryDef("text_quality_prune",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split(text, ' '))::BIGINT AS nt,
+         |    len(list_distinct(string_split(text, ' ')))::BIGINT AS nd,
+         |    len(list_filter(string_split(text, ' '),
+         |        t -> list_contains($sqlStop, t)))::BIGINT AS ns
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(nd AS DOUBLE) / nt * 0.5
+         |      + LEAST(1.0, CAST(nt AS DOUBLE) / 100.0) * 0.3
+         |      + LEAST(1.0, CAST(ns AS DOUBLE) / nt * 5.0) * 0.2 AS q
+         |  FROM t),
+         |thr AS (
+         |  SELECT lang, quantile_cont(q, 0.1) AS q10 FROM s GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.q FROM s JOIN thr USING (lang)
+         |WHERE s.q >= thr.q10
+         |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val thr = scored.groupBy("lang")
+        .agg(percentile(col("q"), lit(0.1)).as("q10"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("q") >= col("q10"))
+        .select("doc_id", "lang", "q")
+        .orderBy("doc_id")
+    },
+
     // duplicated 8-gram spans across documents: the exact-substring
     // duplication signal (boilerplate/template detection) — one shingle
     // pass per doc, one hash-agg keyed on the span; shuffle bounded by
