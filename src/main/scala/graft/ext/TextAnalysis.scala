@@ -107,6 +107,32 @@ object TextAnalysis {
     df.filter(tokenHash31(col(idCol).cast("string")) % 1000L < permil)
   }
 
+  /** Overlapping token-window CHUNKING — the embedding/RAG prep shape:
+    * split each document into windows of `chunkTokens` tokens advancing
+    * by `stride` (overlap = chunkTokens - stride), the last window
+    * truncated at the document end. One generator (`posexplode`) per
+    * doc — row count grows by ~n/stride, no shuffle at all until the
+    * caller aggregates; chunk text is carried so a downstream embedder
+    * can consume it directly. Returns (idCol, chunk_idx, start_tok,
+    * n_chunk_tokens, chunk). */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int = 64,
+      stride: Int = 48): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1,
+      s"chunkDocs: chunkTokens/stride must be positive " +
+        s"($chunkTokens/$stride)")
+    df.select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0),
+          nTokens(col(textCol)).cast("int") - 1, lit(stride))))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "start_tok"))
+      .withColumn("chunk",
+        slice(tokens(col(textCol)), col("start_tok") + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk"))
+  }
+
   /** Composite quality score in [0,1] from exact integer counts; formula
     * mirrored token-for-token in the SQL oracle so double ops bit-match:
     * 0.5*distinct_ratio + 0.3*min(1, n_tokens/100) + 0.2*stop_ratio*5

@@ -200,6 +200,87 @@ object TextQueries {
           .orderBy("lang", "split")
     },
 
+    // FLAGSHIP composition — the full training-data export pipeline in
+    // one query: exact dedup (keep-first) -> per-language bottom-decile
+    // quality prune (threshold computed over the survivors) -> pack
+    // into 4096-token bins in corpus order via the distributed prefix
+    // sum. Corpus in, ready-to-train manifest out.
+    QueryDef("pipeline_export",
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |t AS (
+         |  SELECT d.doc_id, d.lang,
+         |    len(string_split(d.text, ' '))::BIGINT AS nt,
+         |    len(list_distinct(string_split(d.text, ' ')))::BIGINT AS nd,
+         |    len(list_filter(string_split(d.text, ' '),
+         |        t -> list_contains($sqlStop, t)))::BIGINT AS ns
+         |  FROM documents d JOIN keep k ON k.doc_id = d.doc_id),
+         |s AS (
+         |  SELECT doc_id, lang, nt AS n_tokens,
+         |    CAST(nd AS DOUBLE) / nt * 0.5
+         |      + LEAST(1.0, CAST(nt AS DOUBLE) / 100.0) * 0.3
+         |      + LEAST(1.0, CAST(ns AS DOUBLE) / nt * 5.0) * 0.2 AS q
+         |  FROM t),
+         |thr AS (
+         |  SELECT lang, quantile_cont(q, 0.1) AS q10 FROM s GROUP BY lang),
+         |kept AS (
+         |  SELECT s.doc_id, s.lang, s.n_tokens FROM s JOIN thr USING (lang)
+         |  WHERE s.q >= thr.q10),
+         |r AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM kept)
+         |SELECT doc_id, lang, n_tokens, start_offset,
+         |       CAST(FLOOR(CAST(start_offset AS DOUBLE) / 4096) AS BIGINT)
+         |         AS bin
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keep = graft.ext.Dedup.keepFirstExact(docs, "doc_id", "text")
+        .select("doc_id")
+      val scored = docs.join(keep, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"))
+      val thr = scored.groupBy("lang")
+        .agg(percentile(col("q"), lit(0.1)).as("q10"))
+      val kept = scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("q") >= col("q10"))
+        .select("doc_id", "lang", "n_tokens")
+      graft.ops.PrefixSum.packIntoBins(kept, weight = col("n_tokens"),
+          budget = 4096L, orderBy = Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("start_offset"), col("bin").cast("bigint").as("bin"))
+        .orderBy("doc_id")
+    },
+
+    // overlapping token-window chunking (64-token windows, stride 48):
+    // the embedding/RAG prep transform — one generator per doc, chunk
+    // hashes keep the oracle output compact
+    QueryDef("text_chunking",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |x AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, ((len(tk) - 1) // 48) + 1)) AS chunk_idx
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+        |    tk[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, len(tk))]
+        |      AS chunk
+        |  FROM x)
+        |SELECT doc_id, chunk_idx, start_tok,
+        |       len(chunk)::BIGINT AS n_chunk_tokens,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_chunk_tokens"), md5(col("chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // sequence packing: assign docs to 4096-token training bins by
     // cumulative token count in corpus order — the distributed prefix
     // sum (ops.PrefixSum: range partition + per-partition window +

@@ -87,6 +87,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs: window/stride arithmetic, coverage, truncation") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(df, "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_chunk_tokens", "chunk")
+      .as[(Long, Long, Long, String)].collect()
+    // starts 0, 48, 96 (< 100)
+    assert(chunks.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 48L, 52L), (2L, 96L, 4L)))
+    assert(chunks(0)._4.startsWith("t1 t2 ") && chunks(0)._4.endsWith(" t64"))
+    assert(chunks(2)._4 == "t97 t98 t99 t100")
+    // overlap: chunk 1 starts inside chunk 0
+    assert(chunks(1)._4.startsWith("t49 "))
+    // every token index is covered by at least one chunk
+    val covered = chunks.flatMap(c => c._2 until (c._2 + c._3)).toSet
+    assert(covered == (0L until 100L).toSet)
+  }
+
   test("langIdHeuristic agrees with stopword ratio on the fixture") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = docs.select(
