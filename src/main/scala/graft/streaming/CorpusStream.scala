@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.ext.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twins of the corpus/dedup operators: a crawl arrives as an
+  * unbounded stream of documents and must be deduplicated INCREMENTALLY
+  * — against the accumulated historical corpus and against itself —
+  * without ever re-clustering history. The streaming counterpart of
+  * [[Dedup.incrementalSurvivors]].
+  */
+object CorpusStream {
+
+  /** Incremental streaming dedup: a document survives iff its canonical
+    * token-set signature ([[Dedup.tokenSetSignature]]) is unseen in
+    *
+    *  1. the STREAM so far — `dropDuplicates` on the signature (state-
+    *     store backed keep-first in arrival order; pass `watermark =
+    *     Some(tsCol -> delay)` to bound that state by event time via
+    *     `dropDuplicatesWithinWatermark`, the production shape), and
+    *  2. the STATIC historical corpus — a stream-static join against
+    *     the signature table. Structured Streaming supports stream-
+    *     static inner/left-outer/left-semi but NOT left-anti, so the
+    *     anti is expressed as left-outer + IS NULL on a static marker
+    *     column (same semantics, supported plan).
+    *
+    * `corpus` is re-read per micro-batch (static side), so a growing
+    * signature store (e.g. a parquet table appended between batches)
+    * is picked up without restarting the query. */
+  def incrementalDedup(
+      docs: DataFrame, corpus: DataFrame, textCol: String,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val seen = corpus
+      .select(Dedup.tokenSetSignature(col(textCol)).as("__sig"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    val sigged = docs.withColumn("__sig",
+      Dedup.tokenSetSignature(col(textCol)))
+    val streamDeduped = watermark match {
+      case Some((tsCol, delay)) =>
+        sigged.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark(Seq("__sig"))
+      case None => sigged.dropDuplicates("__sig")
+    }
+    streamDeduped
+      .join(seen, Seq("__sig"), "left_outer")
+      .filter(col("__seen").isNull)
+      .drop("__sig", "__seen")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming incremental dedup vs static corpus and the stream itself") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different text about spark engines")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = CorpusStream.incrementalDedup(docs, corpus, "text")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: one corpus dup (reordering), one novel doc
+      mem.addData(
+        (10L, "dog lazy the over jumps fox brown quick the"), // dup of 0
+        (11L, "a genuinely new document about streaming joins"))
+      q.processAllAvailable()
+      // batch 2: stream-dup of 11 (reordered) + another novel doc
+      mem.addData(
+        (12L, "joins streaming about document new genuinely a"), // dup of 11
+        (13L, "yet another unseen piece of text entirely"))
+      q.processAllAvailable()
+      val got = spark.table("inc_dedup")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(11L, 13L),
+        s"corpus dup 10 and stream dup 12 must be dropped: $got")
+    } finally q.stop()
+  }
+
+  test("watermark-bounded variant keeps the same survivors on in-order data") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, "aa bb cc")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusStream.incrementalDedup(docs, corpus, "text",
+        watermark = Some("ts" -> "10 minutes"))
+      .writeStream.format("memory").queryName("inc_dedup_wm")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData((1L, ts(0), "cc bb aa"), (2L, ts(1), "dd ee ff"))
+      q.processAllAvailable()
+      mem.addData((3L, ts(2), "ff ee dd")) // stream dup of 2, in window
+      q.processAllAvailable()
+      val got = spark.table("inc_dedup_wm")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(2L), s"only the novel doc survives: $got")
+    } finally q.stop()
+  }
+}
