@@ -262,11 +262,54 @@ object Similarity {
     vn.crossJoin(broadcast(cn))
       .withColumn("__d2",
         col("__vn2") + col("__cn2") - lit(2L) * qdot(col(qCol), col("qc")))
-      .groupBy(vecs.columns.map(col): _*)
+      .groupBy(vecs.columns.toIndexedSeq.map(col): _*)
       .agg(min(struct(col("__d2"), col("clabel"))).as("__best"))
       .withColumn("assigned", col("__best.clabel"))
       .withColumn("dist2", col("__best.__d2"))
       .drop("__best")
+  }
+
+  /** Multi-query IVF: the amortization argument for training — centroids
+    * are trained ONCE, every query probes its own `nProbe` clusters, and
+    * the per-query scan cost is nProbe/nCentroids of the corpus. Query
+    * vectors ride in one broadcast; per-query ranking is a window keyed
+    * on query id (high-cardinality at real QPS — scale-safe). Returns
+    * (query_id, id, score, rn) for rn <= k. */
+  def ivfTopKMulti(
+      emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryIds.nonEmpty, "ivfTopKMulti: at least one query id")
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val cents = trainCentroids(e, nCentroids, kmeansIters)
+    val assign = assignNearest(e.select("id", "q"), "q", cents)
+      .select(col("id"), col("q"), col("assigned").as("cluster_id"))
+    val cn = cents.withColumn("__cn2", qnorm2(col("qc")))
+    val qs = e.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("q").as("qq"))
+      .withColumn("qn2", qnorm2(col("qq")))
+    val byQuery = Window.partitionBy("query_id")
+    val probes = qs.crossJoin(broadcast(cn))
+      .select(col("query_id"),
+        col("clabel").as("cluster_id"),
+        (qnorm2(col("qq")) + col("__cn2") - lit(2L) * qdot(col("qq"), col("qc")))
+          .as("__d2"))
+      .withColumn("rn", row_number().over(
+        byQuery.orderBy(col("__d2"), col("cluster_id"))))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "cluster_id")
+    assign
+      .join(broadcast(probes), Seq("cluster_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (qdot(col("q"), col("qq")).cast("double") /
+          sqrt(qnorm2(col("q")).cast("double") * col("qn2").cast("double")))
+          .as("score"))
+      .withColumn("rn", row_number().over(
+        byQuery.orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= k)
   }
 
   /** Exact all-pairs with threshold — O(n²), the correctness baseline.

@@ -106,7 +106,7 @@ object ConnectedComponents {
       // a count can't overflow/alias the way a Σ-labels probe could
       val changed = stepped
         .agg(coalesce(sum(when(col("p") < col("__pold"), 1L)), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       labels = stepped.drop("__pold")
       converged = changed == 0L
       round += 1

@@ -30,6 +30,51 @@ object SimilarityQueries {
       s"(($acc) * 2 + (CASE WHEN q[${b * rowsPerBand + r + 1}] >= 0 THEN 1 ELSE 0 END))"
     }
 
+  /** DuckDB fragment: exact integer squared distance Σ(q_i - c_i)² —
+    * mirrors |v|² + |c|² - 2·v·c computed by Similarity.assignNearest. */
+  private def sqlD2(q: String, c: String): String =
+    s"""list_sum(list_transform(range(1, len($q) + 1),
+       |      i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))""".stripMargin
+
+  /** One deterministic Lloyd round as CTEs: assign `e` to `cin`, emit
+    * assignment `a$t` and updated centroids `cout` (floor-mean). */
+  private def sqlLloydRound(t: Int, cin: String, cout: String): String =
+    s"""a$t AS (
+       |  SELECT id, q, clabel FROM (
+       |    SELECT e.id, e.q, c.clabel,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id
+       |        ORDER BY ${sqlD2("e.q", "c.qc")}, c.clabel) AS rn
+       |    FROM e, $cin c)
+       |  WHERE rn = 1),
+       |$cout AS (
+       |  SELECT clabel, list(c ORDER BY d) AS qc FROM (
+       |    SELECT clabel, d,
+       |      CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |    FROM (SELECT clabel, unnest(range(1, len(q) + 1)) AS d,
+       |            unnest(q) AS v
+       |          FROM a$t)
+       |    GROUP BY clabel, d)
+       |  GROUP BY clabel)""".stripMargin
+
+  /** Shared CTE chain: quantized vectors `e`, seeds `c0` (ids < 16),
+    * 2 Lloyd rounds to `c2`, final assignment `assign(id, q,
+    * cluster_id)` — mirrors Similarity.trainCentroids + assignNearest
+    * at the default (16 centroids, 2 iters). */
+  private val sqlKmeansCtes: String =
+    s"""e AS (
+       |  SELECT vec_id AS id, ${sqlQ("embedding")} AS q FROM embeddings),
+       |c0 AS (
+       |  SELECT id AS clabel, q AS qc FROM e WHERE id < 16),
+       |${sqlLloydRound(1, "c0", "c1")},
+       |${sqlLloydRound(2, "c1", "c2")},
+       |assign AS (
+       |  SELECT id, q, clabel AS cluster_id FROM (
+       |    SELECT e.id, e.q, c.clabel,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id
+       |        ORDER BY ${sqlD2("e.q", "c.qc")}, c.clabel) AS rn
+       |    FROM e, c2 c)
+       |  WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // brute-force cosine top-k for one query vector
@@ -156,60 +201,58 @@ object SimilarityQueries {
     // squared distance, floor-mean update), assign all vectors to the
     // trained centroids, probe the query's 4 nearest clusters, exact
     // top-10 within. The oracle unrolls the same 2 iterations as CTEs.
-    QueryDef("ann_ivf_topk", {
-      // d2(q, c) = Σ (q_i - c_i)² — exact integers, mirrors
-      // |v|² + |c|² - 2·v·c computed by Similarity.assignNearest
-      def d2(q: String, c: String): String =
-        s"""list_sum(list_transform(range(1, len($q) + 1),
-           |      i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))""".stripMargin
-      // one Lloyd round: assign e to cents `cin`, emit assignment CTE
-      // `a$t` and updated-centroid CTE `cout`
-      def round(t: Int, cin: String, cout: String): String =
-        s"""a$t AS (
-           |  SELECT id, q, clabel FROM (
-           |    SELECT e.id, e.q, c.clabel,
-           |      ROW_NUMBER() OVER (PARTITION BY e.id
-           |        ORDER BY ${d2("e.q", "c.qc")}, c.clabel) AS rn
-           |    FROM e, $cin c)
-           |  WHERE rn = 1),
-           |$cout AS (
-           |  SELECT clabel, list(c ORDER BY d) AS qc FROM (
-           |    SELECT clabel, d,
-           |      CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-           |    FROM (SELECT clabel, unnest(range(1, len(q) + 1)) AS d,
-           |            unnest(q) AS v
-           |          FROM a$t)
-           |    GROUP BY clabel, d)
-           |  GROUP BY clabel)""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id AS id, ${sqlQ("embedding")} AS q FROM embeddings),
-         |c0 AS (
-         |  SELECT id AS clabel, q AS qc FROM e WHERE id < 16),
-         |${round(1, "c0", "c1")},
-         |${round(2, "c1", "c2")},
-         |assign AS (
-         |  SELECT id, q, clabel AS cluster_id FROM (
-         |    SELECT e.id, e.q, c.clabel,
-         |      ROW_NUMBER() OVER (PARTITION BY e.id
-         |        ORDER BY ${d2("e.q", "c.qc")}, c.clabel) AS rn
-         |    FROM e, c2 c)
-         |  WHERE rn = 1),
+    QueryDef("ann_ivf_topk",
+      s"""WITH $sqlKmeansCtes,
          |probes AS (
          |  SELECT clabel AS cluster_id FROM (
          |    SELECT c.clabel,
          |      ROW_NUMBER() OVER (
-         |        ORDER BY ${d2("qv.q", "c.qc")}, c.clabel) AS rn
+         |        ORDER BY ${sqlD2("qv.q", "c.qc")}, c.clabel) AS rn
          |    FROM c2 c, (SELECT q FROM e WHERE id = 0) qv)
          |  WHERE rn <= 4),
          |qv AS (SELECT q AS qq FROM e WHERE id = 0)
          |SELECT a.id AS vec_id, a.cluster_id, ${sqlCosine("a.q", "qq")} AS score
          |FROM assign a JOIN probes p ON a.cluster_id = p.cluster_id, qv
          |WHERE a.id <> 0
-         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
           nCentroids = 16, nProbe = 4, kmeansIters = 2)
         .withColumnRenamed("id", "vec_id")
+    },
+
+    // multi-query IVF: centroids trained ONCE, each of 6 query vectors
+    // probes its own 4 clusters — the amortization argument for k-means
+    // training; per-query top-5 via a query-keyed window
+    QueryDef("ann_ivf_multi",
+      s"""WITH $sqlKmeansCtes,
+         |qs AS (
+         |  SELECT id AS query_id, q AS qq FROM e WHERE id < 6),
+         |probes AS (
+         |  SELECT query_id, clabel AS cluster_id FROM (
+         |    SELECT qs.query_id, c.clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY qs.query_id
+         |        ORDER BY ${sqlD2("qs.qq", "c.qc")}, c.clabel) AS rn
+         |    FROM c2 c, qs)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.id AS vec_id,
+         |    ${sqlCosine("a.q", "qs.qq")} AS score
+         |  FROM assign a
+         |    JOIN probes p ON a.cluster_id = p.cluster_id
+         |    JOIN qs ON qs.query_id = p.query_id
+         |  WHERE a.id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, vec_id, score, rn FROM ranked WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      Similarity.ivfTopKMulti(Tables.embeddings(s, d),
+          queryIds = (0L until 6L).toSeq, k = 5,
+          nCentroids = 16, nProbe = 4, kmeansIters = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("query_id", "rn")
     },
 
     // exact all-pairs near-dup (the O(n²) correctness baseline for the
