@@ -133,6 +133,84 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk"))
   }
 
+  /** Per-document duplicate-n-gram statistics — the Gopher-style
+    * repetition filters: `dup_ratio` = fraction of n-gram occurrences
+    * that are repeats of an earlier one, `top_coverage` = share of all
+    * n-gram slots held by the single most frequent n-gram. One
+    * [[graft.functions.WordGrams]] pass per doc (all occurrences —
+    * [[graft.functions.WordShingles]] would dedup away the signal), one
+    * hash-agg keyed (id, gram), one keyed (id): shuffle is bounded by
+    * per-doc distinct grams, never pairs, and partial aggregation
+    * collapses each doc's repeats map-side. All counts exact integers
+    * with single double divisions, so the oracle bit-matches. Docs with
+    * fewer than n tokens have no grams and drop out (both sides). */
+  def dupNgramStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.WordGrams(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("cnt").cast("long").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        ((sum("cnt") - count(lit(1))).cast("double") / sum("cnt"))
+          .as("dup_ratio"),
+        (max("cnt").cast("double") / sum("cnt")).as("top_coverage"))
+
+  /** Top-k TF-IDF terms per document with a transcendental-free IDF
+    * (`n_docs / doc_freq`, one correctly-rounded IEEE division — `ln`
+    * is not bit-reproducible across engines, division is). Two hash-aggs
+    * (doc-term tf, then term df), a broadcast of the 1-row corpus count,
+    * and a per-doc `row_number` window — every stage keyed, nothing
+    * global, ties broken by token so the selection is total-ordered. */
+  def tfIdfTop(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("dfreq")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("token"))))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk").cast("long").as("rk"), col("token"),
+        col("tf"), col("dfreq"), col("score"))
+  }
+
+  /** Corpus Zipf head: the k most frequent tokens with rank, cumulative
+    * frequency and cumulative corpus-mass share. The global window runs
+    * AFTER a top-k (`TakeOrderedAndProject`), so its input is k rows —
+    * a head-coverage probe over a 100 TB corpus costs one token
+    * hash-agg plus a k-row epilogue, not a vocabulary-wide sort. */
+  def zipfHead(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = tf.agg(sum("freq").cast("long").as("total"))
+    // k rows in a single partition by construction — the one place a
+    // partition-less window is the right plan
+    val w = Window.orderBy(col("freq").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tf.orderBy(col("freq").desc, col("token")).limit(k)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(Window.orderBy(col("freq").desc, col("token")))
+          .cast("long").as("rnk"),
+        col("token"), col("freq"),
+        sum("freq").over(w).cast("long").as("cum_freq"),
+        (sum("freq").over(w).cast("double") / col("total")).as("head_mass"))
+  }
+
   /** Composite quality score in [0,1] from exact integer counts; formula
     * mirrored token-for-token in the SQL oracle so double ops bit-match:
     * 0.5*distinct_ratio + 0.3*min(1, n_tokens/100) + 0.2*stop_ratio*5

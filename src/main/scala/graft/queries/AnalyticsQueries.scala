@@ -697,6 +697,32 @@ object AnalyticsQueries {
               |ORDER BY c_custkey""".stripMargin)
     },
 
+    // Bloom-pruned star join: the BUILDING-segment predicate lives on
+    // customer, but the shuffle cost lives on orders — BloomPrune
+    // broadcasts a Bloom filter of qualifying custkeys and drops
+    // non-joining orders rows BEFORE the exchange (~1/5 of the fact
+    // shuffled instead of all of it). Pruning is result-transparent
+    // (the real join removes false positives), so the oracle is the
+    // PLAIN join: identical output proves the rewrite preserves
+    // semantics.
+    QueryDef("q34_bloom_join",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        graft.ops.BloomPrune
+          .prunedEquiJoin(Tables.orders(s, d), dim, "o_custkey", "c_custkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("rev"))
+          .orderBy("o_orderpriority")
+    },
+
     // skew-salted join in the graded inventory: lineitem (large, skewed
     // at 100 TB) joins the urgent-order dim through ops.Skew's salt
     // replication — one hot orderkey spreads over 16 reducers. Salting

@@ -377,6 +377,79 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition filters: duplicate-bigram fraction and
+    // top-bigram coverage per document, from ALL n-gram occurrences
+    // (WordGrams, not the distinct WordShingles). Two keyed hash-aggs,
+    // shuffle bounded by per-doc distinct grams — no pairs anywhere.
+    QueryDef("text_dup_ngrams",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, len(tk) - 1),
+        |    i -> tk[i+1] || ' ' || tk[i+2])) AS gram
+        |  FROM toks),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |  COUNT(*) AS n_distinct_grams,
+        |  CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_ratio,
+        |  CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_coverage
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.dupNgramStats(Tables.documents(s, d), "doc_id", "text",
+          n = 2)
+        .orderBy("doc_id")
+    },
+
+    // top-3 TF-IDF terms per document with a transcendental-free IDF
+    // (n_docs/doc_freq — IEEE division is bit-reproducible, ln is not)
+    QueryDef("text_tfidf_top",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.dfreq,
+        |    CAST(tf.tf AS DOUBLE)
+        |      * (CAST(n.n_docs AS DOUBLE) / dfreq.dfreq) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, token, tf, dfreq, score FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      TextAnalysis.tfIdfTop(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")
+    },
+
+    // corpus Zipf head: top-40 tokens with cumulative mass share; the
+    // global window runs over 40 rows (after TakeOrderedAndProject),
+    // never over the vocabulary
+    QueryDef("text_zipf_head",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
+        |topk AS (SELECT token, freq FROM tf
+        |         ORDER BY freq DESC, token LIMIT 40)
+        |SELECT
+        |  ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk,
+        |  token, freq,
+        |  CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_freq,
+        |  CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / total AS head_mass
+        |FROM topk CROSS JOIN tot ORDER BY rnk""".stripMargin) { (s, d) =>
+      TextAnalysis.zipfHead(Tables.documents(s, d), "text", k = 40)
+        .orderBy("rnk")
+    },
+
     // benchmark decontamination: flag corpus docs sharing 5-gram shingles
     // with the src0 "benchmark" slice. The benchmark shingle set is
     // broadcast (eval suites are tiny next to a training corpus), so the

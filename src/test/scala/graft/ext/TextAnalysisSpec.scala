@@ -107,6 +107,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(covered == (0L until 100L).toSet)
   }
 
+  test("dupNgramStats: hand-computed repetition ratios") {
+    val df = Seq(
+      (1L, "x y x y x"),   // bigrams: xy yx xy yx -> 4 total, 2 distinct
+      (2L, "a b c d"),     // 3 total, 3 distinct, no dups
+      (3L, "z")            // shorter than n=2 -> no grams, drops out
+    ).toDF("id", "text")
+    val got = TextAnalysis.dupNgramStats(df, "id", "text", n = 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.5, 0.5),
+      (2L, 3L, 3L, 0.0, 1.0 / 3.0)))
+  }
+
+  test("tfIdfTop: rare terms outscore common ones, ties by token") {
+    val df = Seq(
+      (1L, "common rare1"), (2L, "common rare2"), (3L, "common common")
+    ).toDF("id", "text")
+    val rows = TextAnalysis.tfIdfTop(df, "id", "text", k = 1)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // rare (df=1, idf=3) beats common (df=3, idf=1) in docs 1 and 2
+    assert(rows == Map(1L -> "rare1", 2L -> "rare2", 3L -> "common"))
+  }
+
+  test("zipfHead: ranks, cumulative mass, bounded window input") {
+    val df = Seq("a a a b b c").toDF("text")
+    val got = TextAnalysis.zipfHead(df, "text", k = 2)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 3L, 3L, 0.5),
+      (2L, "b", 2L, 5L, 5.0 / 6.0)))
+  }
+
   test("langIdHeuristic agrees with stopword ratio on the fixture") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = docs.select(
