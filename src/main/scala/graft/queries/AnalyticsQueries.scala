@@ -697,6 +697,92 @@ object AnalyticsQueries {
               |ORDER BY c_custkey""".stripMargin)
     },
 
+    // GROUPING SETS — the third grouping shape next to q8 ROLLUP and
+    // q16 CUBE: two independent one-dimension aggregates in a single
+    // pass of the fact table (one scan, one expand, one hash-agg)
+    QueryDef("q35_grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // conversion funnel: first signup -> first purchase within 7 days,
+    // per user. Two filtered min-aggregates and one keyed join — the
+    // stepwise temporal pattern a product-analytics pipeline runs; no
+    // window over the raw event stream, so the shape is two shuffles
+    // keyed on user_id regardless of events-per-user skew.
+    QueryDef("q36_funnel",
+      """WITH su AS (
+        |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |  FROM events e JOIN su ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > su.signup_ts
+        |    AND e.ts <= su.signup_ts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id)
+        |SELECT su.user_id, su.signup_ts, pu.purchase_ts,
+        |  date_diff('microseconds', su.signup_ts, pu.purchase_ts)
+        |    AS latency_us
+        |FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+        |ORDER BY su.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts") > col("signup_ts") &&
+          col("ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+      su.join(pu, Seq("user_id"), "left")
+        .select(col("user_id"), col("signup_ts"), col("purchase_ts"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("signup_ts")))
+            .as("latency_us"))
+        .orderBy("user_id")
+    },
+
+    // cohort retention matrix: users bucketed by first-activity week,
+    // counted per week offset — all integer epoch math (floor-divided
+    // microseconds), two keyed aggregates and one broadcast-size join
+    QueryDef("q37_retention",
+      """WITH wk AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, week FROM wk)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active
+        |FROM act a JOIN cohort c ON c.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+      val cohort = wk.groupBy("user_id")
+        .agg(min("week").as("cohort_week"))
+      wk.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Bloom-pruned star join: the BUILDING-segment predicate lives on
     // customer, but the shuffle cost lives on orders — BloomPrune
     // broadcasts a Bloom filter of qualifying custkeys and drops

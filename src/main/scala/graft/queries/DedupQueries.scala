@@ -232,6 +232,50 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // majority label propagation (2 synchronous rounds) on the exact
+    // unigram-Jaccard similarity graph — community detection that,
+    // unlike connected components, doesn't merge dense groups across a
+    // weak bridge. Deterministic (ties -> smallest label), so the
+    // round-unrolled SQL oracle reproduces it exactly.
+    QueryDef("graph_label_prop",
+      s"""WITH $sqlJaccardEnCtes,
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |l0 AS (SELECT doc_id AS id, doc_id AS label FROM d),
+        |m1 AS (
+        |  SELECT e.u, l.label, COUNT(*) AS cnt
+        |  FROM e JOIN l0 l ON l.id = e.v GROUP BY 1, 2),
+        |b1 AS (
+        |  SELECT u, label FROM (
+        |    SELECT u, label, ROW_NUMBER() OVER (
+        |      PARTITION BY u ORDER BY cnt DESC, label) AS rk FROM m1)
+        |  WHERE rk = 1),
+        |l1 AS (
+        |  SELECT l0.id, COALESCE(b1.label, l0.label) AS label
+        |  FROM l0 LEFT JOIN b1 ON b1.u = l0.id),
+        |m2 AS (
+        |  SELECT e.u, l.label, COUNT(*) AS cnt
+        |  FROM e JOIN l1 l ON l.id = e.v GROUP BY 1, 2),
+        |b2 AS (
+        |  SELECT u, label FROM (
+        |    SELECT u, label, ROW_NUMBER() OVER (
+        |      PARTITION BY u ORDER BY cnt DESC, label) AS rk FROM m2)
+        |  WHERE rk = 1),
+        |l2 AS (
+        |  SELECT l1.id, COALESCE(b2.label, l1.label) AS label
+        |  FROM l1 LEFT JOIN b2 ON b2.u = l1.id)
+        |SELECT id AS doc_id, label AS community FROM l2
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("lang") === "en")
+      val pairs = Dedup.jaccardPairsBitset(docs, "doc_id", "text",
+        n = 1, threshold = 0.9)
+      graft.ops.LabelPropagation
+        .run(docs.select(col("doc_id"), col("doc_id").as("community")),
+          "doc_id", "community", pairs, "id_a", "id_b", rounds = 2)
+        .orderBy("doc_id")
+    },
+
     // 11. END-TO-END LSH dedup pipeline: MinHash/LSH near-dup pairs
     // (profile defaults, J >= 0.95) -> connected components -> one
     // survivor (min doc_id) per cluster. The full corpus-in,

@@ -309,5 +309,49 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "assigned")
     },
+
+    // int8 scalar quantization audit: per-vector min/max range coding to
+    // 256 levels and the reconstruction MSE — the compression/recall
+    // trade every vector store makes before ANN, here in one narrow
+    // projection (no shuffle at all; the fold is a sequential in-order
+    // `aggregate`, mirrored by DuckDB `list_reduce`, so the double sums
+    // match bit-for-bit; transcendental-free throughout)
+    QueryDef("sim_quantize_int8", {
+      val x = "CAST(x - mn AS DOUBLE)"
+      s"""WITH e AS (
+        |  SELECT vec_id, ${sqlQ("embedding")} AS q FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, q, list_min(q) AS mn, list_max(q) AS mx FROM e),
+        |p AS (
+        |  SELECT vec_id, q, mn, mx,
+        |    CAST(mx - mn AS DOUBLE) / 255.0 AS scale
+        |  FROM s)
+        |SELECT vec_id, mn, mx, scale,
+        |  CASE WHEN mx = mn THEN 0.0 ELSE
+        |    list_reduce(list_prepend(0.0, list_transform(q, x ->
+        |      ($x - FLOOR($x / scale + 0.5) * scale)
+        |      * ($x - FLOOR($x / scale + 0.5) * scale))),
+        |      (acc, v) -> acc + v) / len(q)
+        |  END AS mse
+        |FROM p ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val q = Similarity.quantize(col("embedding"))
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), q.as("q"))
+        .withColumn("mn", array_min(col("q")))
+        .withColumn("mx", array_max(col("q")))
+        .withColumn("scale", (col("mx") - col("mn")).cast("double") / 255.0)
+      base.select(col("vec_id"), col("mn"), col("mx"), col("scale"),
+          when(col("mx") === col("mn"), lit(0.0)).otherwise(
+            aggregate(
+              transform(col("q"), { x =>
+                val xd = (x - col("mn")).cast("double")
+                val err = xd - floor(xd / col("scale") + 0.5) * col("scale")
+                err * err
+              }),
+              lit(0.0), (acc, v) => acc + v) / size(col("q")))
+            .as("mse"))
+        .orderBy("vec_id")
+    },
   )
 }
