@@ -516,4 +516,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "un", "jaccard")
   }
+
+  /** EXACT prefix-filtered variant of [[jaccardPairs]] (PPJoin-style
+    * candidate generation — Xiao et al., "Efficient Similarity Joins
+    * for Near Duplicate Detection", WWW 2008).
+    *
+    * Order every document's token set canonically by ascending global
+    * document frequency (ties by token). For J >= t a pair must share
+    * at least ceil(t·max(|A|,|B|)) tokens, so if A shares NONE of its
+    * first |A| - ceil(t·|A|) + 1 tokens (its "prefix") with B, at most
+    * ceil(t·|A|) - 1 common tokens remain — too few. The smallest
+    * common token therefore lies in BOTH prefixes, and joining prefix
+    * against prefix finds every qualifying pair.
+    *
+    * Why this is the 100 TB path: the posting-list self-join of
+    * [[jaccardPairs]] touches every shared token — a stopword shared by
+    * 1% of a corpus alone contributes 10^14 pair-rows at 10^9 docs.
+    * Rare-first canonical ordering puts exactly those hot tokens LAST,
+    * outside every prefix: candidate generation only ever joins the
+    * rarest ~(1-t) fraction of each document, so the Zipf head never
+    * reaches a reducer (structural skew immunity, stronger than the
+    * block-salting of [[jaccardPairsSalted]] which spreads the hot work
+    * instead of eliminating it). Verification is one candidate-keyed
+    * `array_intersect` re-rank — exact, so the result is bit-identical
+    * to [[jaccardPairs]] (differential-tested, same oracle).
+    *
+    * ceil(t·n) uses the integer under-approximation
+    * floor(t·10⁴)·n ceil-divided by 10⁴, which can only LENGTHEN the
+    * prefix — extra candidates, never a missed pair. */
+  def jaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val index = docs.select(col("id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val freq = index.groupBy("shingle").agg(count(lit(1)).as("__tf"))
+    val tNum = math.floor(threshold * 10000).toLong
+    // canonical position of each token within its document: rarest
+    // first — a per-doc window, keyed on id
+    val pos = index.join(freq, Seq("shingle"))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("__tf"), col("shingle"))))
+    val prefix = pos.filter(col("__pos") <=
+      col("n_sh") - expr(s"(n_sh * $tNum + 9999) div 10000") + 1L)
+    val cand = prefix
+      .select(col("id").as("id_a"), col("n_sh").as("na"), col("shingle"))
+      .join(prefix.select(col("id").as("id_b"), col("n_sh").as("nb"),
+          col("shingle").as("__shb")),
+        col("shingle") === col("__shb") && col("id_a") < col("id_b") &&
+          col("na") * tNum <= col("nb") * 10000L &&
+          col("nb") * tNum <= col("na") * 10000L)
+      .select("id_a", "id_b").distinct()
+    // exact verification: candidate-keyed re-rank over the full token
+    // sets (arrays are doc-bounded; both joins are keyed on doc id)
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("__sha"),
+        col("n_sh").as("na")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("__shb2"),
+        col("n_sh").as("nb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("__sha"), col("__shb2"))).cast("long"))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "un", "jaccard")
+  }
 }

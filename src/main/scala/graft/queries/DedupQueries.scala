@@ -197,6 +197,21 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // 6b. the same exact Jaccard join via PPJoin prefix filtering:
+    // candidates only from each doc's rarest (1-t)-fraction of tokens
+    // (rare-first canonical order), so Zipf-hot tokens never reach the
+    // candidate join at all. Identical results to dedup_jaccard_pairs —
+    // SAME oracle, which is the semantics-preservation proof.
+    QueryDef("dedup_jaccard_prefix",
+      s"""WITH $sqlJaccardEnCtes
+        |SELECT id_a, id_b, inter, un, jaccard
+        |FROM jp ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.jaccardPairsPrefix(
+          Tables.documents(s, d).filter(col("lang") === "en"),
+          "doc_id", "text", n = 1, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+
     // 7. near-dup CLUSTERS: transitive closure of the J>=0.9 pair graph
     // (pairs (a,b),(b,c) collapse to one cluster; survivor = min doc_id).
     // Spark: iterative min-label propagation + pointer jumping

@@ -162,6 +162,36 @@ class DedupSpec extends SparkSpec {
     assert(mixed == plain, s"mixed diff: ${mixed.diff(plain)} / ${plain.diff(mixed)}")
   }
 
+  test("prefix-filtered jaccard join is bit-identical to the plain join") {
+    val sample = graft.Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").limit(80)
+    def key(r: (Long, Long, Long, Long, Double)) = (r._1, r._2, r._3, r._4)
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val plain = Dedup.jaccardPairs(sample, "doc_id", "text", 1, t)
+        .as[(Long, Long, Long, Long, Double)].collect().map(key).toSet
+      val pref = Dedup.jaccardPairsPrefix(sample, "doc_id", "text", 1, t)
+        .as[(Long, Long, Long, Long, Double)].collect().map(key).toSet
+      assert(plain.nonEmpty, s"t=$t: differential base must have pairs")
+      assert(pref == plain,
+        s"t=$t diff: ${pref.diff(plain)} / ${plain.diff(pref)}")
+    }
+  }
+
+  test("prefix filter keeps hot tokens out of candidate generation") {
+    // 30 docs all sharing hot tokens h1..h4; only docs 0/1 are real
+    // near-dups through rare tokens. Plain posting-list join touches
+    // every hot posting list; the prefix of each 5-token doc at t=0.8 is
+    // 5 - 4 + 1 = 2 tokens = its two RAREST — the hot tokens (df=30)
+    // sort last and never enter the candidate join.
+    val hot = "h1 h2 h3 h4"
+    val docs = ((0 until 28).map(i => (100L + i, s"$hot u$i")) ++
+      Seq((0L, s"$hot r0"), (1L, s"$hot r0"))).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 1, 0.8)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((0L, 1L)))
+    assert(got.head._5 == 1.0)
+  }
+
   test("DedupProfile: planted-dup recall 100% at defaults") {
     // identical token sets share every minhash, hence every band key —
     // the planted-dup pair type must survive banding at ANY profile
