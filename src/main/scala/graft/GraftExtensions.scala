@@ -68,6 +68,18 @@ object GraftExtensions {
             s"word_shingles: n must be an integer literal, got $other")
         }
         graft.functions.WordShingles(args(0), n)
+      }),
+    (FunctionIdentifier("word_grams"),
+      info("word_grams",
+        "word_grams(text, n) - ALL ordered word n-grams of a space-separated token stream, repeats kept ([] for docs shorter than n)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_grams(text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_grams: n must be an integer literal, got $other")
+        }
+        graft.functions.WordGrams(args(0), n)
       }))
 
   /** Install into an existing session (builder extensions only apply at

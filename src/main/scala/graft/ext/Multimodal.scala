@@ -49,7 +49,8 @@ object Multimodal {
       doc_id: Long, format: String, byte_len: Long,
       width: Int, height: Int, channels: Int,
       resized_w: Int, resized_h: Int,
-      features: Seq[Long])
+      features: Seq[Long],
+      phash_bands: Seq[Long])
 
   /** Image decoder: REAL javax.imageio PNG/JPEG decode (JDK-native, no
     * external codecs needed) with a deterministic stub fallback for
@@ -81,6 +82,62 @@ object Multimodal {
         payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') "riff"
       else "unknown"
 
+    /** Pack 64 above-mean bits (row-major) into 4 16-bit band values —
+      * the banded form of a 64-bit perceptual hash. Emitting bands
+      * instead of one u64 keeps every value positive (no sign-bit
+      * overflow in either engine) and is exactly what the LSH
+      * candidate join keys on. */
+    private def packBands(bit: Int => Boolean): Seq[Long] =
+      (0 until 4).map { k =>
+        (0 until 16).foldLeft(0L) { (acc, j) =>
+          if (bit(k * 16 + j)) acc | (1L << j) else acc
+        }
+      }
+
+    /** Perceptual hash of a decoded image: 8×8 average-pooled luminance
+      * grid, bit = cell mean above global mean (integer cross-multiplied
+      * compare — no division, deterministic). Empty cells (image edge
+      * shorter than 8px) hash to 0. */
+    private def phashImage(im: java.awt.image.BufferedImage): Seq[Long] = {
+      val w = im.getWidth; val h = im.getHeight
+      val sums = new Array[Long](64)
+      val px = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val r = (y.toLong * 8 / h).toInt
+        while (x < w) {
+          val c = (x.toLong * 8 / w).toInt
+          val rgb = im.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          sums(r * 8 + c) += lum
+          px(r * 8 + c) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      val totSum = sums.sum
+      val totPx = px.sum
+      packBands(i => px(i) > 0 && sums(i) * totPx >= totSum * px(i))
+    }
+
+    /** Stub-path perceptual hash: the byte stream pooled positionally
+      * into 64 buckets (byte j -> bucket j·64/len), bit = bucket sum
+      * above 1/64 of the total — the 1-D analog of [[phashImage]],
+      * integer-only so the SQL oracle replays it exactly. */
+    def phashBytes(payload: Array[Byte]): Seq[Long] = {
+      if (payload.isEmpty) return Seq(0L, 0L, 0L, 0L)
+      val sums = new Array[Long](64)
+      var j = 0
+      while (j < payload.length) {
+        sums((j.toLong * 64 / payload.length).toInt) += payload(j) & 0xff
+        j += 1
+      }
+      val total = sums.sum
+      packBands(i => sums(i) * 64 >= total)
+    }
+
     /** Real decode: imageio raster -> dims, channel count, and a 16-bin
       * LUMINANCE histogram (integer BT.601 weights — deterministic) as
       * the extracted feature vector. */
@@ -107,7 +164,8 @@ object Multimodal {
         DecodedMeta(id, fmt, payload.length.toLong,
           width = w, height = h,
           channels = im.getColorModel.getNumComponents,
-          resized_w = rw, resized_h = rh, features = hist.toSeq)
+          resized_w = rw, resized_h = rh, features = hist.toSeq,
+          phash_bands = phashImage(im))
       }
     }
 
@@ -125,7 +183,8 @@ object Multimodal {
       val (rw, rh) = resized(w, h)
       DecodedMeta(id, "stub", payload.length.toLong,
         width = w, height = h, channels = 3,
-        resized_w = rw, resized_h = rh, features = hist.toSeq)
+        resized_w = rw, resized_h = rh, features = hist.toSeq,
+        phash_bands = phashBytes(payload))
     }
 
     /** Dispatch: PNG/JPEG go through the real imageio decode; anything

@@ -79,5 +79,80 @@ object MultimodalQueries {
         .select(col("doc_id"), col("bin").cast("long"), col("n"))
         .orderBy("doc_id", "bin")
     },
+
+    // perceptual-hash near-duplicate pairs over the decode pipeline:
+    // 64-bit positional pHash emitted as 4×16-bit bands, LSH candidate
+    // join on band equality (pigeonhole: hamming <= 3 across 4 bands
+    // forces at least one equal band — zero false negatives), exact
+    // hamming verify on candidates only. The image-dedup shape: at
+    // corpus scale the pairwise space never materializes, only band
+    // collisions do. Real PNG/JPEG payloads hash an 8x8 pooled
+    // luminance grid (MultimodalSpec); the ASCII corpus takes the
+    // 1-D stub path, which the oracle replays integer-for-integer.
+    QueryDef("mm_phash_pairs",
+      """WITH b AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    unnest(range(0, length(text))) AS j
+        |  FROM documents),
+        |bv AS (
+        |  SELECT doc_id, ord(substring(text, j + 1, 1)) AS byte,
+        |    (j * 64) // len AS bkt
+        |  FROM b),
+        |bs AS (SELECT doc_id, bkt, SUM(byte) AS s FROM bv GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(s) AS total FROM bs GROUP BY 1),
+        |bits AS (
+        |  SELECT bs.doc_id, bs.bkt // 16 AS band, bs.bkt % 16 AS pos,
+        |    CASE WHEN bs.s * 64 >= tot.total THEN 1 ELSE 0 END AS bit
+        |  FROM bs JOIN tot ON tot.doc_id = bs.doc_id),
+        |bands AS (
+        |  SELECT doc_id, band, CAST(SUM(bit * (1 << pos)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+        |    MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+        |    MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+        |    MAX(CASE WHEN band = 3 THEN bv END) AS b3
+        |  FROM bands GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        |      AS BIGINT) AS hamming
+        |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+        |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
+        |         OR a.b3 = b.b3))
+        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val wide = Multimodal.Decoder.decode(docs, "doc_id", "payload")
+        .select(col("doc_id"),
+          col("phash_bands")(0).as("b0"), col("phash_bands")(1).as("b1"),
+          col("phash_bands")(2).as("b2"), col("phash_bands")(3).as("b3"))
+      val bandRows = wide.select(col("doc_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bv"))
+      val cand = bandRows
+        .select(col("doc_id").as("id_a"), col("band"), col("bv"))
+        .join(bandRows.select(col("doc_id").as("id_b"), col("band"),
+          col("bv")), Seq("band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(wide.select(col("doc_id").as("id_a"), col("b0").as("xa0"),
+          col("b1").as("xa1"), col("b2").as("xa2"), col("b3").as("xa3")),
+          "id_a")
+        .join(wide.select(col("doc_id").as("id_b"), col("b0").as("xb0"),
+          col("b1").as("xb1"), col("b2").as("xb2"), col("b3").as("xb3")),
+          "id_b")
+        .withColumn("hamming", expr(
+          """CAST(bit_count(xa0 ^ xb0) + bit_count(xa1 ^ xb1)
+            |+ bit_count(xa2 ^ xb2) + bit_count(xa3 ^ xb3) AS BIGINT)"""
+            .stripMargin))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
   )
 }

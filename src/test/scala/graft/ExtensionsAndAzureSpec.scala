@@ -42,6 +42,13 @@ class ExtensionsAndAzureSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
+  test("word_grams available from SQL (repeats kept)") {
+    val got = spark.sql(
+      "SELECT word_grams('x y x y', 2) AS g"
+    ).collect()(0).getSeq[String](0)
+    assert(got == Seq("x y", "y x", "x y"))
+  }
+
   test("regexp_replace_first stays inside whole-stage codegen") {
     val plan = spark.sql(
       """SELECT regexp_replace_first(CAST(id AS STRING), '0', 'x') FROM range(10)"""

@@ -68,6 +68,47 @@ class MultimodalSpec extends SparkSpec {
     assert(m.features.sum == 15L, "one histogram entry per pixel")
   }
 
+  test("perceptual hash: near-identical images collide, inverted differ") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // left-dark/right-bright gradient; a one-pixel tweak; the inverse
+    val base = png((x, _) => if (x < 8) 0x101010 else 0xf0f0f0)
+    val tweak = png((x, y) =>
+      if (x == 3 && y == 3) 0x202020
+      else if (x < 8) 0x101010 else 0xf0f0f0)
+    val inverse = png((x, _) => if (x < 8) 0xf0f0f0 else 0x101010)
+    val df = Seq((1L, base), (2L, tweak), (3L, inverse))
+      .toDF("doc_id", "payload")
+    val bands = Multimodal.Decoder.decode(df).collect()
+      .map(m => m.doc_id -> m.phash_bands).toMap
+    def hamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+    assert(bands(1L) == bands(2L),
+      "one tweaked pixel must not flip any pooled-cell bit")
+    assert(hamming(bands(1L), bands(3L)) == 64,
+      "inverting the image flips every above-mean bit")
+  }
+
+  test("stub perceptual hash is positional, not just a histogram") {
+    // same byte multiset, different order => same histogram features
+    // but different positional pHash
+    val a = (" " * 50 + "~" * 50).getBytes("UTF-8")
+    val b = ("~" * 50 + " " * 50).getBytes("UTF-8")
+    assert(Multimodal.Decoder.phashBytes(a) !=
+      Multimodal.Decoder.phashBytes(b))
+    assert(Multimodal.Decoder.phashBytes(a) ==
+      Multimodal.Decoder.phashBytes(a.clone()))
+    assert(Multimodal.Decoder.phashBytes(Array.empty[Byte]) ==
+      Seq(0L, 0L, 0L, 0L))
+  }
+
   test("corrupt image payload falls back to the stub, not an exception") {
     val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
     val df = Seq((9L, fake)).toDF("doc_id", "payload")
