@@ -50,6 +50,45 @@ final case class DedupProfile(
 object DedupProfile {
   /** Fixture-tuned defaults (the constants previous rounds hard-coded). */
   val default: DedupProfile = DedupProfile()
+
+  /** LSH candidate probability for one document pair at Jaccard `j`
+    * under (bands, rowsPerBand): 1 - (1 - j^r)^b — the S-curve. */
+  def collisionProb(j: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** Derive band geometry from a MEASURED corpus instead of hand
+    * tuning: among all (bands, rows) with bands·rows <= k, keep the
+    * geometries whose S-curve admits near-dups at `threshold` with
+    * probability >= `minRecall` while admitting background-similarity
+    * pairs (`backgroundJ`, e.g. from [[Dedup.sampleJaccardStats]]) with
+    * probability <= `maxBackground`; of those, pick the one with the
+    * fewest expected background candidates (smallest background
+    * probability, ties to fewer bands = fewer shuffled rows). This is
+    * the production completion of the profile surface: SURVEY §8.5
+    * called the fixed 2×16 constants fixture-tuned — on the fixture's
+    * measured ~0.78 background this derives exactly that geometry. */
+  def derive(k: Int, threshold: Double, backgroundJ: Double,
+      minRecall: Double = 0.9, maxBackground: Double = 0.05,
+      shingleN: Int = 1): DedupProfile = {
+    require(backgroundJ >= 0.0 && backgroundJ < threshold,
+      s"derive: backgroundJ ($backgroundJ) must be below the dedup " +
+        s"threshold ($threshold) — equal means LSH cannot separate them")
+    val candidates = for {
+      r <- 1 to k
+      b <- 1 to k / r
+      if collisionProb(threshold, b, r) >= minRecall
+      if collisionProb(backgroundJ, b, r) <= maxBackground
+    } yield (b, r)
+    require(candidates.nonEmpty,
+      s"derive: no (bands, rows) geometry within k=$k separates " +
+        s"threshold=$threshold from background=$backgroundJ at " +
+        s"recall>=$minRecall / background<=$maxBackground; raise k " +
+        "or relax the targets")
+    val (b, r) = candidates.minBy { case (b, r) =>
+      (collisionProb(backgroundJ, b, r), b) }
+    DedupProfile(k = k, bands = b, rowsPerBand = r,
+      shingleN = shingleN, threshold = threshold)
+  }
 }
 
 object Dedup {
@@ -515,6 +554,52 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("un"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "un", "jaccard")
+  }
+
+  /** Sampled pairwise-Jaccard distribution of a corpus — the
+    * measurement feeding [[DedupProfile.derive]]. */
+  final case class JaccardStats(nDocs: Long, nPairs: Long,
+      meanJ: Double, p50J: Double, p95J: Double, maxJ: Double)
+
+  /** Measure background Jaccard on a deterministic hash-sample of the
+    * corpus (same permil-threshold selection as the train/val split —
+    * reproducible under any partitioning). All-pairs Jaccard runs on
+    * the SAMPLE only, and the doc-count guard keeps that quadratic
+    * probe driver-bounded by construction (a profiling step, not a
+    * corpus-scale operator: at 100 TB you sample ~2k docs all the
+    * same). Pairs sharing no token count as J=0. */
+  def sampleJaccardStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, samplePermil: Int = 20,
+      maxSampleDocs: Long = 2000): JaccardStats = {
+    require(samplePermil >= 1 && samplePermil <= 1000,
+      s"sampleJaccardStats: samplePermil in [1,1000] ($samplePermil)")
+    val sample = df
+      .filter(TextAnalysis.tokenHash31(col(idCol).cast("string"))
+        % 1000L < samplePermil)
+      .select(col(idCol), col(textCol))
+    val nDocs = sample.count()
+    require(nDocs >= 2, s"sampleJaccardStats: sample has $nDocs docs; " +
+      "raise samplePermil")
+    require(nDocs <= maxSampleDocs,
+      s"sampleJaccardStats: sample has $nDocs docs (> $maxSampleDocs); " +
+        "lower samplePermil — the probe is quadratic in the sample")
+    val shared = jaccardPairs(sample, idCol, textCol, n, threshold = 1e-12)
+      .select(col("jaccard"))
+      .collect().map(_.getDouble(0)).sorted
+    val nPairs = nDocs * (nDocs - 1) / 2
+    val zeroes = nPairs - shared.length
+    def quantile(q: Double): Double = {
+      val idx = math.min(nPairs - 1, math.ceil(q * nPairs).toLong - 1)
+      if (idx < zeroes) 0.0 else shared((idx - zeroes).toInt)
+    }
+    // p50 is the background measure to feed [[DedupProfile.derive]]:
+    // the upper tail legitimately contains the near-dups LSH SHOULD
+    // admit (planted dups sit at J≈1), so p95 overestimates background
+    JaccardStats(nDocs, nPairs,
+      meanJ = shared.sum / nPairs,
+      p50J = quantile(0.50),
+      p95J = quantile(0.95),
+      maxJ = if (shared.nonEmpty) shared.last else 0.0)
   }
 
   /** EXACT prefix-filtered variant of [[jaccardPairs]] (PPJoin-style

@@ -52,6 +52,11 @@ object Multimodal {
       features: Seq[Long],
       phash_bands: Seq[Long])
 
+  /** Typed metadata of a PCM WAV payload (see [[Decoder.parseWavMeta]]). */
+  final case class WavMeta(
+      doc_id: Long, channels: Int, sample_rate: Int,
+      bits_per_sample: Int, n_frames: Long, duration_us: Long)
+
   /** Image decoder: REAL javax.imageio PNG/JPEG decode (JDK-native, no
     * external codecs needed) with a deterministic stub fallback for
     * payloads imageio cannot handle (text blobs, RIFF audio, truncated
@@ -197,6 +202,54 @@ object Multimodal {
           catch { case _: java.io.IOException => decodeStub(id, payload) }
         case _ => decodeStub(id, payload)
       }
+
+    /** Parse a PCM RIFF/WAVE header — REAL audio-metadata decode, pure
+      * byte parsing, no codec needed (the audio analog of the imageio
+      * image path; sample decoding would need codecs the container
+      * lacks). Walks the chunk list for `fmt ` and `data`; anything
+      * malformed returns None and the caller falls back to the stub. */
+    def parseWavMeta(id: Long, payload: Array[Byte]): Option[WavMeta] = {
+      def u16(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long =
+        (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+          ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+      if (payload.length < 44 ||
+        new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(payload, 8, 4, "US-ASCII") != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      var dataBytes = -1L
+      while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+        val cid = new String(payload, off, 4, "US-ASCII")
+        val sz = u32(off + 4)
+        if (cid == "fmt " && off + 24 <= payload.length)
+          fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+        else if (cid == "data")
+          dataBytes = math.min(sz, (payload.length - off - 8).toLong)
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      fmt.collect { case (ch, rate, bits)
+          if dataBytes >= 0 && ch > 0 && rate > 0 && bits >= 8 =>
+        val blockAlign = ch * (bits / 8)
+        val frames = dataBytes / blockAlign
+        WavMeta(id, ch, rate, bits, frames, frames * 1000000L / rate)
+      }
+    }
+
+    /** Audio branch of the pipeline: binary DataFrame -> partition-
+      * batched WAV header parse -> typed metadata Dataset (rows that
+      * don't parse as PCM WAV are dropped — quarantine them upstream
+      * with [[sniffFormat]] if the pipeline needs the rejects). */
+    def decodeWav(df: DataFrame, idCol: String = "doc_id",
+        binCol: String = "payload"): Dataset[WavMeta] = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long"), col(binCol))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, payload) =>
+          parseWavMeta(id, payload) })
+    }
 
     /** The pipeline: binary DataFrame -> partition-batched decode ->
       * typed metadata Dataset. Mirrors `mapInPandas` batch semantics. */

@@ -159,6 +159,26 @@ object Transfer {
     (parts.length, after)
   }
 
+  /** Distributed compaction PLAN over an arbitrary file catalog: assign
+    * every file to a merge group of ~`targetBytes` by cumulative size in
+    * path order ([[PrefixSum.packIntoBins]] — range partition + per-
+    * partition window + a ≤numParts-row driver offset sum). Where
+    * [[compact]] physically rewrites ONE directory it can list on the
+    * driver, this plans a whole-catalog maintenance pass: 10^8 catalog
+    * rows stay distributed end to end, and each group is an independent
+    * rewrite task. Oversized files get their own group(s); groups are
+    * contiguous in path order so merged files stay range-readable. */
+  def compactionPlan(catalog: DataFrame,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    PrefixSum.packIntoBins(
+        catalog.select(col("path"), col("size")),
+        weight = col("size"), budget = targetBytes,
+        orderBy = Seq(col("path")), binCol = "group_id")
+      .select(col("path"), col("size"), col("start_offset"),
+        col("group_id"))
+  }
+
   /** One `FileSystem` per (scheme, authority) per task. */
   private final class FsCache(conf: SerializableHadoopConf) {
     private val m = scala.collection.mutable.HashMap.empty[String, FileSystem]

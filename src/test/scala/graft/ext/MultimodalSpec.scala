@@ -109,6 +109,35 @@ class MultimodalSpec extends SparkSpec {
       Seq(0L, 0L, 0L, 0L))
   }
 
+  test("WAV header parse: real PCM metadata, codec-free") {
+    // hand-crafted 2ch/16-bit/8kHz WAV with 32 frames (128 data bytes)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val data = Array.fill[Byte](128)(7)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++
+      "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+      le32(8000 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val df = Seq((5L, wav)).toDF("doc_id", "payload")
+    val m = Multimodal.Decoder.decodeWav(df).collect().head
+    assert(m == Multimodal.WavMeta(5L, channels = 2, sample_rate = 8000,
+      bits_per_sample = 16, n_frames = 32,
+      duration_us = 32L * 1000000 / 8000))
+    // format sniff agrees it's a RIFF container
+    assert(Multimodal.Decoder.sniffOne(wav) == "riff")
+  }
+
+  test("WAV parse rejects non-WAV payloads instead of guessing") {
+    val junk = Seq(
+      (1L, "RIFFxxxxJUNK".getBytes ++ Array.fill[Byte](40)(0)),
+      (2L, "not audio at all".getBytes),
+      (3L, Array.empty[Byte]))
+    val df = junk.toDF("doc_id", "payload")
+    assert(Multimodal.Decoder.decodeWav(df).collect().isEmpty)
+  }
+
   test("corrupt image payload falls back to the stub, not an exception") {
     val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
     val df = Seq((9L, fake)).toDF("doc_id", "payload")
