@@ -48,4 +48,20 @@ object CorpusStream {
       .filter(col("__seen").isNull)
       .drop("__sig", "__seen")
   }
+
+  /** Streaming perceptual-hash image dedup: the typed mapPartitions
+    * decode ([[graft.ext.Multimodal.Decoder.decode]]) is stateless, so
+    * it runs unchanged inside a streaming query; keep-first on the
+    * 4-band pHash then drops every later image that pools to the same
+    * 64 above-mean cells (re-encodes, one-pixel edits). Dedup state is
+    * one state-store row per DISTINCT visual signature — bounded by
+    * content diversity, not stream length (an event-time-bounded
+    * variant would thread the ts column through the decode like
+    * [[incrementalDedup]]'s watermark arm). Returns (doc_id,
+    * phash_bands) of the survivors. */
+  def incrementalImageDedup(docs: DataFrame,
+      idCol: String = "doc_id", binCol: String = "payload"): DataFrame =
+    graft.ext.Multimodal.Decoder.decode(docs, idCol, binCol)
+      .select(col("doc_id"), col("phash_bands"))
+      .dropDuplicates("phash_bands")
 }

@@ -55,4 +55,38 @@ class CorpusStreamSpec extends SparkSpec {
       assert(got == Set(2L), s"only the novel doc survives: $got")
     } finally q.stop()
   }
+
+  test("streaming image dedup: decode pipeline + pHash keep-first") {
+    implicit val sqlCtx = spark.sqlContext
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = png((x, _) => if (x < 8) 0x101010 else 0xf0f0f0)
+    val tweak = png((x, y) =>
+      if (x == 5 && y == 5) 0x181818
+      else if (x < 8) 0x101010 else 0xf0f0f0)
+    val inverse = png((x, _) => if (x < 8) 0xf0f0f0 else 0x101010)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val docs = mem.toDF().toDF("doc_id", "payload")
+    val q = CorpusStream.incrementalImageDedup(docs)
+      .writeStream.format("memory").queryName("img_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, base))
+      q.processAllAvailable()
+      // later batch: a visually-identical re-encode (one-pixel tweak
+      // pools to the same 64 cells) and a genuinely different image
+      mem.addData((2L, tweak), (3L, inverse))
+      q.processAllAvailable()
+      val got = spark.table("img_dedup")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L),
+        s"the near-identical re-encode 2 must be dropped: $got")
+    } finally q.stop()
+  }
 }
