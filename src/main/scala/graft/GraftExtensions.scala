@@ -57,6 +57,13 @@ object GraftExtensions {
         require(args.length == 2, "long_array_popcnt_and(a, b)")
         graft.functions.LongArrayPopcntAnd(args(0), args(1))
       }),
+    (FunctionIdentifier("long_array_hamming"),
+      info("long_array_hamming",
+        "long_array_hamming(a, b) - Hamming distance (popcount of xor) between two array<bigint> bit signatures."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "long_array_hamming(a, b)")
+        graft.functions.LongArrayHamming(args(0), args(1))
+      }),
     (FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text, n) - distinct ordered word n-grams of a space-separated token stream (first-occurrence order; [] for docs shorter than n)."),

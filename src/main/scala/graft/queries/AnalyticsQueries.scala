@@ -783,6 +783,60 @@ object AnalyticsQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // event-transition matrix: per-user LAG over the time-ordered
+    // stream (ties broken by event_id — total order, deterministic),
+    // then a bigram count. The window is keyed on user_id, so
+    // events-per-user skew is the only hotspot and the state per
+    // partition is one row.
+    QueryDef("q38_event_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "event_type")
+    },
+
+    // trailing 7-day rolling activity via a RANGE frame over the
+    // integer epoch-day — the value-based window shape (q25's running
+    // total is ROWS-based): per event_type, each day sees the count
+    // over days [d-6, d]. Partitioned by type, ordered by day — the
+    // frame is bounded by value, so late/sparse days need no row
+    // padding at any scale.
+    QueryDef("q39_rolling_7d",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_7d
+        |FROM daily ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_7d", sum("n").over(
+          Window.partitionBy("event_type").orderBy("day")
+            .rangeBetween(-6, Window.currentRow)).cast("bigint"))
+        .orderBy("event_type", "day")
+    },
+
     // Bloom-pruned star join: the BUILDING-segment predicate lives on
     // customer, but the shuffle cost lives on orders — BloomPrune
     // broadcasts a Bloom filter of qualifying custkeys and drops

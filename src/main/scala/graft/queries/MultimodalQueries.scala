@@ -146,10 +146,9 @@ object MultimodalQueries {
         .join(wide.select(col("doc_id").as("id_b"), col("b0").as("xb0"),
           col("b1").as("xb1"), col("b2").as("xb2"), col("b3").as("xb3")),
           "id_b")
-        .withColumn("hamming", expr(
-          """CAST(bit_count(xa0 ^ xb0) + bit_count(xa1 ^ xb1)
-            |+ bit_count(xa2 ^ xb2) + bit_count(xa3 ^ xb3) AS BIGINT)"""
-            .stripMargin))
+        .withColumn("hamming", graft.functions.LongArrayHamming(
+          array(col("xa0"), col("xa1"), col("xa2"), col("xa3")),
+          array(col("xb0"), col("xb1"), col("xb2"), col("xb3"))))
         .filter(col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
