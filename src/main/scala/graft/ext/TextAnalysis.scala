@@ -133,6 +133,39 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk"))
   }
 
+  /** Content-defined chunking: chunk boundaries fall AFTER tokens whose
+    * hash ≡ 0 (mod `modulus`) — average chunk length `modulus`, but
+    * boundary positions depend only on CONTENT, so inserting a sentence
+    * shifts one chunk instead of re-slicing every downstream window
+    * (the dedup-robust property fixed-stride [[chunkDocs]] lacks; same
+    * trick as storage-level CDC/Rabin chunking, token-granular).
+    *
+    * Shape: one explode, one per-doc running count of boundary markers
+    * (window keyed on the doc id), one (doc, chunk) hash-agg — all
+    * keyed, no pairs. `chunk_hash` is the order-independent token-hash
+    * sum mod P, so the oracle needs no ordered string aggregation.
+    * Returns (idCol, chunk_id, start_pos, n_tok, chunk_hash). */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, modulus: Int = 16): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(modulus >= 2, s"cdcChunks: modulus must be >= 2 ($modulus)")
+    val toks = df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("h", tokenHash31(col("tok")))
+      .withColumn("bnd",
+        when(col("h") % modulus === 0, lit(1L)).otherwise(lit(0L)))
+    // chunk id of a token = boundaries strictly before it
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_id", coalesce(sum(col("bnd")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tok"),
+        (sum(col("h")) % HashPrime).as("chunk_hash"))
+  }
+
   /** Per-document duplicate-n-gram statistics — the Gopher-style
     * repetition filters: `dup_ratio` = fraction of n-gram occurrences
     * that are repeats of an earlier one, `top_coverage` = share of all

@@ -377,6 +377,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // content-defined chunking: boundaries where token-hash ≡ 0 mod 8
+    // (the fixture's 31-token vocabulary has 3 boundary tokens at mod 8
+    // and none at mod 16 — the modulus is the avg-chunk-length dial)
+    // — chunk layout depends only on content, so an inserted sentence
+    // shifts ONE chunk instead of re-slicing the document (the
+    // dedup-robust alternative to fixed-stride text_chunking); chunk
+    // identity is an order-independent hash-sum, so chunk-level dedup
+    // joins need no text materialization
+    QueryDef("text_cdc_chunks",
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, pos, ${sqlH31("tok")} AS h,
+        |    CASE WHEN ${sqlH31("tok")} % 8 = 0 THEN 1 ELSE 0 END AS bnd
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, pos, h,
+        |    CAST(COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS chunk_id
+        |  FROM h)
+        |SELECT doc_id, chunk_id, MIN(pos) AS start_pos,
+        |  COUNT(*) AS n_tok,
+        |  CAST(SUM(h) % ${TextAnalysis.HashPrime} AS BIGINT) AS chunk_hash
+        |FROM c GROUP BY 1, 2
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      TextAnalysis.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+          modulus = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Gopher-style repetition filters: duplicate-bigram fraction and
     // top-bigram coverage per document, from ALL n-gram occurrences
     // (WordGrams, not the distinct WordShingles). Two keyed hash-aggs,

@@ -141,6 +141,25 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "b", 2L, 5L, 5.0 / 6.0)))
   }
 
+  test("cdcChunks: insertion shifts one chunk, not the whole layout") {
+    // 'spark' and 'sort' hash to 0 mod 8 (fixture boundary tokens);
+    // chunks are [.. spark] [.. sort] [tail]
+    val a = "aa bb spark cc dd sort ee ff gg"
+    val b = "aa bb spark cc XX YY dd sort ee ff gg" // insert mid-chunk
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val got = TextAnalysis.cdcChunks(df, "id", "text", modulus = 8)
+      .orderBy("id", "chunk_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val ca = got.filter(_._1 == 1L).map(c => (c._4, c._5)) // (n_tok, hash)
+    val cb = got.filter(_._1 == 2L).map(c => (c._4, c._5))
+    // same chunk count, and EXACTLY ONE chunk (the edited one) differs —
+    // fixed-stride chunking lacks this: every window after the edit
+    // shifts (chunkDocs strides re-slice the whole tail)
+    assert(ca.size == cb.size, got.toString)
+    val differing = ca.zip(cb).count { case (x, y) => x != y }
+    assert(differing == 1, s"a=$ca b=$cb")
+  }
+
   test("langIdHeuristic agrees with stopword ratio on the fixture") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = docs.select(
