@@ -133,6 +133,55 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk"))
   }
 
+  /** BM25 relevance of every document against a query token set, with
+    * two exactness choices that make it oracle-reproducible:
+    *
+    *  - transcendental-free IDF `(N - df + 0.5) / (df + 0.5)` (the raw
+    *    Robertson-Sparck-Jones form without the log — monotone in df,
+    *    and IEEE division is bit-exact where `ln` is not);
+    *  - FIXED-POINT accumulation: each per-term double is floored to
+    *    1e-9 resolution and summed as an integer, so the score is
+    *    independent of partition summation order (a raw double SUM is
+    *    not associative and would hash-mismatch run to run).
+    *
+    * Shape: the query set is a broadcast of a handful of tokens; tf is
+    * one filtered hash-agg keyed (doc, term); df and the corpus length
+    * stats are one aggregate each; no window, no pairs. Returns
+    * (idCol, n_hits, score_fp) — `score_fp` is the 1e9-scaled integer
+    * score. */
+  def bm25Scores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryToks: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryToks.nonEmpty, "bm25Scores: empty query")
+    val docs = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      sum("__dl").cast("long").as("__totdl"))
+    val toks = docs.select(col(idCol), col("__dl"),
+      explode(col("__toks")).as("__tok"))
+    val inQ = toks.filter(col("__tok").isInCollection(queryToks))
+    val tf = inQ.groupBy(col(idCol), col("__dl"), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    // document frequency of each query term over the WHOLE corpus
+    val dfreq = toks.filter(col("__tok").isInCollection(queryToks))
+      .groupBy("__tok")
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val term = tf.join(dfreq, "__tok").crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__totdl").cast("double") / col("__n"))
+      .withColumn("__idf",
+        (col("__n").cast("double") - col("__df") + 0.5) /
+          (col("__df").cast("double") + 0.5))
+      .withColumn("__term",
+        col("__idf") * (col("__tf").cast("double") * (k1 + 1.0)) /
+          (col("__tf").cast("double") +
+            lit(k1) * (lit(1.0) - b +
+              lit(b) * (col("__dl").cast("double") / col("__avgdl")))))
+    term.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(floor(col("__term") * 1e9)).cast("long").as("score_fp"))
+  }
+
   /** Content-defined chunking: chunk boundaries fall AFTER tokens whose
     * hash ≡ 0 (mod `modulus`) — average chunk length `modulus`, but
     * boundary positions depend only on CONTENT, so inserting a sentence

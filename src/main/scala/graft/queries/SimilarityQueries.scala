@@ -310,6 +310,92 @@ object SimilarityQueries {
         .orderBy("label", "assigned")
     },
 
+    // hybrid retrieval: BM25 top-50 and cosine-ANN top-50 fused by
+    // reciprocal-rank fusion — the RAG retrieval shape. Each side ends
+    // in a TakeOrderedAndProject before its 50-row rank window, so the
+    // only global steps are k-row epilogues; RRF contributions are
+    // fixed-point floors (integers), immune to summation order. Docs
+    // found by only one side still fuse (full outer, missing side = 0).
+    QueryDef("hybrid_rrf_topk", {
+      s"""WITH e AS (
+        |  SELECT vec_id, ${sqlQ("embedding")} AS q FROM embeddings),
+        |qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),
+        |cosall AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    ${sqlCosine("e.q", "qv.qq")} AS cos
+        |  FROM e CROSS JOIN qv),
+        |ctop AS (SELECT doc_id, cos FROM cosall
+        |         ORDER BY cos DESC, doc_id LIMIT 50),
+        |crank AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+        |    AS cos_rank FROM ctop),
+        |docs AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS totdl
+        |  FROM docs),
+        |t AS (SELECT doc_id, dl, unnest(toks) AS tok FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM t
+        |  WHERE tok IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
+        |dfq AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t
+        |  WHERE tok IN ('spark', 'query', 'window') GROUP BY 1),
+        |term AS (
+        |  SELECT tf.doc_id,
+        |    ((CAST(s.n AS DOUBLE) - dfq.df + 0.5)
+        |      / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        (CAST(tf.dl AS DOUBLE)
+        |          / (CAST(s.totdl AS DOUBLE) / s.n)))) AS term
+        |  FROM tf JOIN dfq ON dfq.tok = tf.tok CROSS JOIN stats s),
+        |bscore AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(FLOOR(term * 1000000000.0)) AS BIGINT) AS score_fp
+        |  FROM term GROUP BY doc_id),
+        |btop AS (SELECT doc_id, score_fp FROM bscore
+        |         ORDER BY score_fp DESC, doc_id LIMIT 50),
+        |brank AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY score_fp DESC, doc_id) AS bm25_rank FROM btop),
+        |f AS (
+        |  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |    b.bm25_rank, c.cos_rank
+        |  FROM brank b FULL OUTER JOIN crank c ON c.doc_id = b.doc_id)
+        |SELECT doc_id, bm25_rank, cos_rank,
+        |  CAST(COALESCE(FLOOR(1000000000000.0 / (60.0 + bm25_rank)), 0)
+        |     + COALESCE(FLOOR(1000000000000.0 / (60.0 + cos_rank)), 0)
+        |    AS BIGINT) AS rrf_fp
+        |FROM f ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      import graft.ext.TextAnalysis
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val qv = e.filter(col("vec_id") === 0).select(col("q").as("qq"))
+      val crank = e.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosineQ(col("q"), col("qq")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
+        .withColumn("cos_rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "cos_rank")
+      val brank = TextAnalysis.bm25Scores(Tables.documents(s, d),
+          "doc_id", "text", Seq("spark", "query", "window"))
+        .orderBy(col("score_fp").desc, col("doc_id")).limit(50)
+        .withColumn("bm25_rank", row_number().over(
+          Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "bm25_rank")
+      brank.join(crank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+          (coalesce(floor(lit(1e12) / (lit(60.0) + col("bm25_rank"))), lit(0L))
+            + coalesce(floor(lit(1e12) / (lit(60.0) + col("cos_rank"))),
+              lit(0L))).as("rrf_fp"))
+        .orderBy(col("rrf_fp").desc, col("doc_id")).limit(20)
+    },
+
     // int8 scalar quantization audit: per-vector min/max range coding to
     // 256 levels and the reconstruction MSE — the compression/recall
     // trade every vector store makes before ANN, here in one narrow

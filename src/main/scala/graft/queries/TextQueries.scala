@@ -377,6 +377,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BM25 relevance against a literal query, fully oracle-exact:
+    // transcendental-free RSJ idf (no ln) and FIXED-POINT score
+    // accumulation (sum of floor(term*1e9) — integer, so partition
+    // summation order cannot perturb the hash). One filtered hash-agg
+    // for tf, one aggregate each for df and corpus stats, no window.
+    QueryDef("text_bm25",
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' '))::BIGINT AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS totdl
+        |  FROM docs),
+        |t AS (SELECT doc_id, dl, unnest(toks) AS tok FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM t
+        |  WHERE tok IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
+        |dfq AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t
+        |  WHERE tok IN ('spark', 'query', 'window') GROUP BY 1),
+        |term AS (
+        |  SELECT tf.doc_id,
+        |    ((CAST(s.n AS DOUBLE) - dfq.df + 0.5)
+        |      / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        (CAST(tf.dl AS DOUBLE)
+        |          / (CAST(s.totdl AS DOUBLE) / s.n)))) AS term
+        |  FROM tf JOIN dfq ON dfq.tok = tf.tok CROSS JOIN stats s)
+        |SELECT doc_id, COUNT(*) AS n_hits,
+        |  CAST(SUM(FLOOR(term * 1000000000.0)) AS BIGINT) AS score_fp
+        |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.bm25Scores(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "query", "window"))
+        .orderBy("doc_id")
+    },
+
     // content-defined chunking: boundaries where token-hash ≡ 0 mod 8
     // (the fixture's 31-token vocabulary has 3 boundary tokens at mod 8
     // and none at mod 16 — the modulus is the avg-chunk-length dial)

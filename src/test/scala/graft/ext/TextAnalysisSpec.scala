@@ -160,6 +160,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(differing == 1, s"a=$ca b=$cb")
   }
 
+  test("bm25Scores: query-dense docs outrank sparse ones, misses drop") {
+    val df = Seq(
+      (1L, "spark query window spark"),
+      (2L, "aa bb cc dd ee ff"),
+      (3L, "spark aa bb cc dd ee ff gg hh ii jj kk")
+    ).toDF("id", "text")
+    val got = TextAnalysis.bm25Scores(df, "id", "text",
+        Seq("spark", "query", "window"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(2L), "no query terms -> no row")
+    assert(got(1L)._2 == 3 && got(3L)._2 == 1, got.toString)
+    assert(got(1L)._3 > got(3L)._3,
+      "3 matched terms in a short doc must outscore 1 in a long doc")
+  }
+
   test("langIdHeuristic agrees with stopword ratio on the fixture") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = docs.select(
