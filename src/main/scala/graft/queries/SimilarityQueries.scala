@@ -310,6 +310,63 @@ object SimilarityQueries {
         .orderBy("label", "assigned")
     },
 
+    // matryoshka-style truncation audit: top-10 recall of 16-dim
+    // prefixes vs the full 64-dim cosine ranking, per query — the
+    // measurement behind "store short prefixes hot, rerank with full
+    // vectors cold". Truncation is an array slice on the already-
+    // quantized vectors; both rankings share one scored frame, and the
+    // per-query window is keyed on query_id.
+    QueryDef("ann_truncated_recall",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, ${sqlQ("embedding")} AS qq
+         |  FROM embeddings WHERE vec_id < 8),
+         |e AS (
+         |  SELECT vec_id, ${sqlQ("embedding")} AS qe FROM embeddings),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    ${sqlCosine("qe", "qq")} AS score_full,
+         |    ${sqlCosine("qe[1:16]", "qq[1:16]")} AS score_trunc
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_full DESC, vec_id) AS rf,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_trunc DESC, vec_id) AS rt
+         |  FROM scored)
+         |SELECT query_id,
+         |  COUNT(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 END) AS n_overlap,
+         |  CAST(COUNT(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 END)
+         |    AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"),
+            Similarity.quantize(col("embedding")).as("qq"))
+        val e = emb.select(col("vec_id"),
+          Similarity.quantize(col("embedding")).as("qe"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            Similarity.cosineQ(col("qe"), col("qq")).as("score_full"),
+            Similarity.cosineQ(slice(col("qe"), 1, 16),
+              slice(col("qq"), 1, 16)).as("score_trunc"))
+        val byQ = Window.partitionBy("query_id")
+        scored
+          .withColumn("rf", row_number().over(
+            byQ.orderBy(col("score_full").desc, col("vec_id"))))
+          .withColumn("rt", row_number().over(
+            byQ.orderBy(col("score_trunc").desc, col("vec_id"))))
+          .groupBy("query_id")
+          .agg(
+            count(when(col("rf") <= 10 && col("rt") <= 10, lit(1)))
+              .as("n_overlap"),
+            (count(when(col("rf") <= 10 && col("rt") <= 10, lit(1)))
+              .cast("double") / 10.0).as("recall_at_10"))
+          .orderBy("query_id")
+    },
+
     // hybrid retrieval: BM25 top-50 and cosine-ANN top-50 fused by
     // reciprocal-rank fusion — the RAG retrieval shape. Each side ends
     // in a TakeOrderedAndProject before its 50-row rank window, so the
