@@ -133,6 +133,38 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk"))
   }
 
+  /** Epoch-mixture materialization: replicate each document according
+    * to a per-stratum sampling weight in PERMIL (2500 = 2.5 epochs —
+    * the "upsample Wikipedia 2.5x, drop benchmark slices" step of a
+    * training-mix recipe). Integer repeats come from the weight's whole
+    * part; the fractional part becomes one extra copy for the
+    * hash-selected permil share of the stratum (same deterministic
+    * threshold trick as [[stratifiedSample]] — no RNG, identical rows
+    * under any partitioning). One narrow filter + one generator, no
+    * shuffle; output rows carry (epoch_copy 0..n-1) so downstream
+    * packing can interleave copies. */
+  def epochMixture(df: org.apache.spark.sql.DataFrame, idCol: String,
+      strataCol: String, permilWeights: Map[String, Int],
+      defaultPermil: Int): org.apache.spark.sql.DataFrame = {
+    require((permilWeights.values ++ Seq(defaultPermil)).forall(_ >= 0),
+      "epochMixture: weights are permil values >= 0")
+    val permil = permilWeights.foldLeft(lit(defaultPermil)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__permil", permil)
+      .withColumn("n_repeats",
+        // integer floor-div, NOT a double divide + cast: DuckDB casts
+        // double->bigint by rounding, Spark by truncation — x.5 values
+        // would silently diverge between engines
+        expr("CAST(__permil div 1000 AS BIGINT)") +
+          when(tokenHash31(col(idCol).cast("string")) % 1000L <
+            col("__permil") % 1000, 1L).otherwise(0L))
+      .filter(col("n_repeats") > 0)
+      .withColumn("epoch_copy",
+        explode(sequence(lit(0L), col("n_repeats") - 1)))
+      .drop("__permil")
+  }
+
   /** BM25 relevance of every document against a query token set, with
     * two exactness choices that make it oracle-reproducible:
     *

@@ -304,6 +304,64 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // contrastive training triplets: every near-dup pair (anchor,
+    // positive) from the exact Jaccard graph gets 3 deterministic
+    // hash-drawn negatives — candidates are h31(a-b-j) mod N for
+    // j=1..5, kept if they name an EXISTING doc (semi-join, no id-
+    // contiguity assumption) that isn't the anchor/positive, first 3
+    // by j. No RNG anywhere: the same triplet set materializes under
+    // any partitioning — the training-example generation step of a
+    // contrastive/embedding pipeline.
+    QueryDef("train_triplets",
+      s"""WITH $sqlJaccardEnCtes,
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |cand AS (
+        |  SELECT jp.id_a AS anchor, jp.id_b AS positive, j.j,
+        |    ${sqlH31("jp.id_a::VARCHAR || '-' || jp.id_b::VARCHAR " +
+             "|| '-' || j.j::VARCHAR")} % n.n_docs AS negative
+        |  FROM jp CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(range(1, 6)) AS j) j),
+        |ok AS (
+        |  SELECT c.anchor, c.positive, c.j, c.negative
+        |  FROM cand c JOIN documents dd ON dd.doc_id = c.negative
+        |  WHERE c.negative <> c.anchor AND c.negative <> c.positive),
+        |r AS (
+        |  SELECT anchor, positive, negative,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor, positive
+        |      ORDER BY j) AS neg_rank
+        |  FROM ok)
+        |SELECT anchor, positive, neg_rank, negative FROM r
+        |WHERE neg_rank <= 3
+        |ORDER BY anchor, positive, neg_rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairsBitset(
+          docs.filter(col("lang") === "en"), "doc_id", "text",
+          n = 1, threshold = 0.9)
+        .select(col("id_a").as("anchor"), col("id_b").as("positive"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val js = docs.sparkSession.range(1, 6)
+        .select(col("id").cast("int").as("j"))
+      val cand = pairs.crossJoin(broadcast(n))
+        .crossJoin(broadcast(js))
+        .withColumn("negative",
+          TextAnalysis.tokenHash31(concat(
+            col("anchor").cast("string"), lit("-"),
+            col("positive").cast("string"), lit("-"),
+            col("j").cast("string"))) % col("n_docs"))
+        .filter(col("negative") =!= col("anchor") &&
+          col("negative") =!= col("positive"))
+        .join(docs.select(col("doc_id").as("negative")), Seq("negative"),
+          "left_semi")
+      cand
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy("anchor", "positive").orderBy("j")))
+        .filter(col("neg_rank") <= 3)
+        .select(col("anchor"), col("positive"),
+          col("neg_rank").cast("long").as("neg_rank"), col("negative"))
+        .orderBy("anchor", "positive", "neg_rank")
+    },
+
     // 11. END-TO-END LSH dedup pipeline: MinHash/LSH near-dup pairs
     // (profile defaults, J >= 0.95) -> connected components -> one
     // survivor (min doc_id) per cluster. The full corpus-in,

@@ -377,6 +377,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // epoch-mixture materialization: src0 (benchmark slice) dropped,
+    // src1 upsampled 2.5x (whole part = 2 copies each, hash-selected
+    // 50% get a third), everything else 1x — the data-mix recipe step,
+    // one filter + one generator, zero shuffles at any corpus size
+    QueryDef("text_mixture_epochs",
+      s"""WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 0
+        |         WHEN source = 'src1' THEN 2500 ELSE 1000 END AS permil
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    permil // 1000
+        |      + (CASE WHEN ${sqlH31("CAST(doc_id AS VARCHAR)")} % 1000
+        |              < permil % 1000 THEN 1 ELSE 0 END) AS n_repeats
+        |  FROM w)
+        |SELECT doc_id, source, n_repeats,
+        |  unnest(range(0, n_repeats)) AS epoch_copy
+        |FROM r WHERE n_repeats > 0
+        |ORDER BY doc_id, epoch_copy""".stripMargin) { (s, d) =>
+      TextAnalysis.epochMixture(Tables.documents(s, d), "doc_id",
+          "source", Map("src0" -> 0, "src1" -> 2500), defaultPermil = 1000)
+        .select("doc_id", "source", "n_repeats", "epoch_copy")
+        .orderBy("doc_id", "epoch_copy")
+    },
+
     // BM25 relevance against a literal query, fully oracle-exact:
     // transcendental-free RSJ idf (no ln) and FIXED-POINT score
     // accumulation (sum of floor(term*1e9) — integer, so partition
