@@ -160,6 +160,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(differing == 1, s"a=$ca b=$cb")
   }
 
+  test("epochMixture: weights respected exactly, partition-independent") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 300) "drop" else if (i < 600) "up" else "keep"))
+      .toDF("id", "src")
+    val out = TextAnalysis.epochMixture(df, "id", "src",
+      Map("drop" -> 0, "up" -> 2500), defaultPermil = 1000)
+    val bySrc = out.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(!bySrc.contains("drop"))
+    assert(bySrc("keep") == 400L, bySrc.toString)
+    // 300 docs at 2.5x: 2 copies each + hash-selected ~half get a third
+    assert(bySrc("up") >= 600L && bySrc("up") <= 900L, bySrc.toString)
+    // copies are numbered 0..n-1 per doc
+    val copies = out.filter(col("src") === "up")
+      .groupBy("id").agg(count(lit(1)).as("n"),
+        max("epoch_copy").as("mx"), min("epoch_copy").as("mn"))
+      .filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0)
+    assert(copies.count() == 0)
+    // identical output under different partitioning
+    val again = TextAnalysis.epochMixture(df.repartition(7), "id", "src",
+      Map("drop" -> 0, "up" -> 2500), defaultPermil = 1000)
+    assert(out.select("id", "epoch_copy").collect().toSet ==
+      again.select("id", "epoch_copy").collect().toSet)
+  }
+
   test("bm25Scores: query-dense docs outrank sparse ones, misses drop") {
     val df = Seq(
       (1L, "spark query window spark"),
