@@ -38,6 +38,13 @@ object BloomPrune {
       s"prunedEquiJoin prunes integral keys; got " +
         s"${fact.schema(factKey).dataType.simpleString}/" +
         s"${dim.schema(dimKey).dataType.simpleString}")
+    // Spark's bloomFilter aggregate NPEs on zero input rows (null
+    // buffer in BloomFilter.readFrom) — an empty dim legitimately
+    // happens when the dim predicate matches nothing, and the right
+    // answer is an empty join, not a crash
+    if (dim.isEmpty)
+      return fact.filter(lit(false))
+        .join(dim, fact(factKey) === dim(dimKey))
     val n = if (expectedItems > 0) expectedItems else dim.count()
     val bloom = dim.stat.bloomFilter(dimKey, math.max(n, 1L), fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)

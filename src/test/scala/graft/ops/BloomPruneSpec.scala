@@ -35,6 +35,12 @@ class BloomPruneSpec extends SparkSpec {
     assert(kept >= 3 && kept < 500, s"kept=$kept")
   }
 
+  test("empty dim side yields an empty join, not a failure") {
+    val dim = Seq.empty[Long].toDF("k")
+    val fact = Seq(1L, 2L).toDF("fk")
+    assert(BloomPrune.prunedEquiJoin(fact, dim, "fk", "k").count() == 0)
+  }
+
   test("rejects non-integral keys loudly") {
     val dim = Seq("a").toDF("k")
     val fact = Seq("a", "b").toDF("fk")

@@ -109,6 +109,12 @@ class TransferSpec extends SparkSpec {
     assert(err.exitCode == 200)
   }
 
+  test("compactionPlan: empty catalog plans zero groups") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("path", "size")
+    assert(Transfer.compactionPlan(empty, 100L).count() == 0)
+  }
+
   test("compactionPlan: contiguous size-bounded merge groups") {
     import spark.implicits._
     // 1 oversized file + many small ones, shuffled input order
