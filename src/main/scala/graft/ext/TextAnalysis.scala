@@ -133,6 +133,97 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk"))
   }
 
+  /** Greedy BPE segmentation of one whitespace word under a learned
+    * merge-rank table: start from characters, repeatedly merge the
+    * adjacent pair with the LOWEST rank (left-to-right on rank ties)
+    * until no adjacent pair is in the table — the standard BPE apply
+    * loop, deterministic by construction. */
+  def bpeSegment(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+          syms.drop(bestIdx + 2)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Learn `nMerges` BPE merges from the corpus — the iterate-on-
+    * aggregate pattern: the corpus stays distributed (one explode +
+    * pair hash-agg per round, under partial aggregation), while the
+    * only driver state is the merge table itself (nMerges rows, the
+    * MLlib-style small-model shape). Each round re-segments under the
+    * merges so far via a broadcast, counts adjacent symbol pairs, and
+    * takes the global argmax with a deterministic tie-break (count
+    * desc, pair asc) through a TakeOrdered(1) — no full sort. Stops
+    * early when no pair repeats. */
+  def bpeLearn(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): Seq[((String, String), Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1, s"bpeLearn: nMerges must be >= 1 ($nMerges)")
+    val words = df.select(explode(tokens(col(textCol))).as("w")).as[String]
+    var merges = Vector.empty[((String, String), Long)]
+    var rounds = 0
+    while (rounds < nMerges) {
+      val ranks = merges.map(_._1).zipWithIndex.toMap
+      val bc = spark.sparkContext.broadcast(ranks)
+      val best = words
+        .flatMap { w =>
+          val syms = bpeSegment(w, bc.value)
+          syms.iterator.zip(syms.iterator.drop(1)).map {
+            case (a, b) => (a, b) }.toSeq
+        }
+        .groupBy("_1", "_2").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("_1"), col("_2"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      bc.destroy()
+      best.headOption match {
+        case Some((a, b, n)) => merges :+= ((a, b), n); rounds += 1
+        case None => rounds = nMerges // converged: nothing repeats
+      }
+    }
+    merges
+  }
+
+  /** Apply a learned merge list corpus-wide: partition-batched typed
+    * map (the tokenizer-apply step a training pipeline runs over every
+    * document; the broadcast merge table is the only shared state).
+    * Returns (idCol, n_words, n_bpe_tokens, bpe_tokens). */
+  def bpeApply(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1).toSeq
+            .flatMap(w => bpeSegment(w, ranks))
+          (id, text.split(" ", -1).length.toLong, toks.length.toLong, toks)
+        }
+      }
+      .toDF(idCol, "n_words", "n_bpe_tokens", "bpe_tokens")
+  }
+
   /** Epoch-mixture materialization: replicate each document according
     * to a per-stratum sampling weight in PERMIL (2500 = 2.5 epochs —
     * the "upsample Wikipedia 2.5x, drop benchmark slices" step of a

@@ -377,6 +377,68 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // cross-source 5-gram overlap matrix: which sources share content
+    // (the corpus-lineage question behind dedup priorities). Distinct
+    // (source, shingle) pairs first — the hash-agg collapses each
+    // source's repeats — then a shingle-keyed self-join counts shared
+    // spans per source pair; shuffle is bounded by distinct shingles,
+    // never document pairs.
+    QueryDef("text_source_overlap",
+      """WITH s AS (
+        |  SELECT DISTINCT source, span FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      range(0, len(string_split(text, ' ')) - 4),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))))
+        |      AS span
+        |    FROM documents))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  COUNT(*) AS n_shared
+        |FROM s a JOIN s b ON a.span = b.span AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.WordShingles(col("text"), 5)).as("span"))
+        .distinct()
+      sh.select(col("source").as("src_a"), col("span"))
+        .join(sh.select(col("source").as("src_b"), col("span").as("span_b")),
+          col("span") === col("span_b") && col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    },
+
+    // per-source novelty curve: attribute every distinct 5-gram to its
+    // FIRST source (min source name), then cumulate in source order —
+    // the "how much new content does each source add" curation signal.
+    // One shingle-keyed min-agg; the window runs over ~n_sources rows.
+    QueryDef("text_novelty_curve",
+      """WITH s AS (
+        |  SELECT DISTINCT source, span FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      range(0, len(string_split(text, ' ')) - 4),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))))
+        |      AS span
+        |    FROM documents)),
+        |f AS (SELECT span, MIN(source) AS first_source FROM s GROUP BY 1),
+        |n AS (SELECT first_source, COUNT(*) AS n_new FROM f GROUP BY 1)
+        |SELECT first_source, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY first_source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_distinct
+        |FROM n ORDER BY first_source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.WordShingles(col("text"), 5)).as("span"))
+        .distinct()
+      val w = Window.orderBy("first_source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sh.groupBy("span").agg(min("source").as("first_source"))
+        .groupBy("first_source").agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_distinct", sum("n_new").over(w).cast("bigint"))
+        .orderBy("first_source")
+    },
+
     // epoch-mixture materialization: src0 (benchmark slice) dropped,
     // src1 upsampled 2.5x (whole part = 2 copies each, hash-selected
     // 50% get a third), everything else 1x — the data-mix recipe step,

@@ -185,6 +185,44 @@ class TextAnalysisSpec extends SparkSpec {
       again.select("id", "epoch_copy").collect().toSet)
   }
 
+  test("BPE: learned merges match the hand-computed classic example") {
+    val df = Seq((1L, "aaab aaab ab")).toDF("id", "text")
+    val merges = TextAnalysis.bpeLearn(df, "text", nMerges = 2)
+    // round 1 pair counts: (a,a)=4 beats (a,b)=3 -> merge "aa"
+    // round 2 over [aa,a,b] [aa,a,b] [a,b]: (a,b)=3 beats (aa,a)=2
+    assert(merges.map(_._1) == Seq(("a", "a"), ("a", "b")), merges)
+    assert(merges.map(_._2) == Seq(4L, 3L), merges)
+    val applied = TextAnalysis.bpeApply(df, "id", "text",
+        merges.map(_._1))
+      .as[(Long, Long, Long, Seq[String])].collect().head
+    // "aaab" -> [aa, a, b] -> [aa, ab]; "ab" -> [ab]
+    assert(applied._4 == Seq("aa", "ab", "aa", "ab", "ab"), applied)
+    assert(applied._2 == 3L && applied._3 == 5L)
+  }
+
+  test("BPE learn converges early when nothing repeats") {
+    val df = Seq((1L, "xy")).toDF("id", "text")
+    val merges = TextAnalysis.bpeLearn(df, "text", nMerges = 5)
+    assert(merges.isEmpty, merges)
+  }
+
+  test("BPE apply is deterministic under repartitioning") {
+    val docs = graft.Tables.documents(spark, sfDir).limit(100)
+    val merges = TextAnalysis.bpeLearn(docs, "text", nMerges = 4)
+    assert(merges.nonEmpty)
+    val a = TextAnalysis.bpeApply(docs, "doc_id", "text", merges.map(_._1))
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toSet
+    val b = TextAnalysis.bpeApply(docs.repartition(7), "doc_id", "text",
+        merges.map(_._1))
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    // merging can only shorten the character-level segmentation
+    val chars = docs.select(col("doc_id"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+      .as[(Long, Long)].collect().toMap
+    assert(a.forall { case (id, n) => n <= chars(id) })
+  }
+
   test("bm25Scores: query-dense docs outrank sparse ones, misses drop") {
     val df = Seq(
       (1L, "spark query window spark"),
