@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Plan contracts enforced in CI for the flagship queries — a plan
+  * regression (lost pushdown, surprise cartesian, lost broadcast) now
+  * fails the build instead of waiting for a manual explain audit.
+  */
+class PlanChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("star join q5: broadcast dims, pushed filters, no cartesian") {
+    val df = q("q5_region_revenue")
+    PlanChecks.assertNoCartesian(df)
+    PlanChecks.assertBroadcastJoin(df)
+  }
+
+  test("filter-project q2: predicate reaches the parquet scan") {
+    PlanChecks.assertPushedFilter(q("q2_filter_project"), "l_quantity")
+  }
+
+  test("bloom-pruned join q34: dim predicate pushed, no cartesian") {
+    val df = q("q34_bloom_join")
+    PlanChecks.assertNoCartesian(df)
+    PlanChecks.assertPushedFilter(df, "c_mktsegment")
+  }
+
+  test("pricing agg q1 stays inside whole-stage codegen") {
+    PlanChecks.assertCodegenFused(q("q1_pricing_agg"), "HashAggregate")
+  }
+
+  test("exchange budget: q1 needs exactly its agg + sort shuffles") {
+    PlanChecks.assertExchangesAtMost(q("q1_pricing_agg"), 2)
+  }
+
+  test("violations raise with the offending plan attached") {
+    val crossed = Tables.lineitem(spark, sfDir).limit(5).crossJoin(
+      Tables.orders(spark, sfDir).limit(5).hint("shuffle_replicate_nl"))
+    val e = intercept[IllegalStateException] {
+      PlanChecks.assertNoCartesian(crossed)
+    }
+    assert(e.getMessage.contains("CartesianProduct"))
+    val e2 = intercept[IllegalStateException] {
+      PlanChecks.assertPushedFilter(
+        Tables.orders(spark, sfDir), "no_such_column")
+    }
+    assert(e2.getMessage.contains("no_such_column"))
+  }
+}
