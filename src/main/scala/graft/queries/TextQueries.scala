@@ -377,6 +377,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the SQL entry path end-to-end: GraftExtensions-registered custom
+    // Catalyst expressions (word_shingles, regexp_replace_first)
+    // consumed through spark.sql over a temp view — proving the
+    // engine's function surface serves SQL users identically to the
+    // DataFrame API (same codegen'd expressions underneath)
+    QueryDef("q40_sql_surface",
+      """SELECT doc_id,
+        |  len(list_distinct(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))))
+        |    ::BIGINT AS n_shingles,
+        |  regexp_replace(text, ' ', '_') AS first_sep_replaced
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id,
+        |  CAST(size(word_shingles(text, 3)) AS BIGINT) AS n_shingles,
+        |  regexp_replace_first(text, ' ', '_') AS first_sep_replaced
+        |FROM documents_v ORDER BY doc_id""".stripMargin)
+    },
+
     // cross-source 5-gram overlap matrix: which sources share content
     // (the corpus-lineage question behind dedup priorities). Distinct
     // (source, shingle) pairs first — the hash-agg collapses each
