@@ -556,6 +556,42 @@ object Dedup {
       .select("id_a", "id_b", "inter", "un", "jaccard")
   }
 
+  /** EXACT asymmetric containment join: ordered pairs (a, b) where at
+    * least `threshold` of a's distinct tokens also occur in b —
+    * excerpt/quote detection, the capability a Jaccard join
+    * structurally MISSES: its size-compatibility pruning (and the
+    * metric itself) discards exactly the size-mismatched pairs where a
+    * short document sits inside a long one. Same inverted-index shape
+    * as [[jaccardPairs]], but the size filter is one-sided (the
+    * container must have at least threshold·|a| distinct tokens, since
+    * inter <= min(|a|,|b|)) and both orientations of each pair are
+    * evaluated. Returns (contained_id, container_id, inter, na,
+    * containment). */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.95): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold in (0, 1] ($threshold)")
+    val index = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+      .select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val tNum = math.floor(threshold * 10000).toLong
+    index.select(col("id").as("contained_id"), col("n_sh").as("na"),
+        col("shingle"))
+      .join(index.select(col("id").as("container_id"),
+          col("n_sh").as("nb"), col("shingle").as("__shb")),
+        col("shingle") === col("__shb") &&
+          col("contained_id") =!= col("container_id") &&
+          col("na") * tNum <= col("nb") * 10000L)
+      .groupBy("contained_id", "container_id", "na")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("contained_id", "container_id", "inter", "na", "containment")
+  }
+
   /** Sampled pairwise-Jaccard distribution of a corpus — the
     * measurement feeding [[DedupProfile.derive]]. */
   final case class JaccardStats(nDocs: Long, nPairs: Long,

@@ -783,6 +783,26 @@ object AnalyticsQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // UNPIVOT/melt — the wide-to-long reshape (inverse of q23_pivot):
+    // one narrow generator per row, no shuffle until the final sort
+    QueryDef("q41_unpivot",
+      """SELECT o_orderkey, metric, value FROM (
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS totalprice,
+        |    CAST(o_custkey AS DOUBLE) AS custkey
+        |  FROM orders WHERE o_orderkey < 200)
+        |UNPIVOT (value FOR metric IN (totalprice, custkey))
+        |ORDER BY o_orderkey, metric""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("totalprice"),
+          col("o_custkey").cast("double").as("custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("totalprice"), col("custkey")), "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    },
+
     // event-transition matrix: per-user LAG over the time-ordered
     // stream (ties broken by event_id — total order, deterministic),
     // then a bigram count. The window is keyed on user_id, so

@@ -304,6 +304,35 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // asymmetric containment join: excerpt/quote detection — pairs
+    // where >= 95% of the contained doc's distinct tokens occur in the
+    // container. Jaccard's size-compat pruning structurally discards
+    // exactly these size-mismatched pairs; the one-sided size filter
+    // here (container >= 0.95x contained) is the correct analog.
+    QueryDef("dedup_containment_pairs",
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |i AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_sh, unnest(toks) AS shingle
+        |  FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |         a.n_sh AS na, COUNT(*) AS inter
+        |  FROM i a JOIN i b ON a.shingle = b.shingle
+        |    AND a.doc_id <> b.doc_id
+        |    AND a.n_sh * 9500 <= b.n_sh * 10000
+        |  GROUP BY 1, 2, 3)
+        |SELECT contained_id, container_id, inter, na,
+        |       CAST(inter AS DOUBLE) / na AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE) / na >= 0.95
+        |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(
+          Tables.documents(s, d).filter(col("lang") === "en"),
+          "doc_id", "text", n = 1, threshold = 0.95)
+        .orderBy("contained_id", "container_id")
+    },
+
     // contrastive training triplets: every near-dup pair (anchor,
     // positive) from the exact Jaccard graph gets 3 deterministic
     // hash-drawn negatives — candidates are h31(a-b-j) mod N for

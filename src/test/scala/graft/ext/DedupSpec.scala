@@ -192,6 +192,21 @@ class DedupSpec extends SparkSpec {
     assert(got.head._5 == 1.0)
   }
 
+  test("containmentPairs finds excerpts that Jaccard structurally misses") {
+    val df = Seq(
+      (1L, "x y z"),                       // excerpt of 2
+      (2L, "x y z a b c d e f g"),         // container
+      (3L, "p q r")                        // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 1, 1.0)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 3L, 1.0)), got.toString)
+    // the same pair is invisible to a Jaccard join: J = 3/10
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", 1, 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+  }
+
   test("DedupProfile.derive: measured background reproduces the " +
     "hand-tuned geometry") {
     val stats = Dedup.sampleJaccardStats(
