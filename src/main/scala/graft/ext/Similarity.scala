@@ -312,6 +312,72 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means the embedding space ([[trainCentroids]] — deterministic
+    * Lloyd rounds), then compare pairs ONLY within a cluster; any vector
+    * with a lower-id same-cluster neighbour at cosine >= `threshold` is
+    * dropped (the same keep-lowest convention as
+    * `dedup_embedding_survivors`). The cluster key bounds the pairwise
+    * work at n²/k per cluster instead of n² globally — at 100 TB you
+    * raise `nCentroids` so the expected cluster fits an executor, and
+    * the pair join is an equi-join on `cluster_id` (one keyed exchange),
+    * never a cartesian. Trade-off vs [[bandedPairs]]: LSH banding
+    * recalls near-dups that straddle a cluster boundary; SemDeDup's
+    * point is the opposite — semantic redundancy WITHIN a region is
+    * what it prunes, and the cluster partition is also the downstream
+    * curriculum/mixture unit. Returns surviving (id, cluster_id). */
+  def semanticDedupSurvivors(
+      emb: DataFrame, threshold: Double,
+      nCentroids: Int = 16, kmeansIters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assign = clusterAssign(emb, nCentroids, kmeansIters, idCol, embCol)
+    val dropped = pairsWithinClusters(assign, threshold)
+      .select(col("id_b").as("id")).distinct()
+    assign
+      .join(dropped, Seq("id"), "left_anti")
+      .select("id", "cluster_id")
+  }
+
+  /** The qualifying same-cluster near-dup pairs behind
+    * [[semanticDedupSurvivors]]: (id_a, id_b, cluster_id, score) with
+    * id_a < id_b and quantized cosine >= `threshold`. Exposed separately
+    * so audits can inspect WHAT was deduplicated, not just what
+    * survived. */
+  def semanticDedupPairs(
+      emb: DataFrame, threshold: Double,
+      nCentroids: Int = 16, kmeansIters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    pairsWithinClusters(
+      clusterAssign(emb, nCentroids, kmeansIters, idCol, embCol), threshold)
+
+  /** Train + assign: every vector to its nearest trained centroid.
+    * Returns (id, q, cluster_id). */
+  private def clusterAssign(emb: DataFrame, nCentroids: Int,
+      kmeansIters: Int, idCol: String, embCol: String): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val cents = trainCentroids(e, nCentroids, kmeansIters)
+    assignNearest(e.select("id", "q"), "q", cents)
+      .select(col("id"), col("q"), col("assigned").as("cluster_id"))
+  }
+
+  /** Cosine-threshold pairs restricted to one cluster — an equi-join on
+    * `cluster_id`, never a cartesian. */
+  private def pairsWithinClusters(assign: DataFrame,
+      threshold: Double): DataFrame = {
+    val n = assign.withColumn("n2", qnorm2(col("q")))
+    val a = n.select(col("cluster_id"), col("id").as("id_a"),
+      col("q").as("qa"), col("n2").as("na2"))
+    val b = n.select(col("cluster_id"), col("id").as("id_b"),
+      col("q").as("qb"), col("n2").as("nb2"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cluster_id"),
+        (qdot(col("qa"), col("qb")).cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+          .as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Exact all-pairs with threshold — O(n²), the correctness baseline.
     * Guarded: refuses more than `maxRows` input vectors so the cartesian
     * can never silently run at scale — [[bandedPairs]] is the scale path. */

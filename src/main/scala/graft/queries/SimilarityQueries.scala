@@ -496,5 +496,27 @@ object SimilarityQueries {
             .as("mse"))
         .orderBy("vec_id")
     },
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup with the pairwise
+    // space bounded by trained k-means clusters — pairs are an equi-join
+    // on cluster_id (n²/k per cluster, one keyed exchange), never the
+    // global cross join of dedup_embedding_survivors; the oracle replays
+    // the identical deterministic Lloyd rounds as CTEs
+    QueryDef("sim_semantic_dedup",
+      s"""WITH $sqlKmeansCtes,
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM assign a JOIN assign b
+         |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+         |  WHERE ${sqlCosine("a.q", "b.q")} >= 0.35),
+         |dropped AS (SELECT DISTINCT id_b FROM pairs)
+         |SELECT s.id AS vec_id, s.cluster_id FROM assign s
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = s.id)
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.semanticDedupSurvivors(Tables.embeddings(s, d),
+          threshold = 0.35, nCentroids = 16, kmeansIters = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
   )
 }

@@ -99,4 +99,34 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 9000L)), s"high-cos pair must survive banding: $pairs")
   }
+
+  test("semanticDedup: pairs are same-cluster brute-force pairs; " +
+    "survivors + dropped partition the corpus") {
+    val brute = Similarity.bruteForcePairs(emb, 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairs = Similarity.semanticDedupPairs(emb, 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(brute),
+      s"semantic pairs must be exact pairs too: ${pairs.diff(brute).take(3)}")
+    val survivors = Similarity.semanticDedupSurvivors(emb, 0.35)
+      .select("id").as[Long].collect().toSet
+    val dropped = pairs.map(_._2)
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(survivors.intersect(dropped).isEmpty)
+    assert(survivors ++ dropped == all)
+    // every dropped id has a surviving-or-dropped LOWER id witness
+    assert(dropped.forall(d => pairs.exists { case (a, b) => b == d && a < d }))
+  }
+
+  test("semanticDedup drops an exact planted duplicate (same cluster, cos 1)") {
+    val v0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].collect()(0)
+    val df = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((9000L, v0)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")))
+    val survivors = Similarity.semanticDedupSurvivors(df, 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(survivors.contains(0L) && !survivors.contains(9000L),
+      "identical vector lands in the same cluster and must be dropped")
+  }
 }
