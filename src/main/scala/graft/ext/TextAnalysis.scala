@@ -428,4 +428,44 @@ object TextAnalysis {
       nStopwords(text).cast("double") / nt * 5.0)
     distinctRatio * 0.5 + lengthScore * 0.3 + stopScore * 0.2
   }
+
+  /** PII detector patterns, ordered — redaction applies them in THIS
+    * order, so a span claimed by an earlier category is never re-matched
+    * by a later one. The regex subset is deliberately portable (ASCII
+    * classes, `\b`, bounded repetition; no lookaround) so Java regex and
+    * RE2 (DuckDB, Go scanners) agree token-for-token: a PII audit must
+    * be replayable outside the engine that produced it.
+    * (label, pattern, replacement). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    ("phone", "\\b\\+?\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Per-category PII match counts — one codegen'd `regexp_count` per
+    * category (a narrow projection: zero shuffles at any corpus size).
+    * Counts OVERLAP-FREE per category but categories are counted
+    * independently (scan semantics); use [[piiRedact]] for the
+    * sequential-claim semantics. Emits `n_<label>` per pattern plus
+    * `pii_total`. */
+  def piiCounts(text: Column): Seq[Column] = {
+    val counts = PiiPatterns.map { case (label, pat, _) =>
+      regexp_count(text, lit(pat)).cast("long").as(s"n_$label")
+    }
+    val total = PiiPatterns.map { case (_, pat, _) =>
+      regexp_count(text, lit(pat)).cast("long")
+    }.reduce(_ + _).as("pii_total")
+    counts :+ total
+  }
+
+  /** Redact all PII categories in [[PiiPatterns]] order — a fold of
+    * codegen'd `regexp_replace`, each replacing ALL occurrences. Earlier
+    * categories claim their spans first (an email's digits can never be
+    * re-matched as a phone), which is what makes the output stable
+    * against pattern overlap. Pure projection — the redaction of a
+    * 100 TB corpus is a map-only job. */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
 }

@@ -803,6 +803,94 @@ object AnalyticsQueries {
         .orderBy("o_orderkey", "metric")
     },
 
+    // deterministic integer PageRank (3 unrolled rounds, damping 85%)
+    // over the weighted event-type transition graph — every division is
+    // an integer floor-div and every sum is int64, so the oracle replays
+    // the iteration bit-for-bit (same contract as graph_label_prop)
+    QueryDef("graph_pagerank", {
+      val base = graft.ops.PageRank.Scale * 15 / 100
+      def round(t: Int): String =
+        s"""m$t AS (
+           |  SELECT e.dst AS node,
+           |    CAST(SUM((r.pr * e.w) // o.outw) AS BIGINT) AS cs
+           |  FROM edges e
+           |    JOIN r${t - 1} r ON r.node = e.src
+           |    JOIN outw o ON o.src = e.src
+           |  GROUP BY e.dst),
+           |r$t AS (
+           |  SELECT n.node, $base + (85 * COALESCE(m.cs, 0)) // 100 AS pr
+           |  FROM nodes n LEFT JOIN m$t m ON m.node = n.node)""".stripMargin
+      s"""WITH s AS (
+         |  SELECT event_type,
+         |    LAG(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         |  FROM events),
+         |edges AS (
+         |  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+         |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |outw AS (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+         |  FROM edges GROUP BY src),
+         |nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |r0 AS (SELECT node, ${graft.ops.PageRank.Scale} AS pr FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node AS event_type, pr FROM r3
+         |ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val edges = Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.PageRank.ranks(edges, iters = 3, dampPct = 85)
+        .withColumnRenamed("node", "event_type")
+        .orderBy("event_type")
+    },
+
+    // slowly-changing-dimension type 2 build: collapse each user's
+    // event-type runs into validity intervals (valid_from, valid_to,
+    // is_current) — change detection by LAG, interval close by LEAD,
+    // both over the same (ts, event_id) total order; user-keyed windows
+    // so per-user history never concentrates a partition. Timestamps
+    // exported as epoch micros (exact integers in both engines).
+    QueryDef("q42_scd2",
+      """WITH s AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM s
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |scd AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) AS valid_from_us,
+        |    LEAD(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+        |  FROM changes)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM scd ORDER BY user_id, valid_from_us, event_type""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev", lag("event_type", 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_from_us", expr("unix_micros(ts)"))
+        .withColumn("valid_to_us",
+          lead(expr("unix_micros(ts)"), 1).over(byUser))
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_type")
+    },
+
     // event-transition matrix: per-user LAG over the time-ordered
     // stream (ties broken by event_id — total order, deterministic),
     // then a bigram count. The window is keyed on user_id, so

@@ -661,5 +661,139 @@ object TextQueries {
         .select("doc_id", "n_sh", "n_hits", "contamination")
         .orderBy("doc_id")
     },
+
+    // PII scan: per-category regexp counts over a corpus with PII
+    // planted deterministically from doc_id (the fixture vocabulary has
+    // none) — both dialects build the identical full_text, then count
+    // with the same portable ASCII regexes (TextAnalysis.PiiPatterns;
+    // Java regex ≡ RE2 on this subset). Narrow projection: a 100 TB
+    // scan is map-only.
+    QueryDef("text_pii_scan",
+      s"""WITH p AS ($sqlPiiPlanted)
+         |SELECT doc_id,
+         |${TextAnalysis.PiiPatterns.map { case (label, pat, _) =>
+              s"  CAST(len(regexp_extract_all(full_text, '$pat')) AS BIGINT) AS n_$label,"
+            }.mkString("\n")}
+         |${TextAnalysis.PiiPatterns.map { case (_, pat, _) =>
+              s"CAST(len(regexp_extract_all(full_text, '$pat')) AS BIGINT)"
+            }.mkString("  ", "\n  + ", " AS pii_total")}
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      plantPii(Tables.documents(s, d))
+        .select(col("doc_id") +: TextAnalysis.piiCounts(col("full_text")): _*)
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: the same planted corpus, every category replaced in
+    // the fixed PiiPatterns order (earlier categories claim spans first
+    // — an email's digits can never re-match as a phone). String-exact
+    // across engines; redaction of the corpus is a pure map job.
+    QueryDef("text_pii_redact",
+      s"""WITH p AS ($sqlPiiPlanted)
+         |SELECT doc_id,
+         |  ${TextAnalysis.PiiPatterns.foldLeft("full_text") {
+              case (acc, (_, pat, repl)) =>
+                s"regexp_replace($acc, '$pat', '$repl', 'g')"
+            }} AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      plantPii(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TextAnalysis.piiRedact(col("full_text")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // distribution drift between sources: pairwise total-variation
+    // distance of unigram distributions at a fixed integer scale —
+    // probabilities as (count·10^12) floor-div total (exact in both
+    // engines), TV = Σ|pa−pb| div 2. Transcendental-free (the reason TV
+    // is used over KL/JS here) and all sums int64-commutative. Shape:
+    // two token-keyed hash-aggs + an S²/2 pair fan-out of the per-source
+    // distribution (S = #sources, small; the token dimension, which is
+    // the one that grows with corpus size, stays keyed and partial-agg'd).
+    QueryDef("text_source_tv_drift",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM cnt GROUP BY 1),
+        |p AS (
+        |  SELECT c.source, c.t, (c.c * 1000000000000) // tot.n AS ps
+        |  FROM cnt c JOIN tot ON tot.source = c.source),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |sp AS (
+        |  SELECT a.source AS source_a, b.source AS source_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |pairsum AS (
+        |  SELECT sp.source_a, sp.source_b, p.t,
+        |    CAST(SUM(CASE WHEN p.source = sp.source_a
+        |                  THEN p.ps ELSE 0 END) AS BIGINT) AS pa,
+        |    CAST(SUM(CASE WHEN p.source = sp.source_b
+        |                  THEN p.ps ELSE 0 END) AS BIGINT) AS pb
+        |  FROM sp JOIN p ON p.source IN (sp.source_a, sp.source_b)
+        |  GROUP BY 1, 2, 3)
+        |SELECT source_a, source_b,
+        |  CAST(SUM(ABS(pa - pb)) AS BIGINT) // 2 AS tv_scaled
+        |FROM pairsum GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cnt = docs
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+      val p = cnt.join(tot, Seq("source"))
+        .select(col("source").as("psrc"), col("t"),
+          expr("(c * cast(1000000000000 as bigint)) div n").as("ps"))
+      val srcs = docs.select("source").distinct()
+      val sp = srcs.select(col("source").as("source_a"))
+        .crossJoin(srcs.select(col("source").as("source_b")))
+        .filter(col("source_a") < col("source_b"))
+      broadcast(sp)
+        .join(p, col("psrc") === col("source_a") ||
+          col("psrc") === col("source_b"))
+        .groupBy("source_a", "source_b", "t")
+        .agg(
+          sum(when(col("psrc") === col("source_a"), col("ps"))
+            .otherwise(lit(0L))).as("pa"),
+          sum(when(col("psrc") === col("source_b"), col("ps"))
+            .otherwise(lit(0L))).as("pb"))
+        .groupBy("source_a", "source_b")
+        .agg(expr("sum(abs(pa - pb)) div 2").as("tv_scaled"))
+        .orderBy("source_a", "source_b")
+    },
   )
+
+  /** Deterministic PII planting: residue classes of doc_id get an email /
+    * ssn-style id / phone / dotted-quad appended — mirrored
+    * token-for-token by [[sqlPiiPlanted]]. */
+  private def plantPii(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id")
+    docs.select(id, concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@corp.example"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" id 123-45-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" call +1 555-010-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" from 10.2."),
+        (id % 256).cast("string"), lit("."), (id % 100).cast("string")))
+        .otherwise(lit(""))).as("full_text"))
+  }
+
+  /** DuckDB twin of [[plantPii]]. (A `def`, not a `val`: it is
+    * referenced from the `defs` initializer above — a val here would be
+    * a forward reference that interpolates as null.) */
+  private def sqlPiiPlanted: String =
+    """SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+      |    CAST(doc_id AS VARCHAR) || '@corp.example' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' id 123-45-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-010-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN ' from 10.2.' ||
+      |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |    CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS full_text
+      |FROM documents""".stripMargin
 }

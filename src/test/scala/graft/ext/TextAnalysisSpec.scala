@@ -246,4 +246,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.sum == 500)
     assert(out.keySet.subsetOf(Set("en", "other")))
   }
+
+  test("piiCounts sees every category; piiRedact claims spans in order " +
+    "and is idempotent") {
+    val df = Seq((1L,
+      "mail a.b-c@x.io call +1 555-010-1234 id 123-45-6789 " +
+        "host 192.168.0.1 plain 42")).toDF("id", "text")
+    val counts = df.select(TextAnalysis.piiCounts(col("text")): _*)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(counts == ((1L, 1L, 1L, 1L, 4L)), counts.toString)
+    val red = df.select(TextAnalysis.piiRedact(col("text")).as("r"))
+      .as[String].collect().head
+    // '+' stays: the portable pattern matches from the country digit (a
+    // \b cannot sit between two non-word chars, space and '+')
+    assert(red ==
+      "mail <EMAIL> call +<PHONE> id <ID> host <IP> plain 42", red)
+    val twice = df.select(
+      TextAnalysis.piiRedact(TextAnalysis.piiRedact(col("text"))).as("r"))
+      .as[String].collect().head
+    assert(twice == red, "redaction must be idempotent")
+  }
+
+  test("piiRedact: an email's digits are never re-matched by later " +
+    "categories (order-claim semantics)") {
+    val df = Seq((1L, "reach 123-45-6789@mail.example or 1 234-567-8901"))
+      .toDF("id", "text")
+    val red = df.select(TextAnalysis.piiRedact(col("text")).as("r"))
+      .as[String].collect().head
+    // the ssn-shaped local part is claimed by <EMAIL> first; the second
+    // number really is a phone
+    assert(red == "reach <EMAIL> or <PHONE>", red)
+  }
 }
