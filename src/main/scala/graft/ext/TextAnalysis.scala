@@ -468,4 +468,24 @@ object TextAnalysis {
     PiiPatterns.foldLeft(text) { case (acc, (_, pat, repl)) =>
       regexp_replace(acc, pat, repl)
     }
+
+  /** Hashed-linear text scoring — the fasttext-style quality-classifier
+    * APPLY step: every token occurrence hashes into one of `dim` weight
+    * buckets and the document score is the integer weight sum. The
+    * weight table here is a deterministic Knuth-hash formula (so a SQL
+    * oracle replays it); a real deployment broadcast-joins a trained
+    * (bucket, weight) table into exactly this plan. Shape: explode →
+    * map-side partial sum → one doc-keyed hash-agg; no model state on
+    * the executors beyond the broadcast. Returns (id, score_fp,
+    * accept). */
+  def scoreHashedLinear(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val bucket = tokenHash31(col("tok")) % dim
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        ((bucket * lit(2654435761L)) % 2001L - 1000L).as("w"))
+      .groupBy("id")
+      .agg(sum("w").as("score_fp"))
+      .withColumn("accept", col("score_fp") >= 0L)
+  }
 }

@@ -891,6 +891,97 @@ object AnalyticsQueries {
         .orderBy("user_id", "valid_from_us", "event_type")
     },
 
+    // remaining ranking-window surface in one sweep: ntile, percent_rank
+    // (exact small-int division), cume_dist, first_value, nth_value —
+    // all over the same customer-keyed total order (ties broken by key)
+    QueryDef("q43_window_suite",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    },
+
+    // multiset set-ops (the ALL variants q24's INTERSECT left out):
+    // bag difference and bag intersection of two customer-key streams,
+    // tagged and re-sorted — per-key multiplicities must match exactly
+    QueryDef("q44_multiset_ops",
+      """SELECT 'except' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice < 100000
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+        |UNION ALL
+        |SELECT 'intersect' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice < 100000
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+        |ORDER BY op, o_custkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val a = orders.filter(col("o_totalprice") < 100000)
+        .select("o_custkey")
+      val b = orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_custkey")
+      a.exceptAll(b).withColumn("op", lit("except"))
+        .unionByName(a.intersectAll(b).withColumn("op", lit("intersect")))
+        .select("op", "o_custkey")
+        .orderBy("op", "o_custkey")
+    },
+
+    // MERGE INTO semantics as a full-outer join (the lakehouse upsert,
+    // engine-neutral): matched target rows take the source's update,
+    // unmatched source rows insert, the rest keep — one key-partitioned
+    // join, action tagged for audit
+    QueryDef("q45_merge_upsert",
+      """WITH target AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 0),
+        |source AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS new_price FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |SELECT
+        |  COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+        |       ELSE t.o_totalprice END AS o_totalprice,
+        |  CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+        |       WHEN s.o_orderkey IS NOT NULL THEN 'update'
+        |       ELSE 'keep' END AS action
+        |FROM target t FULL OUTER JOIN source s
+        |  ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val target = orders.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("t_key"),
+          col("o_totalprice"))
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("s_key"),
+          (col("o_totalprice") * 2).as("new_price"))
+      target.join(source, col("t_key") === col("s_key"), "full_outer")
+        .select(
+          coalesce(col("t_key"), col("s_key")).as("o_orderkey"),
+          when(col("s_key").isNotNull, col("new_price"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("t_key").isNull, lit("insert"))
+            .when(col("s_key").isNotNull, lit("update"))
+            .otherwise(lit("keep")).as("action"))
+        .orderBy("o_orderkey")
+    },
+
     // event-transition matrix: per-user LAG over the time-ordered
     // stream (ties broken by event_id — total order, deterministic),
     // then a bigram count. The window is keyed on user_id, so

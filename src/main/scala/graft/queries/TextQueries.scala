@@ -761,6 +761,29 @@ object TextQueries {
         .agg(expr("sum(abs(pa - pb)) div 2").as("tv_scaled"))
         .orderBy("source_a", "source_b")
     },
+
+    // quality-classifier APPLY: hashed-linear (fasttext-shaped) scoring
+    // — each token occurrence hashes to one of 4096 weight buckets, the
+    // doc score is the integer weight sum (weights from a deterministic
+    // Knuth-hash formula so the oracle replays the model exactly; a
+    // trained model swaps in as a broadcast (bucket, weight) table on
+    // the same plan). explode → map-side partial sum → one doc-keyed agg.
+    QueryDef("text_quality_classifier",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    ((${sqlH31("tok")} % 4096) * 2654435761) % 2001 - 1000 AS w
+         |  FROM tok)
+         |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_fp,
+         |  CAST(SUM(w) AS BIGINT) >= 0 AS accept
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.scoreHashedLinear(Tables.documents(s, d),
+          "doc_id", "text", dim = 4096)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
   )
 
   /** Deterministic PII planting: residue classes of doc_id get an email /
