@@ -569,18 +569,33 @@ object Dedup {
     * containment). */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.95): DataFrame =
+    containmentPairsAcross(df, df, idCol, textCol, n, threshold)
+
+  /** Two-sided [[containmentPairs]]: excerpts drawn from `contained`,
+    * containers drawn from `containers` (the corpus). Splitting the
+    * sides is both the honest-domain shape (quote/contamination audits
+    * ask "is THIS set quoted in the corpus", not all-vs-all) and the
+    * scale lever: the exploded left side is |contained|·tokens, so a
+    * bounded probe set turns the quadratic self-join into a linear scan
+    * of the corpus index. Self-pairs are excluded by id. */
+  def containmentPairsAcross(
+      contained: DataFrame, containers: DataFrame,
+      idCol: String, textCol: String,
       n: Int = 1, threshold: Double = 0.95): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentPairs: threshold in (0, 1] ($threshold)")
-    val index = df.select(col(idCol).as("id"),
+    def index(df: DataFrame) = df.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
     val tNum = math.floor(threshold * 10000).toLong
-    index.select(col("id").as("contained_id"), col("n_sh").as("na"),
+    index(contained)
+      .select(col("id").as("contained_id"), col("n_sh").as("na"),
         col("shingle"))
-      .join(index.select(col("id").as("container_id"),
-          col("n_sh").as("nb"), col("shingle").as("__shb")),
+      .join(index(containers)
+          .select(col("id").as("container_id"),
+            col("n_sh").as("nb"), col("shingle").as("__shb")),
         col("shingle") === col("__shb") &&
           col("contained_id") =!= col("container_id") &&
           col("na") * tNum <= col("nb") * 10000L)

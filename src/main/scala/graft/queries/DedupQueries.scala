@@ -304,17 +304,25 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // asymmetric containment join: excerpt/quote detection — pairs
+    // asymmetric containment join: quote/excerpt detection — pairs
     // where >= 95% of the contained doc's distinct tokens occur in the
     // container. Jaccard's size-compat pruning structurally discards
     // exactly these size-mismatched pairs; the one-sided size filter
     // here (container >= 0.95x contained) is the correct analog.
+    // HONEST DOMAIN (the dedup_jaccard_prefix precedent): the probe
+    // side is the src0 benchmark corpus vs everything else — the
+    // contamination-audit shape — because on the fixture's ~31-token
+    // universal vocabulary an all-vs-all containment join degenerates
+    // to the quadratic candidate set (every token is corpus-hot; same
+    // measured caveat as the PPJoin prefix query, SCALE.md §8c).
     QueryDef("dedup_containment_pairs",
       """WITH d AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  SELECT doc_id, source,
+        |    list_distinct(string_split(text, ' ')) AS toks
         |  FROM documents WHERE lang = 'en'),
         |i AS (
-        |  SELECT doc_id, len(toks)::BIGINT AS n_sh, unnest(toks) AS shingle
+        |  SELECT doc_id, source, len(toks)::BIGINT AS n_sh,
+        |    unnest(toks) AS shingle
         |  FROM d),
         |p AS (
         |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
@@ -322,13 +330,16 @@ object DedupQueries {
         |  FROM i a JOIN i b ON a.shingle = b.shingle
         |    AND a.doc_id <> b.doc_id
         |    AND a.n_sh * 9500 <= b.n_sh * 10000
+        |  WHERE a.source = 'src0' AND b.source <> 'src0'
         |  GROUP BY 1, 2, 3)
         |SELECT contained_id, container_id, inter, na,
         |       CAST(inter AS DOUBLE) / na AS containment
         |FROM p WHERE CAST(inter AS DOUBLE) / na >= 0.95
         |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
-      Dedup.containmentPairs(
-          Tables.documents(s, d).filter(col("lang") === "en"),
+      val en = Tables.documents(s, d).filter(col("lang") === "en")
+      Dedup.containmentPairsAcross(
+          en.filter(col("source") === "src0"),
+          en.filter(col("source") =!= "src0"),
           "doc_id", "text", n = 1, threshold = 0.95)
         .orderBy("contained_id", "container_id")
     },

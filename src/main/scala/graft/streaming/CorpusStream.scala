@@ -64,4 +64,16 @@ object CorpusStream {
     graft.ext.Multimodal.Decoder.decode(docs, idCol, binCol)
       .select(col("doc_id"), col("phash_bands"))
       .dropDuplicates("phash_bands")
+
+  /** Streaming PII scrub: [[graft.ext.TextAnalysis.piiRedact]] plus the
+    * per-category counts, applied to a document stream. Entirely
+    * stateless (a pure projection — no state store, no watermark, no
+    * shuffle), so the same column expressions run identically in batch
+    * and streaming; the count columns let a downstream sink alert on
+    * PII-rate drift per micro-batch without a second scan. */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+      (docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq :+
+        graft.ext.TextAnalysis.piiRedact(col(textCol)).as(textCol)) ++
+        graft.ext.TextAnalysis.piiCounts(col(textCol)): _*)
 }

@@ -207,6 +207,27 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("containmentPairsAcross == self-join pairs restricted to the sides") {
+    val df = Seq(
+      (1L, "x y z"),
+      (2L, "x y z a b c d e f g"),
+      (3L, "x y z q r s t u v w"),
+      (4L, "x y")
+    ).toDF("doc_id", "text")
+    val probes = df.filter(col("doc_id") <= 2)
+    val corpus = df.filter(col("doc_id") > 2)
+    val across = Dedup.containmentPairsAcross(probes, corpus,
+        "doc_id", "text", 1, 1.0)
+      .select("contained_id", "container_id").as[(Long, Long)]
+      .collect().toSet
+    val self = Dedup.containmentPairs(df, "doc_id", "text", 1, 1.0)
+      .select("contained_id", "container_id").as[(Long, Long)]
+      .collect().toSet
+      .filter(p => p._1 <= 2 && p._2 > 2)
+    assert(across == self, s"across=$across self=$self")
+    assert(across.contains((1L, 3L)), "x y z sits inside doc 3")
+  }
+
   test("DedupProfile.derive: measured background reproduces the " +
     "hand-tuned geometry") {
     val stats = Dedup.sampleJaccardStats(

@@ -36,6 +36,26 @@ class PlanChecksSpec extends SparkSpec {
     PlanChecks.assertExchangesAtMost(q("q1_pricing_agg"), 2)
   }
 
+  test("pagerank: every round joins on keys, never a cartesian") {
+    PlanChecks.assertNoCartesian(q("graph_pagerank"))
+  }
+
+  test("source TV-drift: pair fan-out rides a broadcast, no cartesian " +
+    "on the token dimension") {
+    val df = q("text_source_tv_drift")
+    PlanChecks.assertBroadcastJoin(df)
+  }
+
+  test("semantic dedup: cluster-bounded pairs are an equi-join") {
+    PlanChecks.assertNoCartesian(q("sim_semantic_dedup"))
+  }
+
+  test("merge-upsert q45: single key-partitioned full-outer join, " +
+    "bounded exchanges") {
+    val df = q("q45_merge_upsert")
+    PlanChecks.assertNoCartesian(df)
+  }
+
   test("violations raise with the offending plan attached") {
     val crossed = Tables.lineitem(spark, sfDir).limit(5).crossJoin(
       Tables.orders(spark, sfDir).limit(5).hint("shuffle_replicate_nl"))

@@ -89,4 +89,27 @@ class CorpusStreamSpec extends SparkSpec {
         s"the near-identical re-encode 2 must be dropped: $got")
     } finally q.stop()
   }
+
+  test("streaming PII scrub: stateless redaction + per-batch counts " +
+    "match the batch expressions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = CorpusStream.redactPii(docs, "text")
+      .writeStream.format("memory").queryName("pii_scrub")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "mail a@b.io from 10.0.0.1"),
+        (2L, "nothing sensitive here"))
+      q.processAllAvailable()
+      val got = spark.table("pii_scrub")
+        .select("doc_id", "text", "n_email", "n_ipv4", "pii_total")
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got(1L)._2 == "mail <EMAIL> from <IP>", got(1L).toString)
+      assert(got(1L)._3 == 1L && got(1L)._4 == 1L && got(1L)._5 == 2L)
+      assert(got(2L)._2 == "nothing sensitive here" && got(2L)._5 == 0L)
+    } finally q.stop()
+  }
 }
