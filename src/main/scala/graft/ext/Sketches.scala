@@ -131,4 +131,83 @@ object Sketches {
     def bufferEncoder: Encoder[Kmv] = Encoders.product[Kmv]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Deterministic mergeable quantile sketch: bottom-k PRIORITY
+    * sampling. Every row carries a stable identity (doc id); its
+    * md5-derived hash is a uniform priority, and the sketch keeps the k
+    * rows with the smallest (priority, value) — a uniform-without-
+    * replacement row sample that is
+    *
+    *  - **deterministic**: same ids => same sample, any partitioning,
+    *    any engine (the t-digest/KLL alternatives are merge-order-
+    *    sensitive, which is why they can't be oracle-checked);
+    *  - **mergeable**: bottom-k of a union is the merge of bottom-ks —
+    *    lossless partial aggregation, O(k) state per group;
+    *  - **exact below k**: n <= k keeps every row, so quantiles are the
+    *    exact nearest-rank quantiles.
+    *
+    * Quantile read-out is nearest-rank over the sampled VALUES
+    * (ceil(q·n)-1 in the value order), so estimates are always actual
+    * data points. Positioning mirrors [[KmvAggregator]] vs
+    * [[kmvDistinct]]: the DataFrame-native twin of this shape (hash-
+    * threshold sample + exact `percentile`) is already oracle-covered by
+    * `text_stratified_sample`/`q20_percentiles`; this is the O(k)-state
+    * typed form for `agg`/streaming state. */
+  final case class QuantileSample(k: Int, prios: Seq[Long],
+      vals: Seq[Double]) {
+    private def lastKey: (Long, Double) = (prios.last, vals.last)
+    def insert(priority: Long, v: Double): QuantileSample =
+      if (prios.size == k &&
+        (priority > lastKey._1 ||
+          (priority == lastKey._1 && v >= lastKey._2))) this
+      else {
+        var i = 0
+        while (i < prios.size && (prios(i) < priority ||
+          (prios(i) == priority && vals(i) < v))) i += 1
+        copy(
+          prios = ((prios.take(i) :+ priority) ++ prios.drop(i)).take(k),
+          vals = ((vals.take(i) :+ v) ++ vals.drop(i)).take(k))
+      }
+    def merge(other: QuantileSample): QuantileSample = {
+      val outP = Vector.newBuilder[Long]
+      val outV = Vector.newBuilder[Double]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < prios.length || j < other.prios.length)) {
+        val takeLeft =
+          if (j >= other.prios.length) true
+          else if (i >= prios.length) false
+          else prios(i) < other.prios(j) ||
+            (prios(i) == other.prios(j) && vals(i) <= other.vals(j))
+        if (takeLeft) { outP += prios(i); outV += vals(i); i += 1 }
+        else { outP += other.prios(j); outV += other.vals(j); j += 1 }
+        n += 1
+      }
+      copy(prios = outP.result(), vals = outV.result())
+    }
+    /** Nearest-rank quantile of the sampled values; NaN when empty. */
+    def quantile(q: Double): Double =
+      if (vals.isEmpty) Double.NaN
+      else {
+        val sorted = vals.sorted
+        val r = math.ceil(q * sorted.size).toInt - 1
+        sorted(math.min(math.max(r, 0), sorted.size - 1))
+      }
+  }
+
+  /** Typed mergeable quantile-sketch aggregator over (rowHash, value)
+    * pairs — `rowHash` is a uniform priority from a stable row identity
+    * (e.g. [[TextAnalysis.tokenHash31]] of the doc id). */
+  final class QuantileSketchAggregator(k: Int = 256)
+      extends Aggregator[(Long, Double), QuantileSample, QuantileSample] {
+    def zero: QuantileSample = QuantileSample(k, Vector.empty, Vector.empty)
+    def reduce(b: QuantileSample, a: (Long, Double)): QuantileSample =
+      b.insert(a._1, a._2)
+    def merge(b1: QuantileSample, b2: QuantileSample): QuantileSample =
+      b1.merge(b2)
+    def finish(r: QuantileSample): QuantileSample = r
+    def bufferEncoder: Encoder[QuantileSample] =
+      Encoders.product[QuantileSample]
+    def outputEncoder: Encoder[QuantileSample] =
+      Encoders.product[QuantileSample]
+  }
 }

@@ -344,6 +344,52 @@ object DedupQueries {
         .orderBy("contained_id", "container_id")
     },
 
+    // exact triangle count per vertex on the near-dup graph (the local
+    // clustering-coefficient numerator — distinguishes dense dup
+    // cliques from chains that CC merges and label-prop splits).
+    // Degree-ordered orientation (Suri-Vassilvitskii): every triangle
+    // becomes exactly one closed wedge, wedge fan-out capped at O(√m)
+    // out-degree — the skew story for scale-free graphs. Oracle mirrors
+    // the same orientation algebraically.
+    QueryDef("graph_triangles",
+      s"""WITH $sqlJaccardEnCtes,
+        |e AS (SELECT id_a AS a, id_b AS b FROM jp),
+        |deg AS (
+        |  SELECT u, COUNT(*) AS dg FROM (
+        |    SELECT a AS u FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY u),
+        |dir AS (
+        |  SELECT
+        |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND e.a < e.b)
+        |         THEN e.a ELSE e.b END AS src,
+        |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND e.a < e.b)
+        |         THEN e.b ELSE e.a END AS dst
+        |  FROM e
+        |    JOIN deg da ON da.u = e.a
+        |    JOIN deg db ON db.u = e.b),
+        |dkey AS (
+        |  SELECT dir.src, dir.dst, d.dg AS dd
+        |  FROM dir JOIN deg d ON d.u = dir.dst),
+        |wedges AS (
+        |  SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+        |  FROM dkey w1 JOIN dkey w2 ON w1.src = w2.src
+        |  WHERE (w1.dd < w2.dd) OR (w1.dd = w2.dd AND w1.dst < w2.dst)),
+        |tri AS (
+        |  SELECT x, y, z FROM wedges
+        |  JOIN dir ON dir.src = wedges.y AND dir.dst = wedges.z)
+        |SELECT node AS doc_id, COUNT(*) AS n_triangles FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("lang") === "en")
+      val pairs = Dedup.jaccardPairsBitset(docs, "doc_id", "text",
+        n = 1, threshold = 0.9)
+      graft.ops.Triangles.perVertex(pairs, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // contrastive training triplets: every near-dup pair (anchor,
     // positive) from the exact Jaccard graph gets 3 deterministic
     // hash-drawn negatives — candidates are h31(a-b-j) mod N for

@@ -98,4 +98,48 @@ class SketchesSpec extends SparkSpec {
     val b = Seq(1L, 3L, 5L, 9L).foldLeft(agg.zero)(agg.reduce)
     assert(a == b)
   }
+
+  private def rowHash(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 2147483647L
+  }
+
+  test("quantile sketch: exact below k, nearest-rank semantics") {
+    val agg = new Sketches.QuantileSketchAggregator(64)
+    val rows = (1 to 50).map(i => (rowHash(s"id-$i"), i.toDouble))
+    val s = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(s.vals.size == 50, "below k keeps every row")
+    assert(s.quantile(0.5) == 25.0)   // ceil(0.5*50)-1 = idx 24
+    assert(s.quantile(0.0) == 1.0 && s.quantile(1.0) == 50.0)
+  }
+
+  test("quantile sketch: merge law — any split reduces to the whole") {
+    val agg = new Sketches.QuantileSketchAggregator(16)
+    val rows = (1 to 200).map(i => (rowHash(s"doc-$i"), (i * 7 % 101).toDouble))
+    val whole = rows.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = rows.splitAt(67)
+    val split = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(whole == split, "bottom-k of union == merge of bottom-ks")
+    val rev = rows.reverse.foldLeft(agg.zero)(agg.reduce)
+    assert(whole == rev, "arrival order must not matter")
+  }
+
+  test("quantile sketch tracks the exact median on the fixture corpus") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val pairs = docs.select(
+      graft.ext.TextAnalysis.tokenHash31(col("doc_id").cast("string")),
+      col("n_chars").cast("double")).as[(Long, Double)]
+    val agg = new Sketches.QuantileSketchAggregator(256)
+    val sketch = pairs.select(
+      agg.toColumn.name("s")).as[Sketches.QuantileSample].collect().head
+    val exact = docs.selectExpr("percentile(n_chars, 0.5)")
+      .as[Double].collect().head
+    val est = sketch.quantile(0.5)
+    assert(math.abs(est - exact) / exact < 0.15,
+      s"median est $est vs exact $exact")
+  }
 }
