@@ -982,6 +982,108 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     },
 
+    // data-quality gate: six rules over orders in THREE jobs total —
+    // all row rules share ONE scan (a single aggregate with one
+    // violation counter per rule), uniqueness is one keyed hash-agg,
+    // referential integrity one anti-join each (the decimated-dim rule
+    // plants real orphans so the nonzero path is exercised)
+    QueryDef("dq_constraint_report",
+      """SELECT rule, n_violations, n_rows FROM (
+        |  SELECT 'totalprice_positive' AS rule,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |    COUNT(*) AS n_rows FROM orders
+        |  UNION ALL
+        |  SELECT 'totalprice_under_300k',
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice < 300000, FALSE)
+        |             THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'custkey_not_null',
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'orderkey_unique',
+        |    (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM (
+        |       SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)),
+        |    (SELECT COUNT(*) FROM orders)
+        |  UNION ALL
+        |  SELECT 'custkey_in_customer',
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+        |       SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT COUNT(*) FROM orders)
+        |  UNION ALL
+        |  SELECT 'custkey_in_decimated_dim',
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+        |       SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        |         AND c.c_custkey % 10 <> 0)),
+        |    (SELECT COUNT(*) FROM orders))
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.ops.DataQuality
+      import graft.ops.DataQuality.RowRule
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      DataQuality.checkRows(orders, Seq(
+          RowRule("totalprice_positive", col("o_totalprice") > 0),
+          RowRule("totalprice_under_300k", col("o_totalprice") < 300000),
+          RowRule("custkey_not_null", col("o_custkey").isNotNull)))
+        .unionByName(DataQuality.uniqueKey(orders, "orderkey_unique",
+          Seq("o_orderkey")))
+        .unionByName(DataQuality.referential(orders, "o_custkey",
+          customer, "c_custkey", "custkey_in_customer"))
+        .unionByName(DataQuality.referential(orders, "o_custkey",
+          customer.filter(col("c_custkey") % 10 =!= 0), "c_custkey",
+          "custkey_in_decimated_dim"))
+        .orderBy("rule")
+    },
+
+    // Merkle-shard table reconciliation: two versions of orders (the
+    // "migrated" side has planted value edits and dropped rows) fold to
+    // per-bucket (count, order-independent mod-P hash sum); ONLY the
+    // disagreeing buckets surface — neither table crosses the network
+    // beyond its 1024-row summary. Row identity hashes integer cents
+    // (doubles never stringified — engines disagree on rendering).
+    QueryDef("dq_table_diff", {
+      val rowH =
+        """(('0x' || substring(md5(
+          |    CAST(o_orderkey AS VARCHAR) || '|' ||
+          |    CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+          |         AS VARCHAR)), 1, 15))::BIGINT % 2147483647)""".stripMargin
+      s"""WITH b_side AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 499 <> 0),
+         |fa AS (
+         |  SELECT o_orderkey % 1024 AS bucket, COUNT(*) AS n_a,
+         |    CAST(SUM($rowH) AS BIGINT) % 1000000007 AS h_a
+         |  FROM orders GROUP BY 1),
+         |fb AS (
+         |  SELECT o_orderkey % 1024 AS bucket, COUNT(*) AS n_b,
+         |    CAST(SUM($rowH) AS BIGINT) % 1000000007 AS h_b
+         |  FROM b_side GROUP BY 1)
+         |SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+         |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |  COALESCE(h_a, -1) AS h_a, COALESCE(h_b, -1) AS h_b
+         |FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+         |WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+         |   OR COALESCE(h_a, -1) <> COALESCE(h_b, -1)
+         |ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val bSide = orders.filter(col("o_orderkey") % 499 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 997 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val rowH = graft.ext.TextAnalysis.tokenHash31(concat(
+        col("o_orderkey").cast("string"), lit("|"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string")))
+      graft.ops.DataQuality.tableDiff(orders.select("o_orderkey",
+          "o_totalprice"), bSide, "o_orderkey", rowH, buckets = 1024)
+        .orderBy("bucket")
+    },
+
     // event-transition matrix: per-user LAG over the time-ordered
     // stream (ties broken by event_id — total order, deterministic),
     // then a bigram count. The window is keyed on user_id, so

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkRows: one scan, nulls violate unless exempted") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (-2L, "b"),
+      (null, "c")).toDF("v", "tag")
+    val rows = DataQuality.checkRows(df, Seq(
+        DataQuality.RowRule("v_positive", col("v") > 0),
+        DataQuality.RowRule("v_positive_or_null",
+          col("v").isNull || col("v") > 0)))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows("v_positive") == ((2L, 3L)), "null counts as violation")
+    assert(rows("v_positive_or_null") == ((1L, 3L)), "explicit exemption")
+  }
+
+  test("uniqueKey counts every row beyond the first per key") {
+    val df = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("k")
+    val got = DataQuality.uniqueKey(df, "k_unique", Seq("k"))
+      .as[(String, Long, Long)].collect().head
+    assert(got == (("k_unique", 3L, 6L)), got.toString)
+  }
+
+  test("referential counts orphan child rows (with multiplicity)") {
+    val child = Seq(1L, 1L, 2L, 9L, 9L, 9L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = DataQuality.referential(child, "fk", parent, "pk", "fk_ok")
+      .as[(String, Long, Long)].collect().head
+    assert(got == (("fk_ok", 3L, 6L)), got.toString)
+  }
+
+  test("tableDiff: identical tables produce no rows; a value edit and " +
+    "a dropped row each surface exactly their bucket") {
+    val a = (1L to 100L).map(k => (k, k * 10)).toDF("k", "v")
+    val h = graft.ext.TextAnalysis.tokenHash31(
+      concat(col("k").cast("string"), lit("|"), col("v").cast("string")))
+    assert(DataQuality.tableDiff(a, a, "k", h, buckets = 16).count() == 0)
+    // edit k=5 (bucket 5), drop k=20 (bucket 4)
+    val b = (1L to 100L).filter(_ != 20L)
+      .map(k => (k, if (k == 5L) 999L else k * 10)).toDF("k", "v")
+    val diff = DataQuality.tableDiff(a, b, "k", h, buckets = 16)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(diff.keySet == Set(4L, 5L), diff.toString)
+    assert(diff(4L)._2 == diff(4L)._3 + 1, "dropped row: count mismatch")
+    assert(diff(5L)._2 == diff(5L)._3 && diff(5L)._4 != diff(5L)._5,
+      "edited row: counts equal, hashes differ")
+  }
+}
