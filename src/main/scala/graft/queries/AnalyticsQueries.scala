@@ -1084,6 +1084,115 @@ object AnalyticsQueries {
         .orderBy("bucket")
     },
 
+    // correlation + regression slope from EXACT integer moments —
+    // never the built-in corr()/regr_slope() (their streaming update
+    // order is engine- and partition-dependent on doubles): quantities
+    // and whole-dollar prices are integers, the five moment sums stay
+    // under 2^53 so int64 -> double casts are exact, and the closed
+    // forms are then a fixed dag of IEEE ops — bit-identical anywhere.
+    QueryDef("q46_corr_regression",
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |      AS sy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) *
+        |             CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |      AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) *
+        |             CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT) *
+        |             CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |      AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |    AS corr_xy,
+        |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |    AS slope_y_on_x
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val qx = col("l_quantity").cast("long")
+      val py = floor(col("l_extendedprice")).cast("long")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(qx).as("sx"), sum(py).as("sy"),
+          sum(qx * py).as("sxy"), sum(qx * qx).as("sxx"),
+          sum(py * py).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            sqrt((col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx")) *
+              (col("n").cast("double") * col("syy") -
+                col("sy").cast("double") * col("sy"))))
+            .as("corr_xy"),
+          ((col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx")))
+            .as("slope_y_on_x"))
+        .orderBy("l_returnflag")
+    },
+
+    // edit-distance fuzzy join (record linkage): part-name pairs within
+    // levenshtein 3 over a bounded block — unit-cost Wagner-Fischer is
+    // identical in both engines, so the pair set is exact. The block
+    // bound is the honest-domain cap: edit-distance joins at scale go
+    // through a length/q-gram blocking key first (the sorted-
+    // neighborhood machinery here), never all-pairs.
+    QueryDef("q47_fuzzy_join",
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 400 AND b.p_partkey < 400
+        |  AND levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).filter(col("p_partkey") < 400)
+        .select("p_partkey", "p_name")
+      val a = p.select(col("p_partkey").as("key_a"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("key_b"),
+        col("p_name").as("name_b"))
+      a.crossJoin(b).filter(col("key_a") < col("key_b"))
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("key_a", "key_b")
+    },
+
+    // null-semantics surface: NULLIF-derived nullable keys, null-safe
+    // equality join (<=> ≡ IS NOT DISTINCT FROM — the null group MATCHES
+    // itself, unlike plain =), null key as its own GROUP BY bucket,
+    // COUNT(*) vs COUNT(col) divergence, NULLS FIRST ordering
+    QueryDef("q48_null_semantics",
+      """WITH a AS (
+        |  SELECT NULLIF(o_custkey % 7, 0) AS k, o_orderkey FROM orders
+        |  WHERE o_orderkey < 3000 AND o_orderkey % 2 = 0),
+        |b AS (
+        |  SELECT NULLIF(o_custkey % 7, 0) AS k, o_orderkey FROM orders
+        |  WHERE o_orderkey < 3000 AND o_orderkey % 2 = 1)
+        |SELECT a.k, COUNT(*) AS n_pairs, COUNT(a.k) AS n_nonnull_k
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY a.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d).filter(col("o_orderkey") < 3000)
+      def side(par: Int) = orders.filter(col("o_orderkey") % 2 === par)
+        .select(nullif(col("o_custkey") % 7, lit(0)).as("k"),
+          col("o_orderkey"))
+      side(0).as("a")
+        .join(side(1).as("b"), col("a.k") <=> col("b.k"))
+        .groupBy(col("a.k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"), count(col("a.k")).as("n_nonnull_k"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
     // event-transition matrix: per-user LAG over the time-ordered
     // stream (ties broken by event_id — total order, deterministic),
     // then a bigram count. The window is keyed on user_id, so
