@@ -784,6 +784,79 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+
+    // curation flagship #2 (pipeline_export's round-4 sibling, built
+    // from THIS round's operators): PII-redact the planted corpus →
+    // quality-classifier gate on the REDACTED text (the model must see
+    // what training sees; the cutoff is the corpus MEDIAN score — a
+    // self-calibrating keep-top-half policy, exact `percentile` ≡
+    // `quantile_cont` per the q20 proof) → exact-dedup keep-first →
+    // pack survivors into 4096-token training bins. Corpus in, curated
+    // packed corpus out, one query.
+    QueryDef("pipeline_curate",
+      s"""WITH p AS ($sqlPiiPlanted),
+         |r AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.PiiPatterns.foldLeft("full_text") {
+              case (acc, (_, pat, repl)) =>
+                s"regexp_replace($acc, '$pat', '$repl', 'g')"
+            }} AS clean
+         |  FROM p),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(clean, ' ')) AS tok FROM r),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(((${sqlH31("tok")} % 4096) * 2654435761) % 2001
+         |             - 1000) AS BIGINT) AS score_fp
+         |  FROM tok GROUP BY doc_id),
+         |kept AS (
+         |  SELECT r.doc_id, r.clean, sc.score_fp
+         |  FROM r JOIN sc USING (doc_id)
+         |  WHERE sc.score_fp >= (SELECT quantile_cont(score_fp, 0.5)
+         |                        FROM sc)),
+         |surv AS (
+         |  SELECT doc_id, clean, score_fp FROM (
+         |    SELECT doc_id, clean, score_fp, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+         |    FROM kept)
+         |  WHERE rn = 1),
+         |t AS (
+         |  SELECT doc_id, score_fp,
+         |    len(string_split(clean, ' '))::BIGINT AS n_tokens
+         |  FROM surv),
+         |rr AS (
+         |  SELECT doc_id, score_fp, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, score_fp, start_offset,
+         |  CAST(FLOOR(CAST(start_offset AS DOUBLE) / 4096) AS BIGINT)
+         |    AS bin
+         |FROM rr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.ext.Dedup
+      val red = plantPii(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TextAnalysis.piiRedact(col("full_text")).as("clean"))
+      val scoredAll = TextAnalysis.scoreHashedLinear(red, "doc_id",
+          "clean", dim = 4096)
+        .select(col("id").as("doc_id"), col("score_fp"))
+      val med = scoredAll.agg(expr("percentile(score_fp, 0.5)").as("med"))
+      val kept = red.join(scoredAll, Seq("doc_id"))
+        .crossJoin(broadcast(med))
+        .filter(col("score_fp") >= col("med")).drop("med")
+      val survivors = kept.join(
+        Dedup.keepFirstExact(kept, "doc_id", "clean").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      graft.ops.PrefixSum.packIntoBins(
+          survivors.select(col("doc_id"), col("score_fp"),
+            TextAnalysis.nTokens(col("clean")).as("n_tokens")),
+          weight = col("n_tokens"), budget = 4096L,
+          orderBy = Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_tokens"), col("score_fp"),
+          col("start_offset"), col("bin").cast("bigint").as("bin"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Deterministic PII planting: residue classes of doc_id get an email /
