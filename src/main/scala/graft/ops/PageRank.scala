@@ -66,4 +66,48 @@ object PageRank {
     }
     pr
   }
+
+  /** [[ranks]] with dangling-mass redistribution: each round, the rank
+    * held by sink nodes is pooled and every node receives an equal
+    * floor-share — the variant that (up to floor truncation, < 1 unit
+    * per node per round at the 10^12 scale) conserves total mass, so
+    * ranks are comparable across disconnected components. Costs exactly
+    * the one extra scalar aggregate per round the base scaladoc
+    * promised: the dangling pool is an anti-join + sum broadcast back
+    * as a one-row literal (never a driver collect of node state). */
+  def ranksConserving(edges: DataFrame, iters: Int = 3, dampPct: Int = 85,
+      srcCol: String = "src", dstCol: String = "dst",
+      wCol: String = "w", scale: Long = Scale): DataFrame = {
+    require(iters >= 1, s"pageRank: iters >= 1 ($iters)")
+    require(dampPct >= 0 && dampPct <= 100,
+      s"pageRank: dampPct in [0,100] ($dampPct)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val out = e.groupBy("src").agg(sum("w").as("outw"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val sinks = nodes.join(out.withColumnRenamed("src", "node"),
+      Seq("node"), "left_anti")
+    val base = lit(scale * (100 - dampPct) / 100)
+    var pr = nodes.withColumn("pr", lit(scale))
+    for (_ <- 1 to iters) {
+      val dangling = pr.join(sinks, Seq("node"), "left_semi")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dm"))
+      val nn = nodes.agg(count(lit(1)).as("nn"))
+      val contribs = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(out, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(pr * w) div outw").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("cs"))
+      pr = nodes.join(contribs, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nn))
+        .select(col("node"),
+          (base + expr(
+            s"($dampPct * (coalesce(cs, 0L) + dm div nn)) div 100"))
+            .as("pr"))
+    }
+    pr
+  }
 }

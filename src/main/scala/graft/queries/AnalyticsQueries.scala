@@ -853,6 +853,54 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // mass-conserving PageRank on a graph with REAL sinks (the
+    // source→lang bipartite attribution graph: lang nodes have no
+    // out-edges): each round pools the sink-held rank and hands every
+    // node an equal floor-share — one extra scalar aggregate per round
+    // vs graph_pagerank, total mass conserved up to floor truncation
+    QueryDef("graph_pagerank_conserving", {
+      val S = graft.ops.PageRank.Scale
+      val base = S * 15 / 100
+      def round(t: Int): String =
+        s"""d$t AS (
+           |  SELECT CAST(COALESCE(SUM(r.pr), 0) AS BIGINT) AS dm
+           |  FROM r${t - 1} r WHERE NOT EXISTS (
+           |    SELECT 1 FROM outw o WHERE o.src = r.node)),
+           |m$t AS (
+           |  SELECT e.dst AS node,
+           |    CAST(SUM((r.pr * e.w) // o.outw) AS BIGINT) AS cs
+           |  FROM e
+           |    JOIN r${t - 1} r ON r.node = e.src
+           |    JOIN outw o ON o.src = e.src
+           |  GROUP BY e.dst),
+           |r$t AS (
+           |  SELECT n.node, $base + (85 * (COALESCE(m.cs, 0)
+           |      + (SELECT dm FROM d$t) // (SELECT nn FROM nc))) // 100
+           |    AS pr
+           |  FROM nodes n LEFT JOIN m$t m ON m.node = n.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT source AS src, lang AS dst, COUNT(*) AS w
+         |  FROM documents GROUP BY 1, 2),
+         |outw AS (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+         |  FROM e GROUP BY src),
+         |nodes AS (
+         |  SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
+         |nc AS (SELECT COUNT(*) AS nn FROM nodes),
+         |r0 AS (SELECT node, $S AS pr FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val edges = Tables.documents(s, d)
+        .groupBy(col("source").as("src"), col("lang").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.PageRank.ranksConserving(edges, iters = 3, dampPct = 85)
+        .orderBy("node")
+    },
+
     // slowly-changing-dimension type 2 build: collapse each user's
     // event-type runs into validity intervals (valid_from, valid_to,
     // is_current) — change detection by LAG, interval close by LEAD,

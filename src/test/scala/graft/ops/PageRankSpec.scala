@@ -36,6 +36,28 @@ class PageRankSpec extends SparkSpec {
     assert(r1("c") == base + 85L * (S / 4) / 100, r1.toString)
   }
 
+  test("conserving variant == plain variant when the graph has no sinks") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 2L),
+      ("c", "a", 1L)).toDF("src", "dst", "w")
+    val plain = PageRank.ranks(edges, iters = 3)
+      .as[(String, Long)].collect().toMap
+    val cons = PageRank.ranksConserving(edges, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(plain == cons, "no sinks -> zero dangling pool -> identical")
+  }
+
+  test("conserving chain a->b: hand-computed round 1, mass conserved") {
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val r1 = PageRank.ranksConserving(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    // sink b holds S; share = S div 2 to everyone
+    assert(r1("a") == base + 85L * (S / 2) / 100, r1.toString)
+    assert(r1("b") == base + 85L * (S + S / 2) / 100, r1.toString)
+    val total = r1.values.sum
+    assert(total <= 2 * S && total >= 2 * S - 4,
+      s"mass conserved up to floor truncation, got $total vs ${2 * S}")
+  }
+
   test("partition-independent and floor-bounded on a corpus bigram graph") {
     val docs = graft.Tables.documents(spark, sfDir).limit(200)
     val edges = docs
