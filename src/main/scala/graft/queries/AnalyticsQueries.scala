@@ -901,6 +901,31 @@ object AnalyticsQueries {
         .orderBy("node")
     },
 
+    // CDC compaction / keep-latest: collapse the event stream to the
+    // most recent row per (user, type) — the batch twin of the
+    // streaming foreachBatch upsert (CorpusStream.upsertBatches); one
+    // key-partitioned window over a total (ts, event_id) order
+    QueryDef("q49_cdc_compact",
+      """SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+          col("value"))
+        .orderBy("user_id", "event_type")
+    },
+
     // slowly-changing-dimension type 2 build: collapse each user's
     // event-type runs into validity intervals (valid_from, valid_to,
     // is_current) — change detection by LAG, interval close by LEAD,

