@@ -926,6 +926,61 @@ object AnalyticsQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // gaps-and-islands interval merge: each event claims [ts, ts+5min];
+    // overlapping claims per user coalesce into islands. New island ⇔
+    // start exceeds the running MAX(end) over all EARLIER intervals
+    // (frame ends at 1 PRECEDING — the current row must not see its own
+    // end), island id = running sum of the flags. User-keyed windows on
+    // a total (start, event_id) order — exact integer micros.
+    QueryDef("q50_interval_merge",
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300000000 AS e
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM iv),
+        |f AS (
+        |  SELECT user_id, event_id, s, e,
+        |    CASE WHEN prev_max IS NULL OR s > prev_max
+        |         THEN 1 ELSE 0 END AS new_island
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    CAST(SUM(new_island) OVER (
+        |      PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM f)
+        |SELECT user_id, island,
+        |  CAST(MIN(s) AS BIGINT) AS island_start_us,
+        |  CAST(MAX(e) AS BIGINT) AS island_end_us,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("s", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("s"),
+          (expr("unix_micros(ts)") + 300000000L).as("e"))
+        .withColumn("prev_max",
+          max("e").over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("new_island").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min("s").cast("bigint").as("island_start_us"),
+          max("e").cast("bigint").as("island_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "island")
+    },
+
     // slowly-changing-dimension type 2 build: collapse each user's
     // event-type runs into validity intervals (valid_from, valid_to,
     // is_current) — change detection by LAG, interval close by LEAD,
