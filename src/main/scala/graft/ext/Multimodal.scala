@@ -220,15 +220,21 @@ object Multimodal {
       var off = 12
       var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
       var dataBytes = -1L
-      while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+      var bad = false
+      while (!bad && off + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
         val cid = new String(payload, off, 4, "US-ASCII")
-        val sz = u32(off + 4)
+        val sz = u32(off + 4) // unsigned, so 0 <= sz <= 0xFFFFFFFF
         if (cid == "fmt " && off + 24 <= payload.length)
           fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
         else if (cid == "data")
           dataBytes = math.min(sz, (payload.length - off - 8).toLong)
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // advance in Long: a 32-bit size near 2^32 would wrap an Int
+        // offset (negative -> infinite loop) — untrusted corpus bytes
+        val next = off.toLong + 8L + sz + (sz & 1L) // chunks word-aligned
+        if (next <= off || next > Int.MaxValue.toLong) bad = true
+        else off = next.toInt
       }
+      if (bad && dataBytes < 0) return None
       fmt.collect { case (ch, rate, bits)
           if dataBytes >= 0 && ch > 0 && rate > 0 && bits >= 8 =>
         val blockAlign = ch * (bits / 8)

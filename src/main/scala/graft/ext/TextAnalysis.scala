@@ -439,7 +439,10 @@ object TextAnalysis {
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
-    ("phone", "\\b\\+?\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>"),
+    // the boundary sits AFTER the optional '+': '\b\+?' can never take
+    // the '+' branch (no word char on either side of ' +'), which left
+    // '+1 555-...' redacting to '+<PHONE>'
+    ("phone", "(?:\\+)?\\b\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>"),
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
 
   /** Per-category PII match counts — one codegen'd `regexp_count` per

@@ -67,14 +67,22 @@ object CorpusStream {
 
   /** Streaming MERGE INTO a parquet snapshot — the lakehouse
     * `foreachBatch` upsert: each micro-batch keeps its highest-version
-    * row per key (deterministic: (version, key) total order), then
-    * replaces matching snapshot keys and appends the rest — exactly
-    * `q45_merge_upsert`'s join shape, driven by a stream. The swap is
-    * write-to-side-dir + directory rename: atomic per the FS contract
-    * on HDFS/ABFS (a crash between delete and rename loses no data —
-    * the side dir is complete; production table formats replace the
-    * rename with a manifest-pointer flip, same plan underneath).
-    * Returns the started query. */
+    * row per key (deterministic total order: version desc, then a
+    * content hash of the remaining columns as tiebreaker — the
+    * partition key itself is constant within the frame so it cannot
+    * break ties), then replaces matching snapshot keys and appends the
+    * rest — exactly `q45_merge_upsert`'s join shape, driven by a
+    * stream. The swap is write-to-side-dir + rename-aside: the live
+    * dir is renamed to `__old`, the side dir renamed into place, then
+    * `__old` deleted — so a COMPLETE table exists on disk at every
+    * instant except the sub-second window between the two renames, and
+    * a crash anywhere is recoverable: on batch start, a missing live
+    * dir with a surviving `__old` is renamed back before merging
+    * (production table formats replace the renames with a
+    * manifest-pointer flip, same plan underneath). foreachBatch may
+    * replay a batch after recovery; the merge is idempotent (left-anti
+    * + union on the same keys), so a replay converges to the same
+    * snapshot. Returns the started query. */
   def upsertBatches(docs: DataFrame, snapshotDir: String, keyCol: String,
       verCol: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -82,15 +90,26 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // tiebreak version ties on a content hash of the non-key
+        // columns: row-content-determined, never partition-layout-
+        // determined (keyCol is the partition key — constant in the
+        // frame, useless as a tiebreaker)
+        val tieCols = batch.columns.filterNot(c => c == keyCol)
+          .map(col).toIndexedSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol)
-          .orderBy(col(verCol).desc, col(keyCol))
+          .orderBy(col(verCol).desc, xxhash64(tieCols: _*))
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         val conf = spark.sparkContext.hadoopConfiguration
         val snap = new org.apache.hadoop.fs.Path(snapshotDir)
+        val old = new org.apache.hadoop.fs.Path(snapshotDir + "__old")
         val fs = snap.getFileSystem(conf)
+        // recovery: a crash between the two renames below left the
+        // complete previous snapshot parked at __old — restore it so
+        // the merge base (and readers) never see a missing table
+        if (!fs.exists(snap) && fs.exists(old)) fs.rename(old, snap)
         val merged =
           if (fs.exists(snap))
             spark.read.parquet(snapshotDir)
@@ -100,8 +119,13 @@ object CorpusStream {
         val tmp = new org.apache.hadoop.fs.Path(
           snapshotDir + s"__tmp-$batchId")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(snap, true)
+        // swap: park the live dir aside, promote the side dir, then
+        // drop the parked copy — at no point is the ONLY complete
+        // snapshot deleted before its replacement is in place
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(snap)) fs.rename(snap, old)
         fs.rename(tmp, snap)
+        if (fs.exists(old)) fs.delete(old, true)
         ()
       }
       .start()

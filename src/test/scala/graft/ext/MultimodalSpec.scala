@@ -138,6 +138,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Decoder.decodeWav(df).collect().isEmpty)
   }
 
+  test("WAV parse survives hostile chunk sizes (no hang, no throw)") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val head = "RIFF".getBytes ++ le32(1000) ++ "WAVE".getBytes
+    // unsigned size 0xFFFFFFF8: as Int it's negative — the pre-fix
+    // `off += 8 + sz.toInt` never advanced (executor-hanging loop)
+    val wrapNeg = head ++ "junk".getBytes ++ le32(0xFFFFFFF8) ++
+      Array.fill[Byte](32)(0)
+    // large positive size: Int offset overflow made the next
+    // new String(payload, off, 4) throw instead of returning None
+    val wrapPos = head ++ "junk".getBytes ++ le32(0x7FFFFFF0) ++
+      Array.fill[Byte](32)(0)
+    // zero-size chunk whose id repeats forever would also never advance
+    // without the strict-increase guard... 8-byte step does advance, so
+    // it terminates by running off the end
+    val zeros = head ++ Array.fill[Byte](64)(0)
+    for (p <- Seq(wrapNeg, wrapPos, zeros))
+      assert(Multimodal.Decoder.parseWavMeta(1L, p).isEmpty)
+    // a truncated terminal data chunk (declared bigger than the payload)
+    // still parses — dataBytes clamps to what is actually present
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val data = Array.fill[Byte](64)(3)
+    val truncated = "RIFF".getBytes ++ le32(36 + 128) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000 * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(0xFFFFFFF8) ++ data
+    val m = Multimodal.Decoder.parseWavMeta(2L, truncated)
+    assert(m.exists(_.n_frames == 32), m.toString)
+  }
+
   test("corrupt image payload falls back to the stub, not an exception") {
     val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
     val df = Seq((9L, fake)).toDF("doc_id", "payload")

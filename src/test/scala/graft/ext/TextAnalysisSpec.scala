@@ -257,10 +257,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts == ((1L, 1L, 1L, 1L, 4L)), counts.toString)
     val red = df.select(TextAnalysis.piiRedact(col("text")).as("r"))
       .as[String].collect().head
-    // '+' stays: the portable pattern matches from the country digit (a
-    // \b cannot sit between two non-word chars, space and '+')
+    // the optional '+' sits BEFORE the boundary in the pattern, so the
+    // whole '+1 555-010-1234' is claimed, '+' included
     assert(red ==
-      "mail <EMAIL> call +<PHONE> id <ID> host <IP> plain 42", red)
+      "mail <EMAIL> call <PHONE> id <ID> host <IP> plain 42", red)
     val twice = df.select(
       TextAnalysis.piiRedact(TextAnalysis.piiRedact(col("text"))).as("r"))
       .as[String].collect().head

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 class CorpusStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -112,6 +113,62 @@ class CorpusStreamSpec extends SparkSpec {
         .as[(Long, Long, String)].collect().toSet
       assert(s2 == Set((1L, 1L, "a1"), (2L, 3L, "b3"), (3L, 1L, "c1")),
         s2.toString)
+    } finally q.stop()
+  }
+
+  test("streaming upsert: crash between the two swap renames is " +
+    "recovered from the parked __old copy") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsertRec").toString
+    val snapDir = s"$dir/snap"
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("k", "ver", "v")
+    val q = CorpusStream.upsertBatches(docs, snapDir, "k", "ver",
+      s"$dir/ckpt")
+    try {
+      mem.addData((1L, 1L, "a1"), (2L, 1L, "b1"))
+      q.processAllAvailable()
+      // simulate a crash exactly between `snap -> __old` and
+      // `tmp -> snap`: the live dir is gone, the complete previous
+      // snapshot is parked aside
+      val conf = spark.sparkContext.hadoopConfiguration
+      val snap = new org.apache.hadoop.fs.Path(snapDir)
+      val old = new org.apache.hadoop.fs.Path(snapDir + "__old")
+      val fs = snap.getFileSystem(conf)
+      assert(fs.rename(snap, old) && !fs.exists(snap))
+      // next batch must restore the parked copy as its merge base —
+      // key 1 from the 'lost' snapshot must survive
+      mem.addData((3L, 1L, "c1"))
+      q.processAllAvailable()
+      val s = spark.read.parquet(snapDir)
+        .as[(Long, Long, String)].collect().toSet
+      assert(s == Set((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1")),
+        s.toString)
+      assert(!fs.exists(old), "parked copy must be cleaned up")
+    } finally q.stop()
+  }
+
+  test("streaming upsert: version ties resolve by content hash, not " +
+    "partition layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsertTie").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("k", "ver", "v")
+    val q = CorpusStream.upsertBatches(docs, s"$dir/snap", "k", "ver",
+      s"$dir/ckpt")
+    try {
+      // same key, same version, different payloads — the survivor must
+      // be the row the content-hash order picks, independent of arrival
+      mem.addData((7L, 5L, "x"), (7L, 5L, "y"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/snap")
+        .as[(Long, Long, String)].collect().toSeq
+      assert(got.size == 1 && got.head._1 == 7L && got.head._2 == 5L)
+      import org.apache.spark.sql.functions.xxhash64
+      val expect = Seq((5L, "x"), (5L, "y")).toDF("ver", "v")
+        .select(col("v"), xxhash64(col("ver"), col("v")).as("h"))
+        .as[(String, Long)].collect().minBy(_._2)._1
+      assert(got.head._3 == expect, s"got ${got.head._3}, want $expect")
     } finally q.stop()
   }
 
