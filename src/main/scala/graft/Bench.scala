@@ -26,7 +26,7 @@ object Bench {
     // robust to a one-off GC pause / CPU steal spike while keeping the
     // bench under ~4 minutes at sf0.1.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val sampled = SparkEntry.queries.map { case (name, fn) =>
       // noop sink forces FULL evaluation of every projected column and
       // keeps the final sort — count() would let Catalyst prune the
       // projection and drop the ORDER BY, timing a near-empty plan
@@ -38,9 +38,10 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
       }
-      val median =
-        if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
-      name -> median
+      name -> times
+    }
+    val results = sampled.map { case (name, times) =>
+      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total =
@@ -49,10 +50,17 @@ object Bench {
     // the harness's 2000-char output-tail window (a full 65+-entry map is
     // ~2.9 KB and gets truncated mid-line, so the driver can't parse it).
     // The line reports the total over ALL queries plus the slowest 30.
+    // The detail file carries ALL raw samples, not just the median: a
+    // contaminated run (external CPU steal on a shared box) shows up as
+    // min << median right in the artifact, so a slow headline number is
+    // self-diagnosing without a re-run.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val samplesJson = sampled.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"samples":$samplesJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))

@@ -64,7 +64,7 @@ object DataQuality {
         Seq("__k"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
     val total = child.agg(count(lit(1)).as("n_rows"))
-    orphans.crossJoin(total)
+    orphans.crossJoin(broadcast(total))
       .select(lit(name).as("rule"), col("n_violations"),
         col("n_rows"))
   }

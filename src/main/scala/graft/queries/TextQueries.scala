@@ -746,7 +746,7 @@ object TextQueries {
           expr("(c * cast(1000000000000 as bigint)) div n").as("ps"))
       val srcs = docs.select("source").distinct()
       val sp = srcs.select(col("source").as("source_a"))
-        .crossJoin(srcs.select(col("source").as("source_b")))
+        .crossJoin(broadcast(srcs.select(col("source").as("source_b"))))
         .filter(col("source_a") < col("source_b"))
       broadcast(sp)
         .join(p, col("psrc") === col("source_a") ||

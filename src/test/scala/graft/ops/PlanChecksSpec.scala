@@ -56,6 +56,16 @@ class PlanChecksSpec extends SparkSpec {
     PlanChecks.assertNoCartesian(df)
   }
 
+  test("dq report: scalar (1-row aggregate) fan-outs ride a broadcast, " +
+    "never a CartesianProduct") {
+    val df = q("dq_constraint_report")
+    PlanChecks.assertNoCartesian(df)
+    // referential()'s orphans × total is a 1-row × 1-row crossJoin;
+    // the explicit broadcast() pins it to BroadcastNestedLoopJoin so
+    // the contract can't silently degrade with planner changes
+    PlanChecks.assertBroadcastJoin(df)
+  }
+
   test("violations raise with the offending plan attached") {
     val crossed = Tables.lineitem(spark, sfDir).limit(5).crossJoin(
       Tables.orders(spark, sfDir).limit(5).hint("shuffle_replicate_nl"))
