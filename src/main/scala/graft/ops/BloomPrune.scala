@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   * `spark.sql.optimizer.runtime.bloomFilter` applies the same idea when
   * it fires; this operator makes it explicit and unconditional).
   *
-  * The filter evaluates via a deterministic Scala UDF over the broadcast
-  * sketch — the one structural exception to the functions-not-UDFs rule,
-  * because `might_contain` has no public Column form; the UDF sits in a
-  * narrow `Filter` before the exchange, outside any codegen-fused agg.
+  * The probe is Catalyst's own codegen'd `BloomFilterMightContain`
+  * (what `spark.sql.optimizer.runtime.bloomFilter` injects), reached
+  * through the `ColumnBridge` shim since it has no public Column form:
+  * the serialized sketch rides the plan as a foldable binary literal
+  * (deserialized once per task, exactly like the subquery result in
+  * Spark's own rewrite) and the probe compiles into the scan's
+  * whole-stage-codegen'd filter — no per-row boxing, no `ScalaUDF`
+  * island in the hot path.
   */
 object BloomPrune {
 
@@ -47,9 +51,16 @@ object BloomPrune {
         .join(dim, fact(factKey) === dim(dimKey))
     val n = if (expectedItems > 0) expectedItems else dim.count()
     val bloom = dim.stat.bloomFilter(dimKey, math.max(n, 1L), fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    fact.filter(col(factKey).isNotNull && mightContain(col(factKey)))
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    val mightContain = org.apache.spark.sql.graftx.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bytes.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftx.ColumnBridge.expression(
+          col(factKey).cast("long"))))
+    fact.filter(col(factKey).isNotNull && mightContain)
       .join(dim, fact(factKey) === dim(dimKey))
   }
 }

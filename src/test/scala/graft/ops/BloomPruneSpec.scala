@@ -35,6 +35,19 @@ class BloomPruneSpec extends SparkSpec {
     assert(kept >= 3 && kept < 500, s"kept=$kept")
   }
 
+  test("probe is the codegen'd Catalyst expression — no ScalaUDF " +
+    "island in the executed plan") {
+    val dim = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val fact = graft.Tables.orders(spark, sfDir)
+    val plan = PlanChecks.executedPlan(
+      BloomPrune.prunedEquiJoin(fact, dim, "o_custkey", "c_custkey"))
+    assert(!plan.contains("ScalaUDF"),
+      s"bloom probe must not box rows through a UDF\n$plan")
+    assert(plan.contains("might_contain"),
+      s"expected Catalyst BloomFilterMightContain probe\n$plan")
+  }
+
   test("empty dim side yields an empty join, not a failure") {
     val dim = Seq.empty[Long].toDF("k")
     val fact = Seq(1L, 2L).toDF("fk")
