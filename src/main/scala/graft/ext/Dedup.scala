@@ -720,4 +720,126 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "un", "jaccard")
   }
+
+  /** Deterministic even split of a length-`L` string into `k+1`
+    * segments: the first `L mod (k+1)` segments get one extra char.
+    * Returns (0-based start, length) of segment `j` as columns —
+    * integer arithmetic only, so an external replay (SQL oracle, a
+    * sibling engine) reproduces the exact same geometry. */
+  private def segGeom(len: Column, j: Column, k: Int): (Column, Column) = {
+    val base = floor(len / (k + 1)).cast("int")
+    val r = (len - base * (k + 1)).cast("int")
+    (j * base + least(j, lit(0) + r), base + when(j < r, 1).otherwise(0))
+  }
+
+  /** Edit-distance similarity join over the DISTINCT strings of
+    * `strCol` WITHOUT an all-pairs cartesian — the partition-based
+    * (PassJoin-style) blocking: split every indexed string into `k+1`
+    * contiguous segments; if `lev(a, b) <= k` then at least one of
+    * `b`'s segments is untouched by any edit (pigeonhole over k edits),
+    * so it appears in `a` as an EXACT substring, shifted by at most `k`
+    * positions. Candidates are therefore an equi-join of indexed
+    * segments against probe substrings on (partner length, segment id,
+    * content) — never a cross join — and `levenshtein` runs only on the
+    * survivors (false candidates cost one residual check; completeness
+    * is the pigeonhole argument, verified differentially in
+    * `FuzzyJoinSpec`).
+    *
+    * Strings of length `<= k` cannot be segmented; they are paired
+    * against the (alphabet-bounded, tiny) `<= 2k`-length bucket via a
+    * broadcast nested loop — the length-band filter `|len(a) - len(b)|
+    * <= k` makes anything longer unreachable from them anyway.
+    *
+    * Operating on distinct strings is the 100 TB shape: multiplicity
+    * fans back out AFTER the quadratic-risk step ([[fuzzyJoinBlocked]]),
+    * so a billion rows with a million distinct names never pay more
+    * than the million-name blocking cost. Probe fan-out per distinct
+    * string is bounded: `(2k+1)` partner lengths x `(k+1)` segments x
+    * `<= (2k+1)` aligned positions.
+    *
+    * Returns (s_a, s_b, dist), `s_a < s_b`, `dist <= maxDist`. */
+  def fuzzyPairsBlocked(df: DataFrame, strCol: String,
+      maxDist: Int): DataFrame = {
+    val k = maxDist
+    require(k >= 1, s"fuzzyPairsBlocked: maxDist must be >= 1 (got $k); " +
+      "exact duplicates are dedupExact's job")
+    val names = df.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull).distinct()
+      .withColumn("len", length(col("s")))
+    val longs = names.filter(col("len") > k)
+    // index side: the k+1 segments of every string, keyed by its length
+    val (iStart, iLen) = segGeom(col("L"), col("j"), k)
+    val idx = longs
+      .select(col("s").as("s_b"), col("len").as("L"),
+        explode(sequence(lit(0), lit(k))).as("j"))
+      .withColumn("seg", col("s_b").substr(iStart + 1, iLen))
+    // probe side: for every partner length in the +-k band, every
+    // segment of THAT geometry, at every start within +-k of its home
+    // position (an edit-free segment shifts by at most the k edits)
+    val (pStart, pLen) = segGeom(col("L"), col("j"), k)
+    val probe = longs
+      .select(col("s").as("s_a"), col("len").as("la"))
+      .withColumn("L", explode(sequence(
+        greatest(col("la") - k, lit(k + 1)), col("la") + k)))
+      .withColumn("j", explode(sequence(lit(0), lit(k))))
+      .withColumn("lo", greatest(pStart - k, lit(0)))
+      .withColumn("hi", least(pStart + k, col("la") - pLen))
+      .filter(col("hi") >= col("lo"))
+      .withColumn("p", explode(sequence(col("lo"), col("hi"))))
+      .withColumn("sub", col("s_a").substr(col("p") + 1, pLen))
+      .select("s_a", "L", "j", "sub")
+    val candLong = probe.join(idx,
+        probe("L") === idx("L") && probe("j") === idx("j") &&
+          probe("sub") === idx("seg") && col("s_a") =!= col("s_b"))
+      .select(least(col("s_a"), col("s_b")).as("s_a2"),
+        greatest(col("s_a"), col("s_b")).as("s_b2"))
+    // short bucket: <= k chars (unsegmentable); partners must sit
+    // within the k length band, i.e. <= 2k chars — both sets bounded
+    // by alphabet size, so the nested loop rides a broadcast
+    val shorts = names.filter(col("len") <= k)
+      .select(col("s").as("s_a"))
+    val nearShort = names.filter(col("len") <= 2 * k)
+      .select(col("s").as("s_b"))
+    val candShort = broadcast(shorts).join(nearShort,
+        col("s_a") =!= col("s_b"))
+      .select(least(col("s_a"), col("s_b")).as("s_a2"),
+        greatest(col("s_a"), col("s_b")).as("s_b2"))
+    candLong.unionByName(candShort).distinct()
+      .select(col("s_a2").as("s_a"), col("s_b2").as("s_b"),
+        levenshtein(col("s_a2"), col("s_b2")).cast("long").as("dist"))
+      .filter(col("dist") <= k)
+  }
+
+  /** Row-level fuzzy self-join: every id pair whose strings are within
+    * `maxDist` edits, `key_a < key_b` — the record-linkage surface.
+    * The quadratic-risk step runs on DISTINCT strings
+    * ([[fuzzyPairsBlocked]]); multiplicity fans back out afterwards
+    * through two keyed equi-joins, and identical-string groups
+    * contribute their (dist 0) pairs via one self-join on the string.
+    * Returns (key_a, key_b, name_a, name_b, dist). */
+  def fuzzyJoinBlocked(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    val recs = df.select(col(idCol).cast("long").as("__id"),
+      col(strCol).cast("string").as("__s")).filter(col("__s").isNotNull)
+    val pairs = fuzzyPairsBlocked(df, strCol, maxDist)
+    val a = recs.select(col("__id").as("ka"), col("__s").as("sa"))
+    val b = recs.select(col("__id").as("kb"), col("__s").as("sb"))
+    val crossNames = pairs
+      .join(a, col("sa") === col("s_a"))
+      .join(b, col("sb") === col("s_b"))
+      .select(
+        least(col("ka"), col("kb")).as("key_a"),
+        greatest(col("ka"), col("kb")).as("key_b"),
+        when(col("ka") <= col("kb"), col("sa")).otherwise(col("sb"))
+          .as("name_a"),
+        when(col("ka") <= col("kb"), col("sb")).otherwise(col("sa"))
+          .as("name_b"),
+        col("dist"))
+    val sameName = a.join(b,
+        col("sa") === col("sb") && col("ka") < col("kb"))
+      .select(col("ka").as("key_a"), col("kb").as("key_b"),
+        col("sa").as("name_a"), col("sb").as("name_b"),
+        lit(0L).as("dist"))
+    crossNames.unionByName(sameName)
+  }
 }

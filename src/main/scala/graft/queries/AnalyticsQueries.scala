@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.ext.Dedup
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1267,11 +1268,11 @@ object AnalyticsQueries {
     },
 
     // edit-distance fuzzy join (record linkage): part-name pairs within
-    // levenshtein 3 over a bounded block — unit-cost Wagner-Fischer is
-    // identical in both engines, so the pair set is exact. The block
-    // bound is the honest-domain cap: edit-distance joins at scale go
-    // through a length/q-gram blocking key first (the sorted-
-    // neighborhood machinery here), never all-pairs.
+    // levenshtein 3. The ORACLE stays the naive all-pairs SQL on the
+    // bounded block; the Spark side runs the PassJoin segment-blocked
+    // path (Dedup.fuzzyJoinBlocked) — hash-matching the naive answer IS
+    // the completeness proof, replayed every round. No cross join
+    // anywhere in the executed plan.
     QueryDef("q47_fuzzy_join",
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  a.p_name AS name_a, b.p_name AS name_b,
@@ -1283,16 +1284,45 @@ object AnalyticsQueries {
         |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
       val p = Tables.part(s, d).filter(col("p_partkey") < 400)
         .select("p_partkey", "p_name")
-      val a = p.select(col("p_partkey").as("key_a"),
-        col("p_name").as("name_a"))
-      val b = p.select(col("p_partkey").as("key_b"),
-        col("p_name").as("name_b"))
-      a.crossJoin(b).filter(col("key_a") < col("key_b"))
-        .withColumn("dist",
-          levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= 3)
+      Dedup.fuzzyJoinBlocked(p, "p_partkey", "p_name", 3)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
         .orderBy("key_a", "key_b")
+    },
+
+    // UNBOUNDED fuzzy join — the whole part table, no key cap. The
+    // quadratic-risk step runs on DISTINCT names (the 100 TB shape:
+    // multiplicity is a fan-out join, never a blocking cost), so the
+    // result is reported at name granularity with the id-pair count
+    // carried as n_pairs (cross groups: na*nb; same-name groups:
+    // n*(n-1)/2 at dist 0) — the full id-level pair multiset, encoded
+    // without materializing it as output rows. Oracle: naive all-pairs
+    // over the distinct-name aggregate.
+    QueryDef("q51_fuzzy_blocked",
+      """WITH g AS (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n * b.n AS n_pairs
+        |FROM g a JOIN g b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |UNION ALL
+        |SELECT p_name, p_name, CAST(0 AS BIGINT),
+        |  (n * (n - 1)) // 2
+        |FROM g WHERE n > 1
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val g = part.groupBy("p_name").agg(count(lit(1)).as("n"))
+      val cross = Dedup.fuzzyPairsBlocked(part, "p_name", 3)
+        .join(g.select(col("p_name").as("s_a"), col("n").as("na")), "s_a")
+        .join(g.select(col("p_name").as("s_b"), col("n").as("nb")), "s_b")
+        .select(col("s_a").as("name_a"), col("s_b").as("name_b"),
+          col("dist"), (col("na") * col("nb")).as("n_pairs"))
+      val same = g.filter(col("n") > 1)
+        .select(col("p_name").as("name_a"), col("p_name").as("name_b"),
+          lit(0L).as("dist"),
+          expr("(n * (n - 1)) div 2").as("n_pairs"))
+      cross.unionByName(same).orderBy("name_a", "name_b")
     },
 
     // null-semantics surface: NULLIF-derived nullable keys, null-safe

@@ -56,6 +56,12 @@ class PlanChecksSpec extends SparkSpec {
     PlanChecks.assertNoCartesian(df)
   }
 
+  test("fuzzy joins: the blocked path replaces the cartesian — " +
+    "equi-join candidates, broadcast-only nested loops") {
+    PlanChecks.assertNoCartesian(q("q47_fuzzy_join"))
+    PlanChecks.assertNoCartesian(q("q51_fuzzy_blocked"))
+  }
+
   test("dq report: scalar (1-row aggregate) fan-outs ride a broadcast, " +
     "never a CartesianProduct") {
     val df = q("dq_constraint_report")
