@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * partitioning and the round-unrolled SQL oracle reproduces it bit for
   * bit. Per round: one edge⋈label shuffle keyed on the neighbor id, one
   * (node, label) hash-agg, one per-node `row_number` window — all keyed
-  * by node id, nothing global, no lineage growth problem at fixed
-  * `rounds` (each round is 3 keyed exchanges over edge-count rows, the
-  * same per-round shape that survives a 1000-executor graph).
+  * by node id, nothing global (each round is 3 keyed exchanges over
+  * edge-count rows, the same per-round shape that survives a
+  * 1000-executor graph). Lineage grows linearly in `rounds` on the
+  * default path; pass `checkpointDir` for a reliable per-round
+  * `df.checkpoint`, the same opt-in as [[ConnectedComponents]] and
+  * [[PageRank]], when rounds are many or executors are preemptible.
   */
 object LabelPropagation {
 
@@ -27,8 +30,10 @@ object LabelPropagation {
     * listed once; both directions are derived. */
   def run(nodes: DataFrame, idCol: String, labelCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 ($rounds)")
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
     var lab = nodes.select(col(idCol).as("id"), col(labelCol).as("label"))
@@ -44,6 +49,10 @@ object LabelPropagation {
       lab = lab.join(best, lab("id") === best("u"), "left")
         .select(col("id"),
           coalesce(col("next_label"), col("label")).as("label"))
+      // eager reliable checkpoint per round when opted in — truncates
+      // the O(rounds) lineage and survives executor loss (there is no
+      // per-round action here to piggyback a lazy one on)
+      if (reliable) lab = lab.checkpoint(true)
     }
     lab.select(col("id").as(idCol), col("label").as(labelCol))
   }

@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each round is two keyed shuffles — contributions
   * aggregate on `dst`, then a left join back to the node set — with the
-  * broadcast-sized `out` table joined map-side when small, and lineage
-  * growing linearly in `iters` (fixed and small; thread a checkpointDir
-  * through like `ConnectedComponents` if rounds ever grow). Overflow
+  * broadcast-sized `out` table joined map-side when small. Lineage
+  * grows linearly in `iters` on the default path (fixed and small);
+  * pass `checkpointDir` to cut it with a reliable per-round
+  * `df.checkpoint` — same opt-in as `ConnectedComponents`, for the
+  * many-round / flaky-executor regime. Overflow
   * headroom: Σ pr ≤ n·Scale, so int64 is safe below ~9·10^6 nodes at
   * Scale=10^12; shrink `scale` for larger graphs (the judge-visible
   * invariant is `dampPct·Σ contrib < 2^63`).
@@ -39,12 +41,23 @@ object PageRank {
 
   val Scale = 1000000000000L
 
+  /** Reliable per-round checkpoint when opted in: truncates the
+    * O(iters) lineage AND survives executor loss (localCheckpoint
+    * would do only the former and make recovery impossible — see
+    * [[ConnectedComponents]]). Eager, because the rank chain has no
+    * per-round action of its own to materialize a lazy one. */
+  private def step(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(true) else df
+
   def ranks(edges: DataFrame, iters: Int = 3, dampPct: Int = 85,
       srcCol: String = "src", dstCol: String = "dst",
-      wCol: String = "w", scale: Long = Scale): DataFrame = {
+      wCol: String = "w", scale: Long = Scale,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"pageRank: iters >= 1 ($iters)")
     require(dampPct >= 0 && dampPct <= 100,
       s"pageRank: dampPct in [0,100] ($dampPct)")
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
     val out = e.groupBy("src").agg(sum("w").as("outw"))
@@ -60,9 +73,12 @@ object PageRank {
           expr("(pr * w) div outw").as("c"))
         .groupBy("node")
         .agg(sum("c").as("cs"))
-      pr = nodes.join(contribs, Seq("node"), "left_outer")
-        .select(col("node"),
-          (base + expr(s"($dampPct * coalesce(cs, 0L)) div 100")).as("pr"))
+      pr = step(
+        nodes.join(contribs, Seq("node"), "left_outer")
+          .select(col("node"),
+            (base + expr(s"($dampPct * coalesce(cs, 0L)) div 100"))
+              .as("pr")),
+        reliable)
     }
     pr
   }
@@ -77,10 +93,13 @@ object PageRank {
     * as a one-row literal (never a driver collect of node state). */
   def ranksConserving(edges: DataFrame, iters: Int = 3, dampPct: Int = 85,
       srcCol: String = "src", dstCol: String = "dst",
-      wCol: String = "w", scale: Long = Scale): DataFrame = {
+      wCol: String = "w", scale: Long = Scale,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"pageRank: iters >= 1 ($iters)")
     require(dampPct >= 0 && dampPct <= 100,
       s"pageRank: dampPct in [0,100] ($dampPct)")
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
     val out = e.groupBy("src").agg(sum("w").as("outw"))
@@ -101,12 +120,14 @@ object PageRank {
           expr("(pr * w) div outw").as("c"))
         .groupBy("node")
         .agg(sum("c").as("cs"))
-      pr = nodes.join(contribs, Seq("node"), "left_outer")
-        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nn))
-        .select(col("node"),
-          (base + expr(
-            s"($dampPct * (coalesce(cs, 0L) + dm div nn)) div 100"))
-            .as("pr"))
+      pr = step(
+        nodes.join(contribs, Seq("node"), "left_outer")
+          .crossJoin(broadcast(dangling)).crossJoin(broadcast(nn))
+          .select(col("node"),
+            (base + expr(
+              s"($dampPct * (coalesce(cs, 0L) + dm div nn)) div 100"))
+              .as("pr")),
+        reliable)
     }
     pr
   }

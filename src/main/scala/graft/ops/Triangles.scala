@@ -48,26 +48,57 @@ object Triangles {
           key("db", "b")).otherwise(key("da", "a")).as("dstKey"))
   }
 
-  /** All triangles, one row each: (x, y, z) with x→y, x→z, y→z in the
-    * degree orientation. */
-  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  /** The closed-wedge stream: wedge enumeration joined against the
+    * closing edge set. The wedge side is the Θ-of-output monster (on a
+    * dup near-clique it IS the triangle volume), so neither the wedge
+    * self-join's output nor the closure join may sort or shuffle it:
+    * both joins build on the ORIGINAL m-row directed edge list —
+    * broadcast (default), which fuses enumerate → close → explode →
+    * partial-count into ONE stage with nothing wider than partial
+    * (node, count) rows ever exchanged; for graphs whose edge list
+    * outgrows a broadcast, `broadcastClosure = false` swaps in shuffled
+    * HASH joins (the streams cross the wire once but are never sorted
+    * — the default plan's closure was a SortMergeJoin SORTING the
+    * wedge stream). Measured on the sf0.1 near-clique fixture
+    * (SCALE.md §8e): 8.7s → 7.7s warm median; the surviving cost is
+    * the fixture's real triangle volume, not plan overhead. */
+  private def closedWedges(edges: DataFrame, aCol: String, bCol: String,
+      broadcastClosure: Boolean): DataFrame = {
     val dir = orient(edges, aCol, bCol)
     val e1 = dir.select(col("src").as("x"), col("dst").as("y"),
       col("dstKey").as("yk"))
     val e2 = dir.select(col("src").as("x"), col("dst").as("z"),
       col("dstKey").as("zk"))
-    val wedges = e1.join(e2, Seq("x")).filter(col("yk") < col("zk"))
+    val wedges = e1.join(
+        if (broadcastClosure) broadcast(e2) else e2.hint("shuffle_hash"),
+        Seq("x"))
+      .filter(col("yk") < col("zk"))
       .select("x", "y", "z")
     val closing = dir.select(col("src").as("y"), col("dst").as("z"))
-    wedges.join(closing, Seq("y", "z")).select("x", "y", "z")
+    val closingSide =
+      if (broadcastClosure) broadcast(closing)
+      else closing.hint("shuffle_hash")
+    wedges.join(closingSide, Seq("y", "z"))
   }
+
+  /** All triangles, one row each: (x, y, z) with x→y, x→z, y→z in the
+    * degree orientation. */
+  def triangles(edges: DataFrame, aCol: String, bCol: String,
+      broadcastClosure: Boolean = true): DataFrame =
+    closedWedges(edges, aCol, bCol, broadcastClosure)
+      .select("x", "y", "z")
 
   /** Per-vertex triangle participation (each triangle credits all three
     * corners) — the numerator of the local clustering coefficient.
-    * Vertices on no triangle are absent; left-join the node set to
-    * zero-fill. Returns (node, n_triangles). */
-  def perVertex(edges: DataFrame, aCol: String, bCol: String): DataFrame =
-    triangles(edges, aCol, bCol)
+    * COUNT-ONLY path: the explode + partial count aggregate in the SAME
+    * whole-stage-codegen stage as the closure join, so no triangle row
+    * is ever materialized to an exchange — the only thing shuffled is
+    * one partial (node, count) row per node per partition. Vertices on
+    * no triangle are absent; left-join the node set to zero-fill.
+    * Returns (node, n_triangles). */
+  def perVertex(edges: DataFrame, aCol: String, bCol: String,
+      broadcastClosure: Boolean = true): DataFrame =
+    closedWedges(edges, aCol, bCol, broadcastClosure)
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
 }

@@ -45,6 +45,30 @@ class LabelPropagationSpec extends SparkSpec {
     assert(ids2.map(got) == Seq(10L, 10L, 10L, 10L))
   }
 
+  test("reliable checkpoint path: identical communities, files written") {
+    val dir = java.nio.file.Files.createTempDirectory("lp-ckpt").toString
+    try {
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+      val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+        (5L, 6L), (3L, 4L))
+      val n = nodes.map(i => (i, i)).toDF("id", "community")
+      val e = edges.toDF("src", "dst")
+      val plain = LabelPropagation
+        .run(n, "id", "community", e, "src", "dst", rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      val ck = LabelPropagation
+        .run(n, "id", "community", e, "src", "dst", rounds = 3,
+          checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(ck == plain, s"ck=$ck plain=$plain")
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no rdd-* checkpoint dirs under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("result is partition-independent") {
     val nodes = (1L to 40L)
     val rnd = new scala.util.Random(7)

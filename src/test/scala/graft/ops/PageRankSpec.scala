@@ -27,6 +27,33 @@ class PageRankSpec extends SparkSpec {
     assert(r2("b") == base + 85L * base / 100, r2.toString)
   }
 
+  test("reliable checkpoint path: identical ranks, files written, " +
+    "both variants") {
+    val dir = java.nio.file.Files.createTempDirectory("pr-ckpt").toString
+    try {
+      // a->b dangling chain exercises the conserving pool too
+      val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 2L))
+        .toDF("src", "dst", "w")
+      val plain = PageRank.ranks(edges, iters = 4)
+        .as[(String, Long)].collect().toMap
+      val ck = PageRank.ranks(edges, iters = 4,
+          checkpointDir = Some(dir))
+        .as[(String, Long)].collect().toMap
+      assert(ck == plain, s"ck=$ck plain=$plain")
+      val cons = PageRank.ranksConserving(edges, iters = 4)
+        .as[(String, Long)].collect().toMap
+      val consCk = PageRank.ranksConserving(edges, iters = 4,
+          checkpointDir = Some(dir))
+        .as[(String, Long)].collect().toMap
+      assert(consCk == cons, s"ck=$consCk plain=$cons")
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no rdd-* checkpoint dirs under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("weighted split: contributions divide by total out-weight") {
     // a -> b (w=3), a -> c (w=1): b receives 3/4 of a's rank
     val edges = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")

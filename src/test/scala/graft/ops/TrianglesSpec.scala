@@ -54,4 +54,36 @@ class TrianglesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(one == many)
   }
+
+  test("count-only path == explode of materialized triangle rows, " +
+    "broadcast and shuffle-hash closures identical") {
+    // pseudo-random graph, dense enough for shared triangles
+    val edges = (for {
+      i <- 1L to 60L; j <- (i + 1) to 60L
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i, j)).toDF("a", "b")
+    val fromRows = Triangles.triangles(edges, "a", "b")
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").count()
+      .as[(Long, Long)].collect().toMap
+    val fused = Triangles.perVertex(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val fusedSH = Triangles
+      .perVertex(edges, "a", "b", broadcastClosure = false)
+      .as[(Long, Long)].collect().toMap
+    assert(fused == fromRows, "fused count-only must equal row explode")
+    assert(fusedSH == fromRows, "shuffle-hash closure must match")
+    assert(fused.nonEmpty)
+  }
+
+  test("count-only plan never sorts or exchanges the wedge stream " +
+    "(single stage up to the partial count)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val plan = PlanChecks.executedPlan(
+      Triangles.perVertex(edges, "a", "b"))
+    // everything after the wedge join must be broadcast — the only
+    // SortMergeJoin ever acceptable here would sort Θ(triangles) rows
+    assert(!plan.contains("SortMergeJoin"),
+      s"wedge/closure joins must not sort the wedge stream\n$plan")
+  }
 }
