@@ -32,12 +32,17 @@ object Multimodal {
       frameBytes: Int): Column =
     substring(hex(bin), frameIdx * strideBytes * 2 + 1, frameBytes * 2)
 
-  /** Magic-byte sniffing (real decoders dispatch on these). */
+  /** Magic-byte sniffing (real decoders dispatch on these). Order
+    * matters: JPEG's FFD8FF is inside the MPEG-audio sync space
+    * (FFEx/FFFx), so it must match first. */
   def sniffFormat(bin: Column): Column = {
     val magic = substring(hex(bin), 1, 8)
     when(magic.startsWith("89504E47"), "png")
       .when(magic.startsWith("FFD8FF"), "jpeg")
       .when(magic.startsWith("52494646"), "riff")
+      .when(magic.startsWith("664C6143"), "flac")
+      .when(magic.startsWith("494433"), "mp3") // ID3v2-tagged stream
+      .when(magic.startsWith("FFE") || magic.startsWith("FFF"), "mp3")
       .otherwise("unknown")
   }
 
@@ -56,6 +61,15 @@ object Multimodal {
   final case class WavMeta(
       doc_id: Long, channels: Int, sample_rate: Int,
       bits_per_sample: Int, n_frames: Long, duration_us: Long)
+
+  /** Unified audio metadata across the codec-free header parsers:
+    * `codec` in {wav, mp3, flac}; fields a codec does not carry are 0
+    * (`bits_per_sample` for MP3, `bitrate_kbps` for WAV/FLAC —
+    * derivable there, reported only where it is the PRIMARY measure). */
+  final case class AudioMeta(
+      doc_id: Long, codec: String, channels: Int, sample_rate: Int,
+      bits_per_sample: Int, n_frames: Long, duration_us: Long,
+      bitrate_kbps: Int)
 
   /** Image decoder: REAL javax.imageio PNG/JPEG decode (JDK-native, no
     * external codecs needed) with a deterministic stub fallback for
@@ -77,7 +91,8 @@ object Multimodal {
       (math.round(w * scale).toInt, math.round(h * scale).toInt)
     }
 
-    /** JVM-side magic sniff, mirroring [[sniffFormat]]'s column form. */
+    /** JVM-side magic sniff, mirroring [[sniffFormat]]'s column form
+      * (same order: JPEG before the MPEG-audio sync space). */
     def sniffOne(payload: Array[Byte]): String =
       if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
         payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
@@ -85,6 +100,12 @@ object Multimodal {
         (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
       else if (payload.length >= 4 && payload(0) == 'R' &&
         payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') "riff"
+      else if (payload.length >= 4 && payload(0) == 'f' &&
+        payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C') "flac"
+      else if (payload.length >= 3 && payload(0) == 'I' &&
+        payload(1) == 'D' && payload(2) == '3') "mp3"
+      else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xe0) == 0xe0) "mp3"
       else "unknown"
 
     /** Pack 64 above-mean bits (row-major) into 4 16-bit band values —
@@ -255,6 +276,113 @@ object Multimodal {
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           parseWavMeta(id, payload) })
+    }
+
+    /** Parse the first MPEG-audio (MP3, Layer III) frame header —
+      * codec-free metadata like [[parseWavMeta]]: 4 header bytes carry
+      * version, sample rate, channel mode and (for CBR streams) the
+      * bitrate, from which duration is ESTIMATED as audio_bytes·8 /
+      * bitrate (exact for CBR, approximate for VBR — a real pipeline
+      * reads the Xing/VBRI frame-count tag the same way; parsing it
+      * here would add nothing to the Spark-side shape). An ID3v2 tag is
+      * skipped via its syncsafe length; after it the sync word must
+      * appear within a bounded 2 KiB scan (tag padding), never an
+      * unbounded walk. Anything malformed returns None — untrusted
+      * corpus bytes (same contract as the WAV chunk walk). */
+    def parseMp3Meta(id: Long, payload: Array[Byte]): Option[AudioMeta] = {
+      val n = payload.length
+      // skip ID3v2: 10-byte header, 4-byte syncsafe size at offset 6
+      var off = 0L
+      if (n >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+        val ss = (payload(6).toLong & 0x7f) << 21 |
+          (payload(7).toLong & 0x7f) << 14 |
+          (payload(8).toLong & 0x7f) << 7 | (payload(9).toLong & 0x7f)
+        off = 10L + ss
+      }
+      if (off < 0 || off >= n) return None
+      // bounded forward scan for the 11-bit sync (tag padding is legal)
+      val limit = math.min(n - 4L, off + 2048L)
+      var p = off
+      while (p <= limit && !((payload(p.toInt) & 0xff) == 0xff &&
+        (payload(p.toInt + 1) & 0xe0) == 0xe0)) p += 1
+      if (p > limit) return None
+      val o = p.toInt
+      val b1 = payload(o + 1) & 0xff
+      val b2 = payload(o + 2) & 0xff
+      val b3 = payload(o + 3) & 0xff
+      val verBits = (b1 >> 3) & 3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+      val layerBits = (b1 >> 1) & 3 // 1 = Layer III
+      if (verBits == 1 || layerBits != 1) return None
+      val brIdx = (b2 >> 4) & 15
+      val srIdx = (b2 >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/bad
+      val bitrate = // kbps, Layer III
+        if (verBits == 3)
+          Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+            256, 320)(brIdx)
+        else // MPEG2 / 2.5 share the LSF table
+          Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+            160)(brIdx)
+      val rate = verBits match {
+        case 3 => Array(44100, 48000, 32000)(srIdx)
+        case 2 => Array(22050, 24000, 16000)(srIdx)
+        case _ => Array(11025, 12000, 8000)(srIdx)
+      }
+      val channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+      val audioBytes = n.toLong - p
+      val durUs = audioBytes * 8L * 1000L / bitrate // = *8e6 / (kbps*1e3)
+      val frames = durUs * rate / 1000000L // estimated sample count
+      Some(AudioMeta(id, "mp3", channels, rate, 0, frames, durUs, bitrate))
+    }
+
+    /** Parse a FLAC STREAMINFO block — codec-free and, unlike MP3's
+      * CBR estimate, EXACT: the mandatory first metadata block carries
+      * sample rate (20 bits), channels, bits per sample and the 36-bit
+      * total-sample count. Same hostile-input contract: every read is
+      * bounds-checked, malformed returns None. */
+    def parseFlacMeta(id: Long, payload: Array[Byte]): Option[AudioMeta] = {
+      // 4 magic + 4 block header + 34 STREAMINFO
+      if (payload.length < 42 || payload(0) != 'f' || payload(1) != 'L' ||
+        payload(2) != 'a' || payload(3) != 'C') return None
+      if ((payload(4) & 0x7f) != 0) return None // first block: STREAMINFO
+      val len = ((payload(5) & 0xff) << 16) | ((payload(6) & 0xff) << 8) |
+        (payload(7) & 0xff)
+      if (len < 34) return None
+      def u(i: Int): Long = payload(8 + i) & 0xffL
+      val rate = ((u(10) << 12) | (u(11) << 4) | (u(12) >> 4)).toInt
+      val channels = (((u(12) >> 1) & 7) + 1).toInt
+      val bps = ((((u(12) & 1) << 4) | (u(13) >> 4)) + 1).toInt
+      val total = ((u(13) & 0xf) << 32) | (u(14) << 24) | (u(15) << 16) |
+        (u(16) << 8) | u(17)
+      if (rate <= 0) return None
+      Some(AudioMeta(id, "flac", channels, rate, bps, total,
+        total * 1000000L / rate, 0))
+    }
+
+    /** Unified audio-metadata branch: magic dispatch to the WAV chunk
+      * walk, the MP3 frame header, or the FLAC STREAMINFO — one
+      * partition-batched pass, rows that parse as none of the three are
+      * dropped (quarantine upstream via [[sniffFormat]]). Compressed
+      * SAMPLE decode (the codec step) stays out of scope container-wide
+      * — no ffmpeg in the sandbox; the metadata surface above is what
+      * the Spark-side pipeline plumbs at scale. */
+    def decodeAudio(df: DataFrame, idCol: String = "doc_id",
+        binCol: String = "payload"): Dataset[AudioMeta] = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long"), col(binCol))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, payload) =>
+          sniffOne(payload) match {
+            case "riff" => parseWavMeta(id, payload).map(w =>
+              AudioMeta(id, "wav", w.channels, w.sample_rate,
+                w.bits_per_sample, w.n_frames, w.duration_us, 0))
+            case "mp3" => parseMp3Meta(id, payload)
+            case "flac" => parseFlacMeta(id, payload)
+            case _ => None
+          }
+        })
     }
 
     /** The pipeline: binary DataFrame -> partition-batched decode ->

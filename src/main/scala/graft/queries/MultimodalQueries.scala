@@ -43,6 +43,9 @@ object MultimodalQueries {
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '89504E47%' THEN 'png'
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE 'FFD8FF%' THEN 'jpeg'
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '52494646%' THEN 'riff'
+        |    WHEN substring(hex(encode(text)), 1, 8) LIKE '664C6143%' THEN 'flac'
+        |    WHEN substring(hex(encode(text)), 1, 8) LIKE '494433%' THEN 'mp3'
+        |    WHEN substring(hex(encode(text)), 1, 3) IN ('FFE', 'FFF') THEN 'mp3'
         |    ELSE 'unknown' END AS format,
         |  COUNT(*) AS n,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes

@@ -168,6 +168,96 @@ class MultimodalSpec extends SparkSpec {
     assert(m.exists(_.n_frames == 32), m.toString)
   }
 
+  test("MP3 frame header: version/rate/channels/bitrate, ID3 skip, " +
+    "CBR duration estimate") {
+    // MPEG1 Layer III, 128 kbps, 44100 Hz, joint stereo:
+    // FF FB (sync + MPEG1 + LIII + no CRC) 90 (bitrate idx 9, sr idx 0)
+    // 40 (joint stereo)
+    val frame = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x40)
+    val body = frame ++ Array.fill[Byte](16000 - 4)(0x55)
+    val bare = Multimodal.Decoder.parseMp3Meta(1L, body).get
+    assert(bare.codec == "mp3" && bare.sample_rate == 44100 &&
+      bare.channels == 2 && bare.bitrate_kbps == 128)
+    // 16000 bytes at 128 kbps = 16000*8/128000 s = 1.0 s
+    assert(bare.duration_us == 1000000L, bare.toString)
+    assert(bare.n_frames == 44100L)
+    // ID3v2 tag (syncsafe size 0x0100 = 128) + padding then the frame
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0x01, 0x00) ++
+      Array.fill[Byte](128)(0)
+    val tagged = Multimodal.Decoder.parseMp3Meta(2L, id3 ++ body).get
+    assert(tagged.sample_rate == 44100 && tagged.duration_us == 1000000L)
+    assert(Multimodal.Decoder.sniffOne(id3 ++ body) == "mp3")
+    // MPEG2 branch: FF F3 (MPEG2 LIII) 40 (idx 4 -> 32kbps, 22050 Hz)
+    val m2 = Array[Byte](0xFF.toByte, 0xF3.toByte, 0x40, 0x40) ++
+      Array.fill[Byte](396)(0)
+    val lo = Multimodal.Decoder.parseMp3Meta(3L, m2).get
+    assert(lo.sample_rate == 22050 && lo.bitrate_kbps == 32)
+    // hostile: truncated, free-bitrate, bad sample-rate idx, huge
+    // syncsafe size — all None, no throw
+    val junk = Seq(
+      Array[Byte](0xFF.toByte, 0xFB.toByte),
+      Array[Byte](0xFF.toByte, 0xFB.toByte, 0x00, 0x40), // free bitrate
+      Array[Byte](0xFF.toByte, 0xFB.toByte, 0x9C.toByte, 0x40), // sr=3
+      "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f),
+      Array.empty[Byte])
+    for (p <- junk)
+      assert(Multimodal.Decoder.parseMp3Meta(9L, p).isEmpty)
+  }
+
+  test("FLAC STREAMINFO: exact rate/channels/bps/total-sample duration") {
+    // fLaC + block header (type 0, len 34) + STREAMINFO with
+    // rate=48000, channels=2, bps=16, total=96000 (2.0 s)
+    def si: Array[Byte] = {
+      val b = new Array[Byte](34)
+      // bytes 10..12: rate 20 bits, ch-1 3 bits, bps-1 high bit
+      // 48000 = 0x0BB80 -> b10=0x0B, b11=0xB8, high nibble b12=0
+      b(10) = 0x0B; b(11) = 0xB8.toByte
+      // b12: rate low nibble (0) | (ch-1=1)<<1 | (bps-1=15)>>4 = 0x02
+      b(12) = 0x02
+      // b13: (bps-1 low 4)<<4 | total bits 35..32 = 0xF0
+      b(13) = 0xF0.toByte
+      // total 96000 = 0x017700 in bytes 14..17
+      b(14) = 0x00; b(15) = 0x01; b(16) = 0x77; b(17) = 0x00
+      b
+    }
+    val flac = "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++ si
+    val m = Multimodal.Decoder.parseFlacMeta(4L, flac).get
+    assert(m.codec == "flac" && m.sample_rate == 48000 &&
+      m.channels == 2 && m.bits_per_sample == 16 &&
+      m.n_frames == 96000L && m.duration_us == 2000000L, m.toString)
+    assert(Multimodal.Decoder.sniffOne(flac) == "flac")
+    // hostile: wrong first block type, short payload, zero rate
+    assert(Multimodal.Decoder.parseFlacMeta(9L,
+      "fLaC".getBytes ++ Array[Byte](4, 0, 0, 34) ++ si).isEmpty)
+    assert(Multimodal.Decoder.parseFlacMeta(9L,
+      "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34)).isEmpty)
+    val zeroRate = flac.clone()
+    zeroRate(18) = 0; zeroRate(19) = 0; zeroRate(20) = 0x00
+    assert(Multimodal.Decoder.parseFlacMeta(9L, zeroRate).isEmpty)
+  }
+
+  test("decodeAudio dispatches WAV/MP3/FLAC in one pass, drops the rest") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val data = Array.fill[Byte](64)(1)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000 * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x40) ++
+      Array.fill[Byte](1596)(0)
+    val flacSi = new Array[Byte](34)
+    flacSi(10) = 0x0B; flacSi(11) = 0xB8.toByte; flacSi(12) = 0x02
+    flacSi(13) = 0xF0.toByte; flacSi(16) = 0x77; flacSi(15) = 0x01
+    val flac = "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++ flacSi
+    val df = Seq((1L, wav), (2L, mp3), (3L, flac),
+      (4L, "not audio".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.Decoder.decodeAudio(df).collect()
+      .map(m => m.doc_id -> m.codec).toMap
+    assert(got == Map(1L -> "wav", 2L -> "mp3", 3L -> "flac"), got.toString)
+  }
+
   test("corrupt image payload falls back to the stub, not an exception") {
     val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
     val df = Seq((9L, fake)).toDF("doc_id", "payload")
