@@ -51,10 +51,19 @@ object DedupProfile {
   /** Fixture-tuned defaults (the constants previous rounds hard-coded). */
   val default: DedupProfile = DedupProfile()
 
+  /** x^n as a left fold of multiplications from 1.0 — NOT `math.pow`:
+    * the fold is a fixed IEEE operation sequence a SQL oracle replays
+    * bit-for-bit (`list_reduce` over a prepended 1.0 seed), whereas
+    * `pow` carries no cross-engine rounding guarantee. Exponents here
+    * are <= k (~32), so precision is identical in practice and
+    * REPRODUCIBILITY is what the fold buys. */
+  private def powIter(x: Double, n: Int): Double =
+    (1 to n).foldLeft(1.0)((a, _) => a * x)
+
   /** LSH candidate probability for one document pair at Jaccard `j`
     * under (bands, rowsPerBand): 1 - (1 - j^r)^b — the S-curve. */
   def collisionProb(j: Double, bands: Int, rowsPerBand: Int): Double =
-    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+    1.0 - powIter(1.0 - powIter(j, rowsPerBand), bands)
 
   /** Derive band geometry from a MEASURED corpus instead of hand
     * tuning: among all (bands, rows) with bands·rows <= k, keep the
@@ -84,8 +93,10 @@ object DedupProfile {
         s"threshold=$threshold from background=$backgroundJ at " +
         s"recall>=$minRecall / background<=$maxBackground; raise k " +
         "or relax the targets")
+    // total-order key (prob, b, r): no ties possible, so the argmin is
+    // partition- and engine-independent (a SQL replay sorts the same)
     val (b, r) = candidates.minBy { case (b, r) =>
-      (collisionProb(backgroundJ, b, r), b) }
+      (collisionProb(backgroundJ, b, r), b, r) }
     DedupProfile(k = k, bands = b, rowsPerBand = r,
       shingleN = shingleN, threshold = threshold)
   }

@@ -138,6 +138,97 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // 3b. the measure -> derive -> dedup loop END TO END: profile the
+    // corpus background on a deterministic hash sample (all docs when
+    // the corpus is small), derive the (bands, rows) geometry from the
+    // S-curve, and run the LSH dedup UNDER THE DERIVED GEOMETRY. The
+    // oracle replays every step — sample selection, p50 with the
+    // zero-overlap correction, fold-based powers (bit-identical to the
+    // Scala powIter; no pow()), the (prob, b, r) argmin, and dynamic
+    // banding via list_slice/list_reduce — so a drift anywhere in the
+    // loop (sampling, quantile, S-curve, banding) fails the hash.
+    QueryDef("dedup_pipeline_derived", {
+      def pw(x: String, n: String) =
+        s"list_reduce(list_prepend(1.0::DOUBLE, list_transform(range($n)," +
+          s" __i -> ($x))), (__a, __b) -> __a * __b)"
+      val mh32 = (0 until 32).map(sqlMinhash).mkString(", ")
+      s"""WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+         |pm AS (SELECT CASE WHEN n < 1000 THEN 1000 ELSE 20 END AS pm FROM tot),
+         |samp AS (
+         |  SELECT doc_id, $sqlToks AS toks
+         |  FROM documents, pm
+         |  WHERE ${sqlH31("doc_id::VARCHAR")} % 1000 < pm.pm),
+         |sn AS (SELECT COUNT(*)::BIGINT AS nd FROM samp),
+         |sp AS (
+         |  SELECT len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+         |    (len(a.toks) + len(b.toks)
+         |      - len(list_intersect(a.toks, b.toks)))::BIGINT AS un
+         |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id),
+         |sh AS (SELECT CAST(inter AS DOUBLE) / un AS jj FROM sp WHERE inter >= 1),
+         |shx AS (SELECT jj, row_number() OVER (ORDER BY jj) AS rn FROM sh),
+         |st AS (
+         |  SELECT nd, nd * (nd - 1) // 2 AS np,
+         |    (SELECT COUNT(*)::BIGINT FROM sh) AS nsh FROM sn),
+         |qx AS (
+         |  SELECT least(np - 1, (np + 1) // 2 - 1) AS idx,
+         |    np - nsh AS zeroes FROM st),
+         |bg AS (
+         |  SELECT CASE WHEN q.idx < q.zeroes THEN 0.0
+         |    ELSE (SELECT jj FROM shx WHERE shx.rn = q.idx - q.zeroes + 1)
+         |    END AS bg
+         |  FROM qx q),
+         |grid AS (
+         |  SELECT tb.range AS b, tr.range AS r
+         |  FROM range(1, 33) tr, range(1, 33) tb
+         |  WHERE tb.range * tr.range <= 32),
+         |probs AS (
+         |  SELECT b, r,
+         |    1.0 - ${pw(s"1.0 - ${pw("0.95::DOUBLE", "r")}", "b")} AS prt,
+         |    1.0 - ${pw(s"1.0 - ${pw("bg.bg", "r")}", "b")} AS prb
+         |  FROM grid, bg),
+         |pick AS (
+         |  SELECT b, r FROM probs WHERE prt >= 0.65 AND prb <= 0.05
+         |  ORDER BY prb, b, r LIMIT 1),
+         |t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |msig AS (SELECT doc_id, toks, [$mh32] AS sig FROM t),
+         |banded AS (
+         |  SELECT doc_id, toks, unnest(list_transform(range(pk.b), __bi ->
+         |    list_reduce(
+         |      list_prepend(__bi::BIGINT,
+         |        list_slice(sig, __bi * pk.r + 1, (__bi + 1) * pk.r)),
+         |      (__acc, __x) -> (__acc * 31 + __x) % ${Dedup.P}))) AS band
+         |  FROM msig, pick pk),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id),
+         |jd AS (
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_intersect(ta.toks, tb.toks))::BIGINT AS inter,
+         |    (len(ta.toks) + len(tb.toks)
+         |      - len(list_intersect(ta.toks, tb.toks)))::BIGINT AS un
+         |  FROM cand c JOIN t ta ON ta.doc_id = c.id_a
+         |              JOIN t tb ON tb.doc_id = c.id_b)
+         |SELECT jd.id_a, jd.id_b, jd.inter, jd.un,
+         |  CAST(jd.inter AS DOUBLE) / jd.un AS jaccard,
+         |  CAST(pk.b AS BIGINT) AS bands, CAST(pk.r AS BIGINT) AS rows_per_band
+         |FROM jd, pick pk
+         |WHERE CAST(jd.inter AS DOUBLE) / jd.un >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val permil = if (docs.count() < 1000) 1000 else 20
+      val stats = Dedup.sampleJaccardStats(docs, "doc_id", "text",
+        n = 1, samplePermil = permil)
+      val prof = graft.ext.DedupProfile.derive(k = 32, threshold = 0.95,
+        backgroundJ = stats.p50J, minRecall = 0.65, maxBackground = 0.05)
+      Dedup.minhashLshPairs(docs, "doc_id", "text", prof,
+          bitsetRerank = true)
+        .withColumn("bands", lit(prof.bands.toLong))
+        .withColumn("rows_per_band", lit(prof.rowsPerBand.toLong))
+        .orderBy("id_a", "id_b")
+    },
+
     // 4. SimHash: 24-bit bitwise-majority signature; hamming-0 pairs
     QueryDef("dedup_simhash_pairs", {
       val bits = (0 until 24).map { j =>
