@@ -210,4 +210,79 @@ object Sketches {
     def outputEncoder: Encoder[QuantileSample] =
       Encoders.product[QuantileSample]
   }
+
+  // -------- Count-min sketch --------
+  //
+  // Frequency estimation in d·w integers: counter(j, i) accumulates
+  // every occurrence whose j-th hash lands on column i; the point
+  // estimate min_j counter(j, col_j(x)) NEVER underestimates and
+  // overestimates by at most the collision mass (ε ≈ e/w of the stream
+  // length at δ ≈ e^-d). Same determinism contract as KMV: the d row
+  // hashes are the fixed affine permutations over the md5-derived
+  // 31-bit item hash ([[Dedup.minhashPerm]]), so the full counter
+  // matrix — not just the estimates — is replayable by a SQL oracle.
+
+  /** CMS column index of hash `h` for sketch row `j`: the minhash
+    * affine permutation reduced mod `w`. */
+  def cmsColIdx(j: Int, w: Int, h: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val (a, b) = Dedup.minhashPerm(j)
+    ((lit(a) * h + lit(b)) % M) % w
+  }
+
+  /** The DataFrame-native sketch build — the 100 TB shape: one
+    * generator fans each occurrence into its d (row, column) cells,
+    * then ONE hash-aggregate; partial aggregation bounds what crosses
+    * the wire at d·w counters per map partition regardless of stream
+    * length. Input: `hashCol` LongType in [0, M). Returns non-zero
+    * cells (row_j, col_i, c). */
+  def cmsCounters(df: DataFrame, hashCol: String, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2, s"cmsCounters: need d >= 1, w >= 2 ($d, $w)")
+    df.select(explode(array((0 until d).map { j =>
+        struct(lit(j.toLong).as("row_j"),
+          cmsColIdx(j, w, col(hashCol)).as("col_i"))
+      }: _*)).as("__e"))
+      .select(col("__e.row_j"), col("__e.col_i"))
+      .groupBy("row_j", "col_i").agg(count(lit(1)).as("c"))
+  }
+
+  /** Sketch state: d·w counters, row-major. Merge = element-wise add
+    * (counters are linear), so partial aggregation is lossless. */
+  final case class Cms(d: Int, w: Int, counters: Seq[Long]) {
+    def add(h: Long): Cms = {
+      var cs = counters
+      var j = 0
+      while (j < d) {
+        val (a, b) = Dedup.minhashPerm(j)
+        val i = (((a * h + b) % M) % w).toInt
+        cs = cs.updated(j * w + i, cs(j * w + i) + 1L)
+        j += 1
+      }
+      copy(counters = cs)
+    }
+    def merge(other: Cms): Cms = {
+      require(d == other.d && w == other.w,
+        s"Cms.merge: geometry mismatch ($d x $w vs ${other.d} x ${other.w})")
+      copy(counters = counters.zip(other.counters).map { case (x, y) => x + y })
+    }
+    /** Point estimate for item hash `h` — min over the d rows. */
+    def estimate(h: Long): Long =
+      (0 until d).map { j =>
+        val (a, b) = Dedup.minhashPerm(j)
+        counters(j * w + (((a * h + b) % M) % w).toInt)
+      }.min
+  }
+
+  /** Typed mergeable form for `agg`/streaming state: O(d·w) per group
+    * no matter the stream length. */
+  final class CmsAggregator(d: Int = 4, w: Int = 256)
+      extends Aggregator[Long, Cms, Cms] {
+    def zero: Cms = Cms(d, w, Vector.fill(d * w)(0L))
+    def reduce(b: Cms, h: Long): Cms = b.add(h)
+    def merge(b1: Cms, b2: Cms): Cms = b1.merge(b2)
+    def finish(r: Cms): Cms = r
+    def bufferEncoder: Encoder[Cms] = Encoders.product[Cms]
+    def outputEncoder: Encoder[Cms] = Encoders.product[Cms]
+  }
 }

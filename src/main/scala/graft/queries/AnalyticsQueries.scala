@@ -1325,6 +1325,38 @@ object AnalyticsQueries {
       cross.unionByName(same).orderBy("name_a", "name_b")
     },
 
+    // Z-order layout audit: interleave (custkey, orderkey) low bits into
+    // a Morton key and report per-4096-key tile extents. The z-curve
+    // property under test: an ALIGNED run of 4^k consecutive keys is an
+    // exact 2^k x 2^k tile, so every tile's (min, max) in BOTH dims
+    // spans <= 63 — the file-statistics bound that makes multi-dim
+    // skipping work after OPTIMIZE-ZORDER-style layout
+    // (ops.ZOrder.layout). Pure integer bit algebra in both dialects.
+    QueryDef("q52_zorder_tiles", {
+      val zsql = graft.ops.ZOrder.zkeySql(
+        "(o_custkey % 1024)", "(o_orderkey % 1024)", 10)
+      s"""WITH z AS (
+         |  SELECT $zsql AS zk,
+         |    o_custkey % 1024 AS a, o_orderkey % 1024 AS b
+         |  FROM orders)
+         |SELECT zk // 4096 AS tile, COUNT(*) AS n,
+         |  MIN(a) AS min_a, MAX(a) AS max_a,
+         |  MIN(b) AS min_b, MAX(b) AS max_b
+         |FROM z GROUP BY 1 ORDER BY tile""".stripMargin
+    }) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.select(
+          graft.ops.ZOrder.zkey(col("o_custkey") % 1024,
+            col("o_orderkey") % 1024, 10).as("zk"),
+          (col("o_custkey") % 1024).as("a"),
+          (col("o_orderkey") % 1024).as("b"))
+        .groupBy(expr("zk div 4096").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min("a").as("min_a"), max("a").as("max_a"),
+          min("b").as("min_b"), max("b").as("max_b"))
+        .orderBy("tile")
+    },
+
     // null-semantics surface: NULLIF-derived nullable keys, null-safe
     // equality join (<=> ≡ IS NOT DISTINCT FROM — the null group MATCHES
     // itself, unlike plain =), null key as its own GROUP BY bucket,

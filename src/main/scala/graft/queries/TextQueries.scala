@@ -177,6 +177,93 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // count-min sketch BUILD, the whole counter matrix oracle-checked:
+    // every token occurrence fans into d=4 (row, column) cells through
+    // the fixed affine permutations over the md5 token hash, then ONE
+    // hash-aggregate — partial aggregation bounds the shuffle at d*w
+    // counters per map partition no matter the corpus size (the sketch
+    // is the 100 TB frequency-profiling shape; the exact per-token
+    // count it approximates needs a token-keyed shuffle of the whole
+    // vocabulary).
+    QueryDef("text_cms_counters", {
+      val vals = (0 until 4).map { j =>
+        val (a, b) = graft.ext.Dedup.minhashPerm(j)
+        s"($j, $a, $b)"
+      }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT ${sqlH31("t")} AS h FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         |cells AS (
+         |  SELECT CAST(p.j AS BIGINT) AS row_j,
+         |    ((p.a * h + p.b) % 2147483647) % 256 AS col_i
+         |  FROM tok, (VALUES $vals) AS p(j, a, b))
+         |SELECT row_j, col_i, COUNT(*) AS c
+         |FROM cells GROUP BY row_j, col_i
+         |ORDER BY row_j, col_i""".stripMargin
+    }) { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .select(TextAnalysis.tokenHash31(col("t")).as("h"))
+      graft.ext.Sketches.cmsCounters(h, "h", d = 4, w = 256)
+        .orderBy("row_j", "col_i")
+    },
+
+    // count-min POINT ESTIMATES vs truth for the 20 hottest tokens
+    // (deterministic top-k: count desc, token asc): est = min over the
+    // d rows at the token's columns — never below the true count, above
+    // it only by collision mass. The broadcast-sized top-k probes the
+    // counter matrix with a keyed join; nothing quadratic anywhere.
+    QueryDef("text_cms_estimate", {
+      val vals = (0 until 4).map { j =>
+        val (a, b) = graft.ext.Dedup.minhashPerm(j)
+        s"($j, $a, $b)"
+      }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT t, ${sqlH31("t")} AS h FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         |cnt AS (
+         |  SELECT t, MIN(h) AS h, COUNT(*) AS true_count
+         |  FROM tok GROUP BY t),
+         |top AS (
+         |  SELECT t, h, true_count FROM cnt
+         |  ORDER BY true_count DESC, t LIMIT 20),
+         |cells AS (
+         |  SELECT CAST(p.j AS BIGINT) AS row_j,
+         |    ((p.a * h + p.b) % 2147483647) % 256 AS col_i,
+         |    COUNT(*) AS c
+         |  FROM tok, (VALUES $vals) AS p(j, a, b)
+         |  GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT top.t, top.true_count, cl.c
+         |  FROM top, (VALUES $vals) AS p(j, a, b)
+         |  JOIN cells cl
+         |    ON cl.row_j = CAST(p.j AS BIGINT)
+         |   AND cl.col_i = ((p.a * top.h + p.b) % 2147483647) % 256)
+         |SELECT t AS token, true_count, MIN(c) AS est_count
+         |FROM probe GROUP BY t, true_count
+         |ORDER BY true_count DESC, token""".stripMargin
+    }) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .select(col("t"), TextAnalysis.tokenHash31(col("t")).as("h"))
+      val cnt = tok.groupBy("t")
+        .agg(min("h").as("h"), count(lit(1)).as("true_count"))
+      val top = cnt.orderBy(col("true_count").desc, col("t")).limit(20)
+      val cells = graft.ext.Sketches.cmsCounters(tok, "h", d = 4, w = 256)
+      val params = s.createDataFrame((0 until 4).map { j =>
+        val (a, b) = graft.ext.Dedup.minhashPerm(j)
+        (j.toLong, a, b)
+      }).toDF("j", "a", "b")
+      broadcast(top).crossJoin(broadcast(params))
+        .join(cells,
+          col("row_j") === col("j") &&
+            col("col_i") === ((col("a") * col("h") + col("b"))
+              % 2147483647L) % 256)
+        .groupBy(col("t").as("token"), col("true_count"))
+        .agg(min("c").as("est_count"))
+        .orderBy(col("true_count").desc, col("token"))
+    },
+
     // deterministic train/val split: hash the doc id (md5-derived 31-bit,
     // the corpus-wide convention) mod 100 — reproducible on any engine,
     // any partitioning, any run; no rand(). 90/10 split profile per

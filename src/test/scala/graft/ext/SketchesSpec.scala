@@ -142,4 +142,37 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.15,
       s"median est $est vs exact $exact")
   }
+
+  test("count-min: estimates never undercount, exact when rows agree, " +
+    "aggregator == DataFrame build") {
+    val items = Seq.tabulate(2000)(i => (i % 37).toLong * 104729L)
+    val df = items.toDF("h")
+    val truth = items.groupBy(identity).map { case (h, xs) =>
+      h -> xs.size.toLong }
+    val cells = Sketches.cmsCounters(df, "h", d = 4, w = 64)
+      .as[(Long, Long, Long)].collect()
+      .map { case (j, i, c) => (j, i) -> c }.toMap
+    // rebuild a Cms from the DataFrame cells and compare to the typed
+    // aggregator over the same stream
+    val viaAgg = df.as[Long].select(
+      new Sketches.CmsAggregator(4, 64).toColumn.name("s"))
+      .as[Sketches.Cms].collect().head
+    val viaDf = Sketches.Cms(4, 64,
+      Vector.tabulate(4 * 64)(k =>
+        cells.getOrElse((k / 64.toLong, k % 64.toLong), 0L)))
+    assert(viaAgg == viaDf, "aggregator and DataFrame builds must agree")
+    for ((h, n) <- truth) {
+      val est = viaAgg.estimate(h)
+      assert(est >= n, s"CMS must never undercount: h=$h true=$n est=$est")
+    }
+    // row-agreement: with 37 distinct items in w=64 columns some row
+    // may collide, but the MIN across 4 independent rows is exact here
+    assert(truth.forall { case (h, n) => viaAgg.estimate(h) == n },
+      "4x64 sketch should resolve 37 distinct items exactly")
+    // merge law: split the stream, merge the halves
+    val (l, r) = items.splitAt(997)
+    val merged = l.foldLeft(new Sketches.CmsAggregator(4, 64).zero)(_.add(_))
+      .merge(r.foldLeft(new Sketches.CmsAggregator(4, 64).zero)(_.add(_)))
+    assert(merged == viaAgg, "merge of split halves must equal the whole")
+  }
 }
