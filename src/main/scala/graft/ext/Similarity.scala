@@ -399,4 +399,117 @@ object Similarity {
           .as("score"))
       .filter(col("score") >= threshold)
   }
+
+  // -------- Product quantization (PQ / ADC) --------
+  //
+  // The memory-compression path of ANN: each vector is stored as m
+  // small codes (one per disjoint subspace) instead of `dims` floats —
+  // at m=8, k=16 a 64-dim vector is 8 nibbles, a 64x compression — and
+  // queries score against codebook reconstructions through an m×k
+  // lookup table (asymmetric distance computation), never touching the
+  // raw vectors. Same determinism contract as [[trainCentroids]]: seed
+  // codewords are the first k vectors' slices, Lloyd updates are
+  // floor-means, assignment ties break to the smallest codeword label —
+  // so the whole train → encode → score pipeline is integer-exact and a
+  // SQL oracle replays it (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011, is the construction; the
+  // arithmetic discipline is this repo's).
+
+  /** The m disjoint slices of each quantized vector: (id, sub, qs). */
+  private def subspaceSlices(e: DataFrame, m: Int, dims: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"subspaceSlices: dims ($dims) must divide into m ($m) subspaces")
+    val d = dims / m
+    e.select(col("id"), explode(array((0 until m).map { sb =>
+        struct(lit(sb.toLong).as("sub"),
+          slice(col("q"), sb * d + 1, d).as("qs"))
+      }: _*)).as("__s"))
+      .select(col("id"), col("__s.sub").as("sub"), col("__s.qs").as("qs"))
+  }
+
+  /** Nearest codeword per (vector, subspace) — exact integer squared
+    * distance, ties to the smallest label; (id, sub, qs, code). */
+  private def assignSub(s: DataFrame, books: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id", "sub")
+      .orderBy(col("__d2"), col("clabel"))
+    s.join(broadcast(books), Seq("sub"))
+      .withColumn("__d2",
+        qnorm2(col("qs")) + qnorm2(col("qc")) -
+          lit(2L) * qdot(col("qs"), col("qc")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("sub"), col("qs"), col("clabel").as("code"))
+  }
+
+  /** Per-subspace codebooks via deterministic Lloyd rounds, all m
+    * subspaces trained in ONE sub-keyed job per round (not m jobs).
+    * Only the m×k×(dims/m) = k×dims model crosses to the driver between
+    * rounds. Returns (sub, clabel, qc). */
+  def pqTrain(e: DataFrame, m: Int = 8, dims: Int = 64, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val s = subspaceSlices(e, m, dims)
+    var books = s.filter(col("id") < k)
+      .select(col("sub"), col("id").cast("long").as("clabel"),
+        col("qs").as("qc"))
+    for (_ <- 1 to iters) {
+      val a = assignSub(s, books)
+      val next = a
+        .select(col("sub"), col("code").as("clabel"), posexplode(col("qs")))
+        .groupBy("sub", "clabel", "pos")
+        .agg(sum("col").as("sv"), count(lit(1)).as("n"))
+        .withColumn("c",
+          floor(col("sv").cast("double") / col("n")).cast("long"))
+        .groupBy("sub", "clabel")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("qc"))
+        .as[(Long, Long, Seq[Long])].collect().toSeq
+        .sortBy(t => (t._1, t._2))
+      books = next.toDF("sub", "clabel", "qc")
+    }
+    books
+  }
+
+  /** Encode every vector against trained codebooks: (id, sub, code) —
+    * the m-code compressed representation that gets STORED at scale. */
+  def pqEncode(e: DataFrame, books: DataFrame, m: Int = 8,
+      dims: Int = 64): DataFrame =
+    assignSub(subspaceSlices(e, m, dims), books)
+      .select("id", "sub", "code")
+
+  /** ADC top-k: the query builds an m×k lookup table of per-subspace
+    * partial dots and codeword norms against the codebooks (broadcast —
+    * it IS the whole model), codes join it keyed on (sub, code), and
+    * one id-keyed aggregate folds the m partials into the approximate
+    * cosine dot(q, reconstruct(v)) / (|q|·|reconstruct(v)|). The stored
+    * vectors are never read at query time — the PQ promise. */
+  def pqTopK(emb: DataFrame, queryVecId: Long, topK: Int,
+      m: Int = 8, dims: Int = 64, k: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val books = pqTrain(e, m, dims, k, iters)
+    val codes = pqEncode(e, books, m, dims)
+    val qs = subspaceSlices(e.filter(col("id") === queryVecId), m, dims)
+      .select(col("sub"), col("qs").as("qq"))
+    val lut = broadcast(books.join(qs, Seq("sub"))
+      .select(col("sub"), col("clabel").as("code"),
+        qdot(col("qq"), col("qc")).as("pd"),
+        qnorm2(col("qc")).as("pn")))
+    val qn2 = e.filter(col("id") === queryVecId)
+      .select(qnorm2(col("q")).as("qn2"))
+    codes.filter(col("id") =!= queryVecId)
+      .join(lut, Seq("sub", "code"))
+      .groupBy("id")
+      .agg(sum("pd").as("dot"), sum("pn").as("rn2"))
+      .crossJoin(broadcast(qn2))
+      .select(col("id").as("vec_id"),
+        (col("dot").cast("double") /
+          sqrt(col("rn2").cast("double") * col("qn2").cast("double")))
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+  }
 }

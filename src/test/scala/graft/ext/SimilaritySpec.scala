@@ -58,6 +58,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@10 = $recall (ivf=$ivf exact=$exact)")
   }
 
+  test("PQ: with every vector a codeword the ADC scores are EXACTLY " +
+    "the brute-force cosines") {
+    // k = n with per-subspace-distinct slices: every slice is its own
+    // nearest seed (d2 = 0), one Lloyd round averages each singleton
+    // cluster back to itself, encoding is the identity, and ADC
+    // reconstruction degrades to exact cosine. (i mod 13 spacing makes
+    // all 12 slices distinct in every subspace.)
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 8f))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.annTopK(vecs, 0L, 11)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSet
+    val pq = Similarity.pqTopK(vecs, 0L, 11, m = 8, dims = 64, k = 12,
+        iters = 1)
+      .as[(Long, Double)].collect().toSet
+    assert(pq == exact, s"pq=$pq exact=$exact")
+  }
+
+  test("PQ recall@10 >= 0.7 at m=32, k=64; deterministic under " +
+    "repartitioning at the query geometry") {
+    // recall is corpus-dependent: the sf0.001 spec corpus needs finer
+    // subspaces than sf0.01 (measured: (16,64) gives 0.4 here but 0.8
+    // at sf0.01 — the geometry the ann_pq_topk query runs; (32,64)
+    // gives 0.8 on both). Lossy by construction; the floor pins that
+    // the codebooks actually carry signal, not a luck draw.
+    val exact = Similarity.annTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = Similarity.pqTopK(emb, 0L, 10, m = 32, k = 64)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall@10 = $recall (pq=$pq exact=$exact)")
+    // determinism under repartitioning, at the query's geometry
+    val a = Similarity.pqTopK(emb, 0L, 10, m = 16, k = 64)
+      .select("vec_id").as[Long].collect().toSet
+    val b = Similarity.pqTopK(emb.repartition(7), 0L, 10, m = 16, k = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(a == b, "PQ ranking must be partition-independent")
+  }
+
   test("k-means training moves centroids and keeps k stable on fixture") {
     val e = emb.select(col("vec_id").as("id"),
       Similarity.quantize(col("embedding")).as("q"))
