@@ -428,19 +428,22 @@ object Similarity {
   }
 
   /** Nearest codeword per (vector, subspace) — exact integer squared
-    * distance, ties to the smallest label; (id, sub, qs, code). */
-  private def assignSub(s: DataFrame, books: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id", "sub")
-      .orderBy(col("__d2"), col("clabel"))
-    s.join(broadcast(books), Seq("sub"))
+    * distance, ties to the smallest label via a min-(d2, label) struct
+    * aggregate (a hash-agg, NOT a sort-based window: at m subspaces the
+    * ranking input is m·k rows per vector and the sort was the
+    * measured hotspot of `ann_pq_topk`); (id, sub, qs, code). */
+  private def assignSub(s: DataFrame, books: DataFrame): DataFrame =
+    s.withColumn("__sn", qnorm2(col("qs")))
+      .join(broadcast(books.withColumn("__cn", qnorm2(col("qc")))),
+        Seq("sub"))
+      // norms hoisted to once per slice / once per codeword — only the
+      // dot is per-pair work
       .withColumn("__d2",
-        qnorm2(col("qs")) + qnorm2(col("qc")) -
-          lit(2L) * qdot(col("qs"), col("qc")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("sub"), col("qs"), col("clabel").as("code"))
-  }
+        col("__sn") + col("__cn") - lit(2L) * qdot(col("qs"), col("qc")))
+      .groupBy("id", "sub", "qs")
+      .agg(min(struct(col("__d2"), col("clabel"))).as("__best"))
+      .select(col("id"), col("sub"), col("qs"),
+        col("__best.clabel").as("code"))
 
   /** Per-subspace codebooks via deterministic Lloyd rounds, all m
     * subspaces trained in ONE sub-keyed job per round (not m jobs).

@@ -566,6 +566,43 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // native gap-session operator: session_window(ts, gap) — the same
+    // state-store-backed session merging Structured Streaming runs,
+    // exercised in batch where it is oracle-checkable. Window start =
+    // first event, end = last event + gap; the oracle replays it as
+    // gaps-and-islands (the q15 construction) + per-island bounds.
+    // Exact integer microseconds on both sides.
+    QueryDef("q53_session_window",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |t AS (
+        |  SELECT user_id, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, MIN(us) AS session_start_us,
+        |  MAX(us) + 1800000000 AS session_end_us, COUNT(*) AS n_events
+        |FROM t GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    },
+
     // pure range join (NO equi key): events landing in each user's first
     // active hour. Spark can only plan inequality-only joins as a
     // nested-loop scan; ops.RangeJoin bins intervals to fixed-width

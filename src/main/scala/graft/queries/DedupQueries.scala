@@ -481,6 +481,40 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // k-core of the near-dup graph: the density filter CC/label-prop
+    // can't express — every surviving doc keeps >= 3 neighbors INSIDE
+    // the surviving set, so dup-cluster fringe peels away. Peeling is
+    // monotone and idempotent at the fixpoint, so the oracle's FIXED
+    // 16-round unroll equals the Spark side's iterate-to-fixpoint
+    // (which fails loudly if 16 rounds wouldn't do).
+    QueryDef("graph_kcore", {
+      // every g{t-1} is referenced twice (degree agg + edge filter):
+      // MATERIALIZED stops CTE inlining from exploding the plan into
+      // 2^16 re-scans of the base table
+      val rounds = (1 to 16).map { t =>
+        s"""d$t AS (SELECT a, COUNT(*) AS d FROM g${t - 1} GROUP BY a),
+           |al$t AS (SELECT a FROM d$t WHERE d >= 3),
+           |g$t AS MATERIALIZED (
+           |  SELECT g.a, g.b FROM g${t - 1} g
+           |    JOIN al$t x ON x.a = g.a
+           |    JOIN al$t y ON y.a = g.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlJaccardEnCtes,
+         |g0 AS MATERIALIZED (
+         |  SELECT id_a AS a, id_b AS b FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |$rounds
+         |SELECT a AS doc_id, COUNT(*) AS core_deg
+         |FROM g16 GROUP BY a ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("lang") === "en")
+      val pairs = Dedup.jaccardPairsBitset(docs, "doc_id", "text",
+        n = 1, threshold = 0.9)
+      graft.ops.KCore.core(pairs, "id_a", "id_b", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // contrastive training triplets: every near-dup pair (anchor,
     // positive) from the exact Jaccard graph gets 3 deterministic
     // hash-drawn negatives — candidates are h31(a-b-j) mod N for
