@@ -433,8 +433,13 @@ object Similarity {
     * ranking input is m·k rows per vector and the sort was the
     * measured hotspot of `ann_pq_topk`); (id, sub, qs, code). */
   private def assignSub(s: DataFrame, books: DataFrame): DataFrame =
-    s.withColumn("__sn", qnorm2(col("qs")))
-      .join(broadcast(books.withColumn("__cn", qnorm2(col("qc")))),
+    assignPrepped(s.withColumn("__sn", qnorm2(col("qs"))), books)
+
+  /** [[assignSub]] over slices whose `__sn` norm is already computed —
+    * the shape the cached multi-pass path (train rounds + encode over
+    * ONE persisted slice table) feeds. */
+  private def assignPrepped(sp: DataFrame, books: DataFrame): DataFrame =
+    sp.join(broadcast(books.withColumn("__cn", qnorm2(col("qc")))),
         Seq("sub"))
       // norms hoisted to once per slice / once per codeword — only the
       // dot is per-pair work
@@ -450,15 +455,22 @@ object Similarity {
     * Only the m×k×(dims/m) = k×dims model crosses to the driver between
     * rounds. Returns (sub, clabel, qc). */
   def pqTrain(e: DataFrame, m: Int = 8, dims: Int = 64, k: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val spark = e.sparkSession
+      iters: Int = 2): DataFrame =
+    trainOnSlices(
+      subspaceSlices(e, m, dims).withColumn("__sn", qnorm2(col("qs"))),
+      k, iters)
+
+  /** Lloyd rounds over an (id, sub, qs, __sn) slice table — split out so
+    * [[pqTopK]] can persist ONE slice table across the train rounds AND
+    * the encode pass instead of recomputing scan+explode per pass. */
+  private def trainOnSlices(s: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = s.sparkSession
     import spark.implicits._
-    val s = subspaceSlices(e, m, dims)
     var books = s.filter(col("id") < k)
       .select(col("sub"), col("id").cast("long").as("clabel"),
         col("qs").as("qc"))
     for (_ <- 1 to iters) {
-      val a = assignSub(s, books)
+      val a = assignPrepped(s, books)
       val next = a
         .select(col("sub"), col("code").as("clabel"), posexplode(col("qs")))
         .groupBy("sub", "clabel", "pos")
@@ -493,8 +505,13 @@ object Similarity {
       m: Int = 8, dims: Int = 64, k: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
-    val books = pqTrain(e, m, dims, k, iters)
-    val codes = pqEncode(e, books, m, dims)
+    // one slice table feeds 2·iters train jobs AND the encode pass —
+    // persisted so the scan+explode+norm chain runs once, not 1+iters
+    // times (n·m short rows: negligible memory, large plan-depth win)
+    val s = subspaceSlices(e, m, dims)
+      .withColumn("__sn", qnorm2(col("qs"))).persist()
+    val books = trainOnSlices(s, k, iters)
+    val codes = assignPrepped(s, books).select("id", "sub", "code")
     val qs = subspaceSlices(e.filter(col("id") === queryVecId), m, dims)
       .select(col("sub"), col("qs").as("qq"))
     val lut = broadcast(books.join(qs, Seq("sub"))

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -471,6 +471,166 @@ object TextAnalysis {
     PiiPatterns.foldLeft(text) { case (acc, (_, pat, repl)) =>
       regexp_replace(acc, pat, repl)
     }
+
+  /** Cross-document boilerplate removal — the CCNet/RefinedWeb
+    * preprocessing step: lines that recur across more than
+    * `maxPermil`/1000 of the corpus (navigation bars, cookie banners,
+    * copyright footers) are stripped from every document; body text
+    * survives because its cross-document frequency is the near-dup
+    * rate, not the template rate. Shape: one generator explode, one
+    * line-keyed document-frequency aggregate, one broadcast scalar for
+    * the corpus size, one id-keyed reassembly — all keyed shuffles on
+    * line/doc, nothing quadratic, integer-only threshold compare
+    * (df·1000 <= permil·n). Documents whose every line is boilerplate
+    * disappear from the output (callers left-join to zero-fill; a
+    * unique per-doc line makes it impossible by construction).
+    * `sep` is a regex on the Spark side (Spark `split`) — pass a
+    * literal separator. Returns (idCol, clean_text, n_kept). */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxPermil: Int = 40): DataFrame = {
+    require(maxPermil >= 1 && maxPermil <= 1000,
+      s"stripBoilerplate: maxPermil in [1,1000] ($maxPermil)")
+    val total = df.agg(count(lit(1)).as("__n"))
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), sep)).as(Seq("__pos", "__line")))
+    val dfreq = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+    lines.join(dfreq, Seq("__line"))
+      .crossJoin(broadcast(total))
+      .filter(col("__df") * 1000L <= lit(maxPermil.toLong) * col("__n"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")), sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /** Adjacent-token bigrams as "w1 w2" strings, order kept, with
+    * multiplicity — the unit of n-gram language modelling. Zip of the
+    * token array with its own tail; a 1-token (or empty) document
+    * yields an empty array. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Corpus bigram model: occurrence count per bigram plus the
+    * occurrence count of its prefix token AS a prefix (= the row sum of
+    * the transition matrix, which makes cnt/prefix_cnt a proper
+    * conditional probability that sums to 1 per prefix). ONE generator
+    * pass and ONE hash-agg keyed on the bigram; the prefix counts are a
+    * second agg over the (already tiny) distinct-bigram table, so the
+    * shuffle is bounded by distinct bigrams, never occurrences.
+    * Returns (bigram, w1, cnt, prefix_cnt). */
+  def bigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val bg = df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val prefix = bg.groupBy("w1")
+      .agg(sum("cnt").cast("long").as("prefix_cnt"))
+    bg.join(prefix, Seq("w1")).select("bigram", "w1", "cnt", "prefix_cnt")
+  }
+
+  /** Per-document LM likelihood proxy — the CCNet-style "how much does
+    * this document look like the reference corpus" signal, kept
+    * transcendental-free so any engine reproduces it bit-for-bit: each
+    * bigram occurrence scores floor(1e6·cnt/prefix_cnt) (exact IEEE ops
+    * on exact integers — no log-perplexity, same ordering) and the
+    * document aggregates the integer sum plus its mean as one final
+    * division. Unseen bigrams score 0 when the model comes from a
+    * different corpus (left join). Shape: generator explode, one keyed
+    * join against the (broadcastable) model, one id-keyed agg.
+    * Returns (idCol, n_bigrams, lm_sum_micro, lm_avg_micro). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame =
+    df.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+      .join(model.select(col("bigram"),
+        floor(lit(1000000.0) * col("cnt") / col("prefix_cnt"))
+          .cast("long").as("__p")), Seq("bigram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__p"), lit(0L))).cast("long")
+          .as("lm_sum_micro"))
+      .withColumn("lm_avg_micro",
+        col("lm_sum_micro").cast("double") / col("n_bigrams"))
+
+  /** Collocation mining without PMI's logarithm: the lift ratio
+    * N·c(xy) / (c(x·)·c(·y)) ranks exactly like PMI (log is monotone)
+    * but stays a single division of exact integer products, so the
+    * DuckDB oracle matches to the bit. c(x·)/c(·y) are the bigram's
+    * first/second-position marginals and N the total bigram count —
+    * all from ONE bigram table; the marginals and scalar N broadcast.
+    * Returns (bigram, cnt, lift_micro) for bigrams with cnt >=
+    * minCount, strongest first. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      topK: Int = 20): DataFrame = {
+    val bg = df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val left = bg.groupBy("w1").agg(sum("cnt").cast("long").as("cx"))
+    val right = bg.groupBy("w2").agg(sum("cnt").cast("long").as("cy"))
+    val total = bg.agg(sum("cnt").cast("long").as("n_bg"))
+    bg.filter(col("cnt") >= minCount)
+      .join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("cnt"),
+        floor(col("cnt") * col("n_bg") * lit(1000000.0) /
+          (col("cx") * col("cy"))).cast("long").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /** Simpson concentration index Σfᵢ²/n² of the document's token
+    * distribution — 1/n for all-distinct text, →1 for one token
+    * repeated; the repetition-quality signal Gopher-style filters
+    * threshold on. Integer sum of squared counts, ONE final division.
+    * Doc-local array work, zero shuffles. */
+  def simpsonIndex(text: Column): Column = {
+    val t = tokens(text)
+    val sumSq = aggregate(
+      transform(array_distinct(t),
+        d => size(filter(t, x => x === d)).cast("long") *
+          size(filter(t, x => x === d)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    sumSq.cast("double") / (size(t).cast("long") * size(t).cast("long"))
+  }
+
+  /** Burstiness: the most frequent token's share of the document —
+    * max fᵢ/n, the cheap "SPAM SPAM SPAM" detector. Same doc-local
+    * shape as [[simpsonIndex]]. */
+  def burstiness(text: Column): Column = {
+    val t = tokens(text)
+    array_max(transform(array_distinct(t),
+      d => size(filter(t, x => x === d)).cast("long")))
+      .cast("double") / size(t)
+  }
+
+  /** URL canonicalization — the CCNet/web-crawl keep-first key:
+    * lowercase scheme+host, drop `www.`, drop explicit :80/:443 ports,
+    * drop the fragment, drop tracking params (`utm_*`, `fbclid`,
+    * `gclid`) while keeping real ones, collapse the dangling `?`/`&`
+    * that removal leaves, and strip trailing slashes. Every step is a
+    * global regexp_replace over RE2-safe patterns (no lookaround), so
+    * Java regex and RE2 engines agree byte-for-byte. Pure projection —
+    * canonicalizing a 100 TB crawl is a map-only job. */
+  def canonicalUrl(url: Column): Column = {
+    val prefix = lower(regexp_extract(url, "^[^/?#]*://[^/?#]*", 0))
+    val p2 = regexp_replace(
+      regexp_replace(prefix, "://www\\.", "://"), ":(?:80|443)$", "")
+    val rest = url.substr(
+      length(regexp_extract(url, "^[^/?#]*://[^/?#]*", 0)) + lit(1),
+      length(url))
+    val r2 = regexp_replace(rest, "#.*", "")
+    val r3 = regexp_replace(r2,
+      "(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val r4 = regexp_replace(regexp_replace(r3, "\\?&", "?"), "[?&]+$", "")
+    concat(p2, regexp_replace(r4, "/+$", ""))
+  }
 
   /** Hashed-linear text scoring — the fasttext-style quality-classifier
     * APPLY step: every token occurrence hashes into one of `dim` weight

@@ -96,4 +96,33 @@ object DataQuality {
         coalesce(col("h_b"), lit(-1L)).as("h_b"))
       .filter(col("n_a") =!= col("n_b") || col("h_a") =!= col("h_b"))
   }
+
+  /** Key-skew diagnostic — the pre-join report that decides whether a
+    * 100 TB shuffle needs salting: per-key row counts, each key's
+    * corpus share, and its skew ratio against the uniform expectation
+    * (cnt·n_keys/total — 1e6 ≈ perfectly uniform; the salting
+    * heuristic fires when the hottest key's ratio crosses ~10×). ONE
+    * keyed hash-agg (map-side combined) plus a 1-row scalar broadcast;
+    * the top-N sort runs on the already-aggregated key table. Shares
+    * are floor(1e6·x) integers, so the report replays exactly on any
+    * engine. Returns the top-N hottest keys:
+    * (rnk, key, cnt, share_micro, skew_micro). */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = perKey.agg(sum("cnt").cast("long").as("total"),
+      count(lit(1)).as("n_keys"))
+    // topN rows in one partition by construction — the one safe window
+    perKey.orderBy(col("cnt").desc, col("key")).limit(topN)
+      .crossJoin(broadcast(totals))
+      .select(
+        row_number().over(Window.orderBy(col("cnt").desc, col("key")))
+          .cast("long").as("rnk"),
+        col("key"), col("cnt"),
+        floor(col("cnt") * lit(1000000.0) / col("total"))
+          .cast("long").as("share_micro"),
+        floor(col("cnt") * col("n_keys") * lit(1000000.0) / col("total"))
+          .cast("long").as("skew_micro"))
+  }
 }

@@ -1250,6 +1250,30 @@ object AnalyticsQueries {
         .orderBy("bucket")
     },
 
+    // key-skew diagnostic ahead of a customer-keyed join: hottest
+    // custkeys with corpus share and ratio vs uniform (1e6 ≈ flat) —
+    // the report that decides whether the shuffle needs salting. One
+    // keyed hash-agg + a 1-row scalar broadcast; integer-exact.
+    QueryDef("dq_skew_report",
+      """WITH pk AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |         COUNT(*) AS n_keys FROM pk),
+        |top AS (SELECT key, cnt FROM pk
+        |        ORDER BY cnt DESC, key LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key)
+        |         AS BIGINT) AS rnk,
+        |  key, cnt,
+        |  CAST(floor(cnt * 1000000.0 / total) AS BIGINT) AS share_micro,
+        |  CAST(floor(cnt * n_keys * 1000000.0 / total) AS BIGINT)
+        |    AS skew_micro
+        |FROM top, tt ORDER BY rnk""".stripMargin) { (s, d) =>
+      graft.ops.DataQuality.skewReport(Tables.orders(s, d), "o_custkey",
+          topN = 10)
+        .orderBy("rnk")
+    },
+
     // correlation + regression slope from EXACT integer moments —
     // never the built-in corr()/regr_slope() (their streaming update
     // order is engine- and partition-dependent on doubles): quantities

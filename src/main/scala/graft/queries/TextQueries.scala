@@ -264,6 +264,194 @@ object TextQueries {
         .orderBy(col("true_count").desc, col("token"))
     },
 
+    // cross-document boilerplate removal over a planted multi-line
+    // corpus: every doc gets a per-source nav line (~50 permil of docs
+    // each), its body, a unique DOC line, and a global footer
+    // (1000 permil). At the 40-permil threshold nav + footer strip,
+    // body and DOC lines survive — template frequency vs content
+    // frequency, decided by one line-keyed doc-frequency aggregate.
+    QueryDef("text_boilerplate_strip",
+      """WITH p AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'NAV ' || source, text,
+        |    'DOC ' || CAST(doc_id AS VARCHAR),
+        |    'COPYRIGHT FOOTER 2026') AS full_text
+        |  FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM p),
+        |l AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+        |    unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(full_text, chr(10)) AS ls
+        |        FROM p)),
+        |fr AS (
+        |  SELECT line, COUNT(*) AS dfr FROM (
+        |    SELECT DISTINCT doc_id, line FROM l) GROUP BY line),
+        |keep AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM l JOIN fr ON fr.line = l.line, nn
+        |  WHERE fr.dfr * 1000 <= 40 * nn.n)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |  COUNT(*) AS n_kept
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("NAV "), col("source")), col("text"),
+          concat(lit("DOC "), col("doc_id").cast("string")),
+          lit("COPYRIGHT FOOTER 2026")).as("full_text"))
+      TextAnalysis.stripBoilerplate(planted, "doc_id", "full_text")
+        .orderBy("doc_id")
+    },
+
+    // bigram LM likelihood proxy (CCNet's perplexity gate, kept
+    // transcendental-free): model = corpus bigram transition counts;
+    // each occurrence scores floor(1e6·cnt/prefix_cnt), docs aggregate
+    // the integer sum + one final mean division. Lift is monotone in
+    // log-likelihood, so the ranking matches a perplexity filter's.
+    QueryDef("text_lm_score",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM t),
+        |m AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+        |m2 AS (SELECT bigram, cnt, string_split(bigram, ' ')[1] AS w1
+        |       FROM m),
+        |pf AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS prefix_cnt
+        |       FROM m2 GROUP BY w1),
+        |mp AS (SELECT m2.bigram,
+        |         CAST(floor(1000000.0 * cnt / prefix_cnt) AS BIGINT) AS p
+        |       FROM m2 JOIN pf ON pf.w1 = m2.w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(p) AS BIGINT) AS lm_sum_micro,
+        |  CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |    AS lm_avg_micro
+        |FROM bg JOIN mp ON mp.bigram = bg.bigram
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lmScore(docs, "doc_id", "text",
+          TextAnalysis.bigramModel(docs, "text"))
+        .orderBy("doc_id")
+    },
+
+    // collocation mining without PMI's log: lift = N·c(xy)/(c(x·)·c(·y))
+    // over first/second-position marginals — exact integer products, one
+    // division, floor(1e6·) — ranks exactly like PMI (log is monotone).
+    QueryDef("text_collocations",
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM t),
+        |m AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+        |m2 AS (SELECT bigram, cnt, string_split(bigram, ' ')[1] AS w1,
+        |         string_split(bigram, ' ')[2] AS w2 FROM m),
+        |lx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cx
+        |       FROM m2 GROUP BY w1),
+        |rx AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS cy
+        |       FROM m2 GROUP BY w2),
+        |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_bg FROM m)
+        |SELECT bigram, cnt,
+        |  CAST(floor(cnt * n_bg * 1000000.0 / (cx * cy)) AS BIGINT)
+        |    AS lift_micro
+        |FROM m2 JOIN lx USING (w1) JOIN rx USING (w2), nn
+        |WHERE cnt >= 5
+        |ORDER BY lift_micro DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), "text",
+        minCount = 5L, topK = 20)
+    },
+
+    // per-document token-distribution shape: Simpson concentration
+    // (Σfᵢ²/n²) + hottest-token share — the integer-exact repetition
+    // signals a Gopher-style quality filter thresholds on.
+    QueryDef("text_diversity",
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  CAST(list_sum(list_transform(
+        |      list_distinct(string_split(text, ' ')),
+        |      d -> len(list_filter(string_split(text, ' '),
+        |             x -> x = d))::BIGINT
+        |         * len(list_filter(string_split(text, ' '),
+        |             x -> x = d)))) AS DOUBLE)
+        |    / (len(string_split(text, ' '))::BIGINT
+        |       * len(string_split(text, ' '))) AS simpson,
+        |  CAST(list_max(list_transform(
+        |      list_distinct(string_split(text, ' ')),
+        |      d -> len(list_filter(string_split(text, ' '),
+        |             x -> x = d))::BIGINT)) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS burstiness
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.nTokens(col("text")).as("n_tokens"),
+        TextAnalysis.simpsonIndex(col("text")).as("simpson"),
+        TextAnalysis.burstiness(col("text")).as("burstiness"))
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization + keep-first dedup (the crawl-frontier key):
+    // planted messy variants — uppercase host, www., :443, trailing
+    // slash, utm_* tracking params, fragments — collapse to one
+    // canonical form; real query params survive. Canonicalize is a
+    // map-only projection; dedup is one canonical-keyed hash-agg.
+    QueryDef("text_url_dedup",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://'
+        |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |    || upper(source) || '.EXAMPLE'
+        |    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+        |    || '/p/' || CAST(doc_id % 8 AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0 THEN '/'
+        |            WHEN doc_id % 3 = 1 THEN '?utm_source=feed&ref='
+        |              || CAST(doc_id % 2 AS VARCHAR)
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(
+        |        lower(regexp_extract(url, '^[^/?#]*://[^/?#]*', 0)),
+        |        '://www\.', '://', 'g'), ':(?:80|443)$', '', 'g')
+        |    || regexp_replace(
+        |         regexp_replace(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               substring(url, length(
+        |                 regexp_extract(url, '^[^/?#]*://[^/?#]*', 0))
+        |                 + 1),
+        |               '#.*', '', 'g'),
+        |             '(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |           '\?&', '?', 'g'), '[?&]+$', '', 'g'),
+        |         '/+$', '', 'g') AS canonical
+        |  FROM u)
+        |SELECT canonical, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT url) AS n_raw_variants,
+        |  MIN(doc_id) AS keeper
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin) {
+      (s, d) =>
+      val u = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        upper(col("source")), lit(".EXAMPLE"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 8).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/"))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?utm_source=feed&ref="),
+              (col("doc_id") % 2).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+        .as("url"))
+      u.withColumn("canonical", TextAnalysis.canonicalUrl(col("url")))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_variants"),
+          min(col("doc_id")).as("keeper"))
+        .orderBy("canonical")
+    },
+
     // deterministic train/val split: hash the doc id (md5-derived 31-bit,
     // the corpus-wide convention) mod 100 — reproducible on any engine,
     // any partitioning, any run; no rand(). 90/10 split profile per

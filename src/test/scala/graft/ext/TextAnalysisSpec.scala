@@ -247,6 +247,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.keySet.subsetOf(Set("en", "other")))
   }
 
+  test("stripBoilerplate: template lines go, content stays, order " +
+    "kept; all-boilerplate docs vanish; boundary inclusive") {
+    // 10 docs, every one carries FOOTER (10/10) and docs 0-4 carry NAV
+    // (5/10); content lines are unique
+    val docs = (0L until 10L).map { i =>
+      val nav = if (i < 5) "NAV\n" else ""
+      (i, s"${nav}body $i\nFOOTER\ntail $i")
+    }.toDF("id", "text")
+    // threshold 400 permil: NAV (500) and FOOTER (1000) strip
+    val got = TextAnalysis.stripBoilerplate(docs, "id", "text",
+        maxPermil = 400)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(3L)._2 == "body 3\ntail 3" && got(3L)._3 == 2L)
+    assert(got(7L)._2 == "body 7\ntail 7")
+    // threshold 500 permil: NAV (exactly 500) is now KEPT — inclusive
+    val inc = TextAnalysis.stripBoilerplate(docs, "id", "text",
+        maxPermil = 500)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(inc(3L) == "NAV\nbody 3\ntail 3", inc(3L))
+    // a doc that is pure boilerplate disappears from the output
+    val withEmpty = docs.union(Seq((99L, "FOOTER")).toDF("id", "text"))
+    val ids = TextAnalysis.stripBoilerplate(withEmpty, "id", "text",
+        maxPermil = 400)
+      .select("id").as[Long].collect().toSet
+    assert(!ids.contains(99L) && ids.size == 10)
+  }
+
   test("piiCounts sees every category; piiRedact claims spans in order " +
     "and is idempotent") {
     val df = Seq((1L,
@@ -276,5 +303,79 @@ class TextAnalysisSpec extends SparkSpec {
     // the ssn-shaped local part is claimed by <EMAIL> first; the second
     // number really is a phone
     assert(red == "reach <EMAIL> or <PHONE>", red)
+  }
+
+  test("bigrams: ordered with multiplicity; 1-token and empty-ish docs " +
+    "yield none") {
+    val got = Seq("a b a b", "solo").toDF("text")
+      .select(TextAnalysis.bigrams(col("text")).as("bg"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b", "b a", "a b"))
+    assert(got(1).isEmpty)
+  }
+
+  test("bigramModel: cnt/prefix_cnt is a proper conditional " +
+    "distribution (sums to 1 per prefix); lmScore ranks in-model text " +
+    "above out-of-model text") {
+    val corpus = Seq((1L, "the cat sat"), (2L, "the cat ran"),
+      (3L, "the dog sat")).toDF("id", "text")
+    val m = TextAnalysis.bigramModel(corpus, "text")
+      .as[(String, String, Long, Long)].collect()
+    // prefix 'the': 'the cat' x2 + 'the dog' x1 over prefix_cnt 3
+    val theRows = m.filter(_._2 == "the")
+    assert(theRows.map(_._3).sum == theRows.head._4,
+      "conditional sums to 1 per prefix")
+    assert(m.find(_._1 == "the cat").get._3 == 2L)
+    val score = TextAnalysis.lmScore(
+      Seq((10L, "the cat sat"), (11L, "zebra quark flux"))
+        .toDF("id", "text"),
+      "id", "text", TextAnalysis.bigramModel(corpus, "text"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(score(10L)._3 > score(11L)._3,
+      "in-model text outscores out-of-model text")
+    assert(score(11L)._3 == 0L, "unseen bigrams score 0, not null")
+  }
+
+  test("collocations: a bound pair outranks independent co-occurrence") {
+    // 'new york' always together (lift >> 1); filler tokens co-occur
+    // independently
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"new york f$i g$i new york")).toDF("id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 5L,
+      topK = 5).as[(String, Long, Long)].collect()
+    assert(got.head._1 == "new york", got.mkString(","))
+    assert(got.head._3 > 1000000L, "bound pair lifts above independence")
+  }
+
+  test("simpsonIndex and burstiness: hand values, all-distinct floor, " +
+    "single-token ceiling") {
+    val got = Seq("a a b c", "w x y z", "spam spam spam")
+      .toDF("text")
+      .select(TextAnalysis.simpsonIndex(col("text")).as("s"),
+        TextAnalysis.burstiness(col("text")).as("b"))
+      .as[(Double, Double)].collect()
+    // f = (2,1,1), n=4: (4+1+1)/16
+    assert(got(0) == ((6.0 / 16.0, 2.0 / 4.0)), got(0).toString)
+    assert(got(1) == ((4.0 / 16.0, 1.0 / 4.0)), "all-distinct floor 1/n")
+    assert(got(2) == ((1.0, 1.0)), "one repeated token concentrates to 1")
+  }
+
+  test("canonicalUrl: case, www, default ports, fragments, tracking " +
+    "params and trailing slashes normalize; real params survive") {
+    val vecs = Seq(
+      ("HTTPS://WWW.Ex.Example:443/A/b/", "https://ex.example/A/b"),
+      ("http://ex.example:80/p?utm_source=x&utm_medium=y", "http://ex.example/p"),
+      ("http://ex.example/p?utm_source=x&id=7", "http://ex.example/p?id=7"),
+      ("http://ex.example/p?id=7&fbclid=abc#frag", "http://ex.example/p?id=7"),
+      ("http://ex.example/p?id=7&gclid=z&q=2", "http://ex.example/p?id=7&q=2"),
+      // :8080 is NOT a default port; path case is preserved
+      ("http://ex.example:8080/Keep/", "http://ex.example:8080/Keep"),
+      ("https://www.ex.example", "https://ex.example"))
+    val got = vecs.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .as[String].collect()
+    vecs.map(_._2).zip(got).foreach { case (want, have) =>
+      assert(want == have, s"want $want, have $have")
+    }
   }
 }

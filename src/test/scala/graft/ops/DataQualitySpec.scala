@@ -51,4 +51,20 @@ class DataQualitySpec extends SparkSpec {
     assert(diff(5L)._2 == diff(5L)._3 && diff(5L)._4 != diff(5L)._5,
       "edited row: counts equal, hashes differ")
   }
+
+  test("skewReport: hottest keys first, shares and uniform-ratio exact") {
+    // key "hot" 60 rows, "warm" 30, ten singles -> total 100, 12 keys
+    val rows = Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 10).map(i => s"k$i")
+    val got = DataQuality.skewReport(rows.toDF("k"), "k", topN = 3)
+      .orderBy("rnk").as[(Long, String, Long, Long, Long)].collect()
+    assert(got.map(_._2).toSeq == Seq("hot", "warm", "k1"))
+    val hot = got(0)
+    assert(hot._3 == 60L && hot._4 == 600000L, hot.toString)
+    // skew vs uniform: 60 * 12 / 100 = 7.2x
+    assert(hot._5 == 7200000L, hot.toString)
+    // a perfectly uniform key sits at 1e6 * 12/100 * 10 ... = single
+    // row keys: 1 * 12 / 100 = 0.12x
+    assert(got(2)._5 == 120000L, got(2).toString)
+  }
 }
