@@ -939,6 +939,54 @@ object AnalyticsQueries {
         .orderBy("node")
     },
 
+    // HITS hubs & authorities on the same bipartite attribution graph
+    // (sources ARE hubs, langs ARE authorities — the two-sided signal
+    // PageRank collapses): integer fixed-point, per-round scalar
+    // max-normalization instead of L2 (ranking-preserving, exact), 3
+    // rounds unrolled in the oracle
+    QueryDef("graph_hits", {
+      val S = graft.ops.Hits.Scale
+      def round(t: Int): String =
+        s"""ar$t AS (
+           |  SELECT e.dst AS node, CAST(SUM(h.h * e.w) AS BIGINT) AS ar
+           |  FROM e JOIN h${t - 1} h ON h.node = e.src GROUP BY e.dst),
+           |am$t AS (
+           |  SELECT GREATEST(COALESCE(MAX(ar), 0), 1) AS mx FROM ar$t),
+           |a$t AS (
+           |  SELECT n.node, COALESCE((r.ar * $S) // mx, 0) AS a
+           |  FROM nodes n LEFT JOIN ar$t r ON r.node = n.node, am$t),
+           |hr$t AS (
+           |  SELECT e.src AS node, CAST(SUM(a.a * e.w) AS BIGINT) AS hr
+           |  FROM e JOIN a$t a ON a.node = e.dst GROUP BY e.src),
+           |hm$t AS (
+           |  SELECT GREATEST(COALESCE(MAX(hr), 0), 1) AS mx FROM hr$t),
+           |h$t AS (
+           |  SELECT n.node, COALESCE((r.hr * $S) // mx, 0) AS h
+           |  FROM nodes n LEFT JOIN hr$t r ON r.node = n.node, hm$t)"""
+          .stripMargin
+      s"""WITH e AS (
+         |  SELECT source AS src, lang AS dst, COUNT(*) AS w
+         |  FROM documents GROUP BY 1, 2),
+         |nodes AS (
+         |  SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
+         |h0 AS (SELECT node, $S AS h FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT n.node, a3.a AS auth_fp, h3.h AS hub_fp
+         |FROM nodes n
+         |  JOIN a3 ON a3.node = n.node
+         |  JOIN h3 ON h3.node = n.node
+         |ORDER BY n.node""".stripMargin
+    }) { (s, d) =>
+      val edges = Tables.documents(s, d)
+        .groupBy(col("source").as("src"), col("lang").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.Hits.scores(edges, iters = 3)
+        .orderBy("node")
+    },
+
     // CDC compaction / keep-latest: collapse the event stream to the
     // most recent row per (user, type) — the batch twin of the
     // streaming foreachBatch upsert (CorpusStream.upsertBatches); one

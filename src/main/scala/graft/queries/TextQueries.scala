@@ -1132,7 +1132,161 @@ object TextQueries {
           col("start_offset"), col("bin").cast("bigint").as("bin"))
         .orderBy("doc_id")
     },
+
+    crawlRefreshDef,
   )
+
+  /** Crawl-refresh flagship — composes THIS round's operators end to
+    * end: canonical-URL keep-first (frontier dedup) → cross-document
+    * boilerplate strip over the surviving corpus → bigram-LM
+    * median gate (model trained on the stripped corpus itself) →
+    * exact-content dedup → survivor stats. Corpus in, refreshed corpus
+    * out, one query; every stage is a keyed agg / broadcast-scalar
+    * shape that survives crawl scale. */
+  private def crawlRefreshDef: QueryDef =
+    QueryDef("pipeline_crawl_refresh",
+      """WITH u AS (
+        |  SELECT doc_id, source, text,
+        |    'HTTPS://'
+        |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |    || upper(source) || '.EXAMPLE'
+        |    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+        |    || '/p/' || CAST(doc_id % 8 AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0 THEN '/'
+        |            WHEN doc_id % 3 = 1 THEN '?utm_source=feed&ref='
+        |              || CAST(doc_id % 2 AS VARCHAR)
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_replace(regexp_replace(
+        |        lower(regexp_extract(url, '^[^/?#]*://[^/?#]*', 0)),
+        |        '://www\.', '://', 'g'), ':(?:80|443)$', '', 'g')
+        |    || regexp_replace(
+        |         regexp_replace(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               substring(url, length(
+        |                 regexp_extract(url, '^[^/?#]*://[^/?#]*', 0))
+        |                 + 1),
+        |               '#.*', '', 'g'),
+        |             '(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |           '\?&', '?', 'g'), '[?&]+$', '', 'g'),
+        |         '/+$', '', 'g') AS canonical
+        |  FROM u),
+        |k AS (SELECT canonical, MIN(doc_id) AS doc_id
+        |      FROM c GROUP BY canonical),
+        |s1 AS (
+        |  SELECT c.doc_id, c.source, c.text, c.canonical
+        |  FROM c JOIN k ON k.canonical = c.canonical
+        |              AND k.doc_id = c.doc_id),
+        |p AS (
+        |  SELECT doc_id, canonical, concat_ws(chr(10),
+        |    'NAV ' || source, text,
+        |    'DOC ' || CAST(doc_id AS VARCHAR),
+        |    'COPYRIGHT FOOTER 2026') AS full_text
+        |  FROM s1),
+        |nn AS (SELECT COUNT(*) AS n FROM p),
+        |l AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+        |    unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(full_text, chr(10)) AS ls
+        |        FROM p)),
+        |fr AS (
+        |  SELECT line, COUNT(*) AS dfr FROM (
+        |    SELECT DISTINCT doc_id, line FROM l) GROUP BY line),
+        |keepl AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM l JOIN fr ON fr.line = l.line, nn
+        |  WHERE fr.dfr * 1000 <= 40 * nn.n),
+        |cl AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM keepl GROUP BY doc_id),
+        |w AS (
+        |  SELECT cl.doc_id, p.canonical, cl.clean_text
+        |  FROM cl JOIN p USING (doc_id)),
+        |t2 AS (SELECT doc_id, string_split(clean_text, ' ') AS tk FROM w),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM t2),
+        |m AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+        |m2 AS (SELECT bigram, cnt, string_split(bigram, ' ')[1] AS w1
+        |       FROM m),
+        |pf AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS prefix_cnt
+        |       FROM m2 GROUP BY w1),
+        |mp AS (SELECT m2.bigram,
+        |         CAST(floor(1000000.0 * cnt / prefix_cnt) AS BIGINT) AS p
+        |       FROM m2 JOIN pf ON pf.w1 = m2.w1),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS nb, CAST(SUM(p) AS BIGINT) AS sm
+        |  FROM bg JOIN mp ON mp.bigram = bg.bigram GROUP BY doc_id),
+        |av AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(sm AS DOUBLE) / nb) AS BIGINT) AS lm_avg_int
+        |  FROM sc),
+        |g AS (
+        |  SELECT w.doc_id, w.canonical, w.clean_text, av.lm_avg_int
+        |  FROM w JOIN av USING (doc_id)
+        |  WHERE av.lm_avg_int >= (SELECT quantile_cont(lm_avg_int, 0.5)
+        |                          FROM av)),
+        |sv AS (
+        |  SELECT doc_id, canonical, clean_text, lm_avg_int FROM (
+        |    SELECT g.*, ROW_NUMBER() OVER (
+        |      PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn
+        |    FROM g)
+        |  WHERE rn = 1)
+        |SELECT doc_id, canonical,
+        |  len(string_split(clean_text, ' '))::BIGINT AS n_tokens,
+        |  lm_avg_int
+        |FROM sv ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.ext.Dedup
+      val docs = Tables.documents(s, d)
+      val u = docs.select(col("doc_id"), col("source"), col("text"),
+        concat(
+          lit("HTTPS://"),
+          when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+          upper(col("source")), lit(".EXAMPLE"),
+          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p/"), (col("doc_id") % 8).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/"))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?utm_source=feed&ref="),
+                (col("doc_id") % 2).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+          .as("url"))
+      val canon = u.withColumn("canonical",
+        TextAnalysis.canonicalUrl(col("url"))).drop("url")
+      val keepers = canon.groupBy("canonical")
+        .agg(min("doc_id").as("doc_id"))
+      val s1 = canon.join(keepers, Seq("canonical", "doc_id"))
+      val planted = s1.select(col("doc_id"), col("canonical"),
+        concat_ws("\n",
+          concat(lit("NAV "), col("source")), col("text"),
+          concat(lit("DOC "), col("doc_id").cast("string")),
+          lit("COPYRIGHT FOOTER 2026")).as("full_text"))
+      val stripped = TextAnalysis
+        .stripBoilerplate(planted, "doc_id", "full_text")
+        .join(planted.select("doc_id", "canonical"), Seq("doc_id"))
+      val scored = TextAnalysis.lmScore(stripped, "doc_id", "clean_text",
+          TextAnalysis.bigramModel(stripped, "clean_text"))
+        .select(col("doc_id"),
+          floor(col("lm_avg_micro")).cast("long").as("lm_avg_int"))
+      val med = scored.agg(expr("percentile(lm_avg_int, 0.5)").as("med"))
+      val gated = stripped.join(scored, Seq("doc_id"))
+        .crossJoin(broadcast(med))
+        .filter(col("lm_avg_int") >= col("med")).drop("med")
+      val surv = gated.join(
+        Dedup.keepFirstExact(gated, "doc_id", "clean_text")
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      surv.select(col("doc_id"), col("canonical"),
+        TextAnalysis.nTokens(col("clean_text")).as("n_tokens"),
+        col("lm_avg_int"))
+        .orderBy("doc_id")
+    }
 
   /** Deterministic PII planting: residue classes of doc_id get an email /
     * ssn-style id / phone / dotted-quad appended — mirrored

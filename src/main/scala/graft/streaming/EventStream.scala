@@ -112,4 +112,69 @@ object EventStream {
           UserSessions(userId, n, sessions)
       }
   }
+
+  final case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long,
+      end_us: Long, n_events: Long)
+
+  /** Session windows with CLOSED-session emission and state EVICTION —
+    * the production companion to [[sessionize]] (whose `NoTimeout`
+    * running counts keep one state row per user forever). Here a
+    * session is emitted exactly once, when the event-time watermark
+    * passes its gap deadline, and the user's state row is REMOVED
+    * (`flatMapGroupsWithState` + `EventTimeTimeout`): state size tracks
+    * currently-active users, not ever-seen users — the difference
+    * between a bounded state store and an unbounded one on a 100 TB/day
+    * event stream. In-batch gap splits emit immediately; the final open
+    * session of a batch arms a timeout at (last event + gap) and closes
+    * when the watermark crosses it. Late events behind the watermark
+    * are dropped by the watermark, never reopening a closed session. */
+  def sessionizeClosed(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    def micros(ts: java.sql.Timestamp): Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: close and EVICT
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(userId, s.startUs, s.lastUs, s.nEvents))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+            var open = state.getOption
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              open match {
+                case Some(s) if us - s.lastUs > gapUs =>
+                  closed += ClosedSession(userId, s.startUs, s.lastUs,
+                    s.nEvents)
+                  open = Some(OpenSession(us, us, 1L))
+                case Some(s) =>
+                  open = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+                case None =>
+                  open = Some(OpenSession(us, us, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout fires once the EVENT-TIME watermark crosses this
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

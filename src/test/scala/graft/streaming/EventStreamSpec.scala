@@ -193,4 +193,43 @@ class EventStreamSpec extends SparkSpec {
       assert(spark.table("ddww_out").collect()(0).getLong(0) == 1)
     } finally q.stop()
   }
+
+  test("sessionizeClosed: in-batch gap split emits immediately; the " +
+    "open tail closes via event-time timeout and its state row is " +
+    "EVICTED") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeClosed(mem.toDS(), watermarkDelay = "5 minutes",
+        gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessc_out")
+      .outputMode("append").start()
+    try {
+      def us(min: Int): Long = ts(min).toInstant.getEpochSecond * 1000000L
+      // one batch, two users: user 7 has a 40-min gap INSIDE the batch
+      // (session 1 closes immediately), user 8 stays open
+      mem.addData(
+        Event(1, ts(0), 7, "a", 1.0), Event(2, ts(5), 7, "a", 1.0),
+        Event(3, ts(45), 7, "a", 1.0),
+        Event(4, ts(44), 8, "a", 1.0))
+      q.processAllAvailable()
+      val after1 = spark.table("sessc_out")
+        .as[ClosedSession].collect().toSet
+      assert(after1 == Set(ClosedSession(7L, us(0), us(5), 2L)), after1)
+      // two state rows live: user 7's second session + user 8's first
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 2L)
+      // advance the watermark far past both gap deadlines -> both
+      // sessions close via timeout and their state rows evict
+      mem.addData(Event(5, ts(300), 9, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(6, ts(301), 9, "a", 1.0))
+      q.processAllAvailable()
+      val after2 = spark.table("sessc_out")
+        .as[ClosedSession].collect().toSet
+      assert(after2.contains(ClosedSession(7L, us(45), us(45), 1L)), after2)
+      assert(after2.contains(ClosedSession(8L, us(44), us(44), 1L)), after2)
+      // only user 9's open session remains in state — 7 and 8 evicted
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 1L,
+        "closed users must leave the state store")
+    } finally q.stop()
+  }
 }
