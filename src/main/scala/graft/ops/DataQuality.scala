@@ -97,6 +97,41 @@ object DataQuality {
       .filter(col("n_a") =!= col("n_b") || col("h_a") =!= col("h_b"))
   }
 
+  /** One-pass column profiler — the "what is in this table" report a
+    * pipeline runs before trusting a new 100 TB drop: per column, row
+    * and null counts, lexicographic min/max of the string rendering,
+    * and a KMV distinct ESTIMATE (exact below k). ONE generator
+    * projection stacks the columns long-format (k rows per input row,
+    * map-side), then one col-keyed aggregate + the bottom-k sketch —
+    * never one job per column, never unbounded agg state. Columns are
+    * profiled via `CAST(x AS STRING)` identity, so pass only columns
+    * whose rendering is engine-stable (integers, strings, dates —
+    * never raw doubles). Returns (col_name, n_rows, n_nulls, min_v,
+    * max_v, n_kept, kth_hash, est_distinct). */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "profile: at least one column")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+    val base = stacked.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      min("v").as("min_v"), max("v").as("max_v"))
+    val sk = graft.ext.Sketches.kmvDistinct(
+      stacked.filter(col("v").isNotNull)
+        .select(col("col_name"),
+          graft.ext.TextAnalysis.tokenHash31(col("v")).as("h")),
+      Seq("col_name"), "h", k)
+    // left join: an all-null column still profiles (empty sketch)
+    base.join(sk, Seq("col_name"), "left_outer")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kth_hash"), lit(-1L)).as("kth_hash"),
+        coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"))
+  }
+
   /** Key-skew diagnostic — the pre-join report that decides whether a
     * 100 TB shuffle needs salting: per-key row counts, each key's
     * corpus share, and its skew ratio against the uniform expectation

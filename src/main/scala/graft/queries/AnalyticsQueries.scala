@@ -1322,6 +1322,56 @@ object AnalyticsQueries {
         .orderBy("rnk")
     },
 
+    // one-pass column profile of orders (null counts, string-identity
+    // min/max, KMV distinct estimates — exact below k=64) with a
+    // planted nullable column; only engine-stable renderings are
+    // profiled (ints, strings, dates — never raw doubles)
+    QueryDef("dq_profile",
+      s"""WITH st AS (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        |    FROM orders
+        |  UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR)
+        |    FROM orders
+        |  UNION ALL SELECT 'o_priority_planted',
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_orderpriority END FROM orders),
+        |base AS (
+        |  SELECT col_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nulls,
+        |    MIN(v) AS min_v, MAX(v) AS max_v
+        |  FROM st GROUP BY col_name),
+        |th AS (
+        |  SELECT DISTINCT col_name,
+        |    (('0x' || substring(md5(v), 1, 15))::BIGINT % 2147483647) AS h
+        |  FROM st WHERE v IS NOT NULL),
+        |r AS (
+        |  SELECT col_name, h,
+        |    ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY h) AS rn
+        |  FROM th),
+        |kk AS (
+        |  SELECT col_name, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+        |  FROM r WHERE rn <= 64 GROUP BY col_name)
+        |SELECT b.col_name, n_rows, n_nulls, min_v, max_v,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  COALESCE(kth_hash, -1) AS kth_hash,
+        |  COALESCE(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE 63.0 * 2147483647.0 / CAST(kth_hash AS DOUBLE) END,
+        |    0.0) AS est_distinct
+        |FROM base b LEFT JOIN kk USING (col_name)
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val withPlanted = Tables.orders(s, d).withColumn(
+        "o_priority_planted",
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      graft.ops.DataQuality.profile(withPlanted,
+          Seq("o_orderkey", "o_custkey", "o_orderdate",
+            "o_priority_planted"), k = 64)
+        .orderBy("col_name")
+    },
+
     // correlation + regression slope from EXACT integer moments —
     // never the built-in corr()/regr_slope() (their streaming update
     // order is engine- and partition-dependent on doubles): quantities

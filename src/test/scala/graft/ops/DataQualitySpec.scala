@@ -67,4 +67,23 @@ class DataQualitySpec extends SparkSpec {
     // row keys: 1 * 12 / 100 = 0.12x
     assert(got(2)._5 == 120000L, got(2).toString)
   }
+
+  test("profile: one pass yields nulls, string-identity min/max, exact " +
+    "distinct below k; all-null columns still profile") {
+    val df = Seq(
+      (1L, "b", Option("x")), (2L, "a", None), (3L, "a", None))
+      .toDF("id", "tag", "maybe")
+      .withColumn("always_null", lit(null).cast("string"))
+    val got = DataQuality.profile(df,
+        Seq("id", "tag", "maybe", "always_null"), k = 8)
+      .as[(String, Long, Long, Option[String], Option[String], Long,
+        Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 3L, 0L, Some("1"), Some("3"), 3L,
+      got("id")._7, 3.0)), got("id").toString)
+    assert(got("tag")._3 == 0L && got("tag")._4 == Some("a") &&
+      got("tag")._5 == Some("b") && got("tag")._8 == 2.0)
+    assert(got("maybe")._3 == 2L && got("maybe")._8 == 1.0)
+    assert(got("always_null") == (("always_null", 3L, 3L, None, None,
+      0L, -1L, 0.0)), got("always_null").toString)
+  }
 }
