@@ -610,6 +610,29 @@ object TextAnalysis {
       .cast("double") / size(t)
   }
 
+  /** Index form of [[simpsonIndex]] + [[burstiness]] — same values from
+    * an explode + (doc, token)-keyed hash-agg instead of the per-row
+    * higher-order lambdas (which are CodegenFallback: an interpreted
+    * O(n·distinct) loop per document — measured 4.4 s vs <1 s at sf0.1).
+    * This is the shape that survives corpus scale: both aggs are
+    * codegen'd, map-side combined, keyed on the document. Documents
+    * with zero tokens drop out (no rows to aggregate) — the per-row
+    * forms return NULL-ish divisions for those instead. Returns
+    * (idCol, n_tokens, simpson, burstiness). */
+  def diversityStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__f"))
+      .groupBy(col(idCol))
+      .agg(sum("__f").cast("long").as("n_tokens"),
+        sum(col("__f") * col("__f")).cast("long").as("__sumsq"),
+        max("__f").as("__maxf"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__sumsq").cast("double") /
+          (col("n_tokens") * col("n_tokens"))).as("simpson"),
+        (col("__maxf").cast("double") / col("n_tokens")).as("burstiness"))
+
   /** URL canonicalization — the CCNet/web-crawl keep-first key:
     * lowercase scheme+host, drop `www.`, drop explicit :80/:443 ports,
     * drop the fragment, drop tracking params (`utm_*`, `fbclid`,

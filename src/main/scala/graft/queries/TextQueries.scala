@@ -382,11 +382,8 @@ object TextQueries {
         |             x -> x = d))::BIGINT)) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS burstiness
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextAnalysis.nTokens(col("text")).as("n_tokens"),
-        TextAnalysis.simpsonIndex(col("text")).as("simpson"),
-        TextAnalysis.burstiness(col("text")).as("burstiness"))
+      TextAnalysis.diversityStats(Tables.documents(s, d), "doc_id",
+          "text")
         .orderBy("doc_id")
     },
 
@@ -1268,9 +1265,14 @@ object TextQueries {
           concat(lit("NAV "), col("source")), col("text"),
           concat(lit("DOC "), col("doc_id").cast("string")),
           lit("COPYRIGHT FOOTER 2026")).as("full_text"))
+      // four downstream branches (LM model, doc-side scoring, the
+      // median gate, the dedup semi-join) all re-derive this chain —
+      // persist the small survivor table instead of recomputing the
+      // URL+strip shuffles per branch
       val stripped = TextAnalysis
         .stripBoilerplate(planted, "doc_id", "full_text")
         .join(planted.select("doc_id", "canonical"), Seq("doc_id"))
+        .persist()
       val scored = TextAnalysis.lmScore(stripped, "doc_id", "clean_text",
           TextAnalysis.bigramModel(stripped, "clean_text"))
         .select(col("doc_id"),

@@ -130,6 +130,67 @@ object CorpusStream {
       }
       .start()
 
+  /** Streaming NEAR-dup dedup against an accumulating band-key store —
+    * the LSH companion to [[incrementalDedup]]'s exact signatures: each
+    * micro-batch computes MinHash band keys
+    * ([[Dedup.minhashSignatures]] + [[Dedup.bandKeyCols]], the fully
+    * codegen'd index form), drops every document any of whose band
+    * keys (1) exists in the parquet band store (history) or (2) is
+    * claimed by a smaller doc id inside the same batch, then appends
+    * the batch's new band keys to the store and writes survivors to
+    * `survivorsDir/batch-<id>` (overwrite per batch dir ⇒ replay after
+    * a crash converges; partially-appended store rows are harmless —
+    * the store is read `distinct`).
+    *
+    * In-batch suppression is the standard one-pass streaming
+    * approximation: ALL batch band keys claim, including keys of
+    * documents that are themselves dropped, so a chain a~b, b~c (a≁c)
+    * drops both b and c — conservative (never under-dedups) and
+    * order-deterministic (min-id claim, not arrival order). State is
+    * the band-key store: bands·(distinct content) rows, bounded by
+    * corpus diversity, never by stream length. */
+  def nearDedupBatches(docs: DataFrame, storeDir: String,
+      survivorsDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      profile: graft.ext.DedupProfile = graft.ext.DedupProfile.default)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val keyed = Dedup.minhashSignatures(
+            Dedup.tokenIndex(batch, idCol, textCol, profile.shingleN),
+            profile.bands * profile.rowsPerBand)
+          .select(col("id"), explode(
+            Dedup.bandKeyCols(profile.bands, profile.rowsPerBand))
+            .as("band"))
+        val conf = spark.sparkContext.hadoopConfiguration
+        val store = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = store.getFileSystem(conf)
+        val hist =
+          if (fs.exists(store))
+            spark.read.parquet(storeDir).select("band").distinct()
+              .withColumn("__seen", lit(1))
+          else keyed.select("band").limit(0).withColumn("__seen", lit(1))
+        val claims = keyed.groupBy("band").agg(min("id").as("__first"))
+        val flags = keyed
+          .join(hist, Seq("band"), "left_outer")
+          .join(claims, Seq("band"))
+          .groupBy("id")
+          .agg(max(when(col("__seen").isNotNull ||
+            col("__first") < col("id"), 1).otherwise(0)).as("__dup"))
+        val survivors = batch.join(
+          flags.filter(col("__dup") === 0)
+            .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+        survivors.write.mode("overwrite")
+          .parquet(s"$survivorsDir/batch-$batchId")
+        keyed.select("band").distinct()
+          .join(hist, Seq("band"), "left_anti")
+          .write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+
   /** Streaming PII scrub: [[graft.ext.TextAnalysis.piiRedact]] plus the
     * per-category counts, applied to a document stream. Entirely
     * stateless (a pure projection — no state store, no watermark, no

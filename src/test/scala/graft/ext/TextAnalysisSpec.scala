@@ -349,8 +349,9 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("simpsonIndex and burstiness: hand values, all-distinct floor, " +
     "single-token ceiling") {
-    val got = Seq("a a b c", "w x y z", "spam spam spam")
-      .toDF("text")
+    val docs = Seq((1L, "a a b c"), (2L, "w x y z"),
+      (3L, "spam spam spam")).toDF("id", "text")
+    val got = docs
       .select(TextAnalysis.simpsonIndex(col("text")).as("s"),
         TextAnalysis.burstiness(col("text")).as("b"))
       .as[(Double, Double)].collect()
@@ -358,6 +359,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0) == ((6.0 / 16.0, 2.0 / 4.0)), got(0).toString)
     assert(got(1) == ((4.0 / 16.0, 1.0 / 4.0)), "all-distinct floor 1/n")
     assert(got(2) == ((1.0, 1.0)), "one repeated token concentrates to 1")
+    // the codegen'd index form produces the identical values
+    val agg = TextAnalysis.diversityStats(docs, "id", "text")
+      .orderBy("id").as[(Long, Long, Double, Double)].collect()
+    assert(agg.map(r => (r._3, r._4)).toSeq == got.toSeq,
+      "index form must equal the per-row forms bit-for-bit")
+    assert(agg.map(_._2).toSeq == Seq(4L, 4L, 3L))
   }
 
   test("canonicalUrl: case, www, default ports, fragments, tracking " +

@@ -172,6 +172,38 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: band keys suppress history dups and " +
+    "in-batch dups by min-id claim; store grows by content diversity") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardd").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = CorpusStream.nearDedupBatches(docs, s"$dir/store",
+      s"$dir/out", s"$dir/ckpt")
+    try {
+      // batch 1: doc 2 is doc 1's token-set reorder (all bands collide);
+      // doc 3 is fresh content
+      mem.addData((1L, "alpha beta gamma delta"),
+        (2L, "delta gamma beta alpha"),
+        (3L, "zeta eta theta iota"))
+      q.processAllAvailable()
+      // batch 2: doc 4 repeats doc 1's set (HISTORY dup), doc 5 is
+      // fresh, doc 6 repeats doc 5's set (in-batch dup, larger id)
+      mem.addData((4L, "beta alpha delta gamma"),
+        (5L, "kappa lambda mu nu"),
+        (6L, "nu mu lambda kappa"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out/batch-0")
+        .unionByName(spark.read.parquet(s"$dir/out/batch-1"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 3L, 5L), out.toString)
+      // store holds bands x distinct contents, nothing per dropped dup
+      val store = spark.read.parquet(s"$dir/store")
+        .select("band").distinct().count()
+      assert(store == 2L * 3L, s"expected 6 distinct band keys, $store")
+    } finally q.stop()
+  }
+
   test("streaming PII scrub: stateless redaction + per-batch counts " +
     "match the batch expressions") {
     implicit val sqlCtx = spark.sqlContext
