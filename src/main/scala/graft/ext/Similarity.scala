@@ -51,6 +51,23 @@ object Similarity {
     qdot(qa, qb).cast("double") /
       sqrt(qnorm2(qa).cast("double") * qnorm2(qb).cast("double"))
 
+  /** Mean-pooling of quantized embeddings per group — the chunk→document
+    * aggregation step of an embedding pipeline (chunks embed
+    * independently at scale; the document vector is their mean). One
+    * generator explode + ONE (group, dim)-keyed hash-agg, emitted LONG
+    * format (group, pos, pooled_q) so the result stays scalar-typed and
+    * oracle-hashable; floor(Σq/n) keeps every value integer-exact.
+    * Shuffle is bounded by groups·dims, never by vector count. */
+  def meanPool(emb: DataFrame, groupCol: String,
+      embCol: String = "embedding"): DataFrame =
+    emb.select(col(groupCol).as("grp"),
+        posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
+      .groupBy("grp", "pos")
+      .agg(floor(sum("v").cast("double") / count(lit(1)))
+        .cast("long").as("pooled_q"))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        col("pooled_q"))
+
   /** Hard cap for the O(n²) / full-scan differential baselines below.
     * They exist as correctness yardsticks for the banded/IVF scale paths
     * and must never silently run a cartesian against a production-sized

@@ -583,5 +583,27 @@ object SimilarityQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     },
+
+    // chunk->document embedding pooling: vectors group (synthetically,
+    // vec_id mod 50 — the fixture has no chunk map) and each dimension
+    // pools to floor(mean) of the quantized values; long format keeps
+    // every output scalar. One explode + one (group, dim) hash-agg.
+    QueryDef("sim_mean_pool",
+      s"""WITH q AS (
+        |  SELECT vec_id % 50 AS grp, ${sqlQ("embedding")} AS q
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT grp, unnest(range(0, len(q))) AS pos, unnest(q) AS v
+        |  FROM q)
+        |SELECT grp, pos,
+        |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |    AS pooled_q
+        |FROM e GROUP BY grp, pos ORDER BY grp, pos""".stripMargin) {
+      (s, d) =>
+      Similarity.meanPool(
+          Tables.embeddings(s, d).withColumn("grp", col("vec_id") % 50),
+          "grp")
+        .orderBy("grp", "pos")
+    },
   )
 }

@@ -168,4 +168,25 @@ class SimilaritySpec extends SparkSpec {
     assert(survivors.contains(0L) && !survivors.contains(9000L),
       "identical vector lands in the same cluster and must be dropped")
   }
+
+  test("meanPool: per-dimension floor(mean) of quantized values, " +
+    "FLOOR semantics on negative halves (not truncation)") {
+    val df = Seq(
+      (0L, Array(0.000001f, -0.000001f)),
+      (2L, Array(0.000002f, -0.000002f)),
+      (1L, Array(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("grp", col("vec_id") % 2)
+    val got = Similarity.meanPool(df, "grp")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // 1e-6f is NOT exactly 1e-6 (nearest float is 9.9999997e-7), so the
+    // quantized values are floor-asymmetric: q(±1e-6f) = 0 / -1,
+    // q(±2e-6f) = 1 / -2
+    // grp 0: sums (0+1, -1-2) over 2 vecs: floor(0.5)=0, floor(-1.5)=-2
+    assert(got((0L, 0L)) == 0L, got.toString)
+    assert(got((0L, 1L)) == -2L, "floor(-1.5) must be -2, not -1")
+    // grp 1: single vector passes through
+    assert(got((1L, 0L)) == 1000000L && got((1L, 1L)) == 500000L)
+  }
 }
