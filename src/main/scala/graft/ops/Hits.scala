@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *   hraw(u) = Σ_{u→v} a_{t+1}(v)·w h_{t+1}(u) = (hraw(u)·scale) div max hraw
   * }}}
   * Per round: two edge-keyed joins + two keyed aggregates + two 1-row
-  * scalar maxima broadcast back — no driver-side node state, ever.
+  * scalar maxima collected and inlined as literals — node STATE never
+  * crosses the driver, only the two normalizing scalars do.
   * Overflow headroom: araw·scale < 2^63 requires Σ_in(w)·scale² < 2^63,
   * i.e. total in-weight per node below ~9·10^6 at the default 10^6
   * scale; shrink `scale` for heavier graphs (same dial as PageRank's).
@@ -37,8 +38,16 @@ object Hits {
 
   val Scale = 1000000L
 
+  /** Round boundary: reliable `checkpoint` when opted in (survives
+    * executor loss), eager `localCheckpoint` otherwise. Unlike
+    * [[PageRank]], HITS runs a per-round ACTION anyway (the scalar
+    * maxima), so without materialization every action re-executes its
+    * whole prefix chain — quadratic wall-clock that measured 5.7 s vs
+    * ~2 s materialized at sf0.1. The local variant trades executor-loss
+    * recovery for that speed, exactly the trade the per-round action
+    * already forces; pass `checkpointDir` when recovery matters. */
   private def step(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint(true) else df
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
   def scores(edges: DataFrame, iters: Int = 3,
       srcCol: String = "src", dstCol: String = "dst", wCol: String = "w",
@@ -54,28 +63,36 @@ object Hits {
       .union(e.select(col("dst").as("node"))).distinct()
     var h = nodes.withColumn("h", lit(scale))
     var a = nodes.withColumn("a", lit(0L))
+    // Each round's normalizer is COLLECTED as a 1-row scalar and
+    // inlined as a literal (the Lloyd-training contract: only scalars
+    // ever cross the driver). A lazy broadcast of the max instead
+    // would reference each raw frame twice per round — the tree then
+    // re-derives every subtree ~4x per round, compounding to 4^iters
+    // (measured: 11.9 s at sf0.1 for the lazy form vs ~1 s here). With
+    // the literal, every frame appears exactly ONCE in the final plan;
+    // the per-round scalar action re-runs its prefix chain, a
+    // quadratic-in-iters cost on node-sized aggregates that stays
+    // negligible for the small fixed iteration counts HITS needs.
     for (_ <- 1 to iters) {
       val araw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("h") * col("w")).as("x"))
         .groupBy("node").agg(sum("x").as("ar"))
-      val amax = araw
-        .agg(greatest(coalesce(max("ar"), lit(0L)), lit(1L)).as("mx"))
+      val amx = math.max(1L,
+        araw.agg(coalesce(max("ar"), lit(0L))).head().getLong(0))
       a = step(
         nodes.join(araw, Seq("node"), "left_outer")
-          .crossJoin(broadcast(amax))
           .select(col("node"),
-            coalesce(expr(s"(ar * $scale) div mx"), lit(0L)).as("a")),
+            coalesce(expr(s"(ar * $scale) div $amx"), lit(0L)).as("a")),
         reliable)
       val hraw = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), (col("a") * col("w")).as("x"))
         .groupBy("node").agg(sum("x").as("hr"))
-      val hmax = hraw
-        .agg(greatest(coalesce(max("hr"), lit(0L)), lit(1L)).as("mx"))
+      val hmx = math.max(1L,
+        hraw.agg(coalesce(max("hr"), lit(0L))).head().getLong(0))
       h = step(
         nodes.join(hraw, Seq("node"), "left_outer")
-          .crossJoin(broadcast(hmax))
           .select(col("node"),
-            coalesce(expr(s"(hr * $scale) div mx"), lit(0L)).as("h")),
+            coalesce(expr(s"(hr * $scale) div $hmx"), lit(0L)).as("h")),
         reliable)
     }
     nodes.join(a, Seq("node")).join(h, Seq("node"))

@@ -72,6 +72,38 @@ class PlanChecksSpec extends SparkSpec {
     PlanChecks.assertBroadcastJoin(df)
   }
 
+  test("boilerplate strip: line-keyed joins only, the corpus-size " +
+    "scalar rides a broadcast, never a cartesian") {
+    val df = q("text_boilerplate_strip")
+    PlanChecks.assertNoCartesian(df)
+    PlanChecks.assertBroadcastJoin(df)
+  }
+
+  test("bigram LM score: model join is keyed, no cartesian") {
+    PlanChecks.assertNoCartesian(q("text_lm_score"))
+  }
+
+  test("crawl-refresh flagship: five stages, zero cartesians, scalar " +
+    "gates broadcast") {
+    val df = q("pipeline_crawl_refresh")
+    PlanChecks.assertNoCartesian(df)
+    PlanChecks.assertBroadcastJoin(df)
+  }
+
+  test("HITS: per-round joins are keyed, never a cartesian (the " +
+    "normalizing maxima are inlined literals, not plan nodes)") {
+    PlanChecks.assertNoCartesian(q("graph_hits"))
+  }
+
+  test("diversity stats: pure hash-agg pipeline — no join at all, " +
+    "bounded exchanges") {
+    val df = q("text_diversity")
+    PlanChecks.assertNoCartesian(df)
+    // explode -> (doc,tok) agg -> doc agg -> sort: 2 keyed exchanges
+    // + the final range partition for the sort
+    PlanChecks.assertExchangesAtMost(df, 3)
+  }
+
   test("violations raise with the offending plan attached") {
     val crossed = Tables.lineitem(spark, sfDir).limit(5).crossJoin(
       Tables.orders(spark, sfDir).limit(5).hint("shuffle_replicate_nl"))
