@@ -52,6 +52,47 @@ object Sketches {
             col("kth_hash").cast("double")))
   }
 
+  /** Pre-join key-overlap estimate from two bottom-k sketches — the
+    * "how selective will this join be" report a planner wants BEFORE
+    * shuffling 100 TB: distinct-key hashes of each side reduce to
+    * their bottom-k (`orderBy.limit(k)` = TakeOrdered, a distributed
+    * per-partition top-k + driver merge — never a single-partition
+    * window), and Beyer et al.'s KMV set algebra over the merged
+    * bottom-k yields Jaccard, union-size and intersection-size
+    * estimates (exact when both key sets fit under k). Mirrors
+    * [[Kmv.jaccardEstimate]]/[[Kmv.intersectionEstimate]] in
+    * DataFrame form so a SQL oracle replays it. Returns one row:
+    * (n_union_kept, kth_union, n_both, est_jaccard, est_union,
+    * est_intersection). */
+  def joinKeyOverlap(a: DataFrame, keyA: String, b: DataFrame,
+      keyB: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"joinKeyOverlap: k >= 2 ($k)")
+    def bottomK(df: DataFrame, key: String) =
+      df.select(graft.ext.TextAnalysis
+          .tokenHash31(col(key).cast("string")).as("h"))
+        .distinct().orderBy("h").limit(k)
+    val ka = bottomK(a, keyA).withColumn("in_a", lit(1))
+    val kb = bottomK(b, keyB).withColumn("in_b", lit(1))
+    val merged = ka.select("h").unionByName(kb.select("h")).distinct()
+      .orderBy("h").limit(k)
+    val stats = merged
+      .join(ka, Seq("h"), "left_outer")
+      .join(kb, Seq("h"), "left_outer")
+      .agg(count(lit(1)).as("n_union_kept"),
+        max("h").as("kth_union"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+    stats.select(col("n_union_kept"), col("kth_union"), col("n_both"),
+        when(col("n_union_kept") === 0, lit(0.0))
+          .otherwise(col("n_both").cast("double") / col("n_union_kept"))
+          .as("est_jaccard"),
+        when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(M.toDouble) /
+            col("kth_union").cast("double")).as("est_union"))
+      .withColumn("est_intersection",
+        col("est_jaccard") * col("est_union"))
+  }
+
   /** Sketch state: sorted distinct bottom-k hashes (ascending). */
   final case class Kmv(k: Int, values: Seq[Long]) {
     /** Insertion point of h in the sorted values, or -1 if present —

@@ -1372,6 +1372,72 @@ object AnalyticsQueries {
         .orderBy("col_name")
     },
 
+    // pre-join key-overlap estimation (Beyer et al. KMV set algebra):
+    // bottom-64 sketches of each side's distinct keys predict the
+    // Jaccard/union/intersection BEFORE any shuffle — the report that
+    // sizes a join. Two pairs: orders⋈customer (ordering customers ⊂
+    // customers) and orders⋈(customers/3)
+    QueryDef("dq_join_estimate", {
+      def side(cte: String, src: String): String =
+        s"""h$cte AS (
+           |  SELECT DISTINCT
+           |    (('0x' || substring(md5($src), 1, 15))::BIGINT
+           |     % 2147483647) AS h
+           |  FROM ${if (cte.startsWith("a")) "orders" else "customer"}
+           |  ${if (cte == "b2") "WHERE c_custkey % 3 = 0" else ""}),
+           |k$cte AS (
+           |  SELECT h
+           |  FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+           |        FROM h$cte)
+           |  WHERE rn <= 64)""".stripMargin
+      def pair(t: Int, name: String): String =
+        s"""m$t AS (
+           |  SELECT h FROM (
+           |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+           |      SELECT DISTINCT h FROM (
+           |        SELECT h FROM ka$t UNION ALL SELECT h FROM kb$t)))
+           |  WHERE rn <= 64),
+           |s$t AS (
+           |  SELECT COUNT(*) AS nu, MAX(m$t.h) AS kth,
+           |    CAST(SUM(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           |  FROM m$t
+           |    LEFT JOIN ka$t ka ON ka.h = m$t.h
+           |    LEFT JOIN kb$t kb ON kb.h = m$t.h),
+           |r$t AS (
+           |  SELECT '$name' AS pair, nu AS n_union_kept,
+           |    kth AS kth_union, nb AS n_both,
+           |    CASE WHEN nu = 0 THEN 0.0
+           |         ELSE CAST(nb AS DOUBLE) / nu END AS est_jaccard,
+           |    CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+           |         ELSE 63.0 * 2147483647.0 / CAST(kth AS DOUBLE)
+           |    END AS est_union
+           |  FROM s$t)""".stripMargin
+      s"""WITH ${side("a1", "CAST(o_custkey AS VARCHAR)")},
+         |${side("b1", "CAST(c_custkey AS VARCHAR)")},
+         |${side("a2", "CAST(o_custkey AS VARCHAR)")},
+         |${side("b2", "CAST(c_custkey AS VARCHAR)")},
+         |${pair(1, "orders_customer")},
+         |${pair(2, "orders_decimated")}
+         |SELECT pair, n_union_kept, kth_union, n_both, est_jaccard,
+         |  est_union, est_jaccard * est_union AS est_intersection
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         |ORDER BY pair""".stripMargin
+    }) { (s, d) =>
+      import graft.ext.Sketches
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      Sketches.joinKeyOverlap(orders, "o_custkey", customer,
+          "c_custkey", k = 64)
+        .withColumn("pair", lit("orders_customer"))
+        .unionByName(
+          Sketches.joinKeyOverlap(orders, "o_custkey",
+            customer.filter(col("c_custkey") % 3 === 0), "c_custkey",
+            k = 64)
+          .withColumn("pair", lit("orders_decimated")))
+        .orderBy("pair")
+    },
+
     // correlation + regression slope from EXACT integer moments —
     // never the built-in corr()/regr_slope() (their streaming update
     // order is engine- and partition-dependent on doubles): quantities

@@ -175,4 +175,24 @@ class SketchesSpec extends SparkSpec {
       .merge(r.foldLeft(new Sketches.CmsAggregator(4, 64).zero)(_.add(_)))
     assert(merged == viaAgg, "merge of split halves must equal the whole")
   }
+
+  test("joinKeyOverlap: exact set algebra below k; multiplicity on " +
+    "either side never biases the estimate") {
+    import spark.implicits._
+    // A = 1..10, B = 6..20: |A∩B| = 5, |A∪B| = 20 — under k, so the
+    // estimates are EXACT
+    val a = (1 to 10).map(_.toLong).toDF("ka")
+    // row multiplicity must not matter: repeat every B key 3x
+    val b = (6 to 20).flatMap(v => Seq.fill(3)(v.toLong)).toDF("kb")
+    val got = Sketches.joinKeyOverlap(a, "ka", b, "kb", k = 64)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 20L && got._3 == 5L, got.toString)
+    assert(got._4 == 5.0 / 20 && got._5 == 20.0, got.toString)
+    assert(got._6 == 5.0 / 20 * 20.0, "intersection = jaccard x union")
+    // disjoint sides: zero overlap, union still counts both
+    val c = (100 to 104).map(_.toLong).toDF("kc")
+    val dj = Sketches.joinKeyOverlap(a, "ka", c, "kc", k = 64)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(dj._3 == 0L && dj._4 == 0.0 && dj._6 == 0.0, dj.toString)
+  }
 }
