@@ -37,6 +37,14 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
+        finally
+          // cache hygiene: queries that persist() an internal stage
+          // (pqTopK's slice table, the crawl flagship's survivors) hand
+          // the cache entry's lifetime to the caller — the harness IS
+          // that caller, and dropping it here keeps one query's cached
+          // tables from occupying executor memory (or worse, serving)
+          // during the next query's timing
+          spark.catalog.clearCache()
       }
       name -> times
     }

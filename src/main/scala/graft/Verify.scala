@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // queries that persist() internal stages delegate the cache
+        // lifetime to their caller (see Bench) — drop between queries
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

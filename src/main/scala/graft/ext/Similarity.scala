@@ -517,7 +517,15 @@ object Similarity {
     * it IS the whole model), codes join it keyed on (sub, code), and
     * one id-keyed aggregate folds the m partials into the approximate
     * cosine dot(q, reconstruct(v)) / (|q|·|reconstruct(v)|). The stored
-    * vectors are never read at query time — the PQ promise. */
+    * vectors are never read at query time — the PQ promise.
+    *
+    * Cache lifetime: the internal slice table is persist()ed (it feeds
+    * 2·iters train jobs plus the encode pass) and CANNOT be unpersisted
+    * here — the returned frame is lazy and still reads it. The CALLER
+    * owns the entry: run your action, then `spark.catalog.clearCache()`
+    * (what Bench/Verify do between queries) or keep it hot for repeat
+    * queries — that is the useful case, since the codes it feeds are
+    * exactly what a vector store keeps resident. */
   def pqTopK(emb: DataFrame, queryVecId: Long, topK: Int,
       m: Int = 8, dims: Int = 64, k: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

@@ -36,7 +36,11 @@ object KCore {
     var edgeCount = sym.count()
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
+    // maxRounds + 1 loop iterations: `maxRounds` PRODUCTIVE peels plus
+    // one no-change confirmation round — a graph needing exactly
+    // maxRounds peels (the oracle's fixed unroll budget) must converge,
+    // not throw because confirmation consumed its last iteration
+    while (!converged && round < maxRounds + 1) {
       val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
       val alive = deg.filter(col("d") >= k).select(col("a"))
       val next = sym

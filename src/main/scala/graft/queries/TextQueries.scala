@@ -1268,7 +1268,9 @@ object TextQueries {
       // four downstream branches (LM model, doc-side scoring, the
       // median gate, the dedup semi-join) all re-derive this chain —
       // persist the small survivor table instead of recomputing the
-      // URL+strip shuffles per branch
+      // URL+strip shuffles per branch. Cache lifetime is caller-owned
+      // (the returned frame is lazy and still reads the entry):
+      // Bench/Verify clearCache() after each query's action.
       val stripped = TextAnalysis
         .stripBoilerplate(planted, "doc_id", "full_text")
         .join(planted.select("doc_id", "canonical"), Seq("doc_id"))

@@ -110,6 +110,12 @@ object CorpusStream {
         // complete previous snapshot parked at __old — restore it so
         // the merge base (and readers) never see a missing table
         if (!fs.exists(snap) && fs.exists(old)) fs.rename(old, snap)
+        // a crash BEFORE the rename leaves an orphaned side dir; it is
+        // never the live snapshot, so sweep all of them on batch start
+        // (this batch's own tmp is written after this point)
+        Option(fs.globStatus(
+            new org.apache.hadoop.fs.Path(snapshotDir + "__tmp-*")))
+          .foreach(_.foreach(s => fs.delete(s.getPath, true)))
         val merged =
           if (fs.exists(snap))
             spark.read.parquet(snapshotDir)
@@ -146,13 +152,33 @@ object CorpusStream {
     * approximation: ALL batch band keys claim, including keys of
     * documents that are themselves dropped, so a chain a~b, b~c (a≁c)
     * drops both b and c — conservative (never under-dedups) and
-    * order-deterministic (min-id claim, not arrival order). State is
-    * the band-key store: bands·(distinct content) rows, bounded by
-    * corpus diversity, never by stream length. */
+    * order-deterministic (min-id claim, not arrival order).
+    *
+    * Replay safety: store rows carry the `batch_id` that appended them,
+    * and the history view EXCLUDES rows stamped with the CURRENT batch
+    * id — so a batch replayed after a crash (foreachBatch may re-run
+    * the last uncommitted batch) never collides with its own
+    * first-attempt append; the replay recomputes the identical survivor
+    * set and overwrites `survivors/batch-<id>` with it. Re-appended
+    * band rows are harmless duplicates (the store is read `distinct`
+    * and compaction folds them away).
+    *
+    * State: the band-key store is bands·(distinct content) rows. With
+    * `retentionBatches = None` it is bounded by corpus diversity, never
+    * by stream length; on an OPEN-world stream (an endless crawl) pass
+    * `retentionBatches = Some(r)` and dedup history becomes a sliding
+    * window — only bands appended within the last `r` batches suppress,
+    * a band unseen for longer than the window re-admits its content
+    * (the retention trade every TTL'd dedup store makes), and every
+    * `compactEvery` batches the store is physically rewritten without
+    * the expired rows (park-aside rename swap, crash-recovered on the
+    * next batch) so disk is bounded by the window, not corpus
+    * lifetime. */
   def nearDedupBatches(docs: DataFrame, storeDir: String,
       survivorsDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      profile: graft.ext.DedupProfile = graft.ext.DedupProfile.default)
+      profile: graft.ext.DedupProfile = graft.ext.DedupProfile.default,
+      retentionBatches: Option[Long] = None, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -167,11 +193,37 @@ object CorpusStream {
         val conf = spark.sparkContext.hadoopConfiguration
         val store = new org.apache.hadoop.fs.Path(storeDir)
         val fs = store.getFileSystem(conf)
-        val hist =
-          if (fs.exists(store))
-            spark.read.parquet(storeDir).select("band").distinct()
-              .withColumn("__seen", lit(1))
-          else keyed.select("band").limit(0).withColumn("__seen", lit(1))
+        // recover a compaction crash: a parked __old with no live store
+        // means the swap below died between its two renames
+        val parked = new org.apache.hadoop.fs.Path(storeDir + "__old")
+        if (!fs.exists(store) && fs.exists(parked)) fs.rename(parked, store)
+        // physical compaction under a retention window: rewrite the
+        // store without expired rows, park-aside swap (same crash-safe
+        // dance as [[upsertBatches]])
+        retentionBatches.foreach { r =>
+          if (batchId > 0 && batchId % compactEvery == 0 && fs.exists(store)) {
+            val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compact")
+            spark.read.parquet(storeDir)
+              .filter(col("batch_id") >= batchId - r)
+              .write.mode("overwrite").parquet(tmp.toString)
+            if (fs.exists(parked)) fs.delete(parked, true)
+            fs.rename(store, parked)
+            fs.rename(tmp, store)
+            fs.delete(parked, true)
+          }
+        }
+        val histBase =
+          if (fs.exists(store)) spark.read.parquet(storeDir)
+          else keyed.select("band").limit(0)
+            .withColumn("batch_id", lit(-1L))
+        val inWindow = retentionBatches.fold(histBase)(r =>
+          histBase.filter(col("batch_id") >= batchId - r))
+        val hist = inWindow
+          // replay safety: a previous ATTEMPT of this same batch may
+          // have appended already — its rows are not history
+          .filter(col("batch_id") =!= batchId)
+          .select("band").distinct()
+          .withColumn("__seen", lit(1))
         val claims = keyed.groupBy("band").agg(min("id").as("__first"))
         val flags = keyed
           .join(hist, Seq("band"), "left_outer")
@@ -186,6 +238,7 @@ object CorpusStream {
           .parquet(s"$survivorsDir/batch-$batchId")
         keyed.select("band").distinct()
           .join(hist, Seq("band"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(storeDir)
         ()
       }

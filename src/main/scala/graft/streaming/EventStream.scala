@@ -128,7 +128,15 @@ object EventStream {
     * event stream. In-batch gap splits emit immediately; the final open
     * session of a batch arms a timeout at (last event + gap) and closes
     * when the watermark crosses it. Late events behind the watermark
-    * are dropped by the watermark, never reopening a closed session. */
+    * are dropped by the watermark, never reopening a closed session.
+    *
+    * Cross-batch out-of-order events (allowed up to `watermarkDelay`
+    * late) MERGE into the open session with `startUs = min`, `lastUs =
+    * max` — native `session_window` semantics — and the gap split only
+    * applies when an event lands beyond the session's current end
+    * (`us - lastUs > gap`); an earlier-than-open event can therefore
+    * never regress the span or fabricate an `end_us < start_us`
+    * session. */
   def sessionizeClosed(events: Dataset[Event],
       watermarkDelay: String = "10 minutes",
       gapMinutes: Int = 30): Dataset[ClosedSession] = {
@@ -163,7 +171,9 @@ object EventStream {
                     s.nEvents)
                   open = Some(OpenSession(us, us, 1L))
                 case Some(s) =>
-                  open = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+                  // in-window out-of-order arrival: widen, never regress
+                  open = Some(OpenSession(math.min(s.startUs, us),
+                    math.max(s.lastUs, us), s.nEvents + 1))
                 case None =>
                   open = Some(OpenSession(us, us, 1L))
               }

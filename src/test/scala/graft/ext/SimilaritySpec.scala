@@ -189,4 +189,18 @@ class SimilaritySpec extends SparkSpec {
     // grp 1: single vector passes through
     assert(got((1L, 0L)) == 1000000L && got((1L, 1L)) == 500000L)
   }
+
+  test("cache hygiene: pqTopK's persisted slice table is caller-owned " +
+    "and clearCache() (the Bench/Verify contract) drops it") {
+    val r = Similarity.pqTopK(emb, 0L, 5, m = 16, k = 64)
+    r.write.format("noop").mode("overwrite").save()
+    // the slice table is legitimately cached while the query lives...
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "pqTopK is expected to persist its slice table")
+    // ...and the harness loop's clearCache leaves NOTHING resident —
+    // the assertion behind "no cached tables survive a query's action"
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clearCache must leave no cached tables between harness queries")
+  }
 }

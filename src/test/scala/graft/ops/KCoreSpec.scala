@@ -39,6 +39,19 @@ class KCoreSpec extends SparkSpec {
       5L -> 4L, 6L -> 3L, 7L -> 3L, 8L -> 3L), got.toString)
   }
 
+  test("a graph needing exactly maxRounds peels converges — the " +
+    "confirmation round does not consume a productive iteration") {
+    // an 8-vertex path peels its two endpoints each round: exactly 4
+    // productive rounds to empty, so maxRounds = 4 must succeed (the
+    // no-change confirmation runs as iteration 5)
+    val path8 = (1L until 8L).map(i => (i, i + 1))
+    assert(coreMap(path8, 2, maxRounds = 4).isEmpty)
+    // ...and 3 is genuinely insufficient
+    intercept[IllegalArgumentException] {
+      coreMap(path8, 2, maxRounds = 3)
+    }
+  }
+
   test("insufficient round budget fails loudly instead of returning a " +
     "partial peel") {
     val longPath = (1L until 40L).map(i => (i, i + 1))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, lit}
 
 class CorpusStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -201,6 +201,95 @@ class CorpusStreamSpec extends SparkSpec {
       val store = spark.read.parquet(s"$dir/store")
         .select("band").distinct().count()
       assert(store == 2L * 3L, s"expected 6 distinct band keys, $store")
+    } finally q.stop()
+  }
+
+  test("streaming near-dedup: a REPLAYED batch never collides with its " +
+    "own first-attempt band append (store rows are batch-stamped)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Dedup, DedupProfile}
+    val dir = java.nio.file.Files.createTempDirectory("nearddRep").toString
+    val profile = DedupProfile.default
+    val docs0 = Seq((1L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    // simulate the crash window the ADVICE flagged: batch 0's first
+    // attempt appended its bands to the store, then died BEFORE the
+    // streaming checkpoint committed — on restart foreachBatch replays
+    // batch 0 against a store that already holds its own keys
+    Dedup.minhashSignatures(
+        Dedup.tokenIndex(docs0, "doc_id", "text", profile.shingleN),
+        profile.bands * profile.rowsPerBand)
+      .select(explode(
+        Dedup.bandKeyCols(profile.bands, profile.rowsPerBand)).as("band"))
+      .distinct()
+      .withColumn("batch_id", lit(0L))
+      .write.parquet(s"$dir/store")
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.nearDedupBatches(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "alpha beta gamma delta"),
+        (3L, "zeta eta theta iota"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out/batch-0")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 3L),
+        s"replayed batch must re-emit its survivors, not flag itself dup: $out")
+    } finally q.stop()
+  }
+
+  test("streaming near-dedup retention window: bands older than the " +
+    "window re-admit, in-window dedup unaffected, store compacts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("nearddTtl").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.nearDedupBatches(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt",
+      retentionBatches = Some(1L), compactEvery = 2)
+    try {
+      mem.addData((1L, "alpha beta gamma delta"))
+      q.processAllAvailable()                       // batch 0
+      mem.addData((10L, "kappa lambda mu nu"))
+      q.processAllAvailable()                       // batch 1
+      // batch 2: doc 20 repeats batch-0 content — batch 0 is OUTSIDE
+      // the 1-batch window, so it re-admits; doc 21 repeats batch-1
+      // content — in-window, still suppressed
+      mem.addData((20L, "delta gamma beta alpha"),
+        (21L, "nu mu lambda kappa"))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(s"$dir/out/batch-2")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(20L),
+        s"out-of-window dup re-admits, in-window dup drops: $out2")
+      // compaction ran at batch-2 start (compactEvery = 2): expired
+      // batch-0 rows are physically gone, disk tracks the window
+      val ids = spark.read.parquet(s"$dir/store")
+        .select("batch_id").distinct().as[Long].collect().toSet
+      assert(ids.forall(_ >= 1L),
+        s"batch-0 rows must be compacted away, store has batches $ids")
+    } finally q.stop()
+  }
+
+  test("streaming upsert: orphaned __tmp-* side dirs from a crashed " +
+    "batch are swept on the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsertTmp").toString
+    val snapDir = s"$dir/snap"
+    // a crash before the rename leaves a fully-written side dir behind
+    val orphan = new java.io.File(snapDir + "__tmp-99")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      orphan.toPath.resolve("part-junk"), "leftover")
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = CorpusStream.upsertBatches(mem.toDF().toDF("k", "ver", "v"),
+      snapDir, "k", "ver", s"$dir/ckpt")
+    try {
+      mem.addData((1L, 1L, "a1"))
+      q.processAllAvailable()
+      assert(!orphan.exists(), "stale __tmp dir must be deleted")
+      val s = spark.read.parquet(snapDir)
+        .as[(Long, Long, String)].collect().toSet
+      assert(s == Set((1L, 1L, "a1")), s.toString)
     } finally q.stop()
   }
 

@@ -232,4 +232,36 @@ class EventStreamSpec extends SparkSpec {
         "closed users must leave the state store")
     } finally q.stop()
   }
+
+  test("sessionizeClosed: a cross-batch out-of-order event (within the " +
+    "watermark delay) MERGES — start widens to min, end never regresses") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeClosed(mem.toDS(), watermarkDelay = "5 minutes",
+        gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessc_ooo")
+      .outputMode("append").start()
+    try {
+      def us(min: Int): Long = ts(min).toInstant.getEpochSecond * 1000000L
+      // batch 1: the session opens at min 10 (watermark -> min 5)
+      mem.addData(Event(1, ts(10), 7, "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: an event at min 7 — EARLIER than the open session's
+      // span but above the watermark, exactly what the delay permits.
+      // session_window semantics: it merges (start = min 7), it must
+      // not regress the end to min 7 or trigger a bogus gap split
+      mem.addData(Event(2, ts(7), 7, "a", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the gap deadline to close it
+      mem.addData(Event(3, ts(300), 9, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(301), 9, "a", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessc_ooo").as[ClosedSession].collect()
+        .filter(_.user_id == 7L).toSet
+      assert(got == Set(ClosedSession(7L, us(7), us(10), 2L)), got.toString)
+      got.foreach(s => assert(s.end_us >= s.start_us,
+        s"closed session must never report end < start: $s"))
+    } finally q.stop()
+  }
 }
