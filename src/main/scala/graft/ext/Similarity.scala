@@ -432,16 +432,22 @@ object Similarity {
   // Nearest Neighbor Search", TPAMI 2011, is the construction; the
   // arithmetic discipline is this repo's).
 
-  /** The m disjoint slices of each quantized vector: (id, sub, qs). */
-  private def subspaceSlices(e: DataFrame, m: Int, dims: Int): DataFrame = {
+  /** The m disjoint slices of each quantized vector: (id[, extra...],
+    * sub, qs). `extraCols` ride along unchanged (the IVF-PQ path keeps
+    * `cluster_id` on every slice so the encoded codes stay
+    * cluster-addressable). */
+  private def subspaceSlices(e: DataFrame, m: Int, dims: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     require(m >= 1 && dims % m == 0,
       s"subspaceSlices: dims ($dims) must divide into m ($m) subspaces")
     val d = dims / m
-    e.select(col("id"), explode(array((0 until m).map { sb =>
+    val keep = col("id") +: extraCols.map(col)
+    e.select(keep :+ explode(array((0 until m).map { sb =>
         struct(lit(sb.toLong).as("sub"),
           slice(col("q"), sb * d + 1, d).as("qs"))
-      }: _*)).as("__s"))
-      .select(col("id"), col("__s.sub").as("sub"), col("__s.qs").as("qs"))
+      }: _*)).as("__s"): _*)
+      .select(keep ++ Seq(col("__s.sub").as("sub"),
+        col("__s.qs").as("qs")): _*)
   }
 
   /** Nearest codeword per (vector, subspace) — exact integer squared
@@ -454,18 +460,20 @@ object Similarity {
 
   /** [[assignSub]] over slices whose `__sn` norm is already computed —
     * the shape the cached multi-pass path (train rounds + encode over
-    * ONE persisted slice table) feeds. */
-  private def assignPrepped(sp: DataFrame, books: DataFrame): DataFrame =
+    * ONE persisted slice table) feeds. `keyCols` are the grouping keys
+    * carried through to the output (the IVF-PQ path adds
+    * `cluster_id`). */
+  private def assignPrepped(sp: DataFrame, books: DataFrame,
+      keyCols: Seq[String] = Seq("id", "sub", "qs")): DataFrame =
     sp.join(broadcast(books.withColumn("__cn", qnorm2(col("qc")))),
         Seq("sub"))
       // norms hoisted to once per slice / once per codeword — only the
       // dot is per-pair work
       .withColumn("__d2",
         col("__sn") + col("__cn") - lit(2L) * qdot(col("qs"), col("qc")))
-      .groupBy("id", "sub", "qs")
+      .groupBy(keyCols.map(col): _*)
       .agg(min(struct(col("__d2"), col("clabel"))).as("__best"))
-      .select(col("id"), col("sub"), col("qs"),
-        col("__best.clabel").as("code"))
+      .select(keyCols.map(col) :+ col("__best.clabel").as("code"): _*)
 
   /** Per-subspace codebooks via deterministic Lloyd rounds, all m
     * subspaces trained in ONE sub-keyed job per round (not m jobs).
@@ -554,6 +562,111 @@ object Similarity {
         (col("dot").cast("double") /
           sqrt(col("rn2").cast("double") * col("qn2").cast("double")))
           .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** IVF-PQ composed ANN (the IVFADC construction of Jégou et al.,
+    * TPAMI 2011): the scale path that [[ivfTopK]] and [[pqTopK]] each
+    * carry one half of —
+    *
+    *  1. COARSE: k-means centroids ([[trainCentroids]]) partition the
+    *     corpus; every vector is assigned to its nearest centroid and
+    *     its RESIDUAL `r = q - c` is what gets product-quantized
+    *     (residuals are smaller than raw vectors, so the same codebook
+    *     budget quantizes them finer — the reason IVFADC encodes
+    *     residuals, not vectors; exact long subtraction keeps the whole
+    *     pipeline integer-deterministic);
+    *  2. FINE: one set of per-subspace codebooks is trained over ALL
+    *     residuals pooled ([[pqTrain]] discipline: deterministic seeds,
+    *     floor-mean Lloyd updates, smallest-label ties) and every
+    *     vector stores m codes — at scale this codes table is written
+    *     PARTITIONED BY `cluster_id`;
+    *  3. QUERY: the query probes its `nProbe` nearest coarse centroids
+    *     — the probe list is collected to the driver (nProbe longs, the
+    *     same bounded-model discipline as the centroids themselves) and
+    *     applied as a LITERAL `cluster_id IN (...)` predicate, so
+    *     against a cluster-partitioned store it prunes at file listing
+    *     and the ADC scan reads nProbe/nCentroids of the codes instead
+    *     of all of them (the flat-scan gap of [[pqTopK]], closed);
+    *  4. ADC: scores fold from a broadcast nProbe×m×k lookup table.
+    *     With v̂ = c + r̂ the approximate cosine needs three code-keyed
+    *     partials per subspace — pd = q_s·r̂_s, crs = c_s·r̂_s,
+    *     pn = |r̂_s|² — plus two per-cluster scalars cdot = q·c,
+    *     cn2 = |c|²: dot(q,v̂) = cdot + Σpd and |v̂|² = cn2 + 2Σcrs + Σpn,
+    *     all exact integers until the final one-division cosine.
+    *
+    * Returns (vec_id, cluster_id, score) top-`topK`. */
+  def ivfPqTopK(emb: DataFrame, queryVecId: Long, topK: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
+      m: Int = 16, dims: Int = 64, k: Int = 64, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val cents = trainCentroids(e, nCentroids, kmeansIters)
+    val assign = assignNearest(e.select("id", "q"), "q", cents)
+      .select(col("id"), col("q"), col("assigned").as("cluster_id"))
+    // residual per vector: r = q - c, exact long subtraction (the frame
+    // renames r back to "q" so the shared slice/train machinery applies)
+    val resid = assign
+      .join(broadcast(cents.withColumnRenamed("clabel", "cluster_id")),
+        Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"),
+        zip_with(col("q"), col("qc"), (a, b) => a - b).as("q"))
+    // one persisted slice table feeds the train rounds AND the encode
+    // pass (same caller-owned cache lifetime as pqTopK)
+    val s = subspaceSlices(resid, m, dims, extraCols = Seq("cluster_id"))
+      .withColumn("__sn", qnorm2(col("qs"))).persist()
+    val books = trainOnSlices(s, k, iters)
+    val codes = assignPrepped(s, books,
+        keyCols = Seq("id", "cluster_id", "sub", "qs"))
+      .select("id", "cluster_id", "sub", "code")
+    val qRow = e.filter(col("id") === queryVecId)
+    // nProbe nearest coarse centroids, collected: the probe list is
+    // bounded query-plan state, and as literals the IN-filter below is
+    // a pushable predicate (partition pruning on a cluster-partitioned
+    // code store), not a join that still scans every code row
+    val probeIds: Seq[Long] = qRow
+      .crossJoin(broadcast(cents))
+      .select(col("clabel"), (qnorm2(col("q")) + qnorm2(col("qc"))
+        - lit(2L) * qdot(col("q"), col("qc"))).as("__d2"))
+      .orderBy(col("__d2"), col("clabel"))
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val probedCents = cents.filter(col("clabel").isin(probeIds: _*))
+    val qsl = subspaceSlices(qRow, m, dims)
+      .select(col("sub"), col("qs").as("qq"))
+    val csl = subspaceSlices(
+        probedCents.select(col("clabel").as("id"), col("qc").as("q")),
+        m, dims)
+      .select(col("id").as("cluster_id"), col("sub"), col("qs").as("cs"))
+    // nProbe×m×k LUT — it IS the whole per-query model, broadcast once
+    val lut = broadcast(books
+      .join(qsl, Seq("sub"))
+      .join(csl, Seq("sub"))
+      .select(col("cluster_id"), col("sub"), col("clabel").as("code"),
+        qdot(col("qq"), col("qc")).as("pd"),
+        qdot(col("cs"), col("qc")).as("crs"),
+        qnorm2(col("qc")).as("pn")))
+    val coarse = probedCents
+      .crossJoin(broadcast(qRow.select(col("q").as("qq"))))
+      .select(col("clabel").as("cluster_id"),
+        qdot(col("qq"), col("qc")).as("cdot"),
+        qnorm2(col("qc")).as("cn2"))
+    val qn2 = qRow.select(qnorm2(col("q")).as("qn2"))
+    codes
+      // THE pruning: a literal predicate on the storage partition key —
+      // nProbe/nCentroids of the code table survives the scan
+      .filter(col("cluster_id").isin(probeIds: _*))
+      .filter(col("id") =!= queryVecId)
+      .join(lut, Seq("cluster_id", "sub", "code"))
+      .groupBy("id", "cluster_id")
+      .agg(sum("pd").as("rdot"), sum("crs").as("crs"), sum("pn").as("rn2p"))
+      .join(broadcast(coarse), Seq("cluster_id"))
+      .crossJoin(broadcast(qn2))
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        ((col("cdot") + col("rdot")).cast("double") /
+          sqrt((col("cn2") + lit(2L) * col("crs") + col("rn2p"))
+            .cast("double") * col("qn2").cast("double"))).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(topK)
   }

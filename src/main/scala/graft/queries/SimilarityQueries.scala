@@ -75,6 +75,31 @@ object SimilarityQueries {
        |    FROM e, c2 c)
        |  WHERE rn = 1)""".stripMargin
 
+  /** One deterministic sub-keyed PQ Lloyd round as CTEs, over a slice
+    * table literally named `s` (id, sub, qs[, extras]): assign every
+    * slice to its nearest codeword in `cin`, emit updated codebooks
+    * `cout` (floor-mean per dim) — mirrors Similarity.trainOnSlices.
+    * Shared by ann_pq_topk (raw-vector slices) and ann_ivfpq_topk
+    * (residual slices) — the Lloyd discipline is identical, only the
+    * `s` CTE feeding it differs. */
+  private def sqlPqRound(t: Int, cin: String, cout: String): String =
+    s"""pa$t AS (
+       |  SELECT id, sub, qs, clabel FROM (
+       |    SELECT s.id, s.sub, s.qs, c.clabel,
+       |      ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+       |        ORDER BY ${sqlD2("s.qs", "c.qc")}, c.clabel) AS rn
+       |    FROM s JOIN $cin c ON c.sub = s.sub)
+       |  WHERE rn = 1),
+       |$cout AS (
+       |  SELECT sub, clabel, list(c ORDER BY d) AS qc FROM (
+       |    SELECT sub, clabel, d,
+       |      CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |    FROM (SELECT sub, clabel, unnest(range(1, len(qs) + 1)) AS d,
+       |            unnest(qs) AS v
+       |          FROM pa$t)
+       |    GROUP BY sub, clabel, d)
+       |  GROUP BY sub, clabel)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // brute-force cosine top-k for one query vector
@@ -211,23 +236,6 @@ object SimilarityQueries {
     // ranking is approximate vs true cosine by construction (recall@10
     // = 0.8 on the fixture, spec-pinned >= 0.7) but bit-deterministic.
     QueryDef("ann_pq_topk", {
-      def pqRound(t: Int, cin: String, cout: String): String =
-        s"""pa$t AS (
-           |  SELECT id, sub, qs, clabel FROM (
-           |    SELECT s.id, s.sub, s.qs, c.clabel,
-           |      ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
-           |        ORDER BY ${sqlD2("s.qs", "c.qc")}, c.clabel) AS rn
-           |    FROM s JOIN $cin c ON c.sub = s.sub)
-           |  WHERE rn = 1),
-           |$cout AS (
-           |  SELECT sub, clabel, list(c ORDER BY d) AS qc FROM (
-           |    SELECT sub, clabel, d,
-           |      CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-           |    FROM (SELECT sub, clabel, unnest(range(1, len(qs) + 1)) AS d,
-           |            unnest(qs) AS v
-           |          FROM pa$t)
-           |    GROUP BY sub, clabel, d)
-           |  GROUP BY sub, clabel)""".stripMargin
       s"""WITH e AS (
          |  SELECT vec_id AS id, ${sqlQ("embedding")} AS q FROM embeddings),
          |s AS (
@@ -235,8 +243,8 @@ object SimilarityQueries {
          |    list_slice(q, sb.range * 4 + 1, (sb.range + 1) * 4) AS qs
          |  FROM e, range(0, 16) sb),
          |pc0 AS (SELECT sub, id AS clabel, qs AS qc FROM s WHERE id < 64),
-         |${pqRound(1, "pc0", "pc1")},
-         |${pqRound(2, "pc1", "pc2")},
+         |${sqlPqRound(1, "pc0", "pc1")},
+         |${sqlPqRound(2, "pc1", "pc2")},
          |enc AS (
          |  SELECT id, sub, clabel AS code FROM (
          |    SELECT s.id, s.sub, c.clabel,
@@ -283,6 +291,94 @@ object SimilarityQueries {
       Similarity.ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
           nCentroids = 16, nProbe = 4, kmeansIters = 2)
         .withColumnRenamed("id", "vec_id")
+    },
+
+    // IVF-PQ composed ANN (IVFADC, Jégou et al. TPAMI 2011): coarse
+    // k-means clusters partition the corpus, RESIDUALS r = q - c are
+    // product-quantized (same codebook budget quantizes the smaller
+    // residuals finer — measured recall 0.8 vs flat PQ's 0.4 at the
+    // identical m=16 geometry on sf0.001), and the query's 4 probed
+    // clusters are the ONLY codes the ADC fold reads — the literal
+    // cluster_id IN (...) predicate that prunes a cluster-partitioned
+    // code store at file listing, closing pqTopK's flat-scan gap. The
+    // oracle unrolls coarse Lloyd, residuals, sub-keyed residual Lloyd,
+    // probe pruning, and the 5-term ADC fold (dot = q·c + Σ q_s·r̂_s;
+    // |v̂|² = |c|² + 2Σ c_s·r̂_s + Σ|r̂_s|²) — integer-exact throughout.
+    QueryDef("ann_ivfpq_topk",
+      s"""WITH $sqlKmeansCtes,
+         |resid AS (
+         |  SELECT a.id, a.cluster_id,
+         |    list_transform(range(1, len(a.q) + 1),
+         |      i -> a.q[i] - c.qc[i]) AS r
+         |  FROM assign a JOIN c2 c ON c.clabel = a.cluster_id),
+         |s AS (
+         |  SELECT id, cluster_id, sb.range AS sub,
+         |    list_slice(r, sb.range * 4 + 1, (sb.range + 1) * 4) AS qs
+         |  FROM resid, range(0, 16) sb),
+         |pc0 AS (SELECT sub, id AS clabel, qs AS qc FROM s WHERE id < 64),
+         |${sqlPqRound(1, "pc0", "pc1")},
+         |${sqlPqRound(2, "pc1", "pc2")},
+         |enc AS (
+         |  SELECT id, cluster_id, sub, clabel AS code FROM (
+         |    SELECT s.id, s.cluster_id, s.sub, c.clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+         |        ORDER BY ${sqlD2("s.qs", "c.qc")}, c.clabel) AS rn
+         |    FROM s JOIN pc2 c ON c.sub = s.sub)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT clabel AS cluster_id FROM (
+         |    SELECT c.clabel,
+         |      ROW_NUMBER() OVER (
+         |        ORDER BY ${sqlD2("qv.q", "c.qc")}, c.clabel) AS rn
+         |    FROM c2 c, (SELECT q FROM e WHERE id = 0) qv)
+         |  WHERE rn <= 4),
+         |qsl AS (
+         |  SELECT sb.range AS sub,
+         |    list_slice(qv.q, sb.range * 4 + 1, (sb.range + 1) * 4) AS qq
+         |  FROM (SELECT q FROM e WHERE id = 0) qv, range(0, 16) sb),
+         |csl AS (
+         |  SELECT p.cluster_id, sb.range AS sub,
+         |    list_slice(c.qc, sb.range * 4 + 1, (sb.range + 1) * 4) AS cs
+         |  FROM probes p JOIN c2 c ON c.clabel = p.cluster_id,
+         |    range(0, 16) sb),
+         |lut AS (
+         |  SELECT csl.cluster_id, b.sub, b.clabel AS code,
+         |    CAST(list_sum(list_transform(range(1, len(b.qc) + 1),
+         |      i -> q.qq[i] * b.qc[i])) AS BIGINT) AS pd,
+         |    CAST(list_sum(list_transform(range(1, len(b.qc) + 1),
+         |      i -> csl.cs[i] * b.qc[i])) AS BIGINT) AS crs,
+         |    CAST(list_sum(list_transform(b.qc, x -> x * x)) AS BIGINT) AS pn
+         |  FROM pc2 b JOIN qsl q ON q.sub = b.sub
+         |    JOIN csl ON csl.sub = b.sub),
+         |coarse AS (
+         |  SELECT p.cluster_id,
+         |    CAST(list_sum(list_transform(range(1, len(c.qc) + 1),
+         |      i -> qv.q[i] * c.qc[i])) AS BIGINT) AS cdot,
+         |    CAST(list_sum(list_transform(c.qc, x -> x * x)) AS BIGINT) AS cn2
+         |  FROM probes p JOIN c2 c ON c.clabel = p.cluster_id,
+         |    (SELECT q FROM e WHERE id = 0) qv),
+         |qn AS (
+         |  SELECT CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+         |    AS qn2
+         |  FROM e WHERE id = 0),
+         |sc AS (
+         |  SELECT enc.id, enc.cluster_id,
+         |    CAST(SUM(l.pd) AS BIGINT) AS rdot,
+         |    CAST(SUM(l.crs) AS BIGINT) AS crs,
+         |    CAST(SUM(l.pn) AS BIGINT) AS rn2p
+         |  FROM enc JOIN lut l ON l.cluster_id = enc.cluster_id
+         |    AND l.sub = enc.sub AND l.code = enc.code
+         |  WHERE enc.id <> 0
+         |  GROUP BY enc.id, enc.cluster_id)
+         |SELECT sc.id AS vec_id, sc.cluster_id,
+         |  CAST(co.cdot + sc.rdot AS DOUBLE)
+         |    / sqrt(CAST(co.cn2 + 2 * sc.crs + sc.rn2p AS DOUBLE)
+         |           * CAST(qn.qn2 AS DOUBLE)) AS score
+         |FROM sc JOIN coarse co ON co.cluster_id = sc.cluster_id, qn
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), queryVecId = 0L,
+        topK = 10, nCentroids = 16, nProbe = 4, kmeansIters = 2,
+        m = 16, dims = 64, k = 64, iters = 2)
     },
 
     // multi-query IVF: centroids trained ONCE, each of 6 query vectors
