@@ -566,6 +566,50 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Multi-query PQ — the amortization twin of [[ivfTopKMulti]] for the
+    * compression path: codebooks are trained ONCE, the corpus is
+    * encoded ONCE, and a whole batch of queries rides one broadcast
+    * Q×m×k lookup table through a single pass over the code table
+    * (one keyed aggregate, one query-keyed rank window — never Q
+    * separate scans). That single-pass batching is the PQ serving
+    * shape at scale: the per-query marginal cost is the ADC fold, not
+    * training, encoding, or an extra corpus read. Cache lifetime of
+    * the internal slice table is caller-owned (see [[pqTopK]]).
+    * Returns (query_id, vec_id, score, rn) for rn <= topK. */
+  def pqTopKMulti(emb: DataFrame, queryIds: Seq[Long], topK: Int,
+      m: Int = 8, dims: Int = 64, k: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryIds.nonEmpty, "pqTopKMulti: at least one query id")
+    val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val s = subspaceSlices(e, m, dims)
+      .withColumn("__sn", qnorm2(col("qs"))).persist()
+    val books = trainOnSlices(s, k, iters)
+    val codes = assignPrepped(s, books).select("id", "sub", "code")
+    val qs = subspaceSlices(e.filter(col("id").isin(queryIds: _*)), m, dims)
+      .select(col("id").as("query_id"), col("sub"), col("qs").as("qq"))
+    val lut = broadcast(books.join(qs, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("clabel").as("code"),
+        qdot(col("qq"), col("qc")).as("pd"),
+        qnorm2(col("qc")).as("pn")))
+    val qn = broadcast(e.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), qnorm2(col("q")).as("qn2")))
+    val byQuery = Window.partitionBy("query_id")
+    codes
+      .join(lut, Seq("sub", "code"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy("query_id", "id")
+      .agg(sum("pd").as("dot"), sum("pn").as("rn2"))
+      .join(qn, Seq("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"),
+        (col("dot").cast("double") /
+          sqrt(col("rn2").cast("double") * col("qn2").cast("double")))
+          .as("score"))
+      .withColumn("rn", row_number().over(
+        byQuery.orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") <= topK)
+  }
+
   /** IVF-PQ composed ANN (the IVFADC construction of Jégou et al.,
     * TPAMI 2011): the scale path that [[ivfTopK]] and [[pqTopK]] each
     * carry one half of —

@@ -381,6 +381,64 @@ object SimilarityQueries {
         m = 16, dims = 64, k = 64, iters = 2)
     },
 
+    // multi-query PQ: codebooks trained ONCE, corpus encoded ONCE, six
+    // query vectors served from one broadcast Q×m×k LUT in a single
+    // pass over the code table (one keyed aggregate + one query-keyed
+    // rank window — never Q corpus scans); the amortization twin of
+    // ann_ivf_multi on the compression path
+    QueryDef("ann_pq_multi",
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, ${sqlQ("embedding")} AS q FROM embeddings),
+         |s AS (
+         |  SELECT id, sb.range AS sub,
+         |    list_slice(q, sb.range * 4 + 1, (sb.range + 1) * 4) AS qs
+         |  FROM e, range(0, 16) sb),
+         |pc0 AS (SELECT sub, id AS clabel, qs AS qc FROM s WHERE id < 64),
+         |${sqlPqRound(1, "pc0", "pc1")},
+         |${sqlPqRound(2, "pc1", "pc2")},
+         |enc AS (
+         |  SELECT id, sub, clabel AS code FROM (
+         |    SELECT s.id, s.sub, c.clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+         |        ORDER BY ${sqlD2("s.qs", "c.qc")}, c.clabel) AS rn
+         |    FROM s JOIN pc2 c ON c.sub = s.sub)
+         |  WHERE rn = 1),
+         |qv AS (SELECT id AS query_id, sub, qs AS qq FROM s WHERE id < 6),
+         |lut AS (
+         |  SELECT qv.query_id, c.sub, c.clabel AS code,
+         |    CAST(list_sum(list_transform(range(1, len(c.qc) + 1),
+         |      i -> qv.qq[i] * c.qc[i])) AS BIGINT) AS pd,
+         |    CAST(list_sum(list_transform(c.qc, x -> x * x)) AS BIGINT) AS pn
+         |  FROM pc2 c JOIN qv ON qv.sub = c.sub),
+         |qn AS (
+         |  SELECT id AS query_id,
+         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2
+         |  FROM e WHERE id < 6),
+         |sc AS (
+         |  SELECT l.query_id, enc.id,
+         |    CAST(SUM(l.pd) AS BIGINT) AS dot,
+         |    CAST(SUM(l.pn) AS BIGINT) AS rn2
+         |  FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+         |  WHERE enc.id <> l.query_id
+         |  GROUP BY l.query_id, enc.id),
+         |scored AS (
+         |  SELECT sc.query_id, sc.id AS vec_id,
+         |    CAST(dot AS DOUBLE)
+         |      / sqrt(CAST(rn2 AS DOUBLE) * CAST(qn.qn2 AS DOUBLE)) AS score
+         |  FROM sc JOIN qn ON qn.query_id = sc.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, vec_id, score, rn FROM ranked WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      Similarity.pqTopKMulti(Tables.embeddings(s, d),
+          queryIds = (0L until 6L).toSeq, topK = 5,
+          m = 16, dims = 64, k = 64, iters = 2)
+        .orderBy("query_id", "rn")
+    },
+
     // multi-query IVF: centroids trained ONCE, each of 6 query vectors
     // probes its own 4 clusters — the amortization argument for k-means
     // training; per-query top-5 via a query-keyed window

@@ -190,6 +190,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got((1L, 0L)) == 1000000L && got((1L, 1L)) == 500000L)
   }
 
+  test("pqTopKMulti: a one-query batch reproduces pqTopK exactly " +
+    "(same codebooks, same integer ADC fold)") {
+    val single = Similarity.pqTopK(emb, 0L, 10, m = 16, k = 64)
+      .select("vec_id").as[Long].collect().toSeq
+    val multi = Similarity.pqTopKMulti(emb, Seq(0L), 10, m = 16, k = 64)
+      .orderBy("rn").select("vec_id").as[Long].collect().toSeq
+    assert(multi == single, s"multi=$multi single=$single")
+    spark.catalog.clearCache()
+  }
+
   test("IVF-PQ: coarse pruning + residual ADC — recall vs exact, " +
     "partition-independence, and the cluster_id scan filter") {
     val exact = Similarity.annTopK(emb, 0L, 10)
