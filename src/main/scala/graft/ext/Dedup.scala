@@ -336,6 +336,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact cross-document SUBSTRING dedup — the removal operator of the
+    * family (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", the ExactSubstr shape): any token run of
+    * at least `minTokens` that appears in MORE THAN ONE document is
+    * removed from every document except the smallest-id claimant, and
+    * the surviving tokens are reassembled in order. This REMOVES the
+    * duplicated text (what [[TextAnalysis.dupSpans]] only measures) —
+    * boilerplate paragraphs, quoted chunks, licence blocks — while the
+    * keeper document retains one full copy for training.
+    *
+    * Construction (every stage keyed — the Spark-native answer to the
+    * paper's suffix array):
+    *  1. each document emits ALL its `minTokens`-grams with start
+    *     offsets ([[graft.functions.WordShinglesAt]], one codegen'd
+    *     pass per doc — no cross-row work, no shuffle);
+    *  2. one hash-agg keyed on the gram finds cross-document grams and
+    *     their keeper (min doc id) — the shuffle equivalent of the
+    *     suffix-array sort, sized by corpus token count, and the ONLY
+    *     content-keyed exchange in the plan;
+    *  3. non-keeper occurrences explode to covered token positions
+    *     (a duplicated run of length R >= minTokens is covered by its
+    *     R - minTokens + 1 overlapping flagged windows — the whole run
+    *     is removed, exactly the paper's semantics);
+    *  4. an (id, pos)-keyed anti join drops covered tokens and a
+    *     per-doc hash-agg reassembles the survivors in order.
+    *
+    * At 100 TB: grams can be pre-hashed to 128-bit keys to shrink the
+    * stage-2 shuffle (collision-safe at corpus scale); here the gram
+    * string itself is the key so a SQL oracle replays identity exactly.
+    * Returns (idCol, n_tokens, n_kept, clean_text) for EVERY input
+    * document (fully-duplicated non-keepers come back empty). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 8): DataFrame = {
+    val L = minTokens
+    val sh = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.WordShinglesAt(col(textCol), L))
+        .as(Seq("start", "h")))
+    val dup = sh.groupBy("h")
+      .agg(min("id").as("keeper"), countDistinct("id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h", "keeper")
+    val rm = sh.join(dup, Seq("h"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(L - 1)))
+          .as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val kept = toks.join(rm, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // -------- 5. n-gram Jaccard similarity join --------
 
   /** Distinct n-gram shingles of the ordered token stream (n=1 => the

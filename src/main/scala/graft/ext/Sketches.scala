@@ -160,16 +160,106 @@ object Sketches {
       jaccardEstimate(other) * merge(other).estimate
   }
 
+  /** Mutable bounded aggregation buffer behind [[KmvAggregator]].
+    * [[Kmv]] stays the immutable public sketch (set algebra, functional
+    * folds); this buffer exists because an Aggregator's `reduce` runs
+    * once per input ROW, and the immutable insert rebuilt an O(k)
+    * vector per unsaturated insert — the hot-loop allocation SURVEY
+    * §8.5 flagged. Contract:
+    *
+    *  - the ZERO buffer (empty array) is NEVER mutated: the first
+    *    insert copy-on-writes a fresh k-slot array, so one shared zero
+    *    object safely seeds any number of independent folds (Spark may
+    *    reuse the initial-value object across groups);
+    *  - after that, `reduce` mutates in place — binary search +
+    *    `System.arraycopy` shift, ZERO allocation on every path
+    *    (saturated below-cutoff rows return immediately, the common
+    *    case once the sketch fills);
+    *  - `merge` allocates one fresh buffer (linear sorted merge) — it
+    *    runs per partial combine, not per row.
+    *
+    * Slots at index >= n are undefined slack; equality/hashCode cover
+    * (k, first n slots) only, so buffers compare by sketch VALUE across
+    * serialization round-trips and fold histories. */
+  final case class KmvBuf(k: Int, arr: Array[Long], var n: Int) {
+
+    /** The sorted bottom-n as an immutable view (spec/report surface). */
+    def values: Seq[Long] = arr.iterator.take(n).toIndexedSeq
+
+    def insertMut(h: Long): KmvBuf =
+      if (arr.length == 0) {
+        // copy-on-first-write off the shared zero
+        val fresh = KmvBuf(k, new Array[Long](k), 0)
+        fresh.insertMut(h)
+      } else if (n == k && h >= arr(n - 1)) this
+      else {
+        var lo = 0; var hi = n; var present = false
+        while (lo < hi && !present) {
+          val mid = (lo + hi) >>> 1
+          val v = arr(mid)
+          if (v == h) present = true
+          else if (v < h) lo = mid + 1 else hi = mid
+        }
+        if (present) this
+        else {
+          val shift = math.min(n, k - 1) - lo
+          if (shift > 0) System.arraycopy(arr, lo, arr, lo + 1, shift)
+          arr(lo) = h
+          if (n < k) n += 1
+          this
+        }
+      }
+
+    /** Bottom-k of the union — fresh buffer, inputs untouched. */
+    def mergeNew(other: KmvBuf): KmvBuf = {
+      val out = new Array[Long](k)
+      val a = arr; val b = other.arr
+      var i = 0; var j = 0; var m = 0
+      while (m < k && (i < n || j < other.n)) {
+        val v =
+          if (j >= other.n) { i += 1; a(i - 1) }
+          else if (i >= n) { j += 1; b(j - 1) }
+          else if (a(i) < b(j)) { i += 1; a(i - 1) }
+          else if (b(j) < a(i)) { j += 1; b(j - 1) }
+          else { i += 1; j += 1; a(i - 1) } // equal: consume both sides
+        out(m) = v; m += 1
+      }
+      KmvBuf(k, out, m)
+    }
+
+    def estimate: Double =
+      if (n < k) n.toDouble
+      else (k - 1).toDouble * M.toDouble / arr(n - 1).toDouble
+
+    override def equals(o: Any): Boolean = o match {
+      case b: KmvBuf =>
+        k == b.k && n == b.n && {
+          var i = 0; var same = true
+          while (same && i < n) { same = arr(i) == b.arr(i); i += 1 }
+          same
+        }
+      case _ => false
+    }
+    override def hashCode: Int = {
+      var h = k * 31 + n
+      var i = 0
+      while (i < n) { h = h * 31 + java.lang.Long.hashCode(arr(i)); i += 1 }
+      h
+    }
+  }
+
   /** Typed mergeable KMV aggregator over pre-hashed long values — the
     * custom-UDAF (`Aggregator`) form: O(k) state, lossless partial
-    * aggregation, usable in batch `agg` and streaming state. */
+    * aggregation, usable in batch `agg` and streaming state. Buffer is
+    * the allocation-free [[KmvBuf]]; results match [[Kmv]] folds and
+    * [[kmvDistinct]] exactly. */
   final class KmvAggregator(k: Int = 256)
-      extends Aggregator[Long, Kmv, Double] {
-    def zero: Kmv = Kmv(k, Vector.empty)
-    def reduce(b: Kmv, a: Long): Kmv = b.insert(a)
-    def merge(b1: Kmv, b2: Kmv): Kmv = b1.merge(b2)
-    def finish(r: Kmv): Double = r.estimate
-    def bufferEncoder: Encoder[Kmv] = Encoders.product[Kmv]
+      extends Aggregator[Long, KmvBuf, Double] {
+    def zero: KmvBuf = KmvBuf(k, Array.emptyLongArray, 0)
+    def reduce(b: KmvBuf, a: Long): KmvBuf = b.insertMut(a)
+    def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = b1.mergeNew(b2)
+    def finish(r: KmvBuf): Double = r.estimate
+    def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 

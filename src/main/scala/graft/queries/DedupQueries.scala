@@ -717,5 +717,52 @@ object DedupQueries {
           "doc_id", "text", window = 10, threshold = 0.9)
         .orderBy("id_a", "id_b")
     },
+
+    // exact cross-document SUBSTRING dedup (Lee et al. 2022
+    // ExactSubstr): every >= 8-token run appearing in more than one
+    // document is REMOVED everywhere except the min-id keeper, and the
+    // survivors reassemble in token order — removal, not just the span
+    // stats of text_dup_spans. The oracle replays shingling (list_slice
+    // windows), the keeper aggregate, window->position coverage, the
+    // anti join, and ordered reassembly token-for-token.
+    QueryDef("text_substring_dedup",
+      s"""WITH arr AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |st AS (
+         |  SELECT doc_id, t,
+         |    unnest(range(0, greatest(len(t) - 7, 0))) AS start
+         |  FROM arr),
+         |sh AS (
+         |  SELECT doc_id, start,
+         |    array_to_string(list_slice(t, start + 1, start + 8), ' ') AS h
+         |  FROM st),
+         |dup AS (
+         |  SELECT h, MIN(doc_id) AS keeper
+         |  FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |rm AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT s.doc_id, unnest(range(s.start, s.start + 8)) AS pos
+         |    FROM sh s JOIN dup d ON d.h = s.h AND s.doc_id <> d.keeper)),
+         |toks AS (
+         |  SELECT doc_id, unnest(range(0, len(t))) AS pos,
+         |    unnest(t) AS tok
+         |  FROM arr),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+         |  LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.pos = t.pos
+         |  WHERE rm.pos IS NULL),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(a.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(g.n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(g.clean_text, '') AS clean_text
+         |FROM arr a LEFT JOIN agg g ON g.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      Dedup.substringDedup(Tables.documents(s, d), "doc_id", "text",
+          minTokens = 8)
+        .orderBy("doc_id")
+    },
   )
 }

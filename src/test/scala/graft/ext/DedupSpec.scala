@@ -303,4 +303,49 @@ class DedupSpec extends SparkSpec {
     assert(bitset == postings, s"bitset $bitset != postings $postings")
   }
 
+  test("substringDedup: cross-doc duplicated runs are removed from " +
+    "non-keepers only; full dups empty out; short/unique docs untouched") {
+    val docs = Seq(
+      // 10-token run s1..s10 shared by docs 1, 2 and 3 — doc 1 keeps
+      (1L, "u1 u2 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 u3 u4"),
+      (2L, "v1 v2 v3 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 v4"),
+      // full duplicate of doc 1 — every window is claimed by doc 1
+      (3L, "u1 u2 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 u3 u4"),
+      // shorter than minTokens: no windows, never touched
+      (4L, "a b c"),
+      // unique content: untouched
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", minTokens = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // keeper doc 1 retains the full text (one copy survives — the
+    // Lee et al. point: dedup the corpus, don't lose the content)
+    assert(got(1L) == ((14L, 14L,
+      "u1 u2 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 u3 u4")), got(1L).toString)
+    // doc 2 loses exactly the 10 covered tokens (the 3 overlapping
+    // flagged windows union to the whole run), keeps its unique frame
+    assert(got(2L) == ((14L, 4L, "v1 v2 v3 v4")), got(2L).toString)
+    // the full duplicate empties out entirely
+    assert(got(3L) == ((14L, 0L, "")), got(3L).toString)
+    assert(got(4L) == ((3L, 3L, "a b c")), got(4L).toString)
+    assert(got(5L) == ((10L, 10L,
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")), got(5L).toString)
+  }
+
+  test("substringDedup: a WITHIN-document repeat alone does not flag " +
+    "(cross-document semantics), and the plan has no cartesian") {
+    val docs = Seq(
+      (1L, "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")
+    ).toDF("doc_id", "text")
+    val df = Dedup.substringDedup(docs, "doc_id", "text", minTokens = 8)
+    val got = df.orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0)._3 == got(0)._2 && got(1)._3 == got(1)._2,
+      s"no cross-doc dup => nothing removed: ${got.toSeq}")
+    graft.ops.PlanChecks.assertNoCartesian(df)
+  }
+
 }

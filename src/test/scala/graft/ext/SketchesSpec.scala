@@ -43,6 +43,24 @@ class SketchesSpec extends SparkSpec {
     assert(agg.finish(merged) == dfEst)
   }
 
+  test("KmvBuf: the mutable buffer reproduces the immutable Kmv fold " +
+    "exactly, and the shared zero is never mutated") {
+    val agg = new Sketches.KmvAggregator(16)
+    val z = agg.zero
+    val vals = Seq.tabulate(500)(i => (i * 2654435761L) % 2147483647L)
+    val buf = vals.foldLeft(z)(agg.reduce)
+    val imm = vals.foldLeft(Sketches.Kmv(16, Vector.empty))(_ insert _)
+    assert(buf.values == imm.values, s"${buf.values} vs ${imm.values}")
+    assert(agg.finish(buf) == imm.estimate)
+    // the zero seeded that fold and must still be empty (copy-on-first-
+    // write) — two further folds from the SAME zero stay independent
+    assert(z.n == 0 && z.arr.isEmpty, "zero must survive folds unmutated")
+    val b1 = Seq(5L, 1L, 9L).foldLeft(z)(agg.reduce)
+    val b2 = Seq(7L, 3L).foldLeft(z)(agg.reduce)
+    assert(b1.values == Seq(1L, 5L, 9L) && b2.values == Seq(3L, 7L),
+      s"${b1.values} / ${b2.values}")
+  }
+
   test("streaming: sketch accumulates across micro-batches (mergeable state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
