@@ -63,4 +63,65 @@ class ZOrderSpec extends SparkSpec {
         s"partition z-ranges must be disjoint: $x vs $y")
     }
   }
+
+  /** Rows the parquet reader actually MATERIALIZES for `pred` over
+    * `path` — the FileSourceScan's own numOutputRows metric, i.e. rows
+    * surviving footer-stat (row-group/page) skipping, measured BELOW
+    * the Spark-side Filter. Also returns the listed file count to show
+    * the skip is statistics-based, not listing-based. */
+  private def scanRead(path: String,
+      pred: org.apache.spark.sql.Column): (Long, Long) = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = spark.read.parquet(path).filter(pred)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    (scan.metrics("numOutputRows").value, scan.metrics("numFiles").value)
+  }
+
+  test("READ-SIDE SKIPPING: z-layout prunes row groups in BOTH dims " +
+    "via plain parquet min/max stats; a linear sort prunes only its own") {
+    // 128x128 grid = 16384 rows; 16 output files, each one ~1024-row
+    // row group whose footer min/max on (a, b) inherit the tile bound.
+    val grid = (for { a <- 0 until 128; b <- 0 until 128 }
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("zskip").toString
+    val zDir = s"$root/z"; val linDir = s"$root/lin"
+    ZOrder.layout(grid, col("a"), col("b"), bits = 7, partitions = 16)
+      .write.parquet(zDir)
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(linDir)
+
+    val total = 128L * 128L
+    // the hostile predicate for a linear-by-a layout: filter on b ONLY
+    val bOnly = col("b").between(48, 63)
+    val (zB, zFiles) = scanRead(zDir, bOnly)
+    val (linB, linFiles) = scanRead(linDir, bOnly)
+    // no partition/listing pruning on either side — all 16 files listed
+    assert(zFiles == 16 && linFiles == 16, s"files $zFiles/$linFiles")
+    // linear-by-a footers carry b in [0,127] everywhere: NOTHING skips
+    assert(linB == total, s"linear layout read $linB of $total for b-only")
+    // z-tiles bound b to ~32-wide bands: at most half the rows survive
+    // footer skipping (exact tile hit would be 1/4; slack for sampled
+    // range boundaries straddling tiles)
+    assert(zB <= total / 2,
+      s"z layout must row-group-skip on b: read $zB of $total")
+    assert(zB >= 2048, "sanity: all 2048 matching rows must be read")
+
+    // a box predicate: both layouts skip, z stays within 2x of linear's
+    // own-dimension pruning while ALSO being prunable on b
+    val box = col("a").between(48, 79) && col("b").between(48, 79)
+    val (zBox, _) = scanRead(zDir, box)
+    val (linBox, _) = scanRead(linDir, box)
+    assert(zBox <= total / 2, s"z box read $zBox")
+    assert(linBox <= total / 2, s"lin box read $linBox")
+    info(s"measured rows materialized of $total: b-only z=$zB " +
+      s"lin=$linB; box(32x32) z=$zBox lin=$linBox")
+  }
 }
