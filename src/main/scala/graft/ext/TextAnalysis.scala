@@ -557,6 +557,62 @@ object TextAnalysis {
       .withColumn("lm_avg_micro",
         col("lm_sum_micro").cast("double") / col("n_bigrams"))
 
+  /** Hashed unigram+bigram feature stream — the DSIR bag-of-ngrams
+    * featurizer: every token and every adjacent pair hashes into one of
+    * `buckets` ids. Hashing bounds BOTH model tables at `buckets` rows
+    * regardless of vocabulary, the property that lets the ratio model
+    * broadcast at any corpus size. */
+  def dsirFeatures(text: Column, buckets: Int): Column =
+    concat(
+      transform(tokens(text), t => tokenHash31(t) % buckets),
+      transform(bigrams(text), g => tokenHash31(g) % buckets))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw-corpus
+    * document by the likelihood ratio of its hashed-n-gram bag under a
+    * TARGET domain's feature distribution vs the raw corpus's own —
+    * weight(x) = Π over x's feature occurrences f of p̂_t(f)/p̂_r(f),
+    * add-one smoothing over `buckets` hashed buckets. The paper sums
+    * logs; the product IS exp of that sum (identical ranking, exact
+    * semantics) and keeps every operation transcendental-free: each
+    * term is ONE division of exact integer products
+    * ((tcnt+1)·(NR+B)) / ((rcnt+1)·(NT+B)), and the per-document
+    * product folds the SORTED term array sequentially, so any IEEE
+    * engine reproduces the weight bit-for-bit.
+    *
+    * Scale shape: both count tables and the ratio model are bounded at
+    * `buckets` rows (broadcast — the doc-side join never shuffles the
+    * corpus); the only corpus-sized exchange is the final id-keyed
+    * fold. Guard the integer products: buckets·corpusOccurrences must
+    * stay under 2^53 (raise buckets, not corpus, past that — the
+    * products only involve per-bucket counts and the two totals).
+    * Returns (idCol, n_feat, weight) for every raw document. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256): DataFrame = {
+    val B = buckets
+    val rawF = raw.select(col(idCol),
+      explode(dsirFeatures(col(textCol), B)).as("f"))
+    val tgtCnt = target
+      .select(explode(dsirFeatures(col(textCol), B)).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("tcnt"))
+    val rawCnt = rawF.groupBy("f").agg(count(lit(1)).as("rcnt"))
+    val nT = tgtCnt.agg(coalesce(sum("tcnt"), lit(0L)).cast("long").as("nt"))
+    val nR = rawCnt.agg(sum("rcnt").cast("long").as("nr"))
+    val ratio = rawCnt
+      .join(tgtCnt, Seq("f"), "left_outer")
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .select(col("f"),
+        (((coalesce(col("tcnt"), lit(0L)) + lit(1L)) * (col("nr") + lit(B.toLong)))
+          .cast("double") /
+          ((col("rcnt") + lit(1L)) * (col("nt") + lit(B.toLong)))
+            .cast("double")).as("term"))
+    rawF.join(broadcast(ratio), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"),
+        aggregate(array_sort(collect_list(col("term"))), lit(1.0d),
+          (acc, x) => acc * x).as("weight"))
+  }
+
   /** Collocation mining without PMI's logarithm: the lift ratio
     * N·c(xy) / (c(x·)·c(·y)) ranks exactly like PMI (log is monotone)
     * but stays a single division of exact integer products, so the

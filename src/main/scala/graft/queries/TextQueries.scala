@@ -1130,6 +1130,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR importance weights (Xie et al. 2023): score every raw doc by
+    // the likelihood ratio of its hashed unigram+bigram bag under a
+    // target domain (src0/src1) vs the whole corpus. Weight = product of
+    // per-occurrence ratio terms, folded over the SORTED term array so
+    // the sequential double product is bit-reproducible; each term is
+    // ONE division of exact integer products (add-one smoothing over 256
+    // hashed buckets). Both count tables are bounded at 256 rows and
+    // broadcast — the only corpus-sized shuffle is the doc-id fold.
+    QueryDef("text_dsir_weights",
+      s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+         |            FROM documents),
+         |feat AS (
+         |  SELECT doc_id, source, unnest(list_concat(
+         |    list_transform(t, x -> ${sqlH31("x")} % 256),
+         |    list_transform(range(1, len(t)),
+         |      i -> ${sqlH31("(t[i] || ' ' || t[i+1])")} % 256))) AS f
+         |  FROM tk),
+         |tgt AS (SELECT f, COUNT(*) AS tcnt FROM feat
+         |        WHERE source IN ('src0', 'src1') GROUP BY f),
+         |raw AS (SELECT f, COUNT(*) AS rcnt FROM feat GROUP BY f),
+         |nt AS (SELECT COALESCE(CAST(SUM(tcnt) AS BIGINT), 0) AS nt
+         |       FROM tgt),
+         |nr AS (SELECT CAST(SUM(rcnt) AS BIGINT) AS nr FROM raw),
+         |ratio AS (
+         |  SELECT raw.f,
+         |    CAST((COALESCE(tcnt, 0) + 1) * (nr + 256) AS DOUBLE)
+         |      / CAST((rcnt + 1) * (nt + 256) AS DOUBLE) AS term
+         |  FROM raw LEFT JOIN tgt USING (f), nt, nr)
+         |SELECT doc_id, COUNT(*) AS n_feat,
+         |  list_reduce(list_prepend(1.0, list_sort(list(term))),
+         |    (a, b) -> a * b) AS weight
+         |FROM feat JOIN ratio USING (f)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirWeights(docs,
+          docs.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text", buckets = 256)
+        .orderBy("doc_id")
+    },
+
     crawlRefreshDef,
   )
 
