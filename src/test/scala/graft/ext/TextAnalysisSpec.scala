@@ -385,4 +385,38 @@ class TextAnalysisSpec extends SparkSpec {
       assert(want == have, s"want $want, have $have")
     }
   }
+
+  test("dsirWeights: target == raw makes every ratio term exactly 1, " +
+    "so every weight is exactly 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "gamma delta alpha beta")).toDF("doc_id", "text")
+    // tcnt == rcnt and nt == nr bucket-for-bucket -> each term is the
+    // SAME integer product over itself: (c+1)(n+B)/((c+1)(n+B)) = 1.0
+    // exactly, and a product fold of exact 1.0s stays exactly 1.0.
+    val w = TextAnalysis.dsirWeights(docs, docs, "doc_id", "text", 64)
+      .select("weight").as[Double].collect()
+    assert(w.length == 3 && w.forall(_ == 1.0d))
+  }
+
+  test("dsirWeights ranks in-domain docs above off-domain docs and is " +
+    "partition-count independent") {
+    // target speaks {aa..ae}; raw corpus = 10 target-like + 10 alien docs
+    val tgt = (0 until 8).map(i =>
+      (1000L + i, s"aa ab ac ad ae aa a$i")).toDF("doc_id", "text")
+    val raw = ((0 until 10).map(i => (i.toLong, s"aa ab ac ad ae a$i")) ++
+      (10 until 20).map(i => (i.toLong, s"zz zy zx zw zv z$i")))
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(raw, tgt, "doc_id", "text", 64)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    val inDomain = (0 until 10).map(i => w(i.toLong))
+    val offDomain = (10 until 20).map(i => w(i.toLong))
+    assert(inDomain.min > offDomain.max,
+      s"in-domain min ${inDomain.min} must beat off-domain max ${offDomain.max}")
+    // sorted-fold determinism: 7 partitions reproduce the exact bits
+    val w7 = TextAnalysis.dsirWeights(raw.repartition(7), tgt, "doc_id",
+        "text", 64)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(w7 == w)
+  }
 }
