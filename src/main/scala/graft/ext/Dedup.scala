@@ -312,9 +312,16 @@ object Dedup {
       passes: Int = 2): DataFrame = {
     require(window > 0 && passes >= 1 && passes <= 24)
     val w = window.toLong
+    // persist the two stages every pass re-reads: `idx` feeds the SimHash
+    // pass AND the bitset re-rank, `sh` feeds one ZipIndex per pass —
+    // without these the tokenize pipeline re-evaluates passes+1 times.
+    // The method is made eager (result localCheckpoint) so both can be
+    // unpersisted before returning — no cache entries leak to the caller.
+    import org.apache.spark.storage.StorageLevel
     val idx = tokenIndex(df.filter(col(textCol).isNotNull), idCol, textCol, 1)
-    val sh = simhashFromIndex(idx, 24)
-    val cand = (0 until passes).map { p =>
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = simhashFromIndex(idx, 24).persist(StorageLevel.MEMORY_AND_DISK)
+    val candPasses = (0 until passes).map { p =>
       val rot = p * 24 / passes
       val key = // 24-bit left rotation by `rot`
         if (rot == 0) col("simhash")
@@ -331,9 +338,18 @@ object Dedup {
         .pointInInterval(b, "rb", a, "__s", "__e", bucketWidth = w)
         .select(least(col("ida"), col("idb")).as("id_a"),
           greatest(col("ida"), col("idb")).as("id_b"))
-    }.reduce(_ unionByName _).distinct()
-    candidateJaccardBitset(cand, tokenMasks(idx))
+    }
+    // single pass emits each pair exactly once (pointInInterval contract)
+    // — the union/distinct epilogue would only add a needless exchange
+    val cand =
+      if (passes == 1) candPasses.head
+      else candPasses.reduce(_ unionByName _).distinct()
+    val result = candidateJaccardBitset(cand, tokenMasks(idx))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    idx.unpersist(false)
+    sh.unpersist(false)
+    result
   }
 
   /** Exact cross-document SUBSTRING dedup — the removal operator of the

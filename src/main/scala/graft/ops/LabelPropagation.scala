@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * (node, label) hash-agg, one per-node `row_number` window — all keyed
   * by node id, nothing global (each round is 3 keyed exchanges over
   * edge-count rows, the same per-round shape that survives a
-  * 1000-executor graph). Lineage grows linearly in `rounds` on the
-  * default path; pass `checkpointDir` for a reliable per-round
-  * `df.checkpoint`, the same opt-in as [[ConnectedComponents]] and
-  * [[PageRank]], when rounds are many or executors are preemptible.
+  * 1000-executor graph). The edge input is materialized once before the
+  * symmetrizing union and the label state is checkpointed every round
+  * (local on the default path), so neither the upstream similarity join
+  * nor earlier rounds are ever recomputed; pass `checkpointDir` for a
+  * reliable per-round `df.checkpoint`, the same opt-in as
+  * [[ConnectedComponents]] and [[PageRank]], when executors are
+  * preemptible.
   */
 object LabelPropagation {
 
@@ -34,8 +37,14 @@ object LabelPropagation {
     require(rounds >= 1, s"rounds must be >= 1 ($rounds)")
     val reliable = checkpointDir.isDefined
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    // materialize the edge list once BEFORE symmetrizing — same trap as
+    // ConnectedComponents: the input is usually an expensive similarity
+    // join, it is re-joined every round, and the two-direction union
+    // would otherwise evaluate that pipeline twice per round
+    def step(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val once = step(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+    val sym = once.union(once.select(col("v").as("u"), col("u").as("v")))
     var lab = nodes.select(col(idCol).as("id"), col(labelCol).as("label"))
     for (_ <- 1 to rounds) {
       val counts = sym.join(lab, sym("v") === lab("id"))
@@ -49,10 +58,11 @@ object LabelPropagation {
       lab = lab.join(best, lab("id") === best("u"), "left")
         .select(col("id"),
           coalesce(col("next_label"), col("label")).as("label"))
-      // eager reliable checkpoint per round when opted in — truncates
-      // the O(rounds) lineage and survives executor loss (there is no
-      // per-round action here to piggyback a lazy one on)
-      if (reliable) lab = lab.checkpoint(true)
+      // eager checkpoint per round on BOTH paths (local on the default
+      // path) — truncates the O(rounds) lineage so round k never
+      // recomputes rounds 1..k-1, and survives executor loss when
+      // reliable (there is no per-round action to piggyback a lazy one on)
+      lab = step(lab)
     }
     lab.select(col("id").as(idCol), col("label").as(labelCol))
   }

@@ -604,8 +604,13 @@ object TextQueries {
          |SELECT s.doc_id, s.lang, s.q FROM s JOIN thr USING (lang)
          |WHERE s.q >= thr.q10
          |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      // persist: `scored` feeds BOTH the percentile aggregate and the
+      // join probe — without it the tokenize+score pipeline runs twice
+      // per execution. One row per doc; lifetime delegated to the
+      // caller's clearCache (see Bench)
       val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thr = scored.groupBy("lang")
         .agg(percentile(col("q"), lit(0.1)).as("q10"))
       scored.join(broadcast(thr), Seq("lang"))
