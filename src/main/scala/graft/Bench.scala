@@ -13,6 +13,10 @@ object Bench {
     // with stdout in the harness capture and can push the result line out
     // of its 2000-char tail window
     spark.sparkContext.setLogLevel("ERROR")
+    // fail fast on fixture schema drift with one named diff (see
+    // Tables.validate) rather than timing a run where some family of
+    // queries errors out of the total
+    Tables.validate(spark, sfDir)
     // warm the session (codegen, FileSourceStrategy, shuffle machinery)
     // so the first measured query doesn't absorb ~4s of infra startup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -48,12 +52,15 @@ object Bench {
       }
       name -> times
     }
-    val results = sampled.map { case (name, times) =>
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+    // errored queries are carried as an explicit name list, never as a
+    // sentinel inside the timing map — `value` always equals the sum of
+    // the `queries` entries in both the detail file and the stdout line
+    val errored = sampled.collect { case (name, ts) if ts.isEmpty => name }
+    val results = sampled.collect { case (name, times) if times.nonEmpty =>
+      name -> times.sorted.apply(times.size / 2)
     }
     def fmt(v: Double): String = f"$v%.3f"
-    val total =
-      if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full per-query detail goes to a file; the printed line stays under
     // the harness's 2000-char output-tail window (a full 65+-entry map is
     // ~2.9 KB and gets truncated mid-line, so the driver can't parse it).
@@ -67,17 +74,24 @@ object Bench {
     val samplesJson = sampled.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val erroredJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // invariants in BOTH artifacts: value == sum(queries entries);
+    // n_timed == |queries|; n_declared == n_timed + |errored|
+    val counts = s""""n_declared":${sampled.size},"n_timed":${results.size},"errored":$erroredJson"""
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"samples":$samplesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$counts,"queries":$fullQs,"samples":$samplesJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // stdout keeps the driver-contract `queries` key but labels its scope
+    // explicitly: it is the slowest-30 slice, NOT the set `value` sums —
+    // the complete timed map lives in BENCH_DETAIL.json
     val slowest = results.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$counts,"queries_scope":"slowest_30_of_timed","queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

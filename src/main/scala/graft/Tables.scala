@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, types}
 
 /** Loaders for the driver-generated tabular fixtures (TESTDATA.md).
   * Every `SparkEntry.queries` entry receives `(spark, sfDir)` and loads
@@ -59,6 +59,86 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Table → loader, for uniform iteration (validate, smoke tools). */
+  val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> (region _), "nation" -> (nation _),
+    "customer" -> (customer _), "supplier" -> (supplier _),
+    "part" -> (part _), "orders" -> (orders _),
+    "lineitem" -> (lineitem _), "events" -> (events _),
+    "documents" -> (documents _), "embeddings" -> (embeddings _))
+
+  /** Load-time schema contract (FIXTURES.md §2): the column/type surface
+    * every registered query assumes. Checked up front by [[validate]] so a
+    * regenerated fixture fails with ONE named diff instead of dozens of
+    * scattered analysis errors mid-run (the round-6 failure mode: a ts
+    * re-encode silently broke 17 queries). Timestamp columns accept both
+    * LTZ and NTZ (queries cast where instant semantics matter); `events.ts`
+    * is checked AFTER loader normalization, so it must be exactly LTZ.
+    * Nullability and additive extra columns are not drift.
+    */
+  private val tsAny: Seq[types.DataType] =
+    Seq(types.TimestampType, types.TimestampNTZType)
+  private def one(d: types.DataType): Seq[types.DataType] = Seq(d)
+  import types.{IntegerType => I, LongType => L, StringType => S, DoubleType => D}
+  val contract: Map[String, Seq[(String, Seq[types.DataType])]] = Map(
+    "region" -> Seq("r_regionkey" -> one(I), "r_name" -> one(S)),
+    "nation" -> Seq("n_nationkey" -> one(I), "n_name" -> one(S),
+      "n_regionkey" -> one(I)),
+    "customer" -> Seq("c_custkey" -> one(L), "c_name" -> one(S),
+      "c_nationkey" -> one(I), "c_acctbal" -> one(D),
+      "c_mktsegment" -> one(S)),
+    "supplier" -> Seq("s_suppkey" -> one(L), "s_name" -> one(S),
+      "s_nationkey" -> one(I), "s_acctbal" -> one(D)),
+    "part" -> Seq("p_partkey" -> one(L), "p_name" -> one(S),
+      "p_brand" -> one(S), "p_type" -> one(S), "p_size" -> one(I),
+      "p_retailprice" -> one(D)),
+    "orders" -> Seq("o_orderkey" -> one(L), "o_custkey" -> one(L),
+      "o_orderstatus" -> one(S), "o_totalprice" -> one(D),
+      "o_orderdate" -> tsAny, "o_orderpriority" -> one(S)),
+    "lineitem" -> Seq("l_orderkey" -> one(L), "l_partkey" -> one(L),
+      "l_suppkey" -> one(L), "l_linenumber" -> one(I),
+      "l_quantity" -> one(D), "l_extendedprice" -> one(D),
+      "l_discount" -> one(D), "l_tax" -> one(D),
+      "l_returnflag" -> one(S), "l_linestatus" -> one(S),
+      "l_shipdate" -> tsAny),
+    "events" -> Seq("event_id" -> one(L), "ts" -> one(types.TimestampType),
+      "user_id" -> one(L), "event_type" -> one(S), "value" -> one(D),
+      "props" -> one(S)),
+    "documents" -> Seq("doc_id" -> one(L), "text" -> one(S),
+      "lang" -> one(S), "source" -> one(S), "n_chars" -> one(L)),
+    "embeddings" -> Seq("vec_id" -> one(L),
+      "embedding" -> one(types.ArrayType(types.FloatType)),
+      "label" -> one(I)))
+
+  /** Check every fixture table against [[contract]]; throw ONE
+    * IllegalStateException naming every (table, column, expected, found)
+    * diff, or return silently. Wired as the first step of `Verify.main`
+    * and `Bench.main`. */
+  def validate(spark: SparkSession, sfDir: String): Unit = {
+    val diffs = contract.toSeq.sortBy(_._1).flatMap { case (tbl, cols) =>
+      scala.util.Try(loaders(tbl)(spark, sfDir).schema) match {
+        case scala.util.Failure(e) =>
+          Seq(s"$tbl: unreadable (${e.getMessage})")
+        case scala.util.Success(schema) =>
+          cols.flatMap { case (name, ok) =>
+            val want = ok.map(_.simpleString).mkString("|")
+            schema.find(_.name == name) match {
+              case None =>
+                Some(s"$tbl.$name: missing (expected $want)")
+              // simpleString compare: nullability-insensitive by design
+              case Some(f) if !ok.exists(
+                  _.simpleString == f.dataType.simpleString) =>
+                Some(s"$tbl.$name: expected $want, " +
+                  s"found ${f.dataType.simpleString}")
+              case _ => None
+            }
+          }
+      }
+    }
+    if (diffs.nonEmpty) throw new IllegalStateException(
+      s"fixture schema drift under $sfDir:\n  " + diffs.mkString("\n  "))
+  }
 }
 
 /** One registered engine query: the Spark plan plus (optionally) the

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema contract first: a regenerated fixture fails HERE with one
+    // named (table, column, expected, found) diff instead of scattering
+    // analysis errors across every query that touches the drifted column
+    Tables.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to named
     // queries (unset in the driver => full run)
