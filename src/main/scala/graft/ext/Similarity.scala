@@ -640,11 +640,41 @@ object Similarity {
     *     cn2 = |c|²: dot(q,v̂) = cdot + Σpd and |v̂|² = cn2 + 2Σcrs + Σpn,
     *     all exact integers until the final one-division cosine.
     *
-    * Returns (vec_id, cluster_id, score) top-`topK`. */
+    * Returns (vec_id, cluster_id, score) top-`topK`. Thin wrapper:
+    * [[ivfPqBuild]] once, [[ivfPqTopKMulti]] with a one-query batch. */
   def ivfPqTopK(emb: DataFrame, queryVecId: Long, topK: Int,
       nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
       m: Int = 16, dims: Int = 64, k: Int = 64, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val model = ivfPqBuild(emb, nCentroids, kmeansIters, m, dims, k, iters,
+      idCol, embCol)
+    ivfPqTopKMulti(model, emb, Seq(queryVecId), topK, nProbe, idCol, embCol)
+      .select(col("vec_id"), col("cluster_id"), col("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** A built IVF-PQ index, the cacheable/writable artifact the serve
+    * path scores against: coarse `centroids` (clabel, qc), pooled
+    * residual `books` (sub, clabel, qc), and the coded corpus `codes`
+    * (id, cluster_id, sub, code). At scale `codes` is written
+    * PARTITIONED BY cluster_id, so a serve call's literal
+    * `cluster_id IN (probes)` predicate prunes at file listing; the
+    * other two are bounded model state (nCentroids and m×k rows). The
+    * geometry (m, dims) travels with the model so serve calls slice
+    * query vectors identically to the build. */
+  final case class IvfPqModel(
+      centroids: DataFrame, books: DataFrame, codes: DataFrame,
+      m: Int, dims: Int)
+
+  /** Build phase of [[ivfPqTopK]] (steps 1-2 of the IVFADC scaladoc):
+    * coarse k-means, exact long residuals r = q - c, pooled residual
+    * codebooks, per-vector codes. Everything downstream of this is
+    * query serving — train once, serve any number of batches. */
+  def ivfPqBuild(emb: DataFrame,
+      nCentroids: Int = 16, kmeansIters: Int = 2,
+      m: Int = 16, dims: Int = 64, k: Int = 64, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): IvfPqModel = {
     val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
     val cents = trainCentroids(e, nCentroids, kmeansIters)
     val assign = assignNearest(e.select("id", "q"), "q", cents)
@@ -664,54 +694,97 @@ object Similarity {
     val codes = assignPrepped(s, books,
         keyCols = Seq("id", "cluster_id", "sub", "qs"))
       .select("id", "cluster_id", "sub", "code")
-    val qRow = e.filter(col("id") === queryVecId)
-    // nProbe nearest coarse centroids, collected: the probe list is
-    // bounded query-plan state, and as literals the IN-filter below is
-    // a pushable predicate (partition pruning on a cluster-partitioned
-    // code store), not a join that still scans every code row
-    val probeIds: Seq[Long] = qRow
-      .crossJoin(broadcast(cents))
-      .select(col("clabel"), (qnorm2(col("q")) + qnorm2(col("qc"))
-        - lit(2L) * qdot(col("q"), col("qc"))).as("__d2"))
-      .orderBy(col("__d2"), col("clabel"))
-      .limit(nProbe)
-      .collect().map(_.getLong(0)).toIndexedSeq
-    val probedCents = cents.filter(col("clabel").isin(probeIds: _*))
-    val qsl = subspaceSlices(qRow, m, dims)
-      .select(col("sub"), col("qs").as("qq"))
+    IvfPqModel(cents, books, codes, m, dims)
+  }
+
+  /** Serve phase: score a whole batch of queries against a built
+    * [[IvfPqModel]] in ONE pass over the (probe-pruned) code table —
+    * the IVFADC twin of [[pqTopKMulti]]'s amortization. Each query
+    * probes its own `nProbe` coarse clusters; the probe pairs are
+    * collected (Q×nProbe rows, bounded query-plan state) so the scan
+    * filter is the literal union `cluster_id IN (...)` — pushable
+    * partition pruning on a cluster-partitioned store — and the
+    * per-query probe membership rides a broadcast (query_id,
+    * cluster_id) fan-out join. ADC partials come from two broadcast
+    * LUTs: (query_id, sub, code) → pd, pn and (cluster_id, sub, code)
+    * → crs — identical integer folds to the single-query path, so a
+    * one-query batch reproduces [[ivfPqTopK]] bit for bit. The
+    * per-query marginal cost is the ADC fold over the probed codes;
+    * training, encoding, and the corpus pass are paid once per batch.
+    * Returns (query_id, vec_id, cluster_id, score, rn), rn <= topK. */
+  def ivfPqTopKMulti(model: IvfPqModel, emb: DataFrame,
+      queryIds: Seq[Long], topK: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryIds.nonEmpty, "ivfPqTopKMulti: at least one query id")
+    val spark = emb.sparkSession
+    val m = model.m
+    val dims = model.dims
+    val qRows = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), quantize(col(embCol)).as("q"))
+    // per-query probe lists in ONE collect: Q×nProbe (query, cluster)
+    // pairs — the same bounded-model discipline as the centroids
+    val probePairs: Seq[(Long, Long)] = qRows
+      .crossJoin(broadcast(model.centroids))
+      .select(col("query_id"), col("clabel"),
+        (qnorm2(col("q")) + qnorm2(col("qc"))
+          - lit(2L) * qdot(col("q"), col("qc"))).as("__d2"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__d2"), col("clabel"))))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "clabel")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    val allProbeIds = probePairs.map(_._2).distinct
+    val probed = {
+      import spark.implicits._
+      broadcast(probePairs.toDF("query_id", "cluster_id"))
+    }
+    val probedCents = model.centroids.filter(col("clabel").isin(allProbeIds: _*))
+    val qsl = subspaceSlices(
+        qRows.select(col("query_id").as("id"), col("q")), m, dims)
+      .select(col("id").as("query_id"), col("sub"), col("qs").as("qq"))
     val csl = subspaceSlices(
         probedCents.select(col("clabel").as("id"), col("qc").as("q")),
         m, dims)
       .select(col("id").as("cluster_id"), col("sub"), col("qs").as("cs"))
-    // nProbe×m×k LUT — it IS the whole per-query model, broadcast once
-    val lut = broadcast(books
-      .join(qsl, Seq("sub"))
-      .join(csl, Seq("sub"))
-      .select(col("cluster_id"), col("sub"), col("clabel").as("code"),
+    // Q×m×k and nProbe'×m×k LUTs — the whole per-batch model, broadcast
+    val qLut = broadcast(model.books.join(qsl, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("clabel").as("code"),
         qdot(col("qq"), col("qc")).as("pd"),
-        qdot(col("cs"), col("qc")).as("crs"),
         qnorm2(col("qc")).as("pn")))
-    val coarse = probedCents
-      .crossJoin(broadcast(qRow.select(col("q").as("qq"))))
-      .select(col("clabel").as("cluster_id"),
+    val cLut = broadcast(model.books.join(csl, Seq("sub"))
+      .select(col("cluster_id"), col("sub"), col("clabel").as("code"),
+        qdot(col("cs"), col("qc")).as("crs")))
+    val coarse = broadcast(probed
+      .join(probedCents.withColumnRenamed("clabel", "cluster_id"),
+        Seq("cluster_id"))
+      .join(qRows.select(col("query_id"), col("q").as("qq")),
+        Seq("query_id"))
+      .select(col("query_id"), col("cluster_id"),
         qdot(col("qq"), col("qc")).as("cdot"),
-        qnorm2(col("qc")).as("cn2"))
-    val qn2 = qRow.select(qnorm2(col("q")).as("qn2"))
-    codes
+        qnorm2(col("qc")).as("cn2")))
+    val qn2 = broadcast(qRows.select(col("query_id"),
+      qnorm2(col("q")).as("qn2")))
+    model.codes
       // THE pruning: a literal predicate on the storage partition key —
-      // nProbe/nCentroids of the code table survives the scan
-      .filter(col("cluster_id").isin(probeIds: _*))
-      .filter(col("id") =!= queryVecId)
-      .join(lut, Seq("cluster_id", "sub", "code"))
-      .groupBy("id", "cluster_id")
+      // only the union of probed clusters survives the scan
+      .filter(col("cluster_id").isin(allProbeIds: _*))
+      // fan each surviving code row out to exactly the queries probing
+      // its cluster (broadcast Q×nProbe pairs)
+      .join(probed, Seq("cluster_id"))
+      .filter(col("id") =!= col("query_id"))
+      .join(qLut, Seq("query_id", "sub", "code"))
+      .join(cLut, Seq("cluster_id", "sub", "code"))
+      .groupBy("query_id", "id", "cluster_id")
       .agg(sum("pd").as("rdot"), sum("crs").as("crs"), sum("pn").as("rn2p"))
-      .join(broadcast(coarse), Seq("cluster_id"))
-      .crossJoin(broadcast(qn2))
-      .select(col("id").as("vec_id"), col("cluster_id"),
+      .join(coarse, Seq("query_id", "cluster_id"))
+      .join(qn2, Seq("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("cluster_id"),
         ((col("cdot") + col("rdot")).cast("double") /
           sqrt((col("cn2") + lit(2L) * col("crs") + col("rn2p"))
             .cast("double") * col("qn2").cast("double"))).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(topK)
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") <= topK)
   }
 }

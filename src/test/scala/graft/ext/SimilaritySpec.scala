@@ -200,6 +200,35 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfPqTopKMulti: a one-query batch reproduces ivfPqTopK exactly, " +
+    "and one build serves successive batches with only the ADC fold") {
+    val single = Similarity.ivfPqTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val model = Similarity.ivfPqBuild(emb)
+    val multi = Similarity.ivfPqTopKMulti(model, emb, Seq(0L), 10)
+      .orderBy("rn").select("vec_id").as[Long].collect().toSeq
+    assert(multi == single, s"multi=$multi single=$single")
+    // one build, second batch: per-query marginal is the serve-side ADC
+    // fold, not training — time Q=1 vs Q=4 against the SAME model (the
+    // codes/books are already materialized by the first serve; a 4-query
+    // batch costing anywhere near 4 single-query builds would mean the
+    // build is being re-run per query). Generous 3x bound: timing noise,
+    // not throughput, is what it tolerates.
+    model.codes.persist(); model.codes.count()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val t1 = time(Similarity.ivfPqTopKMulti(model, emb, Seq(1L), 5)
+      .write.format("noop").mode("overwrite").save())
+    val t4 = time(Similarity.ivfPqTopKMulti(model, emb,
+        Seq(2L, 3L, 4L, 5L), 5)
+      .write.format("noop").mode("overwrite").save())
+    assert(t4 <= t1 * 3 + 1.0,
+      s"4-query serve ($t4 s) should cost ~one ADC fold, not 4 builds " +
+        s"(1-query serve: $t1 s)")
+    spark.catalog.clearCache()
+  }
+
   test("IVF-PQ: coarse pruning + residual ADC — recall vs exact, " +
     "partition-independence, and the cluster_id scan filter") {
     val exact = Similarity.annTopK(emb, 0L, 10)
