@@ -378,17 +378,27 @@ object Dedup {
     *  4. an (id, pos)-keyed anti join drops covered tokens and a
     *     per-doc hash-agg reassembles the survivors in order.
     *
-    * At 100 TB: grams can be pre-hashed to 128-bit keys to shrink the
-    * stage-2 shuffle (collision-safe at corpus scale); here the gram
-    * string itself is the key so a SQL oracle replays identity exactly.
+    * At 100 TB: pass `hashGrams = true` to key stage 2 on a 128-bit
+    * gram hash (two independent xxhash64 lanes) instead of the gram
+    * string — an L-token gram shrinks from ~8L bytes to 16 on the wire
+    * of the plan's one content-keyed shuffle, and 128 bits keeps the
+    * collision expectation far below one even at corpus-scale distinct
+    * gram counts (~2^64 grams for a 50% birthday bound). The default
+    * keeps the string key so a SQL oracle replays identity exactly; a
+    * differential spec pins hash ≡ string on the fixture.
     * Returns (idCol, n_tokens, n_kept, clean_text) for EVERY input
     * document (fully-duplicated non-keepers come back empty). */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Int = 8): DataFrame = {
+      minTokens: Int = 8, hashGrams: Boolean = false): DataFrame = {
     val L = minTokens
-    val sh = df.select(col(idCol).as("id"),
+    val sh0 = df.select(col(idCol).as("id"),
       posexplode(graft.functions.WordShinglesAt(col(textCol), L))
         .as(Seq("start", "h")))
+    val sh = if (!hashGrams) sh0
+      else sh0.withColumn("h", struct(
+        xxhash64(col("h")),
+        // second lane: distinct seed via a constant prefix column
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("h"))))
     val dup = sh.groupBy("h")
       .agg(min("id").as("keeper"), countDistinct("id").as("nd"))
       .filter(col("nd") >= 2)

@@ -187,4 +187,32 @@ object EventStream {
           }
       }
   }
+
+  /** The NATIVE `session_window` twin of [[sessionizeClosed]] — the
+    * declarative path: Spark's built-in session-window aggregation does
+    * the merge/split bookkeeping in the state store itself (sessions
+    * merge when an in-watermark event bridges them, exactly the
+    * semantics [[sessionizeClosed]] hand-implements), and Append mode
+    * emits each session once, when the watermark passes its window end.
+    * Prefer this form where a plain per-session aggregate suffices —
+    * the custom `flatMapGroupsWithState` twin remains for logic a
+    * built-in aggregate can't express (per-event side effects, custom
+    * eviction policy).
+    *
+    * Convention difference, pinned by the differential spec: the
+    * built-in's window `end` is last event + gap, so this returns
+    * `end_us` = sessionizeClosed's `end_us` + gap on identical input.
+    * Returns (user_id, start_us, end_us, n_events). */
+  def sessionizeNative(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
 }

@@ -334,6 +334,18 @@ class DedupSpec extends SparkSpec {
       "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")), got(5L).toString)
   }
 
+  test("substringDedup: hashGrams (128-bit stage-2 key) is " +
+    "differentially identical to the string-keyed path on the fixture") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def run(hashed: Boolean) =
+      Dedup.substringDedup(docs, "doc_id", "text", minTokens = 8,
+          hashGrams = hashed)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    assert(run(true) == run(false),
+      "hashed gram key must reproduce the string-keyed removal exactly")
+  }
+
   test("substringDedup: a WITHIN-document repeat alone does not flag " +
     "(cross-document semantics), and the plan has no cartesian") {
     val docs = Seq(

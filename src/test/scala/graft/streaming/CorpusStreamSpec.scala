@@ -270,6 +270,77 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: a crash-replay landing EXACTLY on a " +
+    "compaction boundary (batchId % compactEvery == 0) converges — " +
+    "compaction keeps the attempt's own rows, replay still excludes them") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Dedup, DedupProfile}
+    val dir = java.nio.file.Files.createTempDirectory("nearddRepCmp").toString
+    val profile = DedupProfile.default
+    val mem = MemoryStream[(Long, String)]
+    def start() = CorpusStream.nearDedupBatches(
+      mem.toDF().toDF("doc_id", "text"), s"$dir/store", s"$dir/out",
+      s"$dir/ckpt", retentionBatches = Some(1L), compactEvery = 2)
+    val q1 = start()
+    try {
+      mem.addData((1L, "alpha beta gamma delta"))
+      q1.processAllAvailable()                      // batch 0
+      mem.addData((10L, "kappa lambda mu nu"))
+      q1.processAllAvailable()                      // batch 1
+    } finally q1.stop()
+    // simulate batch 2's FIRST ATTEMPT: bands appended, then crash
+    // before the streaming checkpoint committed. At batchId = 2 with a
+    // 1-batch retention window, batch-0 is expired, so the attempt
+    // appended bands for BOTH the fresh content (doc 20) and the
+    // re-admitted batch-0 content (doc 21)
+    def bandsOf(text: String) = Dedup.minhashSignatures(
+        Dedup.tokenIndex(Seq((99L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", profile.shingleN),
+        profile.bands * profile.rowsPerBand)
+      .select(explode(
+        Dedup.bandKeyCols(profile.bands, profile.rowsPerBand)).as("band"))
+    bandsOf("zeta eta theta iota")
+      .unionByName(bandsOf("delta gamma beta alpha"))
+      .distinct().withColumn("batch_id", lit(2L))
+      .write.mode("append").parquet(s"$dir/store")
+    // restart from the SAME checkpoint: the new data replays as batch 2
+    // — the compaction boundary (2 % 2 == 0) and the replay coincide
+    mem.addData((20L, "zeta eta theta iota"),
+      (21L, "delta gamma beta alpha"),
+      (22L, "nu mu lambda kappa"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // identical survivor set to a crash-free batch 2: 20 fresh, 21
+      // re-admitted (its only prior bands are expired batch-0 rows and
+      // the attempt's OWN batch-2 rows, which replay must ignore), 22
+      // suppressed by in-window batch-1 history
+      val out2 = spark.read.parquet(s"$dir/out/batch-2")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(20L, 21L),
+        s"replay on a compaction boundary must re-emit {20, 21}: $out2")
+      // compaction DID run at the replayed batch's start: expired
+      // batch-0 rows are physically gone, the attempt's batch-2 rows
+      // survived the rewrite (in-window), no parked dir left behind
+      val ids = spark.read.parquet(s"$dir/store")
+        .select("batch_id").distinct().as[Long].collect().toSet
+      assert(ids == Set(1L, 2L),
+        s"store after boundary compaction should hold {1, 2}: $ids")
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/store")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/store__old")),
+        "compaction must clean up its parked copy")
+      // post-replay store serves batch 3 correctly: batch-2 content is
+      // in-window history now, so its reorder is suppressed
+      mem.addData((30L, "iota theta eta zeta"))
+      q2.processAllAvailable()
+      val out3 = spark.read.parquet(s"$dir/out/batch-3")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out3 == Set.empty[Long],
+        s"batch-2 content must suppress its reorder post-replay: $out3")
+    } finally q2.stop()
+  }
+
   test("streaming upsert: orphaned __tmp-* side dirs from a crashed " +
     "batch are swept on the next batch") {
     implicit val sqlCtx = spark.sqlContext

@@ -264,4 +264,50 @@ class EventStreamSpec extends SparkSpec {
         s"closed session must never report end < start: $s"))
     } finally q.stop()
   }
+
+  test("sessionizeNative (built-in session_window) is differentially " +
+    "identical to sessionizeClosed on in-order input, end shifted by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapMin = 30
+    val gapUs = gapMin.toLong * 60L * 1000000L
+    val memA = MemoryStream[Event]
+    val memB = MemoryStream[Event]
+    val qA = sessionizeClosed(memA.toDS(), watermarkDelay = "5 minutes",
+        gapMinutes = gapMin)
+      .writeStream.format("memory").queryName("sdiff_fmgws")
+      .outputMode("append").start()
+    val qB = sessionizeNative(memB.toDS(), watermarkDelay = "5 minutes",
+        gapMinutes = gapMin)
+      .writeStream.format("memory").queryName("sdiff_native")
+      .outputMode("append").start()
+    try {
+      def us(min: Int): Long = ts(min).toInstant.getEpochSecond * 1000000L
+      // three users over four micro-batches: an in-batch gap split
+      // (user 7), a cross-batch continuation (user 8), and a watermark
+      // flusher (user 9, whose first session also closes)
+      val batches = Seq(
+        Seq(Event(1, ts(0), 7, "a", 1.0), Event(2, ts(5), 7, "a", 1.0),
+          Event(3, ts(44), 8, "a", 1.0)),
+        Seq(Event(4, ts(45), 7, "a", 1.0), Event(5, ts(50), 8, "a", 1.0)),
+        Seq(Event(6, ts(300), 9, "a", 1.0)),
+        Seq(Event(7, ts(600), 9, "a", 1.0)))
+      batches.foreach { b =>
+        memA.addData(b: _*); qA.processAllAvailable()
+        memB.addData(b: _*); qB.processAllAvailable()
+      }
+      val fmgws = spark.table("sdiff_fmgws").as[ClosedSession]
+        .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
+        .toSet
+      assert(fmgws == Set(
+        (7L, us(0), us(5), 2L), (7L, us(45), us(45), 1L),
+        (8L, us(44), us(50), 2L), (9L, us(300), us(300), 1L)), fmgws)
+      // built-in window end = last event + gap: shift and compare
+      val native = spark.table("sdiff_native")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (u, s, e, n) => (u, s, e - gapUs, n) }.toSet
+      assert(native == fmgws,
+        s"native session_window must reproduce the custom twin: $native")
+    } finally { qA.stop(); qB.stop() }
+  }
 }
