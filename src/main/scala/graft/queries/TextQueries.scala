@@ -1320,14 +1320,20 @@ object TextQueries {
         .stripBoilerplate(planted, "doc_id", "full_text")
         .join(planted.select("doc_id", "canonical"), Seq("doc_id"))
         .persist()
+      // scored feeds the median aggregate AND the gate join; gated
+      // feeds the exact-dedup pass AND the final projection — persist
+      // both (one row per doc) or the LM-model pipeline runs twice and
+      // the gate chain four times. Same caller-owned lifetime as above.
       val scored = TextAnalysis.lmScore(stripped, "doc_id", "clean_text",
           TextAnalysis.bigramModel(stripped, "clean_text"))
         .select(col("doc_id"),
           floor(col("lm_avg_micro")).cast("long").as("lm_avg_int"))
+        .persist()
       val med = scored.agg(expr("percentile(lm_avg_int, 0.5)").as("med"))
       val gated = stripped.join(scored, Seq("doc_id"))
         .crossJoin(broadcast(med))
         .filter(col("lm_avg_int") >= col("med")).drop("med")
+        .persist()
       val surv = gated.join(
         Dedup.keepFirstExact(gated, "doc_id", "clean_text")
           .select("doc_id"), Seq("doc_id"), "left_semi")
