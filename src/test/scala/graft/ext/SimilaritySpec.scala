@@ -229,6 +229,47 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF-PQ model store: codes written PARTITIONED BY cluster_id " +
+    "prune to the probed partitions at serve — measured at file listing") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val model = Similarity.ivfPqBuild(emb)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-store")
+      .resolve("codes").toString
+    model.codes.write.partitionBy("cluster_id").parquet(dir)
+    // explicit schema keeps cluster_id LongType (inference would int-ify
+    // the partition dir values) and the build's column order
+    val stored = spark.read.schema(model.codes.schema).parquet(dir)
+    val nParts = spark.read.parquet(dir)
+      .select("cluster_id").distinct().count()
+    val fromStore = Similarity
+      .ivfPqTopKMulti(model.copy(codes = stored), emb, Seq(0L), 10,
+        nProbe = 4)
+    val got = fromStore.orderBy("rn")
+      .select("vec_id").as[Long].collect().toSeq
+    val mem = Similarity.ivfPqTopKMulti(model, emb, Seq(0L), 10, nProbe = 4)
+      .orderBy("rn").select("vec_id").as[Long].collect().toSeq
+    assert(got == mem, s"store serve must equal in-memory serve: $got / $mem")
+    // the serve plan's literal IN predicate IS partition pruning here:
+    // the store scan lists only the probed clusters' directories
+    val plan = fromStore.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(dir))
+        => s
+    }.getOrElse(fail(s"no FileSourceScanExec over $dir in plan"))
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead <= 4L,
+      s"serve must list only the <=4 probed partitions of $nParts, " +
+        s"read $partsRead")
+    assert(nParts > 4L,
+      s"sanity: the store must have more partitions ($nParts) than probes")
+    spark.catalog.clearCache()
+  }
+
   test("IVF-PQ: coarse pruning + residual ADC — recall vs exact, " +
     "partition-independence, and the cluster_id scan filter") {
     val exact = Similarity.annTopK(emb, 0L, 10)
