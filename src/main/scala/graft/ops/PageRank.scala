@@ -58,8 +58,12 @@ object PageRank {
       s"pageRank: dampPct in [0,100] ($dampPct)")
     val reliable = checkpointDir.isDefined
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    // materialize the edge list once: it feeds the out-weight agg, the
+    // node union (twice), and one join PER ITERATION — without this an
+    // expensive upstream pipeline re-evaluates 3 + iters times
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
+    val e = if (reliable) eRaw.checkpoint(true) else eRaw.localCheckpoint(true)
     val out = e.groupBy("src").agg(sum("w").as("outw"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -100,8 +104,12 @@ object PageRank {
       s"pageRank: dampPct in [0,100] ($dampPct)")
     val reliable = checkpointDir.isDefined
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    // materialize the edge list once: it feeds the out-weight agg, the
+    // node union (twice), and one join PER ITERATION — without this an
+    // expensive upstream pipeline re-evaluates 3 + iters times
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
+    val e = if (reliable) eRaw.checkpoint(true) else eRaw.localCheckpoint(true)
     val out = e.groupBy("src").agg(sum("w").as("outw"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

@@ -31,7 +31,12 @@ object Triangles {
     * Input must be unique undirected pairs without self-loops. */
   private def orient(edges: DataFrame, aCol: String,
       bCol: String): DataFrame = {
+    // materialize the undirected edge list once: it is usually an
+    // expensive similarity-join pipeline and feeds the degree union
+    // TWICE plus the orientation join — the same re-evaluation trap
+    // ConnectedComponents/LabelPropagation guard against
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("u"))
       .union(e.select(col("b").as("u")))
       .groupBy("u").agg(count(lit(1)).as("d"))
@@ -64,7 +69,10 @@ object Triangles {
     * the fixture's real triangle volume, not plan overhead. */
   private def closedWedges(edges: DataFrame, aCol: String, bCol: String,
       broadcastClosure: Boolean): DataFrame = {
-    val dir = orient(edges, aCol, bCol)
+    // oriented edges feed the wedge self-join (both sides) AND the
+    // closure side — materialize once so the degree+orientation joins
+    // run once, not three times (twice through broadcast builds)
+    val dir = orient(edges, aCol, bCol).localCheckpoint(true)
     val e1 = dir.select(col("src").as("x"), col("dst").as("y"),
       col("dstKey").as("yk"))
     val e2 = dir.select(col("src").as("x"), col("dst").as("z"),
