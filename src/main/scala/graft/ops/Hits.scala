@@ -57,10 +57,14 @@ object Hits {
     require(scale >= 1L, s"hits: scale >= 1 ($scale)")
     val reliable = checkpointDir.isDefined
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // materialize the edge list and node set once: `e` feeds the node
+    // union (twice) plus TWO joins per round, `nodes` two more — an
+    // expensive upstream pipeline would otherwise re-evaluate
+    // 2 + 2·iters times (the ConnectedComponents edge-input discipline)
+    val e = step(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w")), reliable)
+    val nodes = step(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), reliable)
     var h = nodes.withColumn("h", lit(scale))
     var a = nodes.withColumn("a", lit(0L))
     // Each round's normalizer is COLLECTED as a 1-row scalar and
