@@ -590,8 +590,13 @@ object TextAnalysis {
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 256): DataFrame = {
     val B = buckets
+    // the raw feature stream feeds the count table AND the scoring
+    // join — persist it or the corpus tokenizes twice per execution
+    // (at 100 TB that is the difference between one and two full
+    // corpus scans). Lifetime is caller-owned (Bench/Verify clearCache)
     val rawF = raw.select(col(idCol),
       explode(dsirFeatures(col(textCol), B)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgtCnt = target
       .select(explode(dsirFeatures(col(textCol), B)).as("f"))
       .groupBy("f").agg(count(lit(1)).as("tcnt"))

@@ -125,10 +125,14 @@ object ConnectedComponents {
     val comps = components(pairs, srcCol, dstCol,
         checkpointDir = checkpointDir)
       .select(col("id").as(idCol), col("comp"))
+    // assigned feeds the size aggregate AND the final join — two tiny
+    // columns per entity, materialize once (the labels underneath are
+    // already checkpointed; this avoids re-running the entity join)
     val assigned = entities.select(col(idCol))
       .join(comps, Seq(idCol), "left")
       .withColumn("cluster_rep", coalesce(col("comp"), col(idCol)))
       .drop("comp")
+      .localCheckpoint(true)
     val sizes = assigned.groupBy(col("cluster_rep"))
       .agg(count(lit(1)).as("cluster_size"))
     assigned.join(sizes, Seq("cluster_rep"))
