@@ -697,6 +697,34 @@ object Similarity {
     IvfPqModel(cents, books, codes, m, dims)
   }
 
+  /** Incremental index maintenance: encode NEW vectors into an existing
+    * [[IvfPqModel]] without retraining — assign each to its nearest
+    * coarse centroid, residual-encode with the FROZEN codebooks, return
+    * code rows with the same schema as `model.codes` (append them to
+    * the cluster-partitioned store, or union for an in-memory model).
+    * This is how a production ANN index absorbs a stream of fresh
+    * embeddings: encoding a batch costs two broadcast joins and zero
+    * shuffles of the existing corpus; retraining happens only when
+    * drift accumulates. Deterministic: re-adding the build corpus
+    * reproduces `model.codes` exactly (spec-pinned). */
+  def ivfPqAdd(model: IvfPqModel, newEmb: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = newEmb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val assign = assignNearest(e.select("id", "q"), "q", model.centroids)
+      .select(col("id"), col("q"), col("assigned").as("cluster_id"))
+    val resid = assign
+      .join(broadcast(model.centroids.withColumnRenamed("clabel", "cluster_id")),
+        Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"),
+        zip_with(col("q"), col("qc"), (a, b) => a - b).as("q"))
+    val s = subspaceSlices(resid, model.m, model.dims,
+        extraCols = Seq("cluster_id"))
+      .withColumn("__sn", qnorm2(col("qs")))
+    assignPrepped(s, model.books,
+        keyCols = Seq("id", "cluster_id", "sub", "qs"))
+      .select("id", "cluster_id", "sub", "code")
+  }
+
   /** Serve phase: score a whole batch of queries against a built
     * [[IvfPqModel]] in ONE pass over the (probe-pruned) code table —
     * the IVFADC twin of [[pqTopKMulti]]'s amortization. Each query

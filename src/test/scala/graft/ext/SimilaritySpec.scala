@@ -229,6 +229,34 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfPqAdd: new vectors encode against the frozen model — " +
+    "re-adding the build corpus reproduces its codes, and a grown index " +
+    "serves the added vectors") {
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val model = Similarity.ivfPqBuild(even)
+    // determinism: the add path IS the build's encode path
+    val readd = Similarity.ivfPqAdd(model, even)
+      .orderBy("id", "sub").collect().toSeq
+    val built = model.codes.orderBy("id", "sub").collect().toSeq
+    assert(readd == built,
+      "re-encoding the build corpus must reproduce the built codes")
+    // grow the index with the odd half; a query must now retrieve odd
+    // neighbours it could not before
+    val grown = model.copy(
+      codes = model.codes.unionByName(Similarity.ivfPqAdd(model, odd)))
+    val gotGrown = Similarity
+      .ivfPqTopKMulti(grown, emb, Seq(0L), 10, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    val gotOld = Similarity
+      .ivfPqTopKMulti(model, emb, Seq(0L), 10, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotOld.forall(_ % 2 == 0), "old index knows only even vectors")
+    assert(gotGrown.exists(_ % 2 == 1),
+      s"grown index must surface added odd vectors in top-10: $gotGrown")
+    spark.catalog.clearCache()
+  }
+
   test("IVF-PQ model store: codes written PARTITIONED BY cluster_id " +
     "prune to the probed partitions at serve — measured at file listing") {
     import org.apache.spark.sql.execution.FileSourceScanExec
