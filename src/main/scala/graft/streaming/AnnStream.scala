@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.ext.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Streaming ANN index maintenance — the IVF-PQ lifecycle on an
+  * unbounded embedding stream (the streaming twin of
+  * [[graft.ext.Similarity.ivfPqAdd]]): each micro-batch of fresh
+  * vectors is encoded against the FROZEN model (nearest-centroid
+  * assign + residual PQ, two broadcast joins, zero shuffles of the
+  * existing corpus) and written into a cluster-partitioned parquet
+  * store that serving reads with partition pruning.
+  *
+  * Crash safety WITHOUT a band-store-style swap dance: rows are
+  * partitioned by (batch_id, cluster_id) and written with DYNAMIC
+  * partition overwrite, so a replayed batch (foreachBatch may re-run
+  * the last uncommitted batch) rewrites exactly its own partitions —
+  * encoding is deterministic, the replay produces a superset of
+  * whatever a partial first attempt managed to write, and no orphan
+  * rows survive. Retraining (a new [[Similarity.ivfPqBuild]]) happens
+  * out of band when drift accumulates; until then every batch is two
+  * broadcast joins.
+  */
+object AnnStream {
+
+  /** Start the index-maintenance stream: `emb` must carry (`idCol`,
+    * `embCol` array<float>). Store layout:
+    * `storeDir/batch_id=N/cluster_id=C/…` — `cluster_id` stays a
+    * partition key so a serve-side `cluster_id IN (probes)` predicate
+    * prunes at file listing exactly as on the build store. */
+  def indexBatches(emb: DataFrame, model: Similarity.IvfPqModel,
+      storeDir: String, checkpointDir: String,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val codes = Similarity.ivfPqAdd(model, batch, idCol, embCol)
+          .withColumn("batch_id", lit(batchId))
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = scala.util.Try(spark.conf.get(key)).toOption
+        spark.conf.set(key, "dynamic")
+        // dynamic overwrite: only the partitions PRESENT in this
+        // batch's codes are replaced — the idempotent-replay mechanism
+        try codes.write.mode("overwrite")
+          .partitionBy("batch_id", "cluster_id")
+          .parquet(storeDir)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        ()
+      }
+      .start()
+
+  /** Read the store back in `model.codes` schema/column order (explicit
+    * schema keeps the partition columns LongType — inference would
+    * int-ify the directory values). */
+  def readCodes(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.schema(StructType(Seq(
+        StructField("id", LongType), StructField("sub", LongType),
+        StructField("code", LongType), StructField("batch_id", LongType),
+        StructField("cluster_id", LongType))))
+      .parquet(storeDir)
+      .select("id", "cluster_id", "sub", "code")
+}

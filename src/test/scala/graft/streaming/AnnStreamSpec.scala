@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming IVF-PQ index maintenance: frozen-model encoding per
+  * micro-batch, dynamic-partition-overwrite idempotence, and serving
+  * from the accumulated store.
+  */
+class AnnStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("index stream encodes batches against the frozen model; a " +
+    "partial crashed attempt is replaced on replay; the store serves") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val model = Similarity.ivfPqBuild(even)
+    val root = java.nio.file.Files.createTempDirectory("ann-stream")
+    val storeDir = root.resolve("codes").toString
+
+    val oddVecs = odd.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (half1, half2) = oddVecs.splitAt(oddVecs.length / 2)
+
+    // simulate a CRASHED first attempt of batch 0: it wrote one
+    // cluster's partition with WRONG codes, then died before the
+    // checkpoint committed — the replay must replace it
+    val attempt = Similarity.ivfPqAdd(model,
+        half1.toSeq.toDF("vec_id", "embedding"))
+      .withColumn("batch_id", lit(0L))
+    val someCluster = attempt.select("cluster_id").head().getLong(0)
+    attempt.filter(col("cluster_id") === someCluster)
+      .withColumn("code", lit(999L))
+      .write.partitionBy("batch_id", "cluster_id").parquet(storeDir)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnStream.indexBatches(
+      mem.toDF().toDF("vec_id", "embedding"), model,
+      storeDir, root.resolve("ckpt").toString)
+    try {
+      mem.addData(half1.toIndexedSeq: _*)
+      q.processAllAvailable()                   // batch 0 (the "replay")
+      mem.addData(half2.toIndexedSeq: _*)
+      q.processAllAvailable()                   // batch 1
+    } finally q.stop()
+
+    // store ≡ one-shot frozen-model encode of all odd vectors: the
+    // garbage partition was rewritten (no code-999 rows survive)
+    val got = AnnStream.readCodes(spark, storeDir)
+      .orderBy("id", "sub")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Similarity.ivfPqAdd(model, odd)
+      .orderBy("id", "sub")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      "streamed store must equal the one-shot encode after replay")
+
+    // the grown index serves the streamed vectors
+    val grown = model.copy(
+      codes = model.codes.unionByName(AnnStream.readCodes(spark, storeDir)))
+    val top = Similarity.ivfPqTopKMulti(grown, emb, Seq(0L), 10, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.exists(_ % 2 == 1),
+      s"grown index must surface streamed odd vectors: $top")
+    spark.catalog.clearCache()
+  }
+}
