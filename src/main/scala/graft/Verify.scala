@@ -14,10 +14,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // schema contract first: a regenerated fixture fails HERE with one
+    // schema contract first: a regenerated fixture reports HERE with one
     // named (table, column, expected, found) diff instead of scattering
-    // analysis errors across every query that touches the drifted column
-    Tables.validate(spark, sfDir)
+    // analysis errors across every query that touches the drifted column.
+    // Report-and-continue (not die): queries over undrifted tables still
+    // produce verifiable results — the report names exactly which
+    // failures that follow are fixture drift, not engine bugs
+    try Tables.validate(spark, sfDir)
+    catch { case e: IllegalStateException =>
+      System.err.println(s"[verify] SCHEMA CONTRACT: ${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to named
     // queries (unset in the driver => full run)
