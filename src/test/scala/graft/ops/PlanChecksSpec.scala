@@ -95,6 +95,21 @@ class PlanChecksSpec extends SparkSpec {
     PlanChecks.assertNoCartesian(q("graph_hits"))
   }
 
+  test("multi-query IVF-PQ serve: probe fan-out and both ADC LUTs ride " +
+    "broadcasts, the code scan carries a literal cluster_id IN filter, " +
+    "no cartesian") {
+    val df = q("ann_ivfpq_multi")
+    PlanChecks.assertNoCartesian(df)
+    PlanChecks.assertBroadcastJoin(df)
+    val plan = PlanChecks.executedPlan(df)
+    // above inSetConversionThreshold (10) the union of per-query probe
+    // sets renders as INSET rather than IN — both are the literal
+    // pushable predicate partition pruning needs
+    assert(plan.linesIterator.exists(l => l.contains("cluster_id") &&
+        (l.contains(" IN (") || l.contains(" INSET "))),
+      s"serve scan must carry a literal cluster_id IN/INSET filter\n$plan")
+  }
+
   test("diversity stats: pure hash-agg pipeline — no join at all, " +
     "bounded exchanges") {
     val df = q("text_diversity")
