@@ -1144,30 +1144,9 @@ object TextQueries {
     // hashed buckets). Both count tables are bounded at 256 rows and
     // broadcast — the only corpus-sized shuffle is the doc-id fold.
     QueryDef("text_dsir_weights",
-      s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
-         |            FROM documents),
-         |feat AS (
-         |  SELECT doc_id, source, unnest(list_concat(
-         |    list_transform(t, x -> ${sqlH31("x")} % 256),
-         |    list_transform(range(1, len(t)),
-         |      i -> ${sqlH31("(t[i] || ' ' || t[i+1])")} % 256))) AS f
-         |  FROM tk),
-         |tgt AS (SELECT f, COUNT(*) AS tcnt FROM feat
-         |        WHERE source IN ('src0', 'src1') GROUP BY f),
-         |raw AS (SELECT f, COUNT(*) AS rcnt FROM feat GROUP BY f),
-         |nt AS (SELECT COALESCE(CAST(SUM(tcnt) AS BIGINT), 0) AS nt
-         |       FROM tgt),
-         |nr AS (SELECT CAST(SUM(rcnt) AS BIGINT) AS nr FROM raw),
-         |ratio AS (
-         |  SELECT raw.f,
-         |    CAST((COALESCE(tcnt, 0) + 1) * (nr + 256) AS DOUBLE)
-         |      / CAST((rcnt + 1) * (nt + 256) AS DOUBLE) AS term
-         |  FROM raw LEFT JOIN tgt USING (f), nt, nr)
-         |SELECT doc_id, COUNT(*) AS n_feat,
-         |  list_reduce(list_prepend(1.0, list_sort(list(term))),
-         |    (a, b) -> a * b) AS weight
-         |FROM feat JOIN ratio USING (f)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH $sqlDsirWeightCtes
+         |SELECT doc_id, n_feat, weight FROM wts
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       TextAnalysis.dsirWeights(docs,
           docs.filter(col("source").isin("src0", "src1")),
@@ -1175,8 +1154,84 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR systematic resampling — the SELECTION step the weights
+    // exist for (Xie et al. resample ∝ weight): quantize each weight
+    // to integer micro-units (+1 so every doc keeps mass), take the
+    // distributed prefix sum over doc_id order (PrefixSum — no
+    // single-partition window), and keep every doc whose cumulative
+    // interval (cum - w, cum] contains a multiple of step = total/50.
+    // Deterministic proportional-to-weight sampling with zero RNG:
+    // high-weight (target-like) docs are picked ~w/step times over,
+    // the pick count is ~50 regardless of corpus size, and the only
+    // corpus exchange beyond the weights themselves is the range
+    // partition of the prefix sum.
+    QueryDef("text_dsir_resample",
+      s"""WITH $sqlDsirWeightCtes,
+         |wi AS (
+         |  SELECT doc_id,
+         |    CAST(FLOOR(weight * 1000000) AS BIGINT) + 1 AS w
+         |  FROM wts),
+         |cum AS (
+         |  SELECT doc_id, w,
+         |    CAST(SUM(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM wi),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM wi),
+         |st AS (SELECT GREATEST(t // 50, 1) AS step FROM tot)
+         |SELECT doc_id, w, cum FROM cum, st
+         |WHERE cum // step > (cum - w) // step
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wts = TextAnalysis.dsirWeights(docs,
+        docs.filter(col("source").isin("src0", "src1")),
+        "doc_id", "text", buckets = 256)
+      val wi = wts.select(col("doc_id"),
+        (floor(col("weight") * lit(1000000.0d)).cast("long") + lit(1L))
+          .as("w"))
+      val cum = graft.ops.PrefixSum.withRunningTotal(
+        wi, "cum", col("w"), Seq(col("doc_id")))
+      val st = wi.agg(sum("w").cast("long").as("t"))
+        .select(greatest(expr("t div 50"), lit(1L)).as("step"))
+      cum.crossJoin(broadcast(st))
+        .filter(expr("cum div step > (cum - w) div step"))
+        .select(col("doc_id"), col("w"), col("cum"))
+        .orderBy("doc_id")
+    },
+
     crawlRefreshDef,
   )
+
+  /** Shared DuckDB CTE chain ending in `wts(doc_id, n_feat, weight)` —
+    * the [[graft.ext.TextAnalysis.dsirWeights]] replay (hashed
+    * unigram+bigram bags, add-one-smoothed likelihood ratios, sorted
+    * product fold). Used by text_dsir_weights and text_dsir_resample. */
+  private def sqlDsirWeightCtes: String =
+    s"""tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+       |            FROM documents),
+       |feat AS (
+       |  SELECT doc_id, source, unnest(list_concat(
+       |    list_transform(t, x -> ${sqlH31("x")} % 256),
+       |    list_transform(range(1, len(t)),
+       |      i -> ${sqlH31("(t[i] || ' ' || t[i+1])")} % 256))) AS f
+       |  FROM tk),
+       |tgt AS (SELECT f, COUNT(*) AS tcnt FROM feat
+       |        WHERE source IN ('src0', 'src1') GROUP BY f),
+       |raw AS (SELECT f, COUNT(*) AS rcnt FROM feat GROUP BY f),
+       |nt AS (SELECT COALESCE(CAST(SUM(tcnt) AS BIGINT), 0) AS nt
+       |       FROM tgt),
+       |nr AS (SELECT CAST(SUM(rcnt) AS BIGINT) AS nr FROM raw),
+       |ratio AS (
+       |  SELECT raw.f,
+       |    CAST((COALESCE(tcnt, 0) + 1) * (nr + 256) AS DOUBLE)
+       |      / CAST((rcnt + 1) * (nt + 256) AS DOUBLE) AS term
+       |  FROM raw LEFT JOIN tgt USING (f), nt, nr),
+       |wts AS (
+       |  SELECT doc_id, COUNT(*) AS n_feat,
+       |    list_reduce(list_prepend(1.0, list_sort(list(term))),
+       |      (a, b) -> a * b) AS weight
+       |  FROM feat JOIN ratio USING (f)
+       |  GROUP BY doc_id)""".stripMargin
 
   /** Crawl-refresh flagship — composes THIS round's operators end to
     * end: canonical-URL keep-first (frontier dedup) → cross-document
