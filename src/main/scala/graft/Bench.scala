@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same TZ as Verify: window/bucket boundaries on event timestamps
+      // are session-TZ-dependent — the bench must time the SAME plans
+      // the correctness gate verifies
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: executor-thread WARNs land on stderr interleaved
