@@ -61,7 +61,8 @@ object Bench {
     }
     // errored queries are carried as an explicit name list, never as a
     // sentinel inside the timing map — `value` always equals the sum of
-    // the `queries` entries in both the detail file and the stdout line
+    // the detail file's `queries` map (the stdout line's map is a
+    // labeled slowest-30 slice; see its own comment below)
     val errored = sampled.collect { case (name, ts) if ts.isEmpty => name }
     val results = sampled.collect { case (name, times) if times.nonEmpty =>
       name -> times.sorted.apply(times.size / 2)
@@ -82,9 +83,11 @@ object Bench {
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val erroredJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // invariants in BOTH artifacts: value == sum(queries entries);
-    // n_timed == |queries|; n_declared == n_timed + |errored|
-    val counts = s""""n_declared":${sampled.size},"n_timed":${results.size},"errored":$erroredJson"""
+    // n_queries kept for round-over-round artifact compatibility (every
+    // BENCH_r0*.json carries it; semantics unchanged: declared count);
+    // invariants: n_timed == |detail queries map|; n_declared ==
+    // n_timed + |errored|; detail value == sum(detail queries map)
+    val counts = s""""n_queries":${sampled.size},"n_declared":${sampled.size},"n_timed":${results.size},"errored":$erroredJson"""
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$counts,"queries":$fullQs,"samples":$samplesJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(

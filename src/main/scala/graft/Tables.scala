@@ -32,10 +32,12 @@ object Tables {
     *     plain int64 of epoch-nanos): exact integer `div 1000` → micros.
     *   - TIMESTAMP_NTZ (timestamp[us], isAdjustedToUTC=false): the file's
     *     wall clock IS the UTC instant. A bare cast to LTZ interprets the
-    *     wall clock in the SESSION zone (off by the session offset), so
-    *     first re-render the UTC wall clock into the session zone with
-    *     `convert_timezone('UTC', current_timezone(), ts)`; the cast then
-    *     lands on the exact instant in any session time zone.
+    *     wall clock in the SESSION zone (off by the session offset), and
+    *     any construction that round-trips through the session zone's
+    *     wall clock is ambiguous in a DST fall-back hour — so rebuild the
+    *     instant with `make_timestamp(..., 'UTC')`, which interprets the
+    *     NTZ fields in UTC directly (UTC has no transitions; exact for
+    *     every instant in any session time zone).
     *   - TIMESTAMP_LTZ (timestamp[us] UTC-adjusted): already correct.
     */
   def events(s: SparkSession, d: String): DataFrame = {
@@ -48,9 +50,11 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        raw.withColumn("ts",
-          convert_timezone(lit("UTC"), expr("current_timezone()"), col("ts"))
-            .cast(TimestampType))
+        raw.withColumn("ts", expr(
+          """make_timestamp(year(ts), month(ts), dayofmonth(ts),
+            |  hour(ts), minute(ts),
+            |  cast(date_format(ts, 'ss.SSSSSS') as decimal(16, 6)),
+            |  'UTC')""".stripMargin))
       case TimestampType => raw
       case other => throw new IllegalStateException(
         s"events.ts: unsupported physical encoding $other " +
@@ -116,6 +120,14 @@ object Tables {
     * diff, or return silently. Wired as the first step of `Verify.main`
     * and `Bench.main`. */
   def validate(spark: SparkSession, sfDir: String): Unit = {
+    // the table list lives in three structures — keep them provably in
+    // sync or a table added to names/loaders silently escapes validation
+    // (exactly the drift class this method exists to catch)
+    require(contract.keySet == loaders.keySet &&
+        loaders.keySet == names.toSet,
+      s"Tables.names/loaders/contract out of sync: names=${names.sorted}, " +
+        s"loaders=${loaders.keySet.toSeq.sorted}, " +
+        s"contract=${contract.keySet.toSeq.sorted}")
     val diffs = contract.toSeq.sortBy(_._1).flatMap { case (tbl, cols) =>
       scala.util.Try(loaders(tbl)(spark, sfDir).schema) match {
         case scala.util.Failure(e) =>

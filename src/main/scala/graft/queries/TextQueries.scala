@@ -1191,7 +1191,11 @@ object TextQueries {
           .as("w"))
       val cum = graft.ops.PrefixSum.withRunningTotal(
         wi, "cum", col("w"), Seq(col("doc_id")))
-      val st = wi.agg(sum("w").cast("long").as("t"))
+      // total = max(cum): the prefix-summed frame is already
+      // materialized (PrefixSum localCheckpoints), so deriving the step
+      // from it costs one cheap aggregate — re-aggregating `wi` would
+      // execute the whole DSIR weight pipeline a second time
+      val st = cum.agg(max("cum").cast("long").as("t"))
         .select(greatest(expr("t div 50"), lit(1L)).as("step"))
       cum.crossJoin(broadcast(st))
         .filter(expr("cum div step > (cum - w) div step"))

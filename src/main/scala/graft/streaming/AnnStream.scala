@@ -58,12 +58,23 @@ object AnnStream {
 
   /** Read the store back in `model.codes` schema/column order (explicit
     * schema keeps the partition columns LongType — inference would
-    * int-ify the directory values). */
-  def readCodes(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.schema(StructType(Seq(
+    * int-ify the directory values).
+    *
+    * LAST WRITE WINS per vector: a vector id re-emitted in a later
+    * batch (a recomputed embedding) leaves BOTH encodings in the
+    * append-only store; serving over both would double the ADC partial
+    * sums (same cluster) or return the id twice (different clusters).
+    * The read keeps only each id's newest batch — an id-keyed max +
+    * semi-join, the standard compacted-log read. Ids must be unique
+    * WITHIN a batch (one embedding per id per micro-batch). */
+  def readCodes(spark: SparkSession, storeDir: String): DataFrame = {
+    val all = spark.read.schema(StructType(Seq(
         StructField("id", LongType), StructField("sub", LongType),
         StructField("code", LongType), StructField("batch_id", LongType),
         StructField("cluster_id", LongType))))
       .parquet(storeDir)
+    val newest = all.groupBy("id").agg(max("batch_id").as("batch_id"))
+    all.join(newest, Seq("id", "batch_id"))
       .select("id", "cluster_id", "sub", "code")
+  }
 }

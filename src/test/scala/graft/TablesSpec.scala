@@ -71,6 +71,29 @@ class TablesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", saved)
   }
 
+  test("events loader: NTZ conversion is exact through a DST fall-back " +
+    "hour (ambiguous local wall clock must not shift the instant)") {
+    // 2024-11-03T06:30:00Z = the SECOND occurrence of 01:30 local in
+    // America/New_York (EST, after the 02:00 EDT -> 01:00 EST rewind).
+    // Any construction that round-trips through the session zone's wall
+    // clock resolves the ambiguous 01:30 to EDT and lands an hour early.
+    val ambiguous = 1730615400000000L // 2024-11-03T06:30:00Z
+    val dir = tmp()
+    Seq((1L, ambiguous)).toDF("event_id", "us")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = Tables.events(spark, dir)
+        .select(unix_micros(col("ts"))).as[Long].head()
+      assert(got === ambiguous,
+        s"ambiguous fall-back wall clock shifted the instant by " +
+          s"${(got - ambiguous) / 1000000L} s")
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
   test("events loader: live fixture loads with TIMESTAMP_LTZ ts") {
     val ev = Tables.events(spark, sfDir)
     assert(ev.schema("ts").dataType === TimestampType)

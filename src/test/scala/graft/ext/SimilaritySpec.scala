@@ -209,23 +209,27 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rn").select("vec_id").as[Long].collect().toSeq
     assert(multi == single, s"multi=$multi single=$single")
     // one build, second batch: per-query marginal is the serve-side ADC
-    // fold, not training — time Q=1 vs Q=4 against the SAME model (the
-    // codes/books are already materialized by the first serve; a 4-query
-    // batch costing anywhere near 4 single-query builds would mean the
-    // build is being re-run per query). Generous 3x bound: timing noise,
-    // not throughput, is what it tolerates.
+    // fold, not training. A wall-clock ratio here would race with CPU
+    // steal on a shared box (the Bench comment documents exactly that
+    // failure mode) — count Spark JOBS instead: serving Q queries is
+    // one probe-collect plus one action regardless of Q, while a
+    // rebuild-per-query regression would add the Lloyd/collect job
+    // train per extra query. Deterministic under load.
     model.codes.persist(); model.codes.count()
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    def jobs(tag: String)(f: => Unit): Int = {
+      val group = s"ivfpq-serve-jobs-$tag"
+      spark.sparkContext.setJobGroup(group, group)
+      try f finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
     }
-    val t1 = time(Similarity.ivfPqTopKMulti(model, emb, Seq(1L), 5)
+    val j1 = jobs("one")(Similarity.ivfPqTopKMulti(model, emb, Seq(1L), 5)
       .write.format("noop").mode("overwrite").save())
-    val t4 = time(Similarity.ivfPqTopKMulti(model, emb,
+    val j4 = jobs("four")(Similarity.ivfPqTopKMulti(model, emb,
         Seq(2L, 3L, 4L, 5L), 5)
       .write.format("noop").mode("overwrite").save())
-    assert(t4 <= t1 * 3 + 1.0,
-      s"4-query serve ($t4 s) should cost ~one ADC fold, not 4 builds " +
-        s"(1-query serve: $t1 s)")
+    assert(j4 <= j1 + 2,
+      s"4-query serve launched $j4 jobs vs $j1 for 1 query — batch size " +
+        "must not multiply the job count (training is paid at build)")
     spark.catalog.clearCache()
   }
 

@@ -68,4 +68,34 @@ class AnnStreamSpec extends SparkSpec {
       s"grown index must surface streamed odd vectors: $top")
     spark.catalog.clearCache()
   }
+
+  test("re-emitted vector id: the read keeps only the NEWEST batch's " +
+    "encoding (last write wins), never both") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val model = Similarity.ivfPqBuild(emb.filter(col("vec_id") % 2 === 0))
+    val root = java.nio.file.Files.createTempDirectory("ann-reemit")
+    val storeDir = root.resolve("codes").toString
+    val v = emb.filter(col("vec_id") === 1L)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].head()
+    val zeros = (1L, Array.fill(v._2.length)(0.0f))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnStream.indexBatches(
+      mem.toDF().toDF("vec_id", "embedding"), model,
+      storeDir, root.resolve("ckpt").toString)
+    try {
+      mem.addData(zeros)               // batch 0: stale embedding
+      q.processAllAvailable()
+      mem.addData(v)                   // batch 1: recomputed embedding
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = AnnStream.readCodes(spark, storeDir)
+      .orderBy("sub").as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Similarity.ivfPqAdd(model, Seq(v).toDF("vec_id", "embedding"))
+      .orderBy("sub").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      s"read must return ONLY the batch-1 encoding of the re-emitted id")
+    spark.catalog.clearCache()
+  }
 }
