@@ -43,6 +43,8 @@ object Multimodal {
       .when(magic.startsWith("664C6143"), "flac")
       .when(magic.startsWith("494433"), "mp3") // ID3v2-tagged stream
       .when(magic.startsWith("FFE") || magic.startsWith("FFF"), "mp3")
+      // ISO BMFF (MP4/MOV): the ftyp box type at bytes 4-7
+      .when(substring(hex(bin), 9, 8) === lit("66747970"), "mp4")
       .otherwise("unknown")
   }
 
@@ -70,6 +72,15 @@ object Multimodal {
       doc_id: Long, codec: String, channels: Int, sample_rate: Int,
       bits_per_sample: Int, n_frames: Long, duration_us: Long,
       bitrate_kbps: Int)
+
+  /** Typed metadata of an ISO BMFF (MP4/MOV) container (see
+    * [[Decoder.parseMp4Meta]]): presentation `timescale` (units/sec) and
+    * `duration_units` from the movie header, `n_tracks` from the trak
+    * box count — everything a container carries without touching a
+    * codec. */
+  final case class VideoMeta(
+      doc_id: Long, major_brand: String, timescale: Long,
+      duration_units: Long, duration_us: Long, n_tracks: Int)
 
   /** Image decoder: REAL javax.imageio PNG/JPEG decode (JDK-native, no
     * external codecs needed) with a deterministic stub fallback for
@@ -106,6 +117,8 @@ object Multimodal {
         payload(1) == 'D' && payload(2) == '3') "mp3"
       else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
         (payload(1) & 0xe0) == 0xe0) "mp3"
+      else if (payload.length >= 8 && payload(4) == 'f' &&
+        payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p') "mp4"
       else "unknown"
 
     /** Pack 64 above-mean bits (row-major) into 4 16-bit band values —
@@ -358,6 +371,84 @@ object Multimodal {
       if (rate <= 0) return None
       Some(AudioMeta(id, "flac", channels, rate, bps, total,
         total * 1000000L / rate, 0))
+    }
+
+    /** Parse ISO BMFF (MP4/MOV) container metadata — the video analog
+      * of [[parseWavMeta]], codec-free: the format is a length-prefixed
+      * box tree, so brand, movie timescale/duration (mvhd, version 0
+      * and 1) and track count (trak boxes inside moov) all come from
+      * walking box headers; no sample data is touched. Same
+      * hostile-input contract as the audio parsers: every offset
+      * advances through a bounds-checked Long (a forged 32-bit box size
+      * must not wrap an Int into an infinite loop), size==0 (box to
+      * EOF) and size==1 (64-bit largesize) are handled, and anything
+      * malformed returns None. */
+    def parseMp4Meta(id: Long, payload: Array[Byte]): Option[VideoMeta] = {
+      val n = payload.length
+      def u32(o: Long): Long =
+        ((payload(o.toInt) & 0xffL) << 24) |
+          ((payload(o.toInt + 1) & 0xffL) << 16) |
+          ((payload(o.toInt + 2) & 0xffL) << 8) |
+          (payload(o.toInt + 3) & 0xffL)
+      def u64(o: Long): Long = (u32(o) << 32) | u32(o + 4)
+      def tag(o: Long): String = new String(payload, o.toInt, 4, "US-ASCII")
+      if (n < 12 || tag(4) != "ftyp") return None
+      val brand = tag(8)
+      var timescale = -1L
+      var duration = -1L
+      var tracks = 0
+      // walk a box list in [from, until); descend one level into moov
+      def walk(from: Long, until: Long, depth: Int): Boolean = {
+        var off = from
+        while (off + 8 <= until) {
+          val sz0 = u32(off)
+          val boxType = tag(off + 4)
+          val (hdr, sz) =
+            if (sz0 == 1L) {
+              if (off + 16 > until) return false
+              (16L, u64(off + 8))
+            } else if (sz0 == 0L) (8L, until - off) // box extends to end
+            else (8L, sz0)
+          if (sz < hdr || off + sz > until) return false
+          if (depth == 0 && boxType == "moov") {
+            if (!walk(off + hdr, off + sz, 1)) return false
+          } else if (depth == 1 && boxType == "trak") {
+            tracks += 1
+          } else if (depth == 1 && boxType == "mvhd" && sz >= hdr + 4) {
+            val v = payload((off + hdr).toInt) & 0xff
+            if (v == 0 && sz >= hdr + 4 + 16) {
+              timescale = u32(off + hdr + 12)
+              duration = u32(off + hdr + 16)
+            } else if (v == 1 && sz >= hdr + 4 + 28) {
+              timescale = u32(off + hdr + 20)
+              duration = u64(off + hdr + 24)
+            } else return false
+          }
+          off += sz
+        }
+        true
+      }
+      if (!walk(0L, n.toLong, 0)) return None
+      if (timescale <= 0 || duration < 0) return None
+      Some(VideoMeta(id, brand, timescale, duration,
+        duration * 1000000L / timescale, tracks))
+    }
+
+    /** Video branch of the pipeline: binary DataFrame -> partition-
+      * batched MP4 box walk -> typed metadata Dataset (rows that don't
+      * parse as ISO BMFF are dropped — quarantine upstream via
+      * [[sniffFormat]], same contract as [[decodeWav]]). Compressed
+      * SAMPLE/frame decode stays out of scope container-wide (no
+      * ffmpeg in the sandbox); frame-sampling plumbing over the
+      * payload bytes is [[sampleFrameHex]]. */
+    def decodeVideo(df: DataFrame, idCol: String = "doc_id",
+        binCol: String = "payload"): Dataset[VideoMeta] = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long"), col(binCol))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, payload) =>
+          parseMp4Meta(id, payload) })
     }
 
     /** Unified audio-metadata branch: magic dispatch to the WAV chunk

@@ -46,6 +46,7 @@ object MultimodalQueries {
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '664C6143%' THEN 'flac'
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '494433%' THEN 'mp3'
         |    WHEN substring(hex(encode(text)), 1, 3) IN ('FFE', 'FFF') THEN 'mp3'
+        |    WHEN substring(hex(encode(text)), 9, 8) = '66747970' THEN 'mp4'
         |    ELSE 'unknown' END AS format,
         |  COUNT(*) AS n,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes

@@ -258,6 +258,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Map(1L -> "wav", 2L -> "mp3", 3L -> "flac"), got.toString)
   }
 
+  test("MP4 box walk: brand, mvhd timescale/duration (v0 and v1), " +
+    "track count — codec-free, hostile sizes bounded") {
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, body: Array[Byte]) =
+      be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "mp42".getBytes)
+    // mvhd v0: version+flags, creation, modification, timescale=600,
+    // duration=3000 (5 seconds)
+    val mvhd0 = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(600) ++ be32(3000))
+    val moov0 = box("moov",
+      mvhd0 ++ box("trak", Array[Byte]()) ++ box("trak", Array[Byte]()))
+    val mp4v0 = ftyp ++ moov0
+    // mvhd v1: 64-bit creation/modification/duration
+    val mvhd1 = box("mvhd", be32(0x01000000L) ++ be64(0) ++ be64(0) ++
+      be32(90000) ++ be64(450000L))
+    val mp4v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", Array[Byte]()))
+    // hostile: a box whose size points past EOF must yield None, not loop
+    val hostile = ftyp ++ be32(0xfffffff0L) ++ "moov".getBytes
+    val df = Seq((1L, mp4v0), (2L, mp4v1), (3L, hostile),
+      (4L, "not a video".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.Decoder.decodeVideo(df).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    assert(got(1L) == Multimodal.VideoMeta(1L, "isom", 600L, 3000L,
+      5000000L, 2), got(1L).toString)
+    assert(got(2L) == Multimodal.VideoMeta(2L, "isom", 90000L, 450000L,
+      5000000L, 1), got(2L).toString)
+    // sniffers agree on the new format
+    assert(Multimodal.Decoder.sniffOne(mp4v0) == "mp4")
+    val sniffed = Seq((1L, mp4v0)).toDF("doc_id", "payload")
+      .select(Multimodal.sniffFormat(col("payload"))).head().getString(0)
+    assert(sniffed == "mp4")
+  }
+
   test("corrupt image payload falls back to the stub, not an exception") {
     val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
     val df = Seq((9L, fake)).toDF("doc_id", "payload")
