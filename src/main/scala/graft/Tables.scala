@@ -41,7 +41,7 @@ object Tables {
     *   - TIMESTAMP_LTZ (timestamp[us] UTC-adjusted): already correct.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, convert_timezone, expr, lit, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // harmless when ts is already micros; required to read TIMESTAMP(NANOS)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

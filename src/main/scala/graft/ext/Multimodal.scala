@@ -39,6 +39,15 @@ object Multimodal {
     val magic = substring(hex(bin), 1, 8)
     when(magic.startsWith("89504E47"), "png")
       .when(magic.startsWith("FFD8FF"), "jpeg")
+      // GIF87a/GIF89a share the "GIF8" prefix
+      .when(magic.startsWith("47494638"), "gif")
+      // TIFF: little-endian II*\0 or big-endian MM\0*
+      .when(magic.startsWith("49492A00") || magic.startsWith("4D4D002A"),
+        "tiff")
+      // WebP is a RIFF container whose form type (bytes 8-11) is WEBP —
+      // must discriminate BEFORE the generic riff (WAVE/AVI) case
+      .when(magic.startsWith("52494646") &&
+        substring(hex(bin), 17, 8) === lit("57454250"), "webp")
       .when(magic.startsWith("52494646"), "riff")
       .when(magic.startsWith("664C6143"), "flac")
       .when(magic.startsWith("494433"), "mp3") // ID3v2-tagged stream
@@ -82,6 +91,16 @@ object Multimodal {
       doc_id: Long, major_brand: String, timescale: Long,
       duration_units: Long, duration_us: Long, n_tracks: Int)
 
+  /** Codec-free image-container metadata (see [[Decoder.parseGifMeta]],
+    * [[Decoder.parseTiffMeta]], [[Decoder.parseWebPMeta]]): dimensions
+    * and pixel depth straight from the header, `has_alpha` where the
+    * container declares it (WebP VP8X/VP8L flags), `variant` the
+    * in-family flavor (87a/89a, II/MM, VP8/VP8L/VP8X). The web-crawl
+    * image-container family PNG/JPEG lack by needing a full decode. */
+  final case class ImageContainerMeta(
+      doc_id: Long, format: String, variant: String,
+      width: Int, height: Int, depth_bits: Int, has_alpha: Boolean)
+
   /** Image decoder: REAL javax.imageio PNG/JPEG decode (JDK-native, no
     * external codecs needed) with a deterministic stub fallback for
     * payloads imageio cannot handle (text blobs, RIFF audio, truncated
@@ -109,6 +128,17 @@ object Multimodal {
         payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
       else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
         (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
+      else if (payload.length >= 4 && payload(0) == 'G' &&
+        payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8') "gif"
+      else if (payload.length >= 4 &&
+        ((payload(0) == 'I' && payload(1) == 'I' &&
+          (payload(2) & 0xff) == 0x2a && payload(3) == 0) ||
+         (payload(0) == 'M' && payload(1) == 'M' &&
+          payload(2) == 0 && (payload(3) & 0xff) == 0x2a))) "tiff"
+      else if (payload.length >= 12 && payload(0) == 'R' &&
+        payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'E' && payload(10) == 'B' &&
+        payload(11) == 'P') "webp"
       else if (payload.length >= 4 && payload(0) == 'R' &&
         payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') "riff"
       else if (payload.length >= 4 && payload(0) == 'f' &&
@@ -226,14 +256,28 @@ object Multimodal {
         phash_bands = phashBytes(payload))
     }
 
-    /** Dispatch: PNG/JPEG go through the real imageio decode; anything
-      * else (or a corrupt image) falls back to the stub. */
+    /** Dispatch: PNG/JPEG/GIF/TIFF go through the real imageio decode
+      * (all four have JDK-native readers); WebP has no JDK codec, so it
+      * takes the header parse for REAL dimensions with the stub's
+      * byte-level features; anything else (or a corrupt image) falls
+      * back to the stub. */
     def decodeOne(id: Long, payload: Array[Byte]): DecodedMeta =
       sniffOne(payload) match {
-        case fmt @ ("png" | "jpeg") =>
+        case fmt @ ("png" | "jpeg" | "gif" | "tiff") =>
           try decodeImage(id, fmt, payload)
             .getOrElse(decodeStub(id, payload))
           catch { case _: java.io.IOException => decodeStub(id, payload) }
+        case "webp" =>
+          parseWebPMeta(id, payload).map { m =>
+            val hist = new Array[Long](16)
+            payload.foreach(b => hist((b & 0xff) >> 4) += 1L)
+            val (rw, rh) = resized(m.width, m.height)
+            DecodedMeta(id, "webp", payload.length.toLong,
+              width = m.width, height = m.height,
+              channels = if (m.has_alpha) 4 else 3,
+              resized_w = rw, resized_h = rh, features = hist.toSeq,
+              phash_bands = phashBytes(payload))
+          }.getOrElse(decodeStub(id, payload))
         case _ => decodeStub(id, payload)
       }
 
@@ -430,6 +474,10 @@ object Multimodal {
       }
       if (!walk(0L, n.toLong, 0)) return None
       if (timescale <= 0 || duration < 0) return None
+      // a hostile 64-bit mvhd v1 duration > Long.MaxValue/1e6 would
+      // overflow the microsecond multiply into a negative duration_us —
+      // treat it as malformed like every other out-of-contract field
+      if (duration > Long.MaxValue / 1000000L) return None
       Some(VideoMeta(id, brand, timescale, duration,
         duration * 1000000L / timescale, tracks))
     }
@@ -449,6 +497,156 @@ object Multimodal {
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           parseMp4Meta(id, payload) })
+    }
+
+    /** Parse a GIF logical-screen descriptor — header-only, codec-free
+      * (LZW never touched): version (87a/89a), canvas dimensions
+      * (u16 LE at 6/8), and the global-color-table depth from the
+      * packed byte at 10 (bits 0-2: table size 2^(n+1) entries).
+      * Hostile-input contract as everywhere: bounds-checked, malformed
+      * returns None. */
+    def parseGifMeta(id: Long, payload: Array[Byte]): Option[ImageContainerMeta] = {
+      if (payload.length < 13 || payload(0) != 'G' || payload(1) != 'I' ||
+        payload(2) != 'F' || payload(3) != '8') return None
+      val version = new String(payload, 3, 3, "US-ASCII")
+      if (version != "87a" && version != "89a") return None
+      def u16(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      val w = u16(6); val h = u16(8)
+      if (w <= 0 || h <= 0) return None
+      val packed = payload(10) & 0xff
+      val gctBits = if ((packed & 0x80) != 0) (packed & 7) + 1 else 0
+      Some(ImageContainerMeta(id, "gif", version, w, h, gctBits,
+        has_alpha = false))
+    }
+
+    /** Parse TIFF IFD0 — byte-order-aware (II/MM), walks the first
+      * image file directory for ImageWidth (256), ImageLength (257) and
+      * BitsPerSample (258; inline SHORT/LONG values only — a
+      * multi-sample offset-stored value reports the count's first
+      * in-line slot as 0, depth is best-effort there). Every offset
+      * rides a bounds-checked Long: a forged 32-bit IFD offset must not
+      * wrap an Int. Malformed (bad magic, IFD out of range, missing
+      * dims) returns None. */
+    def parseTiffMeta(id: Long, payload: Array[Byte]): Option[ImageContainerMeta] = {
+      val n = payload.length
+      if (n < 8) return None
+      val le =
+        if (payload(0) == 'I' && payload(1) == 'I' &&
+          (payload(2) & 0xff) == 0x2a && payload(3) == 0) true
+        else if (payload(0) == 'M' && payload(1) == 'M' &&
+          payload(2) == 0 && (payload(3) & 0xff) == 0x2a) false
+        else return None
+      def u16(o: Long): Int = {
+        val i = o.toInt
+        if (le) (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+        else ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+      }
+      def u32(o: Long): Long = {
+        val i = o.toInt
+        if (le) (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+          ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+        else ((payload(i) & 0xffL) << 24) | ((payload(i + 1) & 0xffL) << 16) |
+          ((payload(i + 2) & 0xffL) << 8) | (payload(i + 3) & 0xffL)
+      }
+      val ifd = u32(4L)
+      if (ifd < 8L || ifd + 2L > n) return None
+      val entries = u16(ifd)
+      var w = -1L; var h = -1L; var bits = 0
+      var e = 0
+      while (e < entries) {
+        val off = ifd + 2L + e.toLong * 12L
+        if (off + 12L > n) return None
+        val tag = u16(off)
+        val typ = u16(off + 2L)
+        val cnt = u32(off + 4L)
+        // inline value: SHORT (3) reads 2 bytes, LONG (4) reads 4 —
+        // only single-count inline values matter for the three tags
+        def inlineVal: Long =
+          if (typ == 3 && cnt == 1L) u16(off + 8L).toLong
+          else if (typ == 4 && cnt == 1L) u32(off + 8L)
+          else -1L
+        tag match {
+          case 256 => w = inlineVal
+          case 257 => h = inlineVal
+          case 258 => bits = math.max(0L, inlineVal).toInt
+          case _ => ()
+        }
+        e += 1
+      }
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+      else Some(ImageContainerMeta(id, "tiff", if (le) "II" else "MM",
+        w.toInt, h.toInt, bits, has_alpha = false))
+    }
+
+    /** Parse a WebP header — all three public flavors, codec-free:
+      * VP8 (lossy: dims from the keyframe header behind the 9D012A
+      * start code), VP8L (lossless: 14-bit packed dims behind the 0x2F
+      * signature, alpha from the is_used bit), VP8X (extended: 24-bit
+      * canvas dims, alpha from the flags byte). Malformed — wrong RIFF
+      * form, unknown chunk, missing start codes — returns None. */
+    def parseWebPMeta(id: Long, payload: Array[Byte]): Option[ImageContainerMeta] = {
+      val n = payload.length
+      if (n < 20 || payload(0) != 'R' || payload(1) != 'I' ||
+        payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'W' ||
+        payload(9) != 'E' || payload(10) != 'B' || payload(11) != 'P')
+        return None
+      def u16le(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def u24le(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16)
+      val chunk = new String(payload, 12, 4, "US-ASCII")
+      chunk match {
+        case "VP8 " if n >= 30 =>
+          // keyframe: 3-byte frame tag, then start code 9D 01 2A, then
+          // 14-bit width/height (upper 2 bits are rescale hints)
+          if ((payload(23) & 0xff) != 0x9d || (payload(24) & 0xff) != 0x01 ||
+            (payload(25) & 0xff) != 0x2a) None
+          else {
+            val w = u16le(26) & 0x3fff; val h = u16le(28) & 0x3fff
+            if (w == 0 || h == 0) None
+            else Some(ImageContainerMeta(id, "webp", "VP8", w, h, 8,
+              has_alpha = false))
+          }
+        case "VP8L" if n >= 25 =>
+          if ((payload(20) & 0xff) != 0x2f) None
+          else {
+            val b0 = payload(21) & 0xff; val b1 = payload(22) & 0xff
+            val b2 = payload(23) & 0xff; val b3 = payload(24) & 0xff
+            val w = 1 + (b0 | ((b1 & 0x3f) << 8))
+            val h = 1 + ((b1 >> 6) | (b2 << 2) | ((b3 & 0xf) << 10))
+            val alpha = ((b3 >> 4) & 1) == 1
+            Some(ImageContainerMeta(id, "webp", "VP8L", w, h, 8, alpha))
+          }
+        case "VP8X" if n >= 30 =>
+          val flags = payload(20) & 0xff
+          val w = 1 + u24le(24); val h = 1 + u24le(27)
+          Some(ImageContainerMeta(id, "webp", "VP8X", w, h, 8,
+            has_alpha = (flags & 0x10) != 0))
+        case _ => None
+      }
+    }
+
+    /** Image-container branch of the pipeline: binary DataFrame ->
+      * partition-batched GIF/TIFF/WebP header parse -> typed metadata
+      * Dataset; rows that parse as none of the three are dropped
+      * (quarantine upstream via [[sniffFormat]], the same contract as
+      * [[decodeWav]]/[[decodeVideo]]). */
+    def decodeImageContainers(df: DataFrame, idCol: String = "doc_id",
+        binCol: String = "payload"): Dataset[ImageContainerMeta] = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long"), col(binCol))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, payload) =>
+          sniffOne(payload) match {
+            case "gif" => parseGifMeta(id, payload)
+            case "tiff" => parseTiffMeta(id, payload)
+            case "webp" => parseWebPMeta(id, payload)
+            case _ => None
+          }
+        })
     }
 
     /** Unified audio-metadata branch: magic dispatch to the WAV chunk

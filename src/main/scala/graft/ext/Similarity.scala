@@ -675,7 +675,12 @@ object Similarity {
       nCentroids: Int = 16, kmeansIters: Int = 2,
       m: Int = 16, dims: Int = 64, k: Int = 64, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): IvfPqModel = {
+    // quantized corpus feeds EVERY Lloyd round of the coarse training
+    // AND the assignment pass — persisted so the parquet scan + quantize
+    // runs once, not kmeansIters+1 times (the same silent-multi-scan
+    // pattern as the slice table below)
     val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .persist()
     val cents = trainCentroids(e, nCentroids, kmeansIters)
     val assign = assignNearest(e.select("id", "q"), "q", cents)
       .select(col("id"), col("q"), col("assigned").as("cluster_id"))
@@ -691,6 +696,10 @@ object Similarity {
     val s = subspaceSlices(resid, m, dims, extraCols = Seq("cluster_id"))
       .withColumn("__sn", qnorm2(col("qs"))).persist()
     val books = trainOnSlices(s, k, iters)
+    // trainOnSlices' first collect materialized `s`, so everything
+    // downstream (the encode pass, every serve call) reads the slice
+    // cache — the quantized corpus frame is no longer reachable
+    e.unpersist()
     val codes = assignPrepped(s, books,
         keyCols = Seq("id", "cluster_id", "sub", "qs"))
       .select("id", "cluster_id", "sub", "code")
@@ -706,7 +715,16 @@ object Similarity {
     * embeddings: encoding a batch costs two broadcast joins and zero
     * shuffles of the existing corpus; retraining happens only when
     * drift accumulates. Deterministic: re-adding the build corpus
-    * reproduces `model.codes` exactly (spec-pinned). */
+    * reproduces `model.codes` exactly (spec-pinned).
+    *
+    * PRECONDITION when unioning the result with `model.codes` (or a
+    * store read) for serving: ids must be DISJOINT from the build
+    * corpus — an id present in both contributes two encodings, which
+    * double-counts ADC partial sums in the same cluster or returns the
+    * id twice from different clusters. For re-emitted ids (recomputed
+    * embeddings) resolve newest-wins across the boundary with
+    * [[graft.streaming.AnnStream.mergedCodes]]; `readCodes`' own
+    * newest-wins covers only rows WITHIN the stream store. */
   def ivfPqAdd(model: IvfPqModel, newEmb: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val e = newEmb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))

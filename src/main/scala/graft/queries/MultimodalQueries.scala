@@ -42,6 +42,11 @@ object MultimodalQueries {
       """SELECT CASE
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '89504E47%' THEN 'png'
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE 'FFD8FF%' THEN 'jpeg'
+        |    WHEN substring(hex(encode(text)), 1, 8) LIKE '47494638%' THEN 'gif'
+        |    WHEN substring(hex(encode(text)), 1, 8) IN ('49492A00', '4D4D002A')
+        |      THEN 'tiff'
+        |    WHEN substring(hex(encode(text)), 1, 8) LIKE '52494646%'
+        |      AND substring(hex(encode(text)), 17, 8) = '57454250' THEN 'webp'
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '52494646%' THEN 'riff'
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '664C6143%' THEN 'flac'
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '494433%' THEN 'mp3'

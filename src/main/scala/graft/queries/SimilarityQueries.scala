@@ -100,6 +100,102 @@ object SimilarityQueries {
        |    GROUP BY sub, clabel, d)
        |  GROUP BY sub, clabel)""".stripMargin
 
+  /** DuckDB oracle for the 4-query IVF-PQ batch — full replay of the
+    * build (coarse Lloyd + residual codebooks + encode) and the
+    * ADC serve. Shared verbatim by `ann_ivfpq_multi` (in-memory serve)
+    * and `ann_ivfpq_store` (serve from a cluster-partitioned parquet
+    * store): the storage round-trip is exact for integer codes, so both
+    * queries hash identically against this one oracle. */
+  private val sqlIvfPqMultiOracle: String =
+    s"""WITH $sqlKmeansCtes,
+         |resid AS (
+         |  SELECT a.id, a.cluster_id,
+         |    list_transform(range(1, len(a.q) + 1),
+         |      i -> a.q[i] - c.qc[i]) AS r
+         |  FROM assign a JOIN c2 c ON c.clabel = a.cluster_id),
+         |s AS (
+         |  SELECT id, cluster_id, sb.range AS sub,
+         |    list_slice(r, sb.range * 4 + 1, (sb.range + 1) * 4) AS qs
+         |  FROM resid, range(0, 16) sb),
+         |pc0 AS (SELECT sub, id AS clabel, qs AS qc FROM s WHERE id < 64),
+         |${sqlPqRound(1, "pc0", "pc1")},
+         |${sqlPqRound(2, "pc1", "pc2")},
+         |enc AS (
+         |  SELECT id, cluster_id, sub, clabel AS code FROM (
+         |    SELECT s.id, s.cluster_id, s.sub, c.clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+         |        ORDER BY ${sqlD2("s.qs", "c.qc")}, c.clabel) AS rn
+         |    FROM s JOIN pc2 c ON c.sub = s.sub)
+         |  WHERE rn = 1),
+         |qv AS (SELECT id AS query_id, q FROM e WHERE id < 4),
+         |probes AS (
+         |  SELECT query_id, clabel AS cluster_id FROM (
+         |    SELECT qv.query_id, c.clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY qv.query_id
+         |        ORDER BY ${sqlD2("qv.q", "c.qc")}, c.clabel) AS rn
+         |    FROM c2 c, qv)
+         |  WHERE rn <= 4),
+         |qsl AS (
+         |  SELECT qv.query_id, sb.range AS sub,
+         |    list_slice(qv.q, sb.range * 4 + 1, (sb.range + 1) * 4) AS qq
+         |  FROM qv, range(0, 16) sb),
+         |csl AS (
+         |  SELECT cluster_id, sb.range AS sub,
+         |    list_slice(c.qc, sb.range * 4 + 1, (sb.range + 1) * 4) AS cs
+         |  FROM (SELECT DISTINCT cluster_id FROM probes) p
+         |    JOIN c2 c ON c.clabel = p.cluster_id, range(0, 16) sb),
+         |qlut AS (
+         |  SELECT q.query_id, b.sub, b.clabel AS code,
+         |    CAST(list_sum(list_transform(range(1, len(b.qc) + 1),
+         |      i -> q.qq[i] * b.qc[i])) AS BIGINT) AS pd,
+         |    CAST(list_sum(list_transform(b.qc, x -> x * x)) AS BIGINT) AS pn
+         |  FROM pc2 b JOIN qsl q ON q.sub = b.sub),
+         |clut AS (
+         |  SELECT csl.cluster_id, b.sub, b.clabel AS code,
+         |    CAST(list_sum(list_transform(range(1, len(b.qc) + 1),
+         |      i -> csl.cs[i] * b.qc[i])) AS BIGINT) AS crs
+         |  FROM pc2 b JOIN csl ON csl.sub = b.sub),
+         |coarse AS (
+         |  SELECT p.query_id, p.cluster_id,
+         |    CAST(list_sum(list_transform(range(1, len(c.qc) + 1),
+         |      i -> qv.q[i] * c.qc[i])) AS BIGINT) AS cdot,
+         |    CAST(list_sum(list_transform(c.qc, x -> x * x)) AS BIGINT) AS cn2
+         |  FROM probes p JOIN c2 c ON c.clabel = p.cluster_id
+         |    JOIN qv ON qv.query_id = p.query_id),
+         |qn AS (
+         |  SELECT query_id,
+         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2
+         |  FROM qv),
+         |sc AS (
+         |  SELECT p.query_id, enc.id, enc.cluster_id,
+         |    CAST(SUM(ql.pd) AS BIGINT) AS rdot,
+         |    CAST(SUM(cl.crs) AS BIGINT) AS crs,
+         |    CAST(SUM(ql.pn) AS BIGINT) AS rn2p
+         |  FROM enc
+         |    JOIN probes p ON p.cluster_id = enc.cluster_id
+         |    JOIN qlut ql ON ql.query_id = p.query_id
+         |      AND ql.sub = enc.sub AND ql.code = enc.code
+         |    JOIN clut cl ON cl.cluster_id = enc.cluster_id
+         |      AND cl.sub = enc.sub AND cl.code = enc.code
+         |  WHERE enc.id <> p.query_id
+         |  GROUP BY p.query_id, enc.id, enc.cluster_id),
+         |scored AS (
+         |  SELECT sc.query_id, sc.id AS vec_id, sc.cluster_id,
+         |    CAST(co.cdot + sc.rdot AS DOUBLE)
+         |      / sqrt(CAST(co.cn2 + 2 * sc.crs + sc.rn2p AS DOUBLE)
+         |             * CAST(qn.qn2 AS DOUBLE)) AS score
+         |  FROM sc JOIN coarse co ON co.query_id = sc.query_id
+         |    AND co.cluster_id = sc.cluster_id
+         |    JOIN qn ON qn.query_id = sc.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cluster_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, vec_id, cluster_id, score, rn
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // brute-force cosine top-k for one query vector
@@ -387,98 +483,33 @@ object SimilarityQueries {
     // (query_id, cluster_id) fan-out, ADC partials come from two
     // query-/cluster-keyed LUTs; a one-query batch reproduces
     // ann_ivfpq_topk bit for bit (spec-pinned)
-    QueryDef("ann_ivfpq_multi",
-      s"""WITH $sqlKmeansCtes,
-         |resid AS (
-         |  SELECT a.id, a.cluster_id,
-         |    list_transform(range(1, len(a.q) + 1),
-         |      i -> a.q[i] - c.qc[i]) AS r
-         |  FROM assign a JOIN c2 c ON c.clabel = a.cluster_id),
-         |s AS (
-         |  SELECT id, cluster_id, sb.range AS sub,
-         |    list_slice(r, sb.range * 4 + 1, (sb.range + 1) * 4) AS qs
-         |  FROM resid, range(0, 16) sb),
-         |pc0 AS (SELECT sub, id AS clabel, qs AS qc FROM s WHERE id < 64),
-         |${sqlPqRound(1, "pc0", "pc1")},
-         |${sqlPqRound(2, "pc1", "pc2")},
-         |enc AS (
-         |  SELECT id, cluster_id, sub, clabel AS code FROM (
-         |    SELECT s.id, s.cluster_id, s.sub, c.clabel,
-         |      ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
-         |        ORDER BY ${sqlD2("s.qs", "c.qc")}, c.clabel) AS rn
-         |    FROM s JOIN pc2 c ON c.sub = s.sub)
-         |  WHERE rn = 1),
-         |qv AS (SELECT id AS query_id, q FROM e WHERE id < 4),
-         |probes AS (
-         |  SELECT query_id, clabel AS cluster_id FROM (
-         |    SELECT qv.query_id, c.clabel,
-         |      ROW_NUMBER() OVER (PARTITION BY qv.query_id
-         |        ORDER BY ${sqlD2("qv.q", "c.qc")}, c.clabel) AS rn
-         |    FROM c2 c, qv)
-         |  WHERE rn <= 4),
-         |qsl AS (
-         |  SELECT qv.query_id, sb.range AS sub,
-         |    list_slice(qv.q, sb.range * 4 + 1, (sb.range + 1) * 4) AS qq
-         |  FROM qv, range(0, 16) sb),
-         |csl AS (
-         |  SELECT cluster_id, sb.range AS sub,
-         |    list_slice(c.qc, sb.range * 4 + 1, (sb.range + 1) * 4) AS cs
-         |  FROM (SELECT DISTINCT cluster_id FROM probes) p
-         |    JOIN c2 c ON c.clabel = p.cluster_id, range(0, 16) sb),
-         |qlut AS (
-         |  SELECT q.query_id, b.sub, b.clabel AS code,
-         |    CAST(list_sum(list_transform(range(1, len(b.qc) + 1),
-         |      i -> q.qq[i] * b.qc[i])) AS BIGINT) AS pd,
-         |    CAST(list_sum(list_transform(b.qc, x -> x * x)) AS BIGINT) AS pn
-         |  FROM pc2 b JOIN qsl q ON q.sub = b.sub),
-         |clut AS (
-         |  SELECT csl.cluster_id, b.sub, b.clabel AS code,
-         |    CAST(list_sum(list_transform(range(1, len(b.qc) + 1),
-         |      i -> csl.cs[i] * b.qc[i])) AS BIGINT) AS crs
-         |  FROM pc2 b JOIN csl ON csl.sub = b.sub),
-         |coarse AS (
-         |  SELECT p.query_id, p.cluster_id,
-         |    CAST(list_sum(list_transform(range(1, len(c.qc) + 1),
-         |      i -> qv.q[i] * c.qc[i])) AS BIGINT) AS cdot,
-         |    CAST(list_sum(list_transform(c.qc, x -> x * x)) AS BIGINT) AS cn2
-         |  FROM probes p JOIN c2 c ON c.clabel = p.cluster_id
-         |    JOIN qv ON qv.query_id = p.query_id),
-         |qn AS (
-         |  SELECT query_id,
-         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2
-         |  FROM qv),
-         |sc AS (
-         |  SELECT p.query_id, enc.id, enc.cluster_id,
-         |    CAST(SUM(ql.pd) AS BIGINT) AS rdot,
-         |    CAST(SUM(cl.crs) AS BIGINT) AS crs,
-         |    CAST(SUM(ql.pn) AS BIGINT) AS rn2p
-         |  FROM enc
-         |    JOIN probes p ON p.cluster_id = enc.cluster_id
-         |    JOIN qlut ql ON ql.query_id = p.query_id
-         |      AND ql.sub = enc.sub AND ql.code = enc.code
-         |    JOIN clut cl ON cl.cluster_id = enc.cluster_id
-         |      AND cl.sub = enc.sub AND cl.code = enc.code
-         |  WHERE enc.id <> p.query_id
-         |  GROUP BY p.query_id, enc.id, enc.cluster_id),
-         |scored AS (
-         |  SELECT sc.query_id, sc.id AS vec_id, sc.cluster_id,
-         |    CAST(co.cdot + sc.rdot AS DOUBLE)
-         |      / sqrt(CAST(co.cn2 + 2 * sc.crs + sc.rn2p AS DOUBLE)
-         |             * CAST(qn.qn2 AS DOUBLE)) AS score
-         |  FROM sc JOIN coarse co ON co.query_id = sc.query_id
-         |    AND co.cluster_id = sc.cluster_id
-         |    JOIN qn ON qn.query_id = sc.query_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, cluster_id, score,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |                       ORDER BY score DESC, vec_id) AS rn
-         |  FROM scored)
-         |SELECT query_id, vec_id, cluster_id, score, rn
-         |FROM ranked WHERE rn <= 5
-         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    QueryDef("ann_ivfpq_multi", sqlIvfPqMultiOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = Similarity.ivfPqBuild(emb)
       Similarity.ivfPqTopKMulti(model, emb,
+          queryIds = (0L until 4L).toSeq, topK = 5, nProbe = 4)
+        .orderBy("query_id", "rn")
+    },
+
+    // the 100 TB serve path AS a graded query: build once, write the
+    // code table PARTITIONED BY cluster_id to a scratch store, re-read
+    // it, and serve the same 4-query batch from the STORE — the literal
+    // `cluster_id IN (probes)` predicate prunes the scan at file
+    // listing (metric-asserted in SimilaritySpec "model store"), so the
+    // ADC pass reads nProbe/nCentroids of the files instead of all of
+    // them. The oracle is ann_ivfpq_multi's verbatim: the parquet
+    // round-trip is exact for integer codes, so serving from storage is
+    // hash-invariant vs serving from memory.
+    QueryDef("ann_ivfpq_store", sqlIvfPqMultiOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = Similarity.ivfPqBuild(emb)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-store")
+        .resolve("codes").toString
+      model.codes.write.partitionBy("cluster_id").parquet(dir)
+      // explicit schema keeps cluster_id LongType (partition-dir value
+      // inference would int-ify it) and preserves the build's column order
+      val stored = s.read.schema(model.codes.schema).parquet(dir)
+      Similarity.ivfPqTopKMulti(model.copy(codes = stored), emb,
           queryIds = (0L until 4L).toSeq, topK = 5, nProbe = 4)
         .orderBy("query_id", "rn")
     },

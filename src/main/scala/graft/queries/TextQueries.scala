@@ -1203,6 +1203,76 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR end-to-end data-selection flagship (Xie et al. 2023 as ONE
+    // query): hashed-n-gram importance weights against the src0/src1
+    // target domain → zero-RNG systematic resample proportional to
+    // weight (the text_dsir_resample machinery) → the ~50 selected
+    // docs packed into fixed-token-budget training bins by distributed
+    // prefix sum. Corpus in, binned training subset out. Scale shape:
+    // both DSIR count tables are bounded at 256 rows (broadcast), the
+    // prefix sums are range-partitioned (never a single-reducer
+    // window), and the post-selection stages run on the ~step-bounded
+    // survivor set, so the only corpus-sized work is the weight scan
+    // itself.
+    QueryDef("pipeline_dsir_select",
+      s"""WITH $sqlDsirWeightCtes,
+         |wi AS (
+         |  SELECT doc_id,
+         |    CAST(FLOOR(weight * 1000000) AS BIGINT) + 1 AS w
+         |  FROM wts),
+         |cum AS (
+         |  SELECT doc_id, w,
+         |    CAST(SUM(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM wi),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM wi),
+         |st AS (SELECT GREATEST(t // 50, 1) AS step FROM tot),
+         |sel AS (
+         |  SELECT doc_id, w, cum FROM cum, st
+         |  WHERE cum // step > (cum - w) // step),
+         |tk2 AS (
+         |  SELECT s.doc_id, s.w, s.cum,
+         |    len(string_split(d.text, ' '))::BIGINT AS n_tokens
+         |  FROM sel s JOIN documents d USING (doc_id)),
+         |rr AS (
+         |  SELECT doc_id, w, cum, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM tk2)
+         |SELECT doc_id, w, cum, n_tokens, start_offset,
+         |  CAST(FLOOR(CAST(start_offset AS DOUBLE) / 512) AS BIGINT)
+         |    AS bin
+         |FROM rr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wts = TextAnalysis.dsirWeights(docs,
+        docs.filter(col("source").isin("src0", "src1")),
+        "doc_id", "text", buckets = 256)
+      val wi = wts.select(col("doc_id"),
+        (floor(col("weight") * lit(1000000.0d)).cast("long") + lit(1L))
+          .as("w"))
+      val cum = graft.ops.PrefixSum.withRunningTotal(
+        wi, "cum", col("w"), Seq(col("doc_id")))
+      // step from max(cum) — the prefix-summed frame is materialized
+      // (PrefixSum localCheckpoints), so this avoids re-running the
+      // whole DSIR weight pipeline for the total (see text_dsir_resample)
+      val st = cum.agg(max("cum").cast("long").as("t"))
+        .select(greatest(expr("t div 50"), lit(1L)).as("step"))
+      val sel = cum.crossJoin(broadcast(st))
+        .filter(expr("cum div step > (cum - w) div step"))
+        .select("doc_id", "w", "cum")
+      // ~50 selected rows join back for token counts — broadcastable by
+      // construction (|sel| ≈ step count, corpus-size independent)
+      val withTok = sel.join(docs.select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens")), Seq("doc_id"))
+      graft.ops.PrefixSum.packIntoBins(withTok, weight = col("n_tokens"),
+          budget = 512L, orderBy = Seq(col("doc_id")))
+        .select(col("doc_id"), col("w"), col("cum"), col("n_tokens"),
+          col("start_offset"), col("bin").cast("bigint").as("bin"))
+        .orderBy("doc_id")
+    },
+
     crawlRefreshDef,
   )
 

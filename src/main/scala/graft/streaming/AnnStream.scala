@@ -37,21 +37,17 @@ object AnnStream {
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         val codes = Similarity.ivfPqAdd(model, batch, idCol, embCol)
           .withColumn("batch_id", lit(batchId))
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = scala.util.Try(spark.conf.get(key)).toOption
-        spark.conf.set(key, "dynamic")
         // dynamic overwrite: only the partitions PRESENT in this
-        // batch's codes are replaced — the idempotent-replay mechanism
-        try codes.write.mode("overwrite")
+        // batch's codes are replaced — the idempotent-replay mechanism.
+        // The mode rides as a WRITER-scoped option (not a set/restore of
+        // the session conf, which would race concurrent writers sharing
+        // the session).
+        codes.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "cluster_id")
           .parquet(storeDir)
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None    => spark.conf.unset(key)
-        }
         ()
       }
       .start()
@@ -77,4 +73,18 @@ object AnnStream {
     all.join(newest, Seq("id", "batch_id"))
       .select("id", "cluster_id", "sub", "code")
   }
+
+  /** Union build-time codes with stream codes for serving, id-keyed
+    * NEWEST WINS across the build/stream boundary: an id present in
+    * both (a recomputed build-time embedding re-emitted on the stream)
+    * keeps only the STREAM encoding — [[readCodes]]' last-write-wins
+    * covers rows within the store; this closes the remaining gap
+    * against `model.codes`. The anti-join's right side is the stream
+    * ids only (broadcastable while the stream tail is small relative to
+    * the build corpus); no shuffle of the build codes beyond the join
+    * itself. */
+  def mergedCodes(buildCodes: DataFrame, streamCodes: DataFrame): DataFrame =
+    buildCodes
+      .join(streamCodes.select("id").distinct(), Seq("id"), "left_anti")
+      .unionByName(streamCodes.select(buildCodes.columns.map(col): _*))
 }

@@ -295,6 +295,115 @@ class MultimodalSpec extends SparkSpec {
     assert(sniffed == "mp4")
   }
 
+  test("GIF/TIFF/WebP: both sniffers + codec-free header metadata, " +
+    "hostile inputs bounded to None") {
+    import Multimodal.{Decoder, ImageContainerMeta}
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // GIF89a, 320x200, GCT flag + size bits 001 => 2-bit table depth
+    val gif1 = "GIF89a".getBytes("US-ASCII") ++ le16(320) ++ le16(200) ++
+      Array[Byte](0x91.toByte, 0, 0)
+    // TIFF IFD0 with ImageWidth (SHORT), ImageLength (LONG), BitsPerSample
+    def tiffEntryLE(tag: Int, typ: Int, v: Long) = le16(tag) ++ le16(typ) ++
+      le32(1) ++ (if (typ == 3) le16(v.toInt) ++ le16(0) else le32(v))
+    val tiffLE = "II".getBytes ++ Array[Byte](0x2a, 0) ++ le32(8) ++
+      le16(3) ++ tiffEntryLE(256, 3, 640) ++ tiffEntryLE(257, 4, 480) ++
+      tiffEntryLE(258, 3, 8) ++ le32(0)
+    def tiffEntryBE(tag: Int, typ: Int, v: Long) = be16(tag) ++ be16(typ) ++
+      be32(1) ++ (if (typ == 3) be16(v.toInt) ++ be16(0) else be32(v))
+    val tiffBE = "MM".getBytes ++ Array[Byte](0, 0x2a) ++ be32(8) ++
+      be16(2) ++ tiffEntryBE(256, 4, 1920) ++ tiffEntryBE(257, 3, 1080) ++
+      be32(0)
+    // WebP: all three flavors (VP8 keyframe start code, VP8L packed
+    // 14-bit dims + alpha bit, VP8X 24-bit canvas + alpha flag)
+    def riffWebp(chunk: String, body: Array[Byte]) =
+      "RIFF".getBytes ++ le32(4L + 8L + body.length) ++ "WEBP".getBytes ++
+        chunk.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    val vp8 = riffWebp("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01,
+      0x2a) ++ le16(640) ++ le16(360))
+    val vp8l = riffWebp("VP8L", Array[Byte](0x2f, 0x63, 0x40, 0x0c, 0x10))
+    val vp8x = riffWebp("VP8X", Array[Byte](0x10, 0, 0, 0) ++
+      Array[Byte](0xff.toByte, 0x03, 0x00) ++
+      Array[Byte](0xff.toByte, 0x02, 0x00) ++ Array[Byte](0, 0))
+    // header parses: exact field-level expectations
+    assert(Decoder.parseGifMeta(1L, gif1).contains(
+      ImageContainerMeta(1L, "gif", "89a", 320, 200, 2, has_alpha = false)))
+    assert(Decoder.parseTiffMeta(2L, tiffLE).contains(
+      ImageContainerMeta(2L, "tiff", "II", 640, 480, 8, has_alpha = false)))
+    assert(Decoder.parseTiffMeta(3L, tiffBE).contains(
+      ImageContainerMeta(3L, "tiff", "MM", 1920, 1080, 0,
+        has_alpha = false)))
+    assert(Decoder.parseWebPMeta(4L, vp8).contains(
+      ImageContainerMeta(4L, "webp", "VP8", 640, 360, 8,
+        has_alpha = false)))
+    assert(Decoder.parseWebPMeta(5L, vp8l).contains(
+      ImageContainerMeta(5L, "webp", "VP8L", 100, 50, 8, has_alpha = true)))
+    assert(Decoder.parseWebPMeta(6L, vp8x).contains(
+      ImageContainerMeta(6L, "webp", "VP8X", 1024, 768, 8,
+        has_alpha = true)))
+    // both sniffers agree, and WebP wins over generic riff while a WAV
+    // payload still sniffs riff
+    val wavish = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes
+    for ((p, want) <- Seq(gif1 -> "gif", tiffLE -> "tiff", tiffBE -> "tiff",
+        vp8 -> "webp", vp8l -> "webp", vp8x -> "webp", wavish -> "riff")) {
+      assert(Decoder.sniffOne(p) == want, s"sniffOne: want $want")
+      val colForm = Seq((0L, p)).toDF("id", "payload")
+        .select(Multimodal.sniffFormat(col("payload"))).head().getString(0)
+      assert(colForm == want, s"sniffFormat: want $want got $colForm")
+    }
+    // Dataset branch: dispatches the three, drops everything else
+    val df = Seq((1L, gif1), (2L, tiffLE), (4L, vp8),
+      (9L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val got = Decoder.decodeImageContainers(df).collect()
+      .map(m => m.doc_id -> m.format).toMap
+    assert(got == Map(1L -> "gif", 2L -> "tiff", 4L -> "webp"))
+    // hostile vectors: truncation, out-of-range IFD, entry overrun,
+    // missing start code — None, never a throw or a hang
+    assert(Decoder.parseGifMeta(1L, "GIF89a".getBytes).isEmpty)
+    assert(Decoder.parseGifMeta(1L, "GIF99a00000000".getBytes).isEmpty)
+    assert(Decoder.parseTiffMeta(1L,
+      "II".getBytes ++ Array[Byte](0x2a, 0) ++ le32(0xfffffff0L)).isEmpty)
+    assert(Decoder.parseTiffMeta(1L, "II".getBytes ++
+      Array[Byte](0x2a, 0) ++ le32(8) ++ le16(400)).isEmpty)
+    assert(Decoder.parseWebPMeta(1L,
+      riffWebp("VP8 ", Array[Byte](0, 0, 0, 1, 2, 3) ++ le16(640) ++
+        le16(360))).isEmpty)
+    assert(Decoder.parseWebPMeta(1L, wavish).isEmpty)
+  }
+
+  test("decodeOne: GIF/TIFF take the real imageio path, WebP dims come " +
+    "from the header parse") {
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff)
+    for (fmt <- Seq("gif", "tiff")) {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos),
+        s"JDK must carry a $fmt writer")
+      val m = Multimodal.Decoder.decodeOne(11L, baos.toByteArray)
+      assert(m.format == fmt && m.width == 6 && m.height == 4,
+        s"$fmt: $m")
+    }
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val body = Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      le16(320) ++ le16(240)
+    val webp = "RIFF".getBytes ++ le32(4L + 8L + body.length) ++
+      "WEBP".getBytes ++ "VP8 ".getBytes ++ le32(body.length.toLong) ++ body
+    val m = Multimodal.Decoder.decodeOne(12L, webp)
+    assert(m.format == "webp" && m.width == 320 && m.height == 240 &&
+      m.channels == 3, m.toString)
+    // features stay the real byte histogram (mass == payload length)
+    assert(m.features.sum == webp.length.toLong)
+  }
+
   test("corrupt image payload falls back to the stub, not an exception") {
     val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
     val df = Seq((9L, fake)).toDF("doc_id", "payload")

@@ -419,4 +419,57 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "weight").as[(Long, Double)].collect().toMap
     assert(w7 == w)
   }
+
+  test("DSIR end-to-end selection (pipeline_dsir_select composition): " +
+    "weights -> systematic resample -> token-budget packing") {
+    import org.apache.spark.sql.functions._
+    // target speaks {aa..ae}; raw = 10 in-domain + 10 alien docs
+    val tgt = (0 until 8).map(i =>
+      (1000L + i, s"aa ab ac ad ae aa a$i")).toDF("doc_id", "text")
+    val raw = ((0 until 10).map(i => (i.toLong, s"aa ab ac ad ae a$i")) ++
+      (10 until 20).map(i => (i.toLong, s"zz zy zx zw zv z$i")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val wts = TextAnalysis.dsirWeights(df, tgt, "doc_id", "text", 64)
+      val wi = wts.select(col("doc_id"),
+        (floor(col("weight") * lit(1000000.0d)).cast("long") + lit(1L))
+          .as("w"))
+      val cum = graft.ops.PrefixSum.withRunningTotal(
+        wi, "cum", col("w"), Seq(col("doc_id")))
+      val st = cum.agg(max("cum").cast("long").as("t"))
+        .select(greatest(expr("t div 50"), lit(1L)).as("step"))
+      val sel = cum.crossJoin(broadcast(st))
+        .filter(expr("cum div step > (cum - w) div step"))
+        .select("doc_id", "w", "cum")
+      val withTok = sel.join(df.select(col("doc_id"),
+        TextAnalysis.nTokens(col("text")).as("n_tokens")), Seq("doc_id"))
+      graft.ops.PrefixSum.packIntoBins(withTok, weight = col("n_tokens"),
+          budget = 12L, orderBy = Seq(col("doc_id")))
+        .select("doc_id", "w", "n_tokens", "start_offset", "bin")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    val out = run(raw)
+    assert(out.nonEmpty)
+    // the importance-resampled subset is dominated by in-domain docs:
+    // every in-domain weight beats every alien weight (previous test),
+    // so systematic sampling must pick at least as many in-domain rows
+    val (in, off) = out.partition(_._1 < 10L)
+    assert(in.size >= off.size && in.nonEmpty,
+      s"selection must favor the target domain: $out")
+    // packing invariants on the SELECTED set in doc_id order:
+    // start_offset is the exact running token prefix, bin = floor/12,
+    // bins contiguous from 0
+    var running = 0L
+    out.foreach { case (_, _, nTok, start, bin) =>
+      assert(start == running, s"offset gap at $out")
+      assert(bin == start / 12L)
+      running += nTok
+    }
+    assert(out.head._5 == 0L)
+    val bins = out.map(_._5).distinct
+    assert(bins == (bins.min to bins.max), s"bins not contiguous: $bins")
+    // partition independence: the whole composition reproduces exactly
+    assert(run(raw.repartition(7)) == out)
+  }
 }

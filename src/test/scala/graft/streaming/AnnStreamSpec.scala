@@ -98,4 +98,28 @@ class AnnStreamSpec extends SparkSpec {
       s"read must return ONLY the batch-1 encoding of the re-emitted id")
     spark.catalog.clearCache()
   }
+
+  test("mergedCodes: an id present in both the build corpus and the " +
+    "stream keeps only the stream encoding across the boundary") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val model = Similarity.ivfPqBuild(emb)
+    // "recompute" vec 1's embedding as zeros and re-emit it
+    val dim = emb.select("embedding").as[Array[Float]].head().length
+    val streamed = Similarity.ivfPqAdd(model,
+      Seq((1L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    val merged = AnnStream.mergedCodes(model.codes, streamed)
+      .orderBy("id", "sub")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // exactly m rows for id 1 (never build+stream double), and they are
+    // the STREAM encodings
+    val id1 = merged.filter(_._1 == 1L)
+    val want = streamed.orderBy("sub")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(id1 == want, s"id 1 must carry the stream encoding: $id1")
+    // every other id is untouched build state
+    val buildRest = model.codes.filter(col("id") =!= 1L)
+      .orderBy("id", "sub").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(merged.filter(_._1 != 1L) == buildRest)
+    spark.catalog.clearCache()
+  }
 }
