@@ -251,20 +251,23 @@ object Similarity {
   }
 
   /** One k-means ASSIGNMENT step: each vector to its nearest centroid by
-    * exact integer squared distance (|v-c|² = |v|² + |c|² - 2·v·c, three
-    * codegen'd integer dots). ALL vectors and centroids must share one
-    * dimensionality — with ragged lengths the dot covers only the common
-    * prefix while the norms cover full arrays, and the identity breaks.
-    * Centroids are broadcast — the canonical iterative-Spark shape where
-    * only the k×dims table moves. Ties break to the smallest centroid
-    * label (min over (dist2, clabel) structs — deterministic under any
-    * partitioning). Groups by ALL columns of `vecs` (callers pass a
-    * frame whose rows are unique). */
+    * exact integer squared distance (|v-c|² = |v|² + |c|² - 2·v·c). ALL
+    * vectors and centroids must share one dimensionality — with ragged
+    * lengths the dot covers only the common prefix while the norms cover
+    * full arrays, and the identity breaks. Ties break to the smallest
+    * centroid label — deterministic under any partitioning.
+    *
+    * The centroid table — bounded model state by contract ("only the
+    * k×dims table moves") — is collected and embedded in the plan as
+    * [[graft.functions.NearestCode]]'s literal codebook, making the
+    * assignment a MAP-ONLY codegen'd projection: no k× candidate-row
+    * blowup through a cross join, no re-aggregation, no shuffle at all.
+    * One output row per input row (strictly more general than the old
+    * join+min-struct shape, which deduplicated identical input rows). */
   def assignNearest(vecs: DataFrame, qCol: String,
       cents: DataFrame): DataFrame = {
-    // the cross-join + group-by-all-columns contract breaks silently if
-    // `vecs` carries a column that shadows the centroid frame's or the
-    // internal working names — fail loudly instead
+    // fail loudly on column shadowing — same contract as the join-shaped
+    // implementation this replaces, so callers stay honest
     val reserved = Seq("clabel", "qc", "__vn2", "__cn2", "__d2", "__best",
       "assigned", "dist2")
     val clash = vecs.columns.intersect(reserved)
@@ -274,15 +277,16 @@ object Similarity {
     require(cents.columns.sorted.sameElements(Array("clabel", "qc")),
       s"assignNearest: centroid frame must be exactly (clabel, qc), got " +
         cents.columns.mkString("(", ", ", ")"))
-    val vn = vecs.withColumn("__vn2", qnorm2(col(qCol)))
-    val cn = cents.withColumn("__cn2", qnorm2(col("qc")))
-    vn.crossJoin(broadcast(cn))
-      .withColumn("__d2",
-        col("__vn2") + col("__cn2") - lit(2L) * qdot(col(qCol), col("qc")))
-      .groupBy(vecs.columns.toIndexedSeq.map(col): _*)
-      .agg(min(struct(col("__d2"), col("clabel"))).as("__best"))
-      .withColumn("assigned", col("__best.clabel"))
-      .withColumn("dist2", col("__best.__d2"))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val local = cents.select(col("clabel"), col("qc"))
+      .as[(Long, Seq[Long])].collect().toSeq
+      .map { case (l, qc) => (0L, l, qc) }
+    vecs
+      .withColumn("__best",
+        graft.functions.NearestCode(col(qCol), lit(0L), local))
+      .withColumn("assigned", col("__best.assigned"))
+      .withColumn("dist2", col("__best.dist2"))
       .drop("__best")
   }
 
@@ -450,30 +454,28 @@ object Similarity {
         col("__s.qs").as("qs")): _*)
   }
 
-  /** Nearest codeword per (vector, subspace) — exact integer squared
-    * distance, ties to the smallest label via a min-(d2, label) struct
-    * aggregate (a hash-agg, NOT a sort-based window: at m subspaces the
-    * ranking input is m·k rows per vector and the sort was the
-    * measured hotspot of `ann_pq_topk`); (id, sub, qs, code). */
-  private def assignSub(s: DataFrame, books: DataFrame): DataFrame =
-    assignPrepped(s.withColumn("__sn", qnorm2(col("qs"))), books)
-
-  /** [[assignSub]] over slices whose `__sn` norm is already computed —
-    * the shape the cached multi-pass path (train rounds + encode over
-    * ONE persisted slice table) feeds. `keyCols` are the grouping keys
-    * carried through to the output (the IVF-PQ path adds
-    * `cluster_id`). */
-  private def assignPrepped(sp: DataFrame, books: DataFrame,
+  /** Nearest codeword per (vector, subspace) against a DRIVER-LOCAL
+    * codebook — one [[graft.functions.NearestCode]] projection: the
+    * codebook (bounded model state, m·k·(dims/m) longs) rides the plan
+    * as a literal, so encoding is map-only codegen with no k× row
+    * blowup through a join+aggregate (the measured hotspot of every
+    * Lloyd round and every encode pass at k=64). `keyCols` are carried
+    * through to the output (the IVF-PQ path adds `cluster_id`). */
+  private def encodeSlices(s: DataFrame,
+      books: Seq[(Long, Long, Seq[Long])],
       keyCols: Seq[String] = Seq("id", "sub", "qs")): DataFrame =
-    sp.join(broadcast(books.withColumn("__cn", qnorm2(col("qc")))),
-        Seq("sub"))
-      // norms hoisted to once per slice / once per codeword — only the
-      // dot is per-pair work
-      .withColumn("__d2",
-        col("__sn") + col("__cn") - lit(2L) * qdot(col("qs"), col("qc")))
-      .groupBy(keyCols.map(col): _*)
-      .agg(min(struct(col("__d2"), col("clabel"))).as("__best"))
-      .select(keyCols.map(col) :+ col("__best.clabel").as("code"): _*)
+    s.withColumn("__best",
+        graft.functions.NearestCode(col("qs"), col("sub"), books))
+      .select(keyCols.map(col) :+ col("__best.assigned").as("code"): _*)
+
+  /** Collect a `(sub, clabel, qc)` codebook frame to the driver — the
+    * bounded-model boundary every serve/encode call crosses once. */
+  private def collectBooks(books: DataFrame): Seq[(Long, Long, Seq[Long])] = {
+    val spark = books.sparkSession
+    import spark.implicits._
+    books.select(col("sub"), col("clabel"), col("qc"))
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+  }
 
   /** Per-subspace codebooks via deterministic Lloyd rounds, all m
     * subspaces trained in ONE sub-keyed job per round (not m jobs).
@@ -481,21 +483,25 @@ object Similarity {
     * rounds. Returns (sub, clabel, qc). */
   def pqTrain(e: DataFrame, m: Int = 8, dims: Int = 64, k: Int = 16,
       iters: Int = 2): DataFrame =
-    trainOnSlices(
-      subspaceSlices(e, m, dims).withColumn("__sn", qnorm2(col("qs"))),
-      k, iters)
+    trainOnSlices(subspaceSlices(e, m, dims), k, iters)
 
-  /** Lloyd rounds over an (id, sub, qs, __sn) slice table — split out so
+  /** Lloyd rounds over an (id, sub, qs) slice table — split out so
     * [[pqTopK]] can persist ONE slice table across the train rounds AND
-    * the encode pass instead of recomputing scan+explode per pass. */
-  private def trainOnSlices(s: DataFrame, k: Int, iters: Int): DataFrame = {
+    * the encode pass instead of recomputing scan+explode per pass.
+    * Returns the DRIVER-LOCAL codebook (m·k rows, bounded model state —
+    * it crosses to the driver between rounds anyway); each round's
+    * assignment is one [[encodeSlices]] map-only pass. */
+  private def trainOnSlicesLocal(s: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Long, Seq[Long])] = {
     val spark = s.sparkSession
     import spark.implicits._
-    var books = s.filter(col("id") < k)
+    var books: Seq[(Long, Long, Seq[Long])] = s.filter(col("id") < k)
       .select(col("sub"), col("id").cast("long").as("clabel"),
         col("qs").as("qc"))
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+      .sortBy(t => (t._1, t._2))
     for (_ <- 1 to iters) {
-      val a = assignPrepped(s, books)
+      val a = encodeSlices(s, books)
       val next = a
         .select(col("sub"), col("code").as("clabel"), posexplode(col("qs")))
         .groupBy("sub", "clabel", "pos")
@@ -508,16 +514,28 @@ object Similarity {
           x => x.getField("c")).as("qc"))
         .as[(Long, Long, Seq[Long])].collect().toSeq
         .sortBy(t => (t._1, t._2))
-      books = next.toDF("sub", "clabel", "qc")
+      books = next
     }
     books
   }
+
+  /** A driver-local codebook as a `(sub, clabel, qc)` frame, for the
+    * serve paths that join it into broadcast LUTs. */
+  private def booksToDF(spark: SparkSession,
+      books: Seq[(Long, Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    books.toDF("sub", "clabel", "qc")
+  }
+
+  /** [[trainOnSlicesLocal]] as a frame (see [[booksToDF]]). */
+  private def trainOnSlices(s: DataFrame, k: Int, iters: Int): DataFrame =
+    booksToDF(s.sparkSession, trainOnSlicesLocal(s, k, iters))
 
   /** Encode every vector against trained codebooks: (id, sub, code) —
     * the m-code compressed representation that gets STORED at scale. */
   def pqEncode(e: DataFrame, books: DataFrame, m: Int = 8,
       dims: Int = 64): DataFrame =
-    assignSub(subspaceSlices(e, m, dims), books)
+    encodeSlices(subspaceSlices(e, m, dims), collectBooks(books))
       .select("id", "sub", "code")
 
   /** ADC top-k: the query builds an m×k lookup table of per-subspace
@@ -538,13 +556,13 @@ object Similarity {
       m: Int = 8, dims: Int = 64, k: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
-    // one slice table feeds 2·iters train jobs AND the encode pass —
-    // persisted so the scan+explode+norm chain runs once, not 1+iters
+    // one slice table feeds the iters train passes AND the encode pass —
+    // persisted so the scan+explode chain runs once, not 1+iters
     // times (n·m short rows: negligible memory, large plan-depth win)
-    val s = subspaceSlices(e, m, dims)
-      .withColumn("__sn", qnorm2(col("qs"))).persist()
-    val books = trainOnSlices(s, k, iters)
-    val codes = assignPrepped(s, books).select("id", "sub", "code")
+    val s = subspaceSlices(e, m, dims).persist()
+    val booksLocal = trainOnSlicesLocal(s, k, iters)
+    val books = booksToDF(emb.sparkSession, booksLocal)
+    val codes = encodeSlices(s, booksLocal).select("id", "sub", "code")
     val qs = subspaceSlices(e.filter(col("id") === queryVecId), m, dims)
       .select(col("sub"), col("qs").as("qq"))
     val lut = broadcast(books.join(qs, Seq("sub"))
@@ -582,10 +600,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(queryIds.nonEmpty, "pqTopKMulti: at least one query id")
     val e = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
-    val s = subspaceSlices(e, m, dims)
-      .withColumn("__sn", qnorm2(col("qs"))).persist()
-    val books = trainOnSlices(s, k, iters)
-    val codes = assignPrepped(s, books).select("id", "sub", "code")
+    val s = subspaceSlices(e, m, dims).persist()
+    val booksLocal = trainOnSlicesLocal(s, k, iters)
+    val books = booksToDF(emb.sparkSession, booksLocal)
+    val codes = encodeSlices(s, booksLocal).select("id", "sub", "code")
     val qs = subspaceSlices(e.filter(col("id").isin(queryIds: _*)), m, dims)
       .select(col("id").as("query_id"), col("sub"), col("qs").as("qq"))
     val lut = broadcast(books.join(qs, Seq("sub"))
@@ -694,16 +712,17 @@ object Similarity {
     // one persisted slice table feeds the train rounds AND the encode
     // pass (same caller-owned cache lifetime as pqTopK)
     val s = subspaceSlices(resid, m, dims, extraCols = Seq("cluster_id"))
-      .withColumn("__sn", qnorm2(col("qs"))).persist()
-    val books = trainOnSlices(s, k, iters)
-    // trainOnSlices' first collect materialized `s`, so everything
-    // downstream (the encode pass, every serve call) reads the slice
-    // cache — the quantized corpus frame is no longer reachable
+      .persist()
+    val booksLocal = trainOnSlicesLocal(s, k, iters)
+    // the train rounds materialized `s`, so everything downstream (the
+    // encode pass, every serve call) reads the slice cache — the
+    // quantized corpus frame is no longer reachable
     e.unpersist()
-    val codes = assignPrepped(s, books,
+    val codes = encodeSlices(s, booksLocal,
         keyCols = Seq("id", "cluster_id", "sub", "qs"))
       .select("id", "cluster_id", "sub", "code")
-    IvfPqModel(cents, books, codes, m, dims)
+    IvfPqModel(cents, booksToDF(emb.sparkSession, booksLocal), codes,
+      m, dims)
   }
 
   /** Incremental index maintenance: encode NEW vectors into an existing
@@ -737,8 +756,7 @@ object Similarity {
         zip_with(col("q"), col("qc"), (a, b) => a - b).as("q"))
     val s = subspaceSlices(resid, model.m, model.dims,
         extraCols = Seq("cluster_id"))
-      .withColumn("__sn", qnorm2(col("qs")))
-    assignPrepped(s, model.books,
+    encodeSlices(s, collectBooks(model.books),
         keyCols = Seq("id", "cluster_id", "sub", "qs"))
       .select("id", "cluster_id", "sub", "code")
   }
