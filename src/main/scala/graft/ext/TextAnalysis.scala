@@ -72,6 +72,65 @@ object TextAnalysis {
         i => substring(cleaned, lit(1) + i, lit(n))))
   }
 
+  /** TRAIN step of the hashed-linear language classifier: per-language
+    * hashed char-n-gram count profiles from a LABELED seed corpus —
+    * the fasttext-shaped upgrade over [[langIdHeuristic]]'s
+    * stopword-ratio test (which can only say en / not-en and is blind
+    * on non-Latin scripts). Features are [[charNgramProfile]] trigrams
+    * hashed into `dim` buckets ([[tokenHash31]] — SQL-replayable), so
+    * the model is bounded at nLangs·dim rows regardless of corpus or
+    * vocabulary size: broadcastable at any scale, the same boundedness
+    * argument as the DSIR count tables. Returns (lang, b, cnt).
+    *
+    * Scale guard: the apply step cross-multiplies profile counts into
+    * Σcnt² — keep per-bucket counts under ~2^31 (downsample the seed
+    * corpus past that; a language profile saturates long before). */
+  def langIdTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      langCol: String, dim: Int = 256,
+      n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(col(langCol).as("lang"),
+        explode(charNgramProfile(col(textCol), n)).as("g"))
+      .select(col("lang"), (tokenHash31(col("g")) % dim).as("b"))
+      .groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
+
+  /** APPLY step of the hashed-linear language classifier: score every
+    * document against every language profile by the exact integer dot
+    * of hashed char-n-gram counts, normalized by the profile norm —
+    * the document's own norm is constant across languages, so it drops
+    * out of the argmax and the score stays ONE double division of
+    * exact integers (replayable bit-for-bit in a SQL oracle). The
+    * model rides a broadcast (bounded, see [[langIdTrain]]); the only
+    * corpus-sized exchanges are the doc-keyed bucket-count aggregate
+    * and the per-doc argmax (a window keyed on doc id — nLangs rows
+    * per doc, high-cardinality key, scale-safe). Ties break to the
+    * lexicographically smallest language. Documents shorter than `n`
+    * chars (or sharing no bucket with any profile) carry no evidence
+    * and are dropped — quarantine them upstream as undetermined.
+    * Returns (idCol, predicted, score). */
+  def langIdLinear(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, model: org.apache.spark.sql.DataFrame,
+      dim: Int = 256, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nrm = model.groupBy("lang")
+      .agg(sum(col("cnt") * col("cnt")).as("nrm2"))
+    val docB = df.select(col(idCol),
+        explode(charNgramProfile(col(textCol), n)).as("g"))
+      .select(col(idCol), (tokenHash31(col("g")) % dim).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("dcnt"))
+    docB.join(broadcast(model), Seq("b"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("dcnt") * col("cnt")).as("dot"))
+      .join(broadcast(nrm), Seq("lang"))
+      .select(col(idCol), col("lang"),
+        (col("dot").cast("double") / sqrt(col("nrm2").cast("double")))
+          .as("score"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("lang"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang").as("predicted"), col("score"))
+  }
+
   /** Duplicated n-gram SPANS across documents — the exact-substring
     * duplication signal training-data dedup pipelines act on (boilerplate
     * headers, license blocks, templated text): every word `n`-gram that

@@ -1203,6 +1203,64 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // trained language ID (hashed-linear, fasttext-shaped): per-language
+    // hashed char-trigram profiles trained on the 80% doc_id split,
+    // held-out 20% classified by exact-integer profile dot (doc norm
+    // drops from the argmax; one double division replays in SQL),
+    // confusion matrix out. The upgrade over langIdHeuristic's
+    // stopword ratio: it separates arbitrary language pairs, not just
+    // en/other, and is script-agnostic. Model bounded at nLangs*256
+    // rows -> broadcast at any corpus size.
+    QueryDef("text_langid_confusion",
+      s"""WITH tr AS (
+         |  SELECT lang, lower(regexp_replace(text, '\\s+', '_', 'g')) AS c
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |te AS (
+         |  SELECT doc_id, lang,
+         |    lower(regexp_replace(text, '\\s+', '_', 'g')) AS c
+         |  FROM documents WHERE doc_id % 10 >= 8),
+         |prof AS (
+         |  SELECT lang, ${sqlH31("g")} % 256 AS b, COUNT(*) AS cnt FROM (
+         |    SELECT lang, unnest(list_transform(range(1, length(c) - 1),
+         |      i -> substring(c, i, 3))) AS g
+         |    FROM tr)
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT lang, CAST(SUM(cnt * cnt) AS BIGINT) AS nrm2
+         |        FROM prof GROUP BY 1),
+         |db AS (
+         |  SELECT doc_id, ${sqlH31("g")} % 256 AS b, COUNT(*) AS dcnt FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, length(c) - 1),
+         |      i -> substring(c, i, 3))) AS g
+         |    FROM te)
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT db.doc_id, p.lang,
+         |    CAST(SUM(db.dcnt * p.cnt) AS BIGINT) AS dot
+         |  FROM db JOIN prof p ON p.b = db.b
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT doc_id, lang AS predicted FROM (
+         |    SELECT sc.doc_id, sc.lang,
+         |      ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+         |        ORDER BY CAST(sc.dot AS DOUBLE)
+         |                   / sqrt(CAST(n.nrm2 AS DOUBLE)) DESC,
+         |                 sc.lang) AS rn
+         |    FROM sc JOIN nrm n ON n.lang = sc.lang)
+         |  WHERE rn = 1)
+         |SELECT t.lang AS actual, p.predicted, COUNT(*) AS n
+         |FROM pred p JOIN te t ON t.doc_id = p.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tr = docs.filter(col("doc_id") % 10 < 8)
+      val te = docs.filter(col("doc_id") % 10 >= 8)
+      val model = TextAnalysis.langIdTrain(tr, "text", "lang")
+      TextAnalysis.langIdLinear(te, "doc_id", "text", model)
+        .join(te.select(col("doc_id"), col("lang").as("actual")),
+          Seq("doc_id"))
+        .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
+    },
+
     // DSIR end-to-end data-selection flagship (Xie et al. 2023 as ONE
     // query): hashed-n-gram importance weights against the src0/src1
     // target domain → zero-RNG systematic resample proportional to

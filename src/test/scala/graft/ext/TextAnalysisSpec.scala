@@ -420,6 +420,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w7 == w)
   }
 
+  test("langIdLinear separates language pairs the stopword heuristic " +
+    "cannot, and is partition-independent") {
+    import org.apache.spark.sql.functions._
+    // planted pseudo-French / pseudo-German / English corpora with
+    // distinct character statistics; neither pseudo language carries
+    // English stopwords
+    val fr = Seq("bonjour", "chateau", "fromage", "montagne", "riviere",
+      "oiseau", "jardin", "lumiere")
+    val de = Seq("schloss", "strasse", "bergwerk", "flugzeug", "schnell",
+      "zeitung", "gemuese", "fenster")
+    val en = Seq("the", "quick", "brown", "fox", "jumps", "over", "a",
+      "lazy", "dog", "and", "it", "is")
+    def mk(words: Seq[String], lang: String, base: Long) =
+      (0 until 10).map { i =>
+        (base + i, lang,
+          (0 until 16).map(j => words((i + j) % words.length))
+            .mkString(" "))
+      }
+    val all = (mk(fr, "fr", 0L) ++ mk(de, "de", 100L) ++ mk(en, "en", 200L))
+      .toDF("doc_id", "lang", "text")
+    val train = all.filter(col("doc_id") % 10 < 8)
+    val test = all.filter(col("doc_id") % 10 >= 8)
+    // the heuristic cannot tell fr from de — both land in 'other'
+    val heur = test.select(col("doc_id"),
+        TextAnalysis.langIdHeuristic(col("text")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(heur.filterKeys(_ < 200L).values.toSet == Set("other"),
+      s"heuristic must label both pseudo languages 'other': $heur")
+    // the trained classifier recovers the actual labels on ALL of them
+    val model = TextAnalysis.langIdTrain(train, "text", "lang")
+    val pred = TextAnalysis.langIdLinear(test, "doc_id", "text", model)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    val want = test.select("doc_id", "lang").as[(Long, String)]
+      .collect().toMap
+    assert(pred == want, s"predictions $pred must equal labels $want")
+    // partition independence: exact same predictions from 7 partitions
+    val pred7 = TextAnalysis.langIdLinear(test.repartition(7), "doc_id",
+        "text", TextAnalysis.langIdTrain(train.repartition(5), "text",
+          "lang"))
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(pred7 == pred)
+  }
+
   test("DSIR end-to-end selection (pipeline_dsir_select composition): " +
     "weights -> systematic resample -> token-budget packing") {
     import org.apache.spark.sql.functions._
