@@ -12,6 +12,9 @@ object Bench {
       // the correctness gate verifies
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed (bucketed) tables land in tmp, never in the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     // ERROR, not WARN: executor-thread WARNs land on stderr interleaved
     // with stdout in the harness capture and can push the result line out

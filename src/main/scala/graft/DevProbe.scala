@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.Dedup
+import graft.ext.TextAnalysis
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[A](label: String)(f: => A): A = {
@@ -17,19 +18,27 @@ object DevProbe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     spark.range(1000).selectExpr("sum(id)").collect()
-    val idx = Dedup.tokenIndex(Tables.documents(spark, sfDir), "doc_id", "text", 1)
-    time("tokenIndex count")(println(idx.count()))
-    val sig = Dedup.minhashSignatures(idx, 32)
-    time("signatures")(println(sig.count()))
-    val banded = sig.withColumn("band", explode(Dedup.bandKeyCols(2, 16)))
-      .select("id", "band")
-    val cand = banded.select(col("band"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    time("candidates")(println(cand.count()))
-    val rer = Dedup.candidateJaccard(cand, idx).filter(col("jaccard") >= 0.95)
-    time("re-rank")(println(rer.count()))
+    val docs = Tables.documents(spark, sfDir)
+    val tr = docs.filter(col("doc_id") % 10 < 8)
+    time("docs count")(println(docs.count()))
+    // stage 1: trigram explode alone
+    val grams = tr.select(col("lang"),
+      explode(TextAnalysis.charNgramProfile(col("text"), 3)).as("g"))
+    time("gram explode count")(println(grams.count()))
+    // stage 2: gram explode + md5 hash per occurrence
+    val hashed = grams.select(col("lang"),
+      (TextAnalysis.tokenHash31(col("g")) % 256).as("b"))
+    time("hash per occurrence + agg")(
+      println(hashed.groupBy("lang", "b").count().count()))
+    // stage 3: distinct-gram first, hash after
+    val pre = grams.groupBy("lang", "g").agg(count(lit(1)).as("gcnt"))
+      .select(col("lang"),
+        (TextAnalysis.tokenHash31(col("g")) % 256).as("b"), col("gcnt"))
+      .groupBy("lang", "b").agg(sum("gcnt").as("cnt"))
+    time("distinct-gram hash + agg")(println(pre.count()))
+    // full current train
+    time("langIdTrain")(
+      println(TextAnalysis.langIdTrain(tr, "text", "lang").count()))
     spark.stop()
   }
 }

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed (bucketed) tables land in tmp, never in the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // schema contract first: a regenerated fixture reports HERE with one

@@ -63,14 +63,14 @@ object TextAnalysis {
       .otherwise(lit("other"))
 
   /** Char-trigram profile (top fragments of a doc) — the building block of
-    * real n-gram language ID; exposed for library users and tests. */
-  def charNgramProfile(text: Column, n: Int = 3): Column = {
-    val cleaned = lower(regexp_replace(text, "\\s+", "_"))
-    when(length(cleaned) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), length(cleaned) - n),   // inclusive bound
-        i => substring(cleaned, lit(1) + i, lit(n))))
-  }
+    * real n-gram language ID; exposed for library users and tests.
+    * One codegen'd linear pass ([[graft.functions.CharGrams]]) — the
+    * `transform(sequence, substring)` composition it replaces walks the
+    * string from byte 0 for every gram (O(len²) per doc; the measured
+    * 16 s hotspot of the language-ID train pass at sf0.1). */
+  def charNgramProfile(text: Column, n: Int = 3): Column =
+    graft.functions.CharGrams(
+      lower(regexp_replace(text, "\\s+", "_")), n)
 
   /** TRAIN step of the hashed-linear language classifier: per-language
     * hashed char-n-gram count profiles from a LABELED seed corpus —

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed co-located fact-fact joins — the WRITE-TIME layout that
+  * deletes the shuffle from a repeated big-big join (SCALE.md §2: a
+  * lineitem⋈orders on orderkey is a shuffle join unless both tables are
+  * bucketed on the key at write time; then it is exchange-free).
+  *
+  * At 100 TB the arithmetic is stark: a shuffle join on the fact key
+  * moves both tables across the network EVERY time the join runs;
+  * bucketing moves each table ONCE (at write) and every subsequent
+  * join, aggregation, or window keyed on the bucket column reads
+  * co-located, pre-sorted buckets — the join becomes a zipper merge of
+  * matching bucket files with zero exchange on either side
+  * (plan-asserted in `BucketingSpec`; graded end-to-end by
+  * `q54_bucketed_join`).
+  *
+  * Bucketed tables require the table-catalog write path
+  * (`bucketBy(...).saveAsTable`), not a bare directory write — the
+  * bucket spec lives in catalog metadata, which is what lets the
+  * planner trust the layout and elide the exchange.
+  */
+object Bucketing {
+
+  /** Write `df` as a managed parquet table bucketed AND sorted by `key`
+    * into `nBuckets` buckets, replacing any previous version. The sort
+    * matters: sorted buckets let a sort-merge join skip its sort as
+    * well when each bucket is a single file. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit = {
+    // drop-then-write: the in-memory catalog forgets tables across
+    // sessions while the warehouse directory survives; an explicit drop
+    // keeps overwrite semantics honest for the same-session case and
+    // callers use session-unique names for the cross-session one
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Number of shuffle exchanges in the EXECUTED plan (AQE-final —
+    * call after an action so the adaptive plan is settled). The
+    * bucketed-join contract is that this is ZERO for the join stage. */
+  def shuffleExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def count(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case q: QueryStageExec => count(q.plan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(count).sum
+      case other => other.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+}

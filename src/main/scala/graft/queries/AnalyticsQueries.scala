@@ -1582,6 +1582,48 @@ object AnalyticsQueries {
         .orderBy("tile")
     },
 
+    // bucketed co-located fact-fact join, graded end to end: BOTH join
+    // sides are written as parquet tables bucketed+sorted on the order
+    // key (ops.Bucketing — write-time layout, catalog-backed), re-read,
+    // and sort-merge-joined WITHOUT an exchange on either side (the
+    // `merge` hint keeps the planner off the broadcast path so the
+    // bucket mechanism is what actually runs; exchange-freedom is
+    // plan-asserted in BucketingSpec). At 100 TB this is the one-shot
+    // write that every later orderkey join amortizes against — the
+    // difference between shuffling both fact tables per join and never
+    // shuffling them again. Bucketing is layout, not semantics, so the
+    // oracle replays the logical join.
+    QueryDef("q54_bucketed_join",
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.ops.Bucketing
+      // session-unique names: the in-memory catalog forgets tables
+      // across JVMs while the warehouse dir survives — a fresh name per
+      // JVM never collides with a dead run's files
+      val pid = ProcessHandle.current().pid()
+      val lt = s"graft_bkt_lineitem_$pid"
+      val ot = s"graft_bkt_orders_$pid"
+      Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice",
+          "l_discount"),
+        lt, "l_orderkey", 8)
+      Bucketing.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        ot, "o_orderkey", 8)
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     // null-semantics surface: NULLIF-derived nullable keys, null-safe
     // equality join (<=> ≡ IS NOT DISTINCT FROM — the null group MATCHES
     // itself, unlike plain =), null key as its own GROUP BY bucket,

@@ -3,49 +3,49 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-import java.nio.file.Files
-
-/** SCALE.md §2: bucketing both sides of a fact-fact join on the join key
-  * makes the join exchange-free — the co-located join path for repeated
-  * 100 TB joins. Verified on the lineitem⋈orders orderkey join.
+/** Bucketed co-located joins: the write-once layout that deletes the
+  * shuffle from fact-fact joins (SCALE.md §2), plan-asserted.
   */
 class BucketingSpec extends SparkSpec {
+  import spark.implicits._
 
-  test("bucketed fact-fact join plans without a shuffle exchange") {
-    val wh = Files.createTempDirectory("graft-wh")
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
-    // external bucketed tables with explicit paths (warehouse.dir is a
-    // static conf and cannot be redirected on a live session)
-    graft.Tables.lineitem(spark, sfDir)
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$wh/li_b")
-      .mode("overwrite").saveAsTable("li_b")
-    graft.Tables.orders(spark, sfDir)
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/ord_b")
-      .mode("overwrite").saveAsTable("ord_b")
-
-    val joined = spark.table("li_b")
-      .join(spark.table("ord_b"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"))
-
-    val plan = joined.queryExecution.executedPlan.toString
-    // the join itself must not introduce a shuffle: with both sides
-    // bucketed on the key, only the final small aggregate exchanges
-    val joinSection = plan.split("HashAggregate").last
-    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
-      plan)
-    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
-      plan)
-    // sanity: result matches the unbucketed join
-    val want = graft.Tables.lineitem(spark, sfDir)
-      .join(graft.Tables.orders(spark, sfDir),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
-      .orderBy("o_orderstatus").collect().toSeq
-    assert(joined.orderBy("o_orderstatus").collect().toSeq == want)
+  test("bucketed fact-fact join runs exchange-free; the unbucketed twin " +
+    "shuffles both sides; results identical") {
+    val pid = ProcessHandle.current().pid()
+    val lt = s"spec_bkt_lineitem_$pid"
+    val ot = s"spec_bkt_orders_$pid"
+    val l = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+    val o = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+    Bucketing.writeBucketed(l, lt, "l_orderkey", 4)
+    Bucketing.writeBucketed(o, ot, "o_orderkey", 4)
+    // the merge hint keeps the planner off the broadcast path so the
+    // assertion is about the BUCKET mechanism, not a small-table escape
+    val bucketed = spark.table(lt).hint("merge")
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+    val plain = l.hint("merge")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val gotB = bucketed.collect()
+    val gotP = plain.collect()
+    // layout, not semantics: both joins return the same multiset
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("l_orderkey")),
+        r.getLong(r.fieldIndex("o_orderkey")))
+    assert(gotB.length == gotP.length && gotB.nonEmpty)
+    assert(gotB.map(key).sorted.toSeq == gotP.map(key).sorted.toSeq)
+    // THE contract: co-located bucketed sides join with ZERO exchanges;
+    // the identical logical join over bare parquet shuffles both sides
+    assert(Bucketing.shuffleExchanges(bucketed) == 0,
+      s"bucketed join must not shuffle:\n${bucketed.queryExecution}")
+    assert(Bucketing.shuffleExchanges(plain) >= 2,
+      s"sanity: the unbucketed twin must shuffle both sides:\n" +
+        s"${plain.queryExecution}")
+    // same-session overwrite converges (the graded query re-runs in
+    // Bench's median-of-3 loop): second write, same name, same result
+    Bucketing.writeBucketed(l, lt, "l_orderkey", 4)
+    assert(spark.table(lt).count() == l.count())
+    spark.sql(s"DROP TABLE IF EXISTS $lt")
+    spark.sql(s"DROP TABLE IF EXISTS $ot")
   }
 }
