@@ -90,8 +90,15 @@ object TextAnalysis {
       n: Int = 3): org.apache.spark.sql.DataFrame =
     df.select(col(langCol).as("lang"),
         explode(charNgramProfile(col(textCol), n)).as("g"))
-      .select(col("lang"), (tokenHash31(col("g")) % dim).as("b"))
-      .groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
+      // count per (lang, DISTINCT gram) first, hash after: the md5
+      // bucket hash runs once per distinct gram (vocabulary-bounded)
+      // instead of once per occurrence (corpus-bounded) — identical
+      // bucket counts by sum invariance, and the extra exchange is
+      // tiny because map-side combine collapses to distinct grams
+      .groupBy("lang", "g").agg(count(lit(1)).as("gcnt"))
+      .select(col("lang"), (tokenHash31(col("g")) % dim).as("b"),
+        col("gcnt"))
+      .groupBy("lang", "b").agg(sum("gcnt").as("cnt"))
 
   /** APPLY step of the hashed-linear language classifier: score every
     * document against every language profile by the exact integer dot
