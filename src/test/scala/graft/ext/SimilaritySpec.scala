@@ -261,6 +261,21 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF-PQ encode is a MAP-ONLY projection over the cached slice " +
+    "table: zero shuffle exchanges (the plan-embedded-codebook contract)") {
+    val model = Similarity.ivfPqBuild(emb)
+    assert(model.codes.count() > 0)
+    // nearest_code carries the codebook as a literal reference object,
+    // so nothing between the slice cache and the code rows may exchange
+    // — the join-shaped assignment this replaced exploded k candidate
+    // rows per slice through an aggregate
+    val nShuffles = graft.ops.Bucketing.shuffleExchanges(model.codes)
+    assert(nShuffles == 0,
+      s"encode must be map-only, found $nShuffles exchanges:\n" +
+        s"${model.codes.queryExecution.executedPlan}")
+    spark.catalog.clearCache()
+  }
+
   test("IVF-PQ model store: codes written PARTITIONED BY cluster_id " +
     "prune to the probed partitions at serve — measured at file listing") {
     import org.apache.spark.sql.execution.FileSourceScanExec
