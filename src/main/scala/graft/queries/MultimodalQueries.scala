@@ -13,7 +13,70 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** Hex of one byte (two lowercase digits) of an integral column. */
+  private def hexByte(c: org.apache.spark.sql.Column) =
+    lpad(lower(hex(c.cast("long"))), 2, "0")
+  /** Little-endian u16 / u24 hex of an integral column. */
+  private def u16le(c: org.apache.spark.sql.Column) =
+    concat(hexByte(c % 256), hexByte((c.cast("long") / 256).cast("long")))
+  private def u24le(c: org.apache.spark.sql.Column) =
+    concat(hexByte(c % 256),
+      hexByte((c.cast("long") / 256).cast("long") % 256),
+      hexByte((c.cast("long") / 65536).cast("long")))
+
   val defs: Seq[QueryDef] = Seq(
+
+    // END-TO-END grade of the codec-free container parsers: every doc
+    // synthesizes a REAL binary header (GIF89a / TIFF-II IFD0 / WebP
+    // VP8X by doc_id mod 3, dimensions derived from doc_id), the typed
+    // mapPartitions branch parses the BYTES back, and the oracle
+    // recomputes the expected metadata from doc_id arithmetic alone —
+    // so a single mis-parsed field (endianness, off-by-one window,
+    // flag bit) hash-mismatches. This promotes the GIF/TIFF/WebP
+    // family from spec-only to oracle-graded, the same promotion
+    // mm_format_dispatch gave the sniffer.
+    QueryDef("mm_container_meta",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'gif'
+        |       WHEN 1 THEN 'tiff' ELSE 'webp' END AS format,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '89a'
+        |       WHEN 1 THEN 'II' ELSE 'VP8X' END AS variant,
+        |  CAST(doc_id % 200 + 1 AS INT) AS width,
+        |  CAST(doc_id % 100 + 1 AS INT) AS height,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2
+        |       WHEN 1 THEN 0 ELSE 8 END AS INT) AS depth_bits,
+        |  doc_id % 3 = 2 AS has_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val w = col("doc_id") % 200 + 1
+      val h = col("doc_id") % 100 + 1
+      // GIF89a: magic + LE dims + packed 0x91 (GCT, 2-bit) + bg + aspect
+      val gifHex = concat(lit("474946383961"), u16le(w), u16le(h),
+        lit("910000"))
+      // TIFF II: magic + IFD@8 + 2 entries (256/257 SHORT inline) + end
+      def tiffEntry(tag: String, v: org.apache.spark.sql.Column) =
+        concat(lit(tag), lit("0300"), lit("01000000"), u16le(v),
+          lit("0000"))
+      val tiffHex = concat(lit("49492a00"), lit("08000000"), lit("0200"),
+        tiffEntry("0001", w), tiffEntry("0101", h), lit("00000000"))
+      // WebP VP8X: RIFF size 22 + WEBP + VP8X chunk (10 B): alpha flag,
+      // 3 reserved, 24-bit canvas-1 dims
+      val webpHex = concat(lit("52494646"), lit("16000000"),
+        lit("57454250"), lit("56503858"), lit("0a000000"),
+        lit("10"), lit("000000"), u24le(w - 1), u24le(h - 1))
+      val payload = unhex(
+        when(col("doc_id") % 3 === 0, gifHex)
+          .when(col("doc_id") % 3 === 1, tiffHex)
+          .otherwise(webpHex))
+      Multimodal.Decoder.decodeImageContainers(
+          Tables.documents(s, d).select(col("doc_id"),
+            payload.as("payload")))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("variant"),
+          col("width"), col("height"), col("depth_bits"),
+          col("has_alpha"))
+        .orderBy("doc_id")
+    },
 
     QueryDef("mm_payload_meta",
       """SELECT doc_id,
