@@ -255,4 +255,38 @@ object CorpusStream {
       (docs.columns.filterNot(_ == textCol).map(col).toIndexedSeq :+
         graft.ext.TextAnalysis.piiRedact(col(textCol)).as(textCol)) ++
         graft.ext.TextAnalysis.piiCounts(col(textCol)): _*)
+
+  /** Streaming language gate — the crawl-ingest stage that keeps only
+    * target-language documents using the TRAINED hashed-linear
+    * classifier ([[graft.ext.TextAnalysis.langIdLinear]], model frozen
+    * at stream start; retrain out of band like the ANN index). The
+    * classifier's per-document argmax is a plain window, unsupported
+    * mid-stream, so classification runs inside `foreachBatch` (every
+    * stage there is the ordinary batch operator — nothing forked) and
+    * survivors land in a `batch_id`-partitioned store with DYNAMIC
+    * partition overwrite: a replayed micro-batch rewrites exactly its
+    * own partition, the same idempotent-crash-replay contract as
+    * [[AnnStream.indexBatches]]. Kept rows carry `predicted` and
+    * `score` for downstream mixture accounting. */
+  def langIdGateBatches(docs: DataFrame, model: DataFrame,
+      keepLangs: Set[String], storeDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keepLangs.nonEmpty, "langIdGateBatches: empty language set")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pred = graft.ext.TextAnalysis
+          .langIdLinear(batch, idCol, textCol, model)
+          .filter(col("predicted").isin(keepLangs.toSeq: _*))
+        batch.join(pred, Seq(idCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        ()
+      }
+      .start()
+  }
 }

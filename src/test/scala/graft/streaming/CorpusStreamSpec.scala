@@ -386,4 +386,54 @@ class CorpusStreamSpec extends SparkSpec {
       assert(got(2L)._2 == "nothing sensitive here" && got(2L)._5 == 0L)
     } finally q.stop()
   }
+
+  test("streaming language gate: frozen classifier keeps only target " +
+    "languages, store equals the batch-side gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.TextAnalysis
+    val fr = Seq("bonjour", "chateau", "fromage", "montagne", "riviere",
+      "oiseau", "jardin", "lumiere")
+    val de = Seq("schloss", "strasse", "bergwerk", "flugzeug", "schnell",
+      "zeitung", "gemuese", "fenster")
+    def mk(words: Seq[String], lang: String, base: Long) =
+      (0 until 10).map { i =>
+        (base + i, lang,
+          (0 until 16).map(j => words((i + j) % words.length))
+            .mkString(" "))
+      }
+    val train = (mk(fr, "fr", 0L) ++ mk(de, "de", 100L))
+      .toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.langIdTrain(train, "text", "lang")
+      // freeze the model: foreachBatch re-evaluates its plan per batch,
+      // and a live lineage would re-tokenize the seed corpus each time
+      .localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("langid-gate")
+    val storeDir = root.resolve("kept").toString
+    // stream: mixed fr/de docs (disjoint ids from the seed corpus)
+    val s1 = Seq((200L, mk(fr, "fr", 0L)(3)._3), (201L, mk(de, "de", 0L)(4)._3))
+    val s2 = Seq((202L, mk(de, "de", 0L)(7)._3), (203L, mk(fr, "fr", 0L)(8)._3))
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.langIdGateBatches(
+      mem.toDF().toDF("doc_id", "text"), model, Set("fr"),
+      storeDir, root.resolve("ckpt").toString)
+    try {
+      mem.addData(s1: _*); q.processAllAvailable()
+      mem.addData(s2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(storeDir)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(200L, 203L),
+      s"only the French docs may survive the gate: $ids")
+    // store rows carry the prediction metadata for mixture accounting
+    assert(kept.columns.toSet ==
+      Set("doc_id", "text", "predicted", "score", "batch_id"))
+    assert(kept.select("predicted").as[String].collect().toSet == Set("fr"))
+    // differential: the store equals the batch-side gate over all docs
+    val allDocs = (s1 ++ s2).toDF("doc_id", "text")
+    val batchKept = TextAnalysis
+      .langIdLinear(allDocs, "doc_id", "text", model)
+      .filter(col("predicted") === "fr")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == ids)
+  }
 }
