@@ -684,6 +684,44 @@ object TextAnalysis {
           (acc, x) => acc * x).as("weight"))
   }
 
+  /** Score documents against a PRE-AGGREGATED raw-corpus feature count
+    * table — the serving half of [[dsirWeights]] split out for count
+    * tables maintained OUT of band (e.g. incrementally over a stream,
+    * [[graft.streaming.DsirStream]]): same target counts, same add-one
+    * ratio, same sorted product fold, so scoring the counts' own corpus
+    * reproduces `dsirWeights` bit for bit (spec-pinned). `rawCnt` must
+    * be (f, rcnt) over the same `buckets` hash space. A document
+    * feature whose bucket is absent from `rawCnt` carries no evidence
+    * (dropped by the join — at B=256 an absent bucket means the corpus
+    * has literally never hashed there); refresh the count table to
+    * incorporate new vocabulary mass. */
+  def dsirScoreAgainstCounts(docs: org.apache.spark.sql.DataFrame,
+      rawCnt: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    val B = buckets
+    val tgtCnt = target
+      .select(explode(dsirFeatures(col(textCol), B)).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("tcnt"))
+    val nT = tgtCnt.agg(coalesce(sum("tcnt"), lit(0L)).cast("long").as("nt"))
+    val nR = rawCnt.agg(sum("rcnt").cast("long").as("nr"))
+    val ratio = rawCnt
+      .join(tgtCnt, Seq("f"), "left_outer")
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .select(col("f"),
+        (((coalesce(col("tcnt"), lit(0L)) + lit(1L)) * (col("nr") + lit(B.toLong)))
+          .cast("double") /
+          ((col("rcnt") + lit(1L)) * (col("nt") + lit(B.toLong)))
+            .cast("double")).as("term"))
+    docs.select(col(idCol),
+        explode(dsirFeatures(col(textCol), B)).as("f"))
+      .join(broadcast(ratio), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"),
+        aggregate(array_sort(collect_list(col("term"))), lit(1.0d),
+          (acc, x) => acc * x).as("weight"))
+  }
+
   /** Collocation mining without PMI's logarithm: the lift ratio
     * N·c(xy) / (c(x·)·c(·y)) ranks exactly like PMI (log is monotone)
     * but stays a single division of exact integer products, so the

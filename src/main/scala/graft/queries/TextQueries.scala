@@ -1154,6 +1154,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR weights served from a MAINTAINED count store — the 100 TB
+    // shape as the graded path (the text twin of ann_ivfpq_store): the
+    // corpus's hash-bounded feature counts land in a batch-partitioned
+    // parquet store (two pseudo-batches here — the layout the streaming
+    // maintainer DsirStream produces), are merged back by exact integer
+    // sum, and scoring runs against the merged table. The oracle is
+    // text_dsir_weights' verbatim: counts-then-merge is sum-invariant,
+    // so serving from the store is hash-identical to the one-shot path.
+    QueryDef("text_dsir_store",
+      s"""WITH $sqlDsirWeightCtes
+         |SELECT doc_id, n_feat, weight FROM wts
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-dsir-store")
+        .resolve("counts").toString
+      docs.withColumn("batch_id", (col("doc_id") % 2).cast("long"))
+        .select(col("batch_id"),
+          explode(TextAnalysis.dsirFeatures(col("text"), 256)).as("f"))
+        .groupBy("batch_id", "f").agg(count(lit(1)).as("cnt"))
+        .select("f", "cnt", "batch_id")
+        .write.partitionBy("batch_id").parquet(dir)
+      TextAnalysis.dsirScoreAgainstCounts(docs,
+          graft.streaming.DsirStream.readCounts(s, dir),
+          docs.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // DSIR systematic resampling — the SELECTION step the weights
     // exist for (Xie et al. resample ∝ weight): quantize each weight
     // to integer micro-units (+1 so every doc keeps mass), take the
