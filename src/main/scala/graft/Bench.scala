@@ -85,14 +85,26 @@ object Bench {
     val prevMedians: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)), "UTF-8")
-      val key = "\"queries\":{"
-      val seg = txt.indexOf(key)
-      if (seg < 0) Map.empty
-      else {
-        val start = seg + key.length
-        val body = txt.substring(start, txt.indexOf("}", start))
-        """"([A-Za-z0-9_]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // a previous artifact from a DIFFERENT scale factor would
+      // mass-flag bogus regressions (every sf0.1 median beats an
+      // sf0.01 one by >1.5x) — compare like with like or not at all
+      val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+      if (!prevSf.contains(sfDir)) {
+        if (prevSf.isDefined)
+          System.err.println(s"[bench] regression gate skipped: previous " +
+            s"artifact is ${prevSf.get}, this run is $sfDir")
+        Map.empty
+      } else {
+        val key = "\"queries\":{"
+        val seg = txt.indexOf(key)
+        if (seg < 0) Map.empty
+        else {
+          val start = seg + key.length
+          val body = txt.substring(start, txt.indexOf("}", start))
+          """"([A-Za-z0-9_]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       }
     } catch { case _: Throwable => Map.empty }
     val regressions = results.toSeq

@@ -36,7 +36,11 @@ object Multimodal {
     * matters: JPEG's FFD8FF is inside the MPEG-audio sync space
     * (FFEx/FFFx), so it must match first. */
   def sniffFormat(bin: Column): Column = {
-    val magic = substring(hex(bin), 1, 8)
+    // slice the BYTES first, hex after: hex(bin) would materialize a
+    // string 2x the whole payload per probe — on multi-MB media rows
+    // that is several full-payload copies on the dispatch path, where
+    // these read at most 4 bytes each
+    val magic = hex(substring(bin, 1, 4))
     when(magic.startsWith("89504E47"), "png")
       .when(magic.startsWith("FFD8FF"), "jpeg")
       // GIF87a/GIF89a share the "GIF8" prefix
@@ -47,13 +51,13 @@ object Multimodal {
       // WebP is a RIFF container whose form type (bytes 8-11) is WEBP —
       // must discriminate BEFORE the generic riff (WAVE/AVI) case
       .when(magic.startsWith("52494646") &&
-        substring(hex(bin), 17, 8) === lit("57454250"), "webp")
+        hex(substring(bin, 9, 4)) === lit("57454250"), "webp")
       .when(magic.startsWith("52494646"), "riff")
       .when(magic.startsWith("664C6143"), "flac")
       .when(magic.startsWith("494433"), "mp3") // ID3v2-tagged stream
       .when(magic.startsWith("FFE") || magic.startsWith("FFF"), "mp3")
       // ISO BMFF (MP4/MOV): the ftyp box type at bytes 4-7
-      .when(substring(hex(bin), 9, 8) === lit("66747970"), "mp4")
+      .when(hex(substring(bin, 5, 4)) === lit("66747970"), "mp4")
       .otherwise("unknown")
   }
 
@@ -268,15 +272,15 @@ object Multimodal {
             .getOrElse(decodeStub(id, payload))
           catch { case _: java.io.IOException => decodeStub(id, payload) }
         case "webp" =>
+          // stub features (real byte histogram + positional phash) with
+          // the REAL header dimensions — one feature implementation,
+          // not a divergent copy
           parseWebPMeta(id, payload).map { m =>
-            val hist = new Array[Long](16)
-            payload.foreach(b => hist((b & 0xff) >> 4) += 1L)
             val (rw, rh) = resized(m.width, m.height)
-            DecodedMeta(id, "webp", payload.length.toLong,
+            decodeStub(id, payload).copy(format = "webp",
               width = m.width, height = m.height,
               channels = if (m.has_alpha) 4 else 3,
-              resized_w = rw, resized_h = rh, features = hist.toSeq,
-              phash_bands = phashBytes(payload))
+              resized_w = rw, resized_h = rh)
           }.getOrElse(decodeStub(id, payload))
         case _ => decodeStub(id, payload)
       }

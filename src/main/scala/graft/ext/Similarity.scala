@@ -263,7 +263,9 @@ object Similarity {
     * assignment a MAP-ONLY codegen'd projection: no k× candidate-row
     * blowup through a cross join, no re-aggregation, no shuffle at all.
     * One output row per input row (strictly more general than the old
-    * join+min-struct shape, which deduplicated identical input rows). */
+    * join+min-struct shape, which deduplicated identical input rows).
+    * Labels must be INTEGRAL and `assigned` comes back as bigint
+    * (index non-integral labels to dense ids before assignment). */
   def assignNearest(vecs: DataFrame, qCol: String,
       cents: DataFrame): DataFrame = {
     // fail loudly on column shadowing — same contract as the join-shaped
@@ -277,9 +279,22 @@ object Similarity {
     require(cents.columns.sorted.sameElements(Array("clabel", "qc")),
       s"assignNearest: centroid frame must be exactly (clabel, qc), got " +
         cents.columns.mkString("(", ", ", ")"))
+    // the plan-embedded codebook carries labels as longs; integral
+    // label types widen (`assigned` comes back as bigint) — fail with
+    // guidance, not an opaque up-cast analysis error, on anything else
+    // (the old join-shaped path ordered arbitrary label types; map
+    // non-integral labels to dense ids before assignment if needed)
+    val labelType = cents.schema("clabel").dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(labelType),
+      s"assignNearest: clabel must be integral (got $labelType); index " +
+        "non-integral labels to dense ids before assignment")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val local = cents.select(col("clabel"), col("qc"))
+    val local = cents.select(col("clabel").cast("long").as("clabel"),
+        col("qc"))
       .as[(Long, Seq[Long])].collect().toSeq
       .map { case (l, qc) => (0L, l, qc) }
     vecs

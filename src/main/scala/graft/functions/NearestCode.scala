@@ -110,10 +110,16 @@ case class NearestCode(left: Expression, right: Expression,
       val first = ctx.freshName("first")
       val x = ctx.freshName("x")
       s"""
-         |int $gi = (int) $g;
-         |if ($g < 0L || $gi >= $lab.length || $lab[$gi].length == 0) {
+         |// range-check the FULL long before truncating: a group id in
+         |// [2^31, 2^32) must null out, not index with a wrapped int
+         |if ($g < 0L || $g >= (long) $lab.length) {
          |  ${ev.isNull} = true;
-         |} else {
+         |}
+         |int $gi = ${ev.isNull} ? 0 : (int) $g;
+         |if (!${ev.isNull} && $lab[$gi].length == 0) {
+         |  ${ev.isNull} = true;
+         |}
+         |if (!${ev.isNull}) {
          |  int $na = $a.numElements();
          |  long $vn = 0L;
          |  for (int $i = 0; $i < $na; $i++) {

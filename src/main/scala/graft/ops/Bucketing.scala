@@ -27,13 +27,26 @@ object Bucketing {
     * into `nBuckets` buckets, replacing any previous version. The sort
     * matters: sorted buckets let a sort-merge join skip its sort as
     * well when each bucket is a single file. */
+  /** `table` must be an UNQUALIFIED name in the default database (the
+    * stale-location cleanup below resolves it against the warehouse
+    * root). Idempotent across sessions: a fixed name overwrites in
+    * place instead of accumulating one copy per run. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       nBuckets: Int): Unit = {
-    // drop-then-write: the in-memory catalog forgets tables across
-    // sessions while the warehouse directory survives; an explicit drop
-    // keeps overwrite semantics honest for the same-session case and
-    // callers use session-unique names for the cross-session one
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    require(!table.contains("."),
+      s"writeBucketed: unqualified default-database name required ($table)")
+    val spark = df.sparkSession
+    // same-session re-write: drop the catalog entry (which also removes
+    // the managed location)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // cross-session leftover: the in-memory catalog forgot the table
+    // but its managed directory survived — creating over a non-empty
+    // location fails, so clear the default location explicitly
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)

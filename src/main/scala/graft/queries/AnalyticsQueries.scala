@@ -1602,12 +1602,11 @@ object AnalyticsQueries {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       import graft.ops.Bucketing
-      // session-unique names: the in-memory catalog forgets tables
-      // across JVMs while the warehouse dir survives — a fresh name per
-      // JVM never collides with a dead run's files
-      val pid = ProcessHandle.current().pid()
-      val lt = s"graft_bkt_lineitem_$pid"
-      val ot = s"graft_bkt_orders_$pid"
+      // FIXED names: writeBucketed overwrites in place (catalog drop +
+      // stale-location cleanup), so repeated runs never accumulate a
+      // fact-table copy per JVM in the shared warehouse
+      val lt = "graft_bkt_lineitem"
+      val ot = "graft_bkt_orders"
       Bucketing.writeBucketed(
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice",
           "l_discount"),

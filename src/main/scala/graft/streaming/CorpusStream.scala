@@ -273,11 +273,17 @@ object CorpusStream {
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keepLangs.nonEmpty, "langIdGateBatches: empty language set")
+    // freeze HERE, not in every caller: foreachBatch re-evaluates its
+    // plan per trigger, so a live langIdTrain lineage would re-tokenize
+    // the whole seed corpus every micro-batch (and drift if the seed
+    // source mutates) — one eager checkpoint makes the profile table a
+    // stable nLangs×dim snapshot for the stream's lifetime
+    val frozen = model.localCheckpoint(true)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pred = graft.ext.TextAnalysis
-          .langIdLinear(batch, idCol, textCol, model)
+          .langIdLinear(batch, idCol, textCol, frozen)
           .filter(col("predicted").isin(keepLangs.toSeq: _*))
         batch.join(pred, Seq(idCol))
           .withColumn("batch_id", lit(batchId))

@@ -57,7 +57,11 @@ class NearestCodeSpec extends SparkSpec {
       (2L, Seq(60L), 2L),   // group 2 -> label 7
       (3L, Seq(60L), 1L),   // empty group -> null
       (4L, Seq(60L), 99L),  // out of range -> null
-      (5L, Seq(60L), -3L))  // negative -> null
+      (5L, Seq(60L), -3L),  // negative -> null
+      (6L, Seq(60L), 2147483648L),  // > Int.MaxValue: must null, not
+                                    // crash on a wrapped int index
+      (7L, Seq(60L), 4294967296L))  // exact 2^32: truncates to int 0 —
+                                    // must null, not score group 0
       .toDF("id", "q", "g")
     val got = rows
       .select(col("id"), NearestCode(col("q"), col("g"), books).as("b"))
@@ -65,7 +69,7 @@ class NearestCodeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(got == Map(1L -> Some(0L), 2L -> Some(7L), 3L -> None,
-      4L -> None, 5L -> None), got.toString)
+      4L -> None, 5L -> None, 6L -> None, 7L -> None), got.toString)
   }
 
   test("interpreted eval agrees with codegen (the fallback contract)") {

@@ -11,9 +11,10 @@ class BucketingSpec extends SparkSpec {
 
   test("bucketed fact-fact join runs exchange-free; the unbucketed twin " +
     "shuffles both sides; results identical") {
-    val pid = ProcessHandle.current().pid()
-    val lt = s"spec_bkt_lineitem_$pid"
-    val ot = s"spec_bkt_orders_$pid"
+    // fixed names: writeBucketed's stale-location cleanup makes them
+    // safe across crashed runs, and nothing accumulates per JVM
+    val lt = "spec_bkt_lineitem"
+    val ot = "spec_bkt_orders"
     val l = graft.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_quantity")
     val o = graft.Tables.orders(spark, sfDir)

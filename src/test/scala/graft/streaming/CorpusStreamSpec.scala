@@ -403,10 +403,8 @@ class CorpusStreamSpec extends SparkSpec {
       }
     val train = (mk(fr, "fr", 0L) ++ mk(de, "de", 100L))
       .toDF("doc_id", "lang", "text")
+    // live lineage on purpose: langIdGateBatches freezes it internally
     val model = TextAnalysis.langIdTrain(train, "text", "lang")
-      // freeze the model: foreachBatch re-evaluates its plan per batch,
-      // and a live lineage would re-tokenize the seed corpus each time
-      .localCheckpoint(true)
     val root = java.nio.file.Files.createTempDirectory("langid-gate")
     val storeDir = root.resolve("kept").toString
     // stream: mixed fr/de docs (disjoint ids from the seed corpus)
