@@ -11,7 +11,12 @@ object PlanAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // same tmp warehouse as Verify/Bench: auditing a bucketed-table
+      // query must not drop a spark-warehouse/ into the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_agg", "q2_filter_project", "q5_region_revenue",
