@@ -49,4 +49,26 @@ class BucketingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $lt")
     spark.sql(s"DROP TABLE IF EXISTS $ot")
   }
+
+  test("writeBucketed survives a stale managed location left by a dead " +
+    "session (files on disk, no catalog entry)") {
+    val t = "spec_bkt_stale"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // simulate the crashed-JVM leftover: garbage at the default managed
+    // location with NO catalog entry — a bare saveAsTable would refuse
+    // to create over the non-empty directory
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, "garbage"))
+    out.writeBytes("not parquet"); out.close()
+    val o = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+    Bucketing.writeBucketed(o, t, "o_orderkey", 4)
+    assert(spark.table(t).count() == o.count())
+    // and the garbage really is gone, not merged into the table dir
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "garbage")))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
