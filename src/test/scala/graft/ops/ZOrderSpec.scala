@@ -105,8 +105,13 @@ class ZOrderSpec extends SparkSpec {
     val (linB, linFiles) = scanRead(linDir, bOnly)
     // no partition/listing pruning on either side — all 16 files listed
     assert(zFiles == 16 && linFiles == 16, s"files $zFiles/$linFiles")
-    // linear-by-a footers carry b in [0,127] everywhere: NOTHING skips
-    assert(linB == total, s"linear layout read $linB of $total for b-only")
+    // linear-by-a footers carry b in [0,127] everywhere: NOTHING skips.
+    // >= not ==: scan metrics are accumulators and count RETRIED task
+    // attempts, so a starvation-triggered retry on a loaded box can
+    // legitimately report more than `total` rows materialized (observed
+    // as a rare order-dependent flake under external CPU steal); the
+    // assertion's point — zero row-group skipping — is one-sided anyway
+    assert(linB >= total, s"linear layout read $linB of $total for b-only")
     // z-tiles bound b to ~32-wide bands: at most half the rows survive
     // footer skipping (exact tile hit would be 1/4; slack for sampled
     // range boundaries straddling tiles)
