@@ -15,7 +15,7 @@ object PlanAudit {
       // same tmp warehouse as Verify/Bench: auditing a bucketed-table
       // query must not drop a spark-warehouse/ into the repo tree
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+        graft.Warehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq

@@ -14,7 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // managed (bucketed) tables land in tmp, never in the repo tree
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+        graft.Warehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // schema contract first: a regenerated fixture reports HERE with one

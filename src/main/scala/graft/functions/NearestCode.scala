@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 
 /** `nearest_code(vec, group)` — exact-integer nearest-codeword argmin
   * against a PLAN-EMBEDDED codebook: for the row's `group` (a PQ
@@ -40,6 +41,21 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 case class NearestCode(left: Expression, right: Expression,
     labels: Seq[Seq[Long]], cents: Seq[Seq[Seq[Long]]])
     extends BinaryExpression {
+
+  // analysis-time contract: both eval paths index the vector with
+  // ArrayData.getLong and cast the group to Long, so an array<int> vec
+  // or int group would diverge between codegen and interpreted eval
+  // (garbage reads vs ClassCastException) — reject mismatches at
+  // analysis instead (AbstractDataType/ExpectsInputTypes is not public
+  // API in Spark 4, so the check is spelled out)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"nearest_code requires (array<bigint>, bigint), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   require(labels.length == cents.length &&
     labels.zip(cents).forall { case (l, c) => l.length == c.length },

@@ -270,7 +270,8 @@ object CorpusStream {
     * `score` for downstream mixture accounting. */
   def langIdGateBatches(docs: DataFrame, model: DataFrame,
       keepLangs: Set[String], storeDir: String, checkpointDir: String,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      dim: Int = 256, n: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keepLangs.nonEmpty, "langIdGateBatches: empty language set")
     // freeze HERE, not in every caller: foreachBatch re-evaluates its
@@ -282,8 +283,14 @@ object CorpusStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // dim/n MUST match what the model was trained with: grams hash
+        // into a dim-sized bucket space at train AND apply time, so a
+        // mismatched pair silently mis-scores every document (no error
+        // is possible — the buckets just disagree). The parameters ride
+        // the call signature rather than the model frame so the
+        // contract is visible at the call site.
         val pred = graft.ext.TextAnalysis
-          .langIdLinear(batch, idCol, textCol, frozen)
+          .langIdLinear(batch, idCol, textCol, frozen, dim, n)
           .filter(col("predicted").isin(keepLangs.toSeq: _*))
         batch.join(pred, Seq(idCol))
           .withColumn("batch_id", lit(batchId))

@@ -72,6 +72,28 @@ class NearestCodeSpec extends SparkSpec {
       4L -> None, 5L -> None, 6L -> None, 7L -> None), got.toString)
   }
 
+  test("out-of-contract input types are rejected at analysis, not at " +
+    "runtime (codegen/interpreted would diverge on them)") {
+    val books = Seq((0L, 0L, Seq(1L)))
+    // int group: codegen would work, interpreted eval would CCE
+    val intGroup = Seq((1L, Seq(1L), 2)).toDF("id", "q", "g")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      intGroup.select(NearestCode(col("q"), col("g"), books)).collect()
+    }
+    assert(e1.getMessage.contains("nearest_code"), e1.getMessage)
+    // array<int> vec: ArrayData.getLong would silently read garbage
+    val intVec = Seq((1L, Seq(1, 2), 0L)).toDF("id", "q", "g")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      intVec.select(NearestCode(col("q"), col("g"), books)).collect()
+    }
+    assert(e2.getMessage.contains("nearest_code"), e2.getMessage)
+    // the in-contract shape still analyzes (the check is not over-strict)
+    val ok = Seq((1L, Seq(1L), 0L)).toDF("id", "q", "g")
+      .select(NearestCode(col("q"), col("g"), books).as("b"))
+      .select(col("b.assigned")).as[Long].collect()
+    assert(ok.toSeq == Seq(0L))
+  }
+
   test("interpreted eval agrees with codegen (the fallback contract)") {
     val books = Seq((0L, 0L, Seq(1L, 2L)), (0L, 5L, Seq(3L, 4L)))
     val vecs = (0L until 50L).map(i => (i, Seq(i % 7, i % 5))).toDF("id", "q")
