@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML/markup → text extraction — the first stage of every real crawl
+  * pipeline (reference corpora arrive as markup; the quality/dedup/
+  * language gates downstream all assume extracted text). Entirely
+  * MAP-ONLY: a fixed chain of regex rewrites and one per-document line
+  * explode — no shuffle until a caller aggregates, so the stage scales
+  * with input bytes alone and fuses into the scan's codegen at 100 TB.
+  *
+  * The regex dialect is the shared Java-regex/RE2 subset (no
+  * backreferences, no lookaround, inline `(?is)` flags, explicit
+  * whitespace classes — Java's `\s` includes `\x0B`, RE2's does not),
+  * so a DuckDB oracle replays every stage bit-for-bit. This is a
+  * deliberately NAIVE extractor in the boilerpipe/jusText lineage —
+  * regex-shaped, not a conforming HTML5 tree parser: a bare `<` in
+  * running text eats to the next `>`, misnested anchors fall back to
+  * counting as body text. Those are the standard trade-offs of
+  * regex-level extraction; what matters at corpus scale is that the
+  * behavior is deterministic, engine-independent, and linear.
+  *
+  * Stage order (each deterministic given the previous):
+  *  1. raw-text containers: paired `<script>`/`<style>` blocks drop
+  *     with their CONTENT (script text is code, not prose; runs before
+  *     comment removal because script bodies legally contain `<!--`),
+  *     then any unterminated open-to-EOF tail drops too — a truncated
+  *     crawl must not leak half a script into the corpus.
+  *  2. comments `<!-- ... -->` drop.
+  *  3. block-level tags (`p`, `div`, `h1-6`, `li`, `tr`, `title`, …)
+  *     become newlines — the line structure downstream quality signals
+  *     key on.
+  *  4. per line: visible text = strip remaining tags, decode the
+  *     common named entities (`&amp;` LAST, standard single-pass
+  *     order, so `&amp;lt;` decodes to the literal text `&lt;`),
+  *     collapse whitespace, trim.
+  *  5. per line: link density = share of visible characters
+  *     contributed by `<a>…</a>` runs (anchor text AND the whitespace
+  *     it absorbs), as an exact integer permil — THE boilerplate
+  *     signal (nav bars and footers are link-dense, body prose is
+  *     not; jusText's core heuristic).
+  */
+object HtmlExtract {
+
+  /** Whitespace class shared by Java regex and RE2 (see scaladoc). */
+  private val Ws = "[ \\t\\r\\n\\f]"
+
+  private def rawTextRe(tag: String) =
+    s"(?is)<$tag\\b[^>]*>.*?</$tag$Ws*>"
+  private val UnterminatedRe = s"(?is)<(script|style)\\b[^>]*>.*"
+  private val CommentRe = "(?s)<!--.*?-->"
+  private val BlockTagRe =
+    "(?i)</?(p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead" +
+      "|tbody|tfoot|caption|blockquote|pre|section|article|aside|nav" +
+      "|header|footer|figure|figcaption|form|fieldset|legend|title" +
+      "|head|body|html)\\b[^>]*>"
+  private val AnyTagRe = "(?s)<[^>]*>"
+  private val AnchorRe = s"(?is)<a\\b[^>]*>.*?</a$Ws*>"
+
+  /** Stages 1-2: drop script/style (paired, then unterminated-to-EOF)
+    * and comments. */
+  def stripNoise(html: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html, rawTextRe("script"), ""),
+          rawTextRe("style"), ""),
+        UnterminatedRe, ""),
+      CommentRe, "")
+
+  /** Stage 3 on a noise-stripped document: block-level tags → '\n'.
+    * SOURCE newlines are normalized to spaces first — in HTML they are
+    * inter-word whitespace, not line structure (a paragraph wrapped at
+    * 80 columns is still one line of text); only block tags break
+    * lines. Inline tags (`a`, `b`, `span`, …) survive for the per-line
+    * link signal; [[visibleText]] removes them. */
+  def blockLines(stripped: Column): Column =
+    regexp_replace(
+      regexp_replace(stripped, "[\\t\\r\\n\\f]+", " "),
+      BlockTagRe, "\n")
+
+  /** Stage 4 on one line/fragment: remaining tags stripped, common
+    * entities decoded (`&amp;` last), whitespace collapsed, trimmed. */
+  def visibleText(fragment: Column): Column = {
+    val noTags = regexp_replace(fragment, AnyTagRe, "")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&").foldLeft(noTags) { case (c, (from, to)) =>
+      // literal replace via regexp_replace for engine parity — no
+      // entity name contains a regex metachar, so the pattern IS the
+      // literal in both dialects
+      regexp_replace(c, from, to)
+    }
+    trim(regexp_replace(decoded, s"$Ws+", " "))
+  }
+
+  /** Stage 5 helper: the fragment with `<a>…</a>` runs (tags AND inner
+    * text) removed — visible-length difference against the intact
+    * fragment is the anchor-contributed character count. */
+  def anchorStripped(fragment: Column): Column =
+    regexp_replace(fragment, AnchorRe, "")
+
+  /** Full extraction to LINES: one row per non-empty visible line —
+    * `(idCol, line_no, line, link_permil)` where `line_no` is the
+    * 0-based position in the block-split sequence (pre-filter, so
+    * relative order survives the empty-line drop) and `link_permil`
+    * is ⌊1000·anchor_chars/total_chars⌋ over visible characters.
+    * Map-only + one generator; no shuffle. */
+  def extractLines(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val lines = split(blockLines(stripNoise(col(htmlCol))), "\n")
+    df.select(col(idCol), posexplode(lines).as(Seq("line_no", "raw")))
+      .withColumn("line", visibleText(col("raw")))
+      .withColumn("__noa", visibleText(anchorStripped(col("raw"))))
+      .filter(length(col("line")) > 0)
+      .select(col(idCol), col("line_no").cast("long").as("line_no"),
+        col("line"),
+        // exact integer permil: lengths are ints, `div` is integral —
+        // no float rounding to desync an oracle (DuckDB twin: `//`)
+        expr("((length(line) - length(__noa)) * CAST(1000 AS BIGINT)) " +
+          "div CAST(length(line) AS BIGINT)").as("link_permil"))
+  }
+
+  /** Extraction to one TEXT column per document, dropping link-dense
+    * boilerplate lines (`link_permil > maxLinkPermil`) and rejoining
+    * the survivors in document order with '\n'. One doc-keyed
+    * aggregate (high-cardinality key — scale-safe); line order is
+    * restored by an in-row `sort_array` on `(line_no, line)` structs,
+    * so the result is partitioning-independent. Documents whose every
+    * line was boilerplate (or empty) are dropped — quarantine them
+    * upstream if they must be kept. */
+  def extractText(df: DataFrame, idCol: String, htmlCol: String,
+      maxLinkPermil: Int = 667): DataFrame = {
+    require(maxLinkPermil >= 0 && maxLinkPermil <= 1000,
+      s"extractText: maxLinkPermil in [0,1000] ($maxLinkPermil)")
+    extractLines(df, idCol, htmlCol)
+      .filter(col("link_permil") <= maxLinkPermil)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")),
+        "\n").as("text"))
+  }
+}

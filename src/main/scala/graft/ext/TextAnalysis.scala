@@ -839,4 +839,62 @@ object TextAnalysis {
       .agg(sum("w").as("score_fp"))
       .withColumn("accept", col("score_fp") >= 0L)
   }
+
+  /** C4-style wordlist content gate, ANNOTATION half: per-document
+    * blocked-token counts against a CALLER-SUPPLIED wordlist table
+    * (first column = word; nothing hardcoded — C4 ships a ~400-entry
+    * list, a deployment swaps its own). Matching is WHOLE-TOKEN and
+    * case-insensitive: "scan" does not hit "scanner" — the token
+    * machinery ([[tokens]]) is the word boundary, same as every other
+    * text operator here, so a list word containing whitespace can
+    * never match and is dropped up front.
+    *
+    * Shape at scale: the wordlist is broadcast (bounded model state);
+    * the corpus explodes to tokens once, LEFT-SEMI joins the broadcast
+    * (hit rows only — the join output is bounded by hit count, not
+    * corpus size), and aggregates on the document id (high-cardinality
+    * key). Token totals ride map-side as `size(tokens)` — no second
+    * corpus pass. Returns every input row: (idCol, tokens, hits,
+    * hit_permil) with hits=0 for clean documents; `hit_permil` is the
+    * exact integral ⌊1000·hits/tokens⌋ (0 for empty docs). */
+  def wordlistHits(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, words: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    require(words.columns.nonEmpty, "wordlistHits: wordlist has no column")
+    val wl = words
+      .select(lower(trim(col(words.columns.head))).as("__w"))
+      .filter(length(col("__w")) > 0 && !col("__w").rlike("\\s"))
+      .distinct()
+    val base = df.select(col(idCol),
+      tokens(lower(col(textCol))).as("__toks"))
+    val hits = base
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .join(broadcast(wl), col("__tok") === col("__w"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+    base
+      .select(col(idCol), size(col("__toks")).cast("long").as("tokens"))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("hits"))
+      .withColumn("hit_permil",
+        when(col("tokens") > 0L,
+          expr("(hits * CAST(1000 AS BIGINT)) div tokens"))
+          .otherwise(lit(0L)))
+  }
+
+  /** C4-style wordlist content gate, FILTER half: keep documents whose
+    * blocked-token rate is at most `maxPermil` (0 = any single hit
+    * rejects, C4's own policy). The threshold compare is pure integer
+    * (`hits·1000 ≤ maxPermil·tokens`) — no float boundary to disagree
+    * across engines. Survivors keep their full input row (left-semi
+    * against the annotation — no column bloat). */
+  def wordlistFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, words: org.apache.spark.sql.DataFrame,
+      maxPermil: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxPermil >= 0 && maxPermil <= 1000,
+      s"wordlistFilter: maxPermil in [0,1000] ($maxPermil)")
+    val keep = wordlistHits(df, idCol, textCol, words)
+      .filter(col("hits") * 1000L <= lit(maxPermil.toLong) * col("tokens"))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -1359,8 +1359,149 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // END-TO-END grade of the HTML extractor: every document wraps its
+    // text in a REAL markup shell (title, style+script with a hostile
+    // `</div>` inside the script string, a comment, a header with
+    // entities, link-dense nav items, an entity-heavy footer div),
+    // synthesized IN-PLAN from doc_id arithmetic — the mm_container_meta
+    // grading pattern. The oracle replays every stage (script/style
+    // drop, comment drop, block-tag line split, tag strip, entity
+    // decode, whitespace collapse, integral link permil) in the shared
+    // Java-regex/RE2 dialect, so one mis-ordered stage or off-by-one
+    // hash-mismatches. Six visible lines per document, two of them
+    // pure-anchor (permil 1000).
+    QueryDef("text_html_extract", sqlHtmlExtractOracle) { (s, d) =>
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<style>p{color:red}</style>"),
+        lit("<script>var x=\"</div>\";</script></head>"),
+        lit("<body><!-- hidden "), id, lit(" -->"),
+        lit("<h1>Header &amp; "), id, lit("</h1>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<ul><li><a href=\"/a\">Nav One</a></li>"),
+        lit("<li><a href=\"/b\">Nav Two</a></li></ul>"),
+        lit("<div>Tail &lt;"), id, lit("&gt;&nbsp;end</div></body></html>"))
+      graft.ext.HtmlExtract.extractLines(
+          Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .orderBy("doc_id", "line_no")
+    },
+
+    // C4-style wordlist gate, both halves graded: per-document
+    // blocked-token counts (whole-token, case-insensitive, broadcast
+    // wordlist) and the integral permil-threshold keep decision. The
+    // wordlist is CALLER-SUPPLIED and deliberately messy — an
+    // uppercase-padded duplicate (' SCAN '), a no-hit word, a
+    // whitespace-carrying entry that must be dropped — so the
+    // normalization contract (trim, lower, distinct, no-whitespace) is
+    // part of the grade. `kept` comes from wordlistFilter itself (the
+    // left-semi survivor set), not re-derived, so the filter half's
+    // plan is exercised too.
+    QueryDef("text_wordlist_filter", sqlWordlistOracle) { (s, d) =>
+      import s.implicits._
+      val words = Seq("slow", "big", "scan", "the", "zzz", " SCAN ", "a b")
+        .toDF("word")
+      val docs = Tables.documents(s, d)
+      val ann = TextAnalysis.wordlistHits(docs, "doc_id", "text", words)
+      val kept = TextAnalysis
+        .wordlistFilter(docs, "doc_id", "text", words, maxPermil = 20)
+        .select(col("doc_id"), lit(true).as("kept"))
+      ann.join(kept, Seq("doc_id"), "left")
+        .na.fill(false, Seq("kept"))
+        .select(col("doc_id"), col("tokens"), col("hits"),
+          col("hit_permil"), col("kept"))
+        .orderBy("doc_id")
+    },
+
     crawlRefreshDef,
   )
+
+  /** DuckDB replay of [[graft.ext.HtmlExtract.visibleText]] over a SQL
+    * expression: tag strip → entity decode (&amp; last) → whitespace
+    * collapse → trim. Built in the shared Java-regex/RE2 dialect. */
+  private def sqlVisible(e: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($e, '(?s)<[^>]*>', '', 'g'), " +
+      "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', ''''), '&apos;', ''''), '&amp;', '&'), " +
+      "'[ \\t\\r\\n\\f]+', ' ', 'g'))"
+
+  /** DuckDB replay of [[graft.ext.HtmlExtract.stripNoise]] +
+    * [[graft.ext.HtmlExtract.blockLines]]: paired script → paired
+    * style → unterminated raw-text tail → comments → source newlines
+    * to spaces → block tags to newline. Stage order mirrored exactly. */
+  private def sqlHtmlNoiseBlock(e: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace(regexp_replace($e, " +
+      "'(?is)<script\\b[^>]*>.*?</script[ \\t\\r\\n\\f]*>', '', 'g'), " +
+      "'(?is)<style\\b[^>]*>.*?</style[ \\t\\r\\n\\f]*>', '', 'g'), " +
+      "'(?is)<(script|style)\\b[^>]*>.*', '', 'g'), " +
+      "'(?s)<!--.*?-->', '', 'g'), " +
+      "'[\\t\\r\\n\\f]+', ' ', 'g'), " +
+      "'(?i)</?(p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table" +
+      "|thead|tbody|tfoot|caption|blockquote|pre|section|article|aside" +
+      "|nav|header|footer|figure|figcaption|form|fieldset|legend|title" +
+      "|head|body|html)\\b[^>]*>', chr(10), 'g')"
+
+  private def sqlHtmlExtractOracle: String = {
+    val vis = sqlVisible("raw")
+    val noa = sqlVisible("regexp_replace(raw, " +
+      "'(?is)<a\\b[^>]*>.*?</a[ \\t\\r\\n\\f]*>', '', 'g')")
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+       |    || '</title>' || '<style>p{color:red}</style>'
+       |    || '<script>var x="</div>";</script></head>'
+       |    || '<body><!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->'
+       |    || '<h1>Header &amp; ' || CAST(doc_id AS VARCHAR) || '</h1>'
+       |    || '<p>' || text || '</p>'
+       |    || '<ul><li><a href="/a">Nav One</a></li>'
+       |    || '<li><a href="/b">Nav Two</a></li></ul>'
+       |    || '<div>Tail &lt;' || CAST(doc_id AS VARCHAR)
+       |    || '&gt;&nbsp;end</div></body></html>' AS html
+       |  FROM documents),
+       |blk AS (SELECT doc_id, ${sqlHtmlNoiseBlock("html")} AS b FROM src),
+       |ls AS (SELECT doc_id, string_split(b, chr(10)) AS l FROM blk),
+       |ix AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM ls),
+       |rw AS (SELECT doc_id, i - 1 AS line_no, list_extract(l, i) AS raw
+       |       FROM ix),
+       |vis AS (SELECT doc_id, line_no, $vis AS line, $noa AS noa FROM rw)
+       |SELECT doc_id, line_no, line,
+       |  ((length(line) - length(noa)) * 1000) // length(line)
+       |    AS link_permil
+       |FROM vis WHERE length(line) > 0
+       |ORDER BY doc_id, line_no""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ext.TextAnalysis.wordlistHits]] +
+    * [[graft.ext.TextAnalysis.wordlistFilter]] (maxPermil = 20) over
+    * the same deliberately-messy literal wordlist. */
+  private def sqlWordlistOracle: String =
+    """WITH wl AS (
+      |  SELECT DISTINCT lower(trim(word)) AS w
+      |  FROM (VALUES ('slow'), ('big'), ('scan'), ('the'), ('zzz'),
+      |        (' SCAN '), ('a b')) t(word)
+      |  WHERE length(trim(word)) > 0
+      |    AND NOT regexp_matches(lower(trim(word)), '\s')),
+      |base AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, count(*) AS hits
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) tk
+      |  JOIN wl ON tk.tok = wl.w
+      |  GROUP BY doc_id),
+      |a AS (
+      |  SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS tokens,
+      |    COALESCE(h.hits, 0) AS hits
+      |  FROM base b LEFT JOIN h USING (doc_id))
+      |SELECT doc_id, tokens, hits,
+      |  CASE WHEN tokens > 0 THEN (hits * 1000) // tokens
+      |       ELSE 0 END AS hit_permil,
+      |  hits * 1000 <= 20 * tokens AS kept
+      |FROM a ORDER BY doc_id""".stripMargin
 
   /** Shared DuckDB CTE chain ending in `wts(doc_id, n_feat, weight)` —
     * the [[graft.ext.TextAnalysis.dsirWeights]] replay (hashed

@@ -1,0 +1,118 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(docs: (Long, String)*): Map[Long, Seq[(Long, String, Long)]] =
+    HtmlExtract.extractLines(docs.toDF("id", "html"), "id", "html")
+      .select(col("id"), col("line_no"), col("line"), col("link_permil"))
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq)
+      .toMap
+
+  test("happy path: blocks become lines, inline tags vanish, entities " +
+    "decode, whitespace collapses") {
+    val html = "<html><body><h1>A &amp; B</h1>" +
+      "<p>hello <b>bold</b>\n  world</p>" +
+      "<div>x &lt;y&gt;&nbsp;z</div></body></html>"
+    val lines = extract((1L, html))(1L).map(t => (t._2, t._3))
+    assert(lines == Seq(
+      ("A & B", 0L), ("hello bold world", 0L), ("x <y> z", 0L)))
+  }
+
+  test("script/style content drops entirely — including a hostile " +
+    "'</div>' inside a script string and CSS braces") {
+    val html = "<p>keep</p><script>var x=\"</div>\";bad()</script>" +
+      "<style>p{color:red}</style><p>also</p>"
+    val lines = extract((1L, html))(1L).map(_._2)
+    assert(lines == Seq("keep", "also"))
+  }
+
+  test("unterminated script eats to end of document (truncated crawl " +
+    "must not leak code into the corpus)") {
+    val html = "<p>keep</p><script>var x = 1; trailing junk"
+    assert(extract((1L, html))(1L).map(_._2) == Seq("keep"))
+    // same for style
+    val html2 = "<p>keep</p><style>body{--x:'"
+    assert(extract((2L, html2))(2L).map(_._2) == Seq("keep"))
+  }
+
+  test("comments drop, non-greedily — two comments do not merge and " +
+    "eat the text between them") {
+    val html = "<p>a<!-- one -->b<!-- two -->c</p>"
+    assert(extract((1L, html))(1L).map(_._2) == Seq("abc"))
+  }
+
+  test("double-encoded entity decodes one level: &amp;lt; becomes the " +
+    "literal text &lt;") {
+    val html = "<p>&amp;lt;tag&amp;gt;</p>"
+    assert(extract((1L, html))(1L).map(_._2) == Seq("&lt;tag&gt;"))
+  }
+
+  test("link density: pure-anchor lines are 1000 permil, mixed lines " +
+    "count anchor text plus absorbed whitespace, plain lines are 0") {
+    val html = "<li><a href=\"/x\">Nav</a></li>" +
+      "<p>foo <a href=\"/y\">bar</a> baz</p>" +
+      "<p>plain prose line</p>"
+    val got = extract((1L, html))(1L).map(t => (t._2, t._3))
+    assert(got.map(_._1) == Seq("Nav", "foo bar baz", "plain prose line"))
+    assert(got(0)._2 == 1000L)
+    // "foo bar baz" = 11 visible; anchor-stripped "foo baz" = 7;
+    // 4 anchor chars -> 4000 div 11 = 363
+    assert(got(1)._2 == 363L)
+    assert(got(2)._2 == 0L)
+  }
+
+  test("hostile markup never throws: bare '<', attribute with '>', " +
+    "unclosed anchor, tag soup, empty and tag-only documents") {
+    val docs = Seq(
+      (1L, "a < b and c > d"),           // bare < eats to the next >
+      (2L, "<p title=\"a>b\">x</p>"),    // naive: attr '>' ends the tag
+      (3L, "<p><a href=\"/x\">no close</p>"), // unclosed anchor
+      (4L, "<<<>>><p>t</p><//junk>"),
+      (5L, ""),
+      (6L, "<div><br/><hr></div>"),
+      (7L, "<P>UPPER</P><DIV>case</DIV>")) // case-insensitive tags
+    val got = extract(docs: _*)
+    // bare-< line: "< b and c >" is treated as a tag — documented naive
+    assert(got(1L).map(_._2) == Seq("a d"))
+    assert(got(2L).map(_._2) == Seq("b\">x")) // naive attr cut, no throw
+    // unclosed anchor: anchor strip can't fire, text counts as body
+    assert(got(3L).map(t => (t._2, t._3)) == Seq(("no close", 0L)))
+    // "<<<>>>": the tag regex consumes "<<<>" (greedy [^>]* then the
+    // first '>'), leaving ">>" as visible text — naive but deterministic
+    assert(got(4L).map(_._2) == Seq(">>", "t"))
+    assert(!got.contains(5L)) // empty doc: no lines at all
+    assert(!got.contains(6L)) // tag-only doc: no visible lines
+    assert(got(7L).map(_._2) == Seq("UPPER", "case"))
+  }
+
+  test("extractText rejoins surviving lines in document order and " +
+    "drops link-dense boilerplate") {
+    val html = "<p>first</p><li><a href=\"/n\">NavOne</a></li>" +
+      "<p>second</p>"
+    val got = HtmlExtract.extractText(
+        Seq((1L, html)).toDF("id", "html"), "id", "html",
+        maxLinkPermil = 500)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "first\nsecond")
+    // permissive threshold keeps the nav line, still in order
+    val all = HtmlExtract.extractText(
+        Seq((1L, html)).toDF("id", "html"), "id", "html",
+        maxLinkPermil = 1000)
+      .as[(Long, String)].collect().toMap
+    assert(all(1L) == "first\nNavOne\nsecond")
+  }
+
+  test("map-only contract: extractLines plans zero shuffle exchanges") {
+    val df = HtmlExtract.extractLines(
+      Seq((1L, "<p>x</p>")).toDF("id", "html"), "id", "html")
+    df.collect()
+    assert(graft.ops.Bucketing.shuffleExchanges(df) == 0,
+      df.queryExecution.executedPlan.toString)
+  }
+}

@@ -515,4 +515,52 @@ class TextAnalysisSpec extends SparkSpec {
     // partition independence: the whole composition reproduces exactly
     assert(run(raw.repartition(7)) == out)
   }
+
+  test("wordlistHits: whole-token matching — 'scan' never hits " +
+    "'scanner' or 'scans'; case-insensitive; every doc annotated") {
+    val docs = Seq(
+      (1L, "scanner scans scan rescan"),
+      (2L, "SCAN Scan sCaN"),
+      (3L, "clean text only"),
+      (4L, "")).toDF("doc_id", "text")
+    val wl = Seq("scan").toDF("word")
+    val got = TextAnalysis.wordlistHits(docs, "doc_id", "text", wl)
+      .select("doc_id", "tokens", "hits", "hit_permil")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 4L, 1L, 250L), got(1L).toString)
+    assert(got(2L) == (2L, 3L, 3L, 1000L))
+    assert(got(3L) == (3L, 3L, 0L, 0L))
+    // empty text: split gives [""], one (non-matching) token
+    assert(got(4L) == (4L, 1L, 0L, 0L))
+  }
+
+  test("wordlist normalization: padded/uppercase duplicates collapse, " +
+    "whitespace-carrying and empty entries are dropped") {
+    val docs = Seq((1L, "big big bad")).toDF("doc_id", "text")
+    val wl = Seq("big", " BIG ", "big bad", "", "  ").toDF("word")
+    val got = TextAnalysis.wordlistHits(docs, "doc_id", "text", wl)
+      .select("hits").as[Long].collect()
+    // only the deduped "big" survives the list: 2 hits, not 4, and the
+    // phrase entry can never match a single token
+    assert(got.toSeq == Seq(2L))
+  }
+
+  test("wordlistFilter: exact integral threshold boundary — 1 hit in " +
+    "50 tokens is exactly 20 permil, kept at maxPermil=20, dropped at 19") {
+    val fifty = (Seq("bad") ++ Seq.fill(49)("ok")).mkString(" ")
+    val docs = Seq((1L, fifty), (2L, "bad bad ok")).toDF("doc_id", "text")
+    val wl = Seq("bad").toDF("word")
+    def keptIds(p: Int) =
+      TextAnalysis.wordlistFilter(docs, "doc_id", "text", wl, p)
+        .select("doc_id").as[Long].collect().toSet
+    assert(keptIds(20) == Set(1L))
+    assert(keptIds(19) == Set.empty[Long])
+    assert(keptIds(1000) == Set(1L, 2L))
+    // C4 policy: any hit rejects at maxPermil = 0
+    assert(keptIds(0) == Set.empty[Long])
+    // survivors keep their full row shape
+    val cols = TextAnalysis
+      .wordlistFilter(docs, "doc_id", "text", wl, 1000).columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
 }
