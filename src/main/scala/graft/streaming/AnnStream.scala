@@ -29,14 +29,43 @@ object AnnStream {
     * `embCol` array<float>). Store layout:
     * `storeDir/batch_id=N/cluster_id=C/…` — `cluster_id` stays a
     * partition key so a serve-side `cluster_id IN (probes)` predicate
-    * prunes at file listing exactly as on the build store. */
+    * prunes at file listing exactly as on the build store.
+    *
+    * Every `compactEvery` batches (0 disables) the accumulated history
+    * is physically folded ([[StoreCompaction]] park-aside swap): all
+    * partitions with `batch_id < current` collapse to ONE merged
+    * `batch_id = current-1` partition set after applying the id-keyed
+    * last-write-wins [[readCodes]] performs at read time — so the fold
+    * changes no served result, and the store's partition count is
+    * bounded by `compactEvery + 1` instead of stream lifetime. A
+    * crashed first attempt's own partial partitions are excluded from
+    * the fold and dropped by the rewrite; the replay rewrites them
+    * (see [[StoreCompaction]]'s replay-safety rule). */
   def indexBatches(emb: DataFrame, model: Similarity.IvfPqModel,
       storeDir: String, checkpointDir: String,
-      idCol: String = "vec_id", embCol: String = "embedding")
+      idCol: String = "vec_id", embCol: String = "embedding",
+      compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        StoreCompaction.recoverParked(spark, storeDir)
+        if (StoreCompaction.due(batchId, compactEvery))
+          StoreCompaction.swapRewrite(spark, storeDir)(
+            dir => readStoreRaw(spark, dir),
+            all => {
+              val hist = all.filter(col("batch_id") < batchId)
+              val newest = hist.groupBy("id")
+                .agg(max("batch_id").as("batch_id"))
+              // after the per-id fold exactly one encoding per id
+              // remains, so re-stamping the merged set to one batch id
+              // preserves last-write-wins against all FUTURE batches
+              hist.join(newest, Seq("id", "batch_id"))
+                .withColumn("batch_id", lit(batchId - 1))
+            },
+            (df, dir) => df.write.mode("overwrite")
+              .partitionBy("batch_id", "cluster_id").parquet(dir))
         val codes = Similarity.ivfPqAdd(model, batch, idCol, embCol)
           .withColumn("batch_id", lit(batchId))
         // dynamic overwrite: only the partitions PRESENT in this
@@ -64,15 +93,20 @@ object AnnStream {
     * semi-join, the standard compacted-log read. Ids must be unique
     * WITHIN a batch (one embedding per id per micro-batch). */
   def readCodes(spark: SparkSession, storeDir: String): DataFrame = {
-    val all = spark.read.schema(StructType(Seq(
-        StructField("id", LongType), StructField("sub", LongType),
-        StructField("code", LongType), StructField("batch_id", LongType),
-        StructField("cluster_id", LongType))))
-      .parquet(storeDir)
+    val all = readStoreRaw(spark, storeDir)
     val newest = all.groupBy("id").agg(max("batch_id").as("batch_id"))
     all.join(newest, Seq("id", "batch_id"))
       .select("id", "cluster_id", "sub", "code")
   }
+
+  /** The store in its physical row shape, explicit schema (shared by
+    * [[readCodes]] and the compaction fold). */
+  private def readStoreRaw(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.schema(StructType(Seq(
+        StructField("id", LongType), StructField("sub", LongType),
+        StructField("code", LongType), StructField("batch_id", LongType),
+        StructField("cluster_id", LongType))))
+      .parquet(storeDir)
 
   /** Union build-time codes with stream codes for serving, id-keyed
     * NEWEST WINS across the build/stream boundary: an id present in

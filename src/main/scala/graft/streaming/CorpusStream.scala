@@ -193,24 +193,20 @@ object CorpusStream {
         val conf = spark.sparkContext.hadoopConfiguration
         val store = new org.apache.hadoop.fs.Path(storeDir)
         val fs = store.getFileSystem(conf)
-        // recover a compaction crash: a parked __old with no live store
-        // means the swap below died between its two renames
-        val parked = new org.apache.hadoop.fs.Path(storeDir + "__old")
-        if (!fs.exists(store) && fs.exists(parked)) fs.rename(parked, store)
-        // physical compaction under a retention window: rewrite the
-        // store without expired rows, park-aside swap (same crash-safe
-        // dance as [[upsertBatches]])
+        // recover a compaction crash, then (under a retention window)
+        // physically rewrite the store without expired rows — the
+        // shared park-aside swap contract ([[StoreCompaction]], also
+        // the AnnStream/DsirStream compactor). Unlike those stores this
+        // fold need not exclude the current batch: a crashed attempt's
+        // re-appended band rows are harmless duplicates (the store is
+        // read `distinct`), per the replay-safety note above.
+        StoreCompaction.recoverParked(spark, storeDir)
         retentionBatches.foreach { r =>
-          if (batchId > 0 && batchId % compactEvery == 0 && fs.exists(store)) {
-            val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compact")
-            spark.read.parquet(storeDir)
-              .filter(col("batch_id") >= batchId - r)
-              .write.mode("overwrite").parquet(tmp.toString)
-            if (fs.exists(parked)) fs.delete(parked, true)
-            fs.rename(store, parked)
-            fs.rename(tmp, store)
-            fs.delete(parked, true)
-          }
+          if (StoreCompaction.due(batchId, compactEvery))
+            StoreCompaction.swapRewrite(spark, storeDir)(
+              dir => spark.read.parquet(dir),
+              all => all.filter(col("batch_id") >= batchId - r),
+              (df, dir) => df.write.mode("overwrite").parquet(dir))
         }
         val histBase =
           if (fs.exists(store)) spark.read.parquet(storeDir)

@@ -28,14 +28,33 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object DsirStream {
 
   /** Start the count-maintenance stream: each micro-batch's hashed
-    * feature counts land in `storeDir/batch_id=N/`. */
+    * feature counts land in `storeDir/batch_id=N/`.
+    *
+    * Every `compactEvery` batches (0 disables) the accumulated
+    * partitions fold physically ([[StoreCompaction]] park-aside swap):
+    * counts are mergeable by SUM in any order, so compaction is the
+    * EXACT per-bucket sum of all `batch_id < current` partitions,
+    * re-stamped as one `batch_id = current-1` partition — at most
+    * `buckets` rows, and [[readCounts]]' merge is unchanged by
+    * construction. A crashed first attempt's own partition is excluded
+    * and dropped; the replay rewrites it (see [[StoreCompaction]]). */
   def countBatches(docs: DataFrame, storeDir: String,
       checkpointDir: String, textCol: String = "text",
-      buckets: Int = 256)
+      buckets: Int = 256, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        StoreCompaction.recoverParked(spark, storeDir)
+        if (StoreCompaction.due(batchId, compactEvery))
+          StoreCompaction.swapRewrite(spark, storeDir)(
+            dir => readStoreRaw(spark, dir),
+            all => all.filter(col("batch_id") < batchId)
+              .groupBy("f").agg(sum("cnt").as("cnt"))
+              .withColumn("batch_id", lit(batchId - 1)),
+            (df, dir) => df.write.mode("overwrite")
+              .partitionBy("batch_id").parquet(dir))
         batch
           .select(explode(
             TextAnalysis.dsirFeatures(col(textCol), buckets)).as("f"))
@@ -55,9 +74,14 @@ object DsirStream {
     * keeps `f`/`batch_id` LongType (partition-dir inference would
     * int-ify). */
   def readCounts(spark: SparkSession, storeDir: String): DataFrame =
+    readStoreRaw(spark, storeDir)
+      .groupBy("f").agg(sum("cnt").as("rcnt"))
+
+  /** The store in its physical row shape, explicit schema (shared by
+    * [[readCounts]] and the compaction fold). */
+  private def readStoreRaw(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.schema(StructType(Seq(
         StructField("f", LongType), StructField("cnt", LongType),
         StructField("batch_id", LongType))))
       .parquet(storeDir)
-      .groupBy("f").agg(sum("cnt").as("rcnt"))
 }

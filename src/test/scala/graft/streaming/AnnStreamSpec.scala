@@ -99,6 +99,65 @@ class AnnStreamSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("compaction: batch-partition count stays bounded, last-write-wins " +
+    "survives the fold, and a crashed attempt's partition is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val model = Similarity.ivfPqBuild(emb.filter(col("vec_id") % 2 === 0))
+    val root = java.nio.file.Files.createTempDirectory("ann-compact")
+    val storeDir = root.resolve("codes").toString
+
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val x = odd.head
+    val rest = odd.tail.grouped(math.max(1, odd.tail.length / 5))
+      .toSeq.take(5)
+    assert(rest.length == 5)
+
+    // crashed FIRST attempt of batch 2: garbage codes already on disk
+    // when the compaction-due batch replays
+    val garbage = Similarity.ivfPqAdd(model,
+        Seq(x).toDF("vec_id", "embedding"))
+      .withColumn("code", lit(999L)).withColumn("batch_id", lit(2L))
+    garbage.write.partitionBy("batch_id", "cluster_id").parquet(storeDir)
+
+    val stale = (x._1, Array.fill(x._2.length)(0.0f))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnStream.indexBatches(
+      mem.toDF().toDF("vec_id", "embedding"), model,
+      storeDir, root.resolve("ckpt").toString, compactEvery = 2)
+    try {
+      // batch 0 carries a STALE embedding of x; batch 3 re-emits the
+      // real one — the batch-4 compaction folds both and must keep
+      // only the newer encoding
+      mem.addData((Seq(stale) ++ rest(0)): _*); q.processAllAvailable()
+      mem.addData(rest(1): _*); q.processAllAvailable()
+      mem.addData(rest(2): _*); q.processAllAvailable() // compacts 0,1
+      mem.addData((Seq(x) ++ rest(3)): _*); q.processAllAvailable()
+      mem.addData(rest(4): _*); q.processAllAvailable() // compacts 1..3
+    } finally q.stop()
+
+    val dirs = new java.io.File(storeDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).sorted.toSeq
+    assert(dirs == Seq("batch_id=3", "batch_id=4"),
+      s"batch-partition count must be bounded by the window: $dirs")
+
+    // the folded store serves exactly the one-shot encode of the FINAL
+    // logical state (x at its recomputed embedding, garbage gone)
+    val streamed = (Seq(x) ++ rest.flatten).sortBy(_._1)
+    val got = AnnStream.readCodes(spark, storeDir)
+      .orderBy("id", "sub").as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Similarity.ivfPqAdd(model,
+        streamed.toSeq.toDF("vec_id", "embedding"))
+      .orderBy("id", "sub").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      "compacted store must equal the one-shot encode, newest-wins")
+    assert(!got.exists(_._4 == 999L), "garbage codes must be dropped")
+    spark.catalog.clearCache()
+  }
+
   test("mergedCodes: an id present in both the build corpus and the " +
     "stream keeps only the stream encoding across the boundary") {
     val emb = graft.Tables.embeddings(spark, sfDir)
