@@ -1,0 +1,131 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve harness: times the heaviest queries at three scale
+  * factors and fits per-query growth exponents — the empirical leg
+  * under the 100 TB design claims. A keyed/broadcast operator should
+  * grow ≈ linearly in its driver table; a super-linear exponent at
+  * small SF is exactly the constant-hidden blowup that would detonate
+  * at cluster scale.
+  *
+  * The exponent is fitted against each query's ACTUAL driver-table row
+  * count, not the nominal sf: the fixtures scale unevenly (documents
+  * are 500/500/5000 across sf0.001/0.01/0.1, embeddings 500/500/2000,
+  * lineitem a clean 10×/10×), so a nominal-sf fit would report garbage
+  * for the text/ANN families. Points with equal row counts collapse to
+  * the mean time at that size; `exp_tail` uses the two LARGEST distinct
+  * sizes (the small-size points carry ~0.3-0.5 s of fixed plan/launch
+  * overhead that biases a full fit toward sub-linear), `exp_fit` is the
+  * least-squares log-log slope over all distinct sizes.
+  *
+  * Emits one JSON line to stdout and SCALECURVE_r09.json.
+  */
+object ScaleCurve {
+
+  /** query → the table whose row count drives its cost. */
+  val Targets: Seq[(String, String)] = Seq(
+    "q1_pricing_agg" -> "lineitem",
+    "q5_region_revenue" -> "lineitem",
+    "q54_bucketed_join" -> "lineitem",
+    "graph_triangles" -> "events",
+    "graph_kcore" -> "events",
+    "text_lm_score" -> "documents",
+    "train_triplets" -> "documents",
+    "dedup_pipeline_survivors" -> "documents",
+    "dedup_minhash_lsh" -> "documents",
+    "text_dsir_resample" -> "documents",
+    "q49_cdc_compact" -> "documents",
+    "q22_bpe_pairs" -> "documents",
+    "pipeline_crawl_refresh" -> "documents",
+    "ann_ivfpq_topk" -> "embeddings",
+    "ann_ivfpq_multi" -> "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CURVE_REPS", "3").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_CURVE_OUT",
+      "SCALECURVE_r09.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.Warehouse.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val queries = SparkEntry.queries
+    val missing = Targets.map(_._1).filterNot(queries.contains)
+    require(missing.isEmpty, s"unknown curve queries: $missing")
+
+    // actual driver-table sizes per sf (the x axis)
+    val sizes: Map[(String, String), Long] = (for {
+      dir <- sfDirs
+      table <- Targets.map(_._2).distinct
+    } yield (dir, table) ->
+      spark.read.parquet(s"$dir/$table.parquet").count()).toMap
+
+    def fmt(v: Double): String = f"$v%.3f"
+    val results = Targets.map { case (name, table) =>
+      val fn = queries(name)
+      val times = sfDirs.map { dir =>
+        // one unmeasured warm run per (query, sf) so codegen/file
+        // listing does not bias the SMALL sf points (where it is the
+        // same absolute cost but a far larger fraction)
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        val ts = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[curve] $name @ $dir failed: ${e.getMessage}")
+            None
+          } finally spark.catalog.clearCache()
+        }
+        if (ts.isEmpty) Double.NaN else ts.sorted.apply(ts.size / 2)
+      }
+      val ns = sfDirs.map(dir => sizes((dir, table)))
+      // collapse equal-size points (mean time), keep ascending by n
+      val pts = ns.zip(times).filterNot(_._2.isNaN)
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (n, g) => (n.toDouble, g.map(_._2).sum / g.size) }
+      val expTail =
+        if (pts.size >= 2) {
+          val (n1, t1) = pts(pts.size - 2); val (n2, t2) = pts.last
+          math.log(t2 / t1) / math.log(n2 / n1)
+        } else Double.NaN
+      val expFit =
+        if (pts.size >= 2) {
+          val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+          val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+          xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+            xs.map(x => (x - mx) * (x - mx)).sum
+        } else Double.NaN
+      System.err.println(f"[curve] $name%-28s " +
+        times.map(fmt).mkString(" ") +
+        f"  tail=$expTail%.2f fit=$expFit%.2f ($table)")
+      (name, table, ns, times, expTail, expFit)
+    }
+    def num(v: Double): String = if (v.isNaN) "null" else fmt(v)
+    val qJson = results.map { case (name, table, ns, ts, tail, fit) =>
+      s""""$name":{"table":"$table","n":[${ns.mkString(",")}],""" +
+        s""""sec":[${ts.map(num).mkString(",")}],""" +
+        s""""exp_tail":${num(tail)},"exp_fit":${num(fit)}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_curve","sfs":[${sfDirs.map("\"" + _ + "\"").mkString(",")}],"reps":$reps,"queries":$qJson}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[curve] write failed: ${e.getMessage}") }
+    println(line)
+    spark.stop()
+  }
+}
