@@ -840,6 +840,129 @@ object TextAnalysis {
       .withColumn("accept", col("score_fp") >= 0L)
   }
 
+  /** Gopher-style LINE-repetition signals (Rae et al. 2021 quality
+    * filters, the line-based half — the n-gram half is
+    * [[dupNgramStats]]): over a `(idCol, lineCol)` frame (typically
+    * [[HtmlExtract.extractLines]] output), per document:
+    * `n_lines`, `n_dup_lines` (occurrences that repeat another
+    * identical line — occurrences minus distinct), `dup_line_permil`,
+    * `total_chars`, `dup_char_permil` (characters inside repeated
+    * occurrences). Boilerplate-heavy pages (repeated nav blocks,
+    * pagination footers) light up both permils; prose stays near 0.
+    *
+    * Shape: one (id, line)-keyed hash-agg (map-side combine collapses
+    * per-doc repeats), one id-keyed rollup — shuffle bounded by
+    * distinct lines, nothing pairwise. All integers; permils integral
+    * (⌊1000·x⌋) so an oracle replays bit-for-bit. Docs with zero lines
+    * are absent (no rows in, none out). */
+  def lineRepetitionStats(lines: org.apache.spark.sql.DataFrame,
+      idCol: String, lineCol: String): org.apache.spark.sql.DataFrame =
+    lines
+      .groupBy(col(idCol), col(lineCol).as("__line"))
+      .agg(count(lit(1)).as("__cnt"),
+        length(col("__line")).cast("long").as("__chars"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__cnt").cast("long").as("n_lines"),
+        (sum("__cnt") - count(lit(1))).cast("long").as("n_dup_lines"),
+        sum(col("__cnt") * col("__chars")).cast("long").as("total_chars"),
+        sum((col("__cnt") - 1L) * col("__chars")).cast("long")
+          .as("__dup_chars"))
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        expr("(n_dup_lines * CAST(1000 AS BIGINT)) div n_lines")
+          .as("dup_line_permil"),
+        col("total_chars"),
+        when(col("total_chars") > 0L,
+          expr("(__dup_chars * CAST(1000 AS BIGINT)) div total_chars"))
+          .otherwise(lit(0L)).as("dup_char_permil"))
+
+  /** Exact integral division of non-negative Column values via one
+    * correctly-rounded double division + floor — the `div` substitute
+    * where `expr` has no named columns to refer to. With num ≤ ~2^31
+    * and den ≥ 1 both exactly representable: an integer quotient
+    * divides exactly, and a fractional one sits ≥ 1/den from the floor
+    * boundary — orders of magnitude beyond the division's half-ulp
+    * error at per-document magnitudes (quotients ≤ 1000, den ≤ ~1e6).
+    * DuckDB `//` on BIGINTs replays it bit-for-bit. */
+  private def intDiv(num: Column, den: Column): Column =
+    floor(num.cast("double") / den.cast("double")).cast("long")
+
+  /** Marker for [[sentences]] — a control char that cannot occur in
+    * corpus text (hostile input containing it only mis-splits; nothing
+    * throws). */
+  private val SentenceMark = "\u0001"
+
+  /** Regex sentence segmentation in the shared Java-regex/RE2 subset:
+    * a terminal-punctuation run (`[.!?]+`, optionally followed by
+    * closing quotes/brackets) that precedes whitespace ends a
+    * sentence, with the punctuation RETAINED on its sentence (the
+    * C4/Gopher terminal-punct filters key on it). Marker insertion via
+    * group-ref replacement (`$1` / `\1` spell identical semantics in
+    * the Java/RE2 dialects) + split on the marker + trim; empty
+    * fragments dropped. Map-only projection, no generator. */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        split(
+          regexp_replace(text,
+            "([.!?]+[\"')\\]]*)[ \\t\\r\\n\\f]+",
+            "$1" + SentenceMark),
+          SentenceMark),
+        s => trim(s)),
+      s => length(s) > 0)
+
+  /** Per-document sentence statistics over [[sentences]]:
+    * `n_sentences`, `n_terminal` (sentences genuinely ending in
+    * terminal punctuation — a document\u0027s last fragment often does
+    * not), integral `terminal_permil`, and `mean_sentence_chars_x100`
+    * = ⌊100·Σchars/n⌋ (0 for sentence-free docs). Pure projection —
+    * C4\u0027s "ends in terminal punctuation" and length gates
+    * threshold these in the caller. */
+  def sentenceStats(text: Column): Seq[Column] = {
+    val ss = sentences(text)
+    val n = size(ss).cast("long")
+    val term = size(filter(ss,
+      s => s.rlike("[.!?][\"')\\]]*$"))).cast("long")
+    val chars = aggregate(ss, lit(0L), (acc, s) => acc + length(s))
+    Seq(
+      n.as("n_sentences"),
+      term.as("n_terminal"),
+      when(n > 0L, intDiv(term * 1000L, n)).otherwise(lit(0L))
+        .as("terminal_permil"),
+      when(n > 0L, intDiv(chars * 100L, n)).otherwise(lit(0L))
+        .as("mean_sentence_chars_x100"))
+  }
+
+  /** Gopher word-shape quality signals (Rae et al. 2021 §A1.1) as
+    * exact integer/permil columns a filter thresholds on: `n_words`;
+    * `mean_word_len_x100` = ⌊100·Σchars/words⌋ (the 3 ≤ mean ≤ 10
+    * gate); `alpha_word_permil` (words containing at least one letter
+    * — the ≥ 80% gate); `symbol_word_permil` (words that ARE
+    * hash/ellipsis symbols); `digit_char_permil` (digit share of all
+    * characters). One codegen-friendly projection, zero shuffles at
+    * any corpus size; thresholds live in the caller so policy changes
+    * never touch the scan. */
+  def gopherSignals(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val chars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val symbols = size(filter(toks,
+      t => t.rlike("^(#+|\\.\\.\\.|…)$"))).cast("long")
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("long")
+    val allChars = length(text).cast("long")
+    Seq(
+      n.as("n_words"),
+      when(n > 0L, intDiv(chars * 100L, n)).otherwise(lit(0L))
+        .as("mean_word_len_x100"),
+      when(n > 0L, intDiv(alpha * 1000L, n)).otherwise(lit(0L))
+        .as("alpha_word_permil"),
+      when(n > 0L, intDiv(symbols * 1000L, n)).otherwise(lit(0L))
+        .as("symbol_word_permil"),
+      when(allChars > 0L, intDiv(digits * 1000L, allChars))
+        .otherwise(lit(0L)).as("digit_char_permil"))
+  }
+
   /** C4-style wordlist content gate, ANNOTATION half: per-document
     * blocked-token counts against a CALLER-SUPPLIED wordlist table
     * (first column = word; nothing hardcoded — C4 ships a ~400-entry

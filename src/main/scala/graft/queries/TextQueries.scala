@@ -1414,8 +1414,163 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher LINE-repetition signals end to end: every document wraps
+    // its text in a markup shell carrying doc_id%3+1 copies of the SAME
+    // nav line plus a unique tail, the HTML extractor splits it to
+    // lines, and lineRepetitionStats aggregates — so the oracle's
+    // expected permils derive from doc_id arithmetic through the full
+    // extract→group chain (one wrong dedup or char count
+    // hash-mismatches).
+    QueryDef("text_line_repetition", sqlLineRepetitionOracle) { (s, d) =>
+      val nav = "<li><a href=\"/n\">Nav Item</a></li>"
+      val m = col("doc_id") % 3
+      val html = concat(
+        lit("<p>"), col("text"), lit("</p>"),
+        when(m === 0, lit(nav)).when(m === 1, lit(nav + nav))
+          .otherwise(lit(nav + nav + nav)),
+        lit("<p>tail "), col("doc_id").cast("string"), lit("</p>"))
+      TextAnalysis.lineRepetitionStats(
+          graft.ext.HtmlExtract.extractLines(
+            Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+            "doc_id", "html"),
+          "doc_id", "line")
+        .orderBy("doc_id")
+    },
+
+    // Sentence segmentation graded through planted punctuation: a
+    // period lands after every token whose 31-bit hash ≡ 0 (mod 5) —
+    // content-derived, position-independent, engine-replayable — then
+    // the marker-split sentence machinery and the C4 terminal-punct /
+    // mean-length stats run over the planted text.
+    QueryDef("text_sentences", sqlSentencesOracle) { (s, d) =>
+      val planted = array_join(
+        transform(TextAnalysis.tokens(col("text")),
+          t => concat(t,
+            when(TextAnalysis.tokenHash31(t) % 5 === 0, lit("."))
+              .otherwise(lit("")))),
+        " ")
+      Tables.documents(s, d).select(
+          (col("doc_id") +: TextAnalysis.sentenceStats(planted)): _*)
+        .orderBy("doc_id")
+    },
+
+    // Gopher word-shape signals with planted shape variety (symbol
+    // runs, digits, ellipses by doc_id class — the fixture corpus is
+    // pure alpha, which would leave three columns constant-zero and
+    // ungraded).
+    QueryDef("text_gopher_signals", sqlGopherOracle) { (s, d) =>
+      val m = col("doc_id") % 4
+      val planted = concat(col("text"),
+        when(m === 0, lit(" ### 123")).when(m === 1, lit(" ... a9 x"))
+          .when(m === 2, lit(" ab12cd")).otherwise(lit("")))
+      Tables.documents(s, d).select(
+          (col("doc_id") +: TextAnalysis.gopherSignals(planted)): _*)
+        .orderBy("doc_id")
+    },
+
     crawlRefreshDef,
   )
+
+  /** DuckDB replay of text_line_repetition: HTML synth → the
+    * [[sqlHtmlNoiseBlock]]/[[sqlVisible]] extraction chain → the
+    * (doc, line)-keyed repetition rollup. */
+  private def sqlLineRepetitionOracle: String = {
+    val vis = sqlVisible("raw")
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    '<p>' || text || '</p>'
+       |    || CASE CAST(doc_id % 3 AS INT)
+       |       WHEN 0 THEN '<li><a href="/n">Nav Item</a></li>'
+       |       WHEN 1 THEN repeat('<li><a href="/n">Nav Item</a></li>', 2)
+       |       ELSE repeat('<li><a href="/n">Nav Item</a></li>', 3) END
+       |    || '<p>tail ' || CAST(doc_id AS VARCHAR) || '</p>' AS html
+       |  FROM documents),
+       |blk AS (SELECT doc_id, ${sqlHtmlNoiseBlock("html")} AS b FROM src),
+       |ls AS (SELECT doc_id, string_split(b, chr(10)) AS l FROM blk),
+       |ix AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM ls),
+       |rw AS (SELECT doc_id, list_extract(l, i) AS raw FROM ix),
+       |vis AS (SELECT doc_id, $vis AS line FROM rw),
+       |c AS (
+       |  SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS chars
+       |  FROM vis WHERE length(line) > 0 GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_lines,
+       |  CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_lines,
+       |  CAST(((SUM(cnt) - COUNT(*)) * 1000) // SUM(cnt) AS BIGINT)
+       |    AS dup_line_permil,
+       |  CAST(SUM(cnt * chars) AS BIGINT) AS total_chars,
+       |  CAST(CASE WHEN SUM(cnt * chars) > 0
+       |    THEN (SUM((cnt - 1) * chars) * 1000) // SUM(cnt * chars)
+       |    ELSE 0 END AS BIGINT) AS dup_char_permil
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of text_sentences: hash-planted periods →
+    * marker-insertion split (`\\1`-style group ref — same semantics as
+    * Spark's `$1`) → trim/filter → terminal-punct and length stats. */
+  private def sqlSentencesOracle: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, array_to_string(list_transform(
+       |    string_split(text, ' '),
+       |    t -> t || CASE WHEN ${sqlH31("t")} % 5 = 0
+       |              THEN '.' ELSE '' END), ' ') AS p
+       |  FROM documents),
+       |ss AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split(
+       |      regexp_replace(p,
+       |        '([.!?]+["'')\\]]*)[ \\t\\r\\n\\f]+', '\\1' || chr(1), 'g'),
+       |      chr(1)),
+       |    s -> trim(s)), s -> length(s) > 0) AS l
+       |  FROM planted),
+       |st AS (
+       |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+       |    CAST(len(list_filter(l,
+       |      s -> regexp_matches(s, '[.!?]["'')\\]]*$$'))) AS BIGINT)
+       |      AS term,
+       |    CAST(length(array_to_string(l, '')) AS BIGINT) AS chars
+       |  FROM ss)
+       |SELECT doc_id, n AS n_sentences, term AS n_terminal,
+       |  CASE WHEN n > 0 THEN (term * 1000) // n ELSE 0 END
+       |    AS terminal_permil,
+       |  CASE WHEN n > 0 THEN (chars * 100) // n ELSE 0 END
+       |    AS mean_sentence_chars_x100
+       |FROM st ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of text_gopher_signals over the same planted
+    * word-shape variety. */
+  private def sqlGopherOracle: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text ||
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN ' ### 123' WHEN 1 THEN ' ... a9 x'
+      |      WHEN 2 THEN ' ab12cd' ELSE '' END AS p
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, p, string_split(p, ' ') AS toks FROM planted),
+      |st AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n,
+      |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS chars,
+      |    CAST(len(list_filter(toks,
+      |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+      |    CAST(len(list_filter(toks,
+      |      x -> regexp_matches(x, '^(#+|\.\.\.|…)$'))) AS BIGINT)
+      |      AS symbols,
+      |    CAST(length(regexp_replace(p, '[^0-9]', '', 'g')) AS BIGINT)
+      |      AS digits,
+      |    CAST(length(p) AS BIGINT) AS all_chars
+      |  FROM t)
+      |SELECT doc_id, n AS n_words,
+      |  CASE WHEN n > 0 THEN (chars * 100) // n ELSE 0 END
+      |    AS mean_word_len_x100,
+      |  CASE WHEN n > 0 THEN (alpha * 1000) // n ELSE 0 END
+      |    AS alpha_word_permil,
+      |  CASE WHEN n > 0 THEN (symbols * 1000) // n ELSE 0 END
+      |    AS symbol_word_permil,
+      |  CASE WHEN all_chars > 0 THEN (digits * 1000) // all_chars
+      |       ELSE 0 END AS digit_char_permil
+      |FROM st ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of [[graft.ext.HtmlExtract.visibleText]] over a SQL
     * expression: tag strip → entity decode (&amp; last) → whitespace

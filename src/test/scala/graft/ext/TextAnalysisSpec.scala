@@ -563,4 +563,61 @@ class TextAnalysisSpec extends SparkSpec {
       .wordlistFilter(docs, "doc_id", "text", wl, 1000).columns.toSeq
     assert(cols == Seq("doc_id", "text"))
   }
+
+  test("lineRepetitionStats: dup/char permils exact — all-unique 0, " +
+    "repeated nav lines counted by occurrence and by characters") {
+    val lines = Seq(
+      (1L, "alpha"), (1L, "beta"), (1L, "gamma"),          // no dups
+      (2L, "nav"), (2L, "nav"), (2L, "nav"), (2L, "body text"),
+      (3L, "x"), (3L, "x")).toDF("id", "line")             // all dup
+    val got = TextAnalysis.lineRepetitionStats(lines, "id", "line")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 3L, 0L, 0L, 14L, 0L))
+    // doc 2: 4 lines, 2 dup occurrences of "nav" (3 chars each),
+    // chars = 3*3 + 9 = 18, dup chars = 2*3 = 6
+    assert(got(2L) == (2L, 4L, 2L, 500L, 18L, 333L))
+    assert(got(3L) == (3L, 2L, 1L, 500L, 2L, 500L))
+  }
+
+  test("sentences: terminal runs split with punctuation retained; " +
+    "quotes/brackets after punctuation stay attached; unpunctuated " +
+    "tails and empty docs behave") {
+    def run(t: String): Seq[String] =
+      Seq(Tuple1(t)).toDF("t")
+        .select(TextAnalysis.sentences(col("t")).as("s"))
+        .as[Seq[String]].head()
+    assert(run("Hi! How are you? I am fine.") ==
+      Seq("Hi!", "How are you?", "I am fine."))
+    assert(run("What?! Really") == Seq("What?!", "Really"))
+    assert(run("He said \"stop.\" Then left") ==
+      Seq("He said \"stop.\"", "Then left"))
+    assert(run("no punctuation at all") == Seq("no punctuation at all"))
+    assert(run("") == Seq.empty)
+    assert(run("   ") == Seq.empty)
+    // a dot NOT followed by whitespace never splits (3.14, v1.2)
+    assert(run("pi is 3.14 ok. done") == Seq("pi is 3.14 ok.", "done"))
+  }
+
+  test("sentenceStats: terminal permil and mean chars are exact " +
+    "integrals; the unterminated tail is counted as non-terminal") {
+    val got = Seq((1L, "One. Two! Three")).toDF("id", "t")
+      .select((col("id") +: TextAnalysis.sentenceStats(col("t"))): _*)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // sentences: "One."(4) "Two!"(4) "Three"(5): 2 of 3 terminal,
+    // permil 666, mean chars x100 = 1300/3 = 433
+    assert(got == (1L, 3L, 2L, 666L, 433L))
+  }
+
+  test("gopherSignals: word-shape columns exact on a crafted doc; " +
+    "symbol tokens are whole-token matches only") {
+    val doc = "good text #tag ### ... x9 42"
+    val got = Seq((1L, doc)).toDF("id", "t")
+      .select((col("id") +: TextAnalysis.gopherSignals(col("t"))): _*)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // tokens: good text #tag ### ... x9 42 -> n=7, chars=22
+    // mean x100 = 2200/7 = 314; alpha tokens: good,text,#tag,x9 -> 4
+    // symbols: ### and ... (NOT #tag) -> 2; digits: 9,4,2 -> 3 of 28
+    assert(got == (1L, 7L, 314L, 571L, 285L, 107L))
+  }
 }

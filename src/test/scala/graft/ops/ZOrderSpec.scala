@@ -85,6 +85,25 @@ class ZOrderSpec extends SparkSpec {
     (scan.metrics("numOutputRows").value, scan.metrics("numFiles").value)
   }
 
+  /** [[scanRead]] stabilized against retried-task accumulator
+    * inflation: scan metrics count EVERY task attempt, so a
+    * starvation-triggered retry on a loaded box adds a whole
+    * partition's rows to the measurement (observed flaking the
+    * `zBox <= total/2` bound, which sits ~1000 rows under the
+    * threshold). The TRUE materialized count is the minimum over
+    * fresh runs — retries only ever inflate; two agreeing runs (the
+    * common case) stop early. */
+  private def scanReadStable(path: String,
+      pred: org.apache.spark.sql.Column): (Long, Long) = {
+    val a = scanRead(path, pred)
+    val b = scanRead(path, pred)
+    if (a._1 == b._1) a
+    else {
+      val c = scanRead(path, pred)
+      Seq(a, b, c).minBy(_._1)
+    }
+  }
+
   test("READ-SIDE SKIPPING: z-layout prunes row groups in BOTH dims " +
     "via plain parquet min/max stats; a linear sort prunes only its own") {
     // 128x128 grid = 16384 rows; 16 output files, each one ~1024-row
@@ -101,8 +120,8 @@ class ZOrderSpec extends SparkSpec {
     val total = 128L * 128L
     // the hostile predicate for a linear-by-a layout: filter on b ONLY
     val bOnly = col("b").between(48, 63)
-    val (zB, zFiles) = scanRead(zDir, bOnly)
-    val (linB, linFiles) = scanRead(linDir, bOnly)
+    val (zB, zFiles) = scanReadStable(zDir, bOnly)
+    val (linB, linFiles) = scanReadStable(linDir, bOnly)
     // no partition/listing pruning on either side — all 16 files listed
     assert(zFiles == 16 && linFiles == 16, s"files $zFiles/$linFiles")
     // linear-by-a footers carry b in [0,127] everywhere: NOTHING skips.
@@ -122,8 +141,8 @@ class ZOrderSpec extends SparkSpec {
     // a box predicate: both layouts skip, z stays within 2x of linear's
     // own-dimension pruning while ALSO being prunable on b
     val box = col("a").between(48, 79) && col("b").between(48, 79)
-    val (zBox, _) = scanRead(zDir, box)
-    val (linBox, _) = scanRead(linDir, box)
+    val (zBox, _) = scanReadStable(zDir, box)
+    val (linBox, _) = scanReadStable(linDir, box)
     assert(zBox <= total / 2, s"z box read $zBox")
     assert(linBox <= total / 2, s"lin box read $linBox")
     info(s"measured rows materialized of $total: b-only z=$zB " +
