@@ -942,4 +942,29 @@ object Dedup {
         lit(0L).as("dist"))
     crossNames.unionByName(sameName)
   }
+
+  /** Cluster-representative selection — the KEEP-POLICY half of
+    * near-dup dedup (min-id is a tie-break convention, not a policy;
+    * production pipelines keep the BEST member of each cluster, e.g.
+    * the longest or highest-quality-scored document). Given cluster
+    * assignments `(idCol, clusterCol, qualityCol, …)`, returns one row
+    * per cluster: the member with the maximum integral quality, ties
+    * to the smallest id (deterministic under any partitioning — the
+    * argmax is a single max-struct with the id negated into the
+    * comparator, no window, no sort).
+    *
+    * Shape: ONE cluster-keyed hash-agg with map-side combine —
+    * shuffle bounded by cluster count. `qualityCol` must be integral
+    * (exact comparisons; a float score can differ by formation order
+    * across engines — floor it first). */
+  def bestInCluster(assign: DataFrame, idCol: String, clusterCol: String,
+      qualityCol: String): DataFrame =
+    assign
+      .groupBy(col(clusterCol))
+      .agg(max(struct(
+        col(qualityCol).cast("long").as("q"),
+        (-col(idCol).cast("long")).as("negid"))).as("__w"))
+      .select(col(clusterCol),
+        (-col("__w.negid")).as(idCol),
+        col("__w.q").as(qualityCol))
 }

@@ -963,6 +963,35 @@ object TextAnalysis {
         .otherwise(lit(0L)).as("digit_char_permil"))
   }
 
+  /** Within-document line dedup — the REMOVAL action paired with
+    * [[lineRepetitionStats]]: repeated lines keep their FIRST
+    * occurrence in document order, later copies drop (the standard
+    * treatment for pagination/nav blocks that survive extraction).
+    * Deterministic under any partitioning: first-occurrence selection
+    * is a (id, line)-keyed min-position aggregate (high-cardinality
+    * key), reassembly restores order by an in-row `sort_array` on
+    * (pos, line) structs — no window over the whole document stream,
+    * no per-doc sort task. `sep` is treated as a literal separator
+    * (quoted into the split regex). Returns
+    * (idCol, textCol, n_lines, n_kept). */
+  def dedupDocLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sep: String = "\n")
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+      .groupBy(col(idCol), col("__line"))
+      .agg(min(col("__pos")).as("__first"), count(lit(1)).as("__occ"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("__first"), col("__line")))),
+            s => s.getField("__line")),
+          sep).as(textCol),
+        sum("__occ").cast("long").as("n_lines"),
+        count(lit(1)).as("n_kept"))
+
   /** C4-style wordlist content gate, ANNOTATION half: per-document
     * blocked-token counts against a CALLER-SUPPLIED wordlist table
     * (first column = word; nothing hardcoded — C4 ships a ~400-entry

@@ -351,6 +351,46 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // cluster-representative selection policy: per near-dup cluster
+    // keep the LONGEST member (n_chars, ties to smallest id) — the
+    // production keep-policy beside the min-id convention, as one
+    // cluster-keyed max-struct agg (no window). Same cluster CTEs as
+    // dedup_cluster_assign; the oracle arbitrates via row_number.
+    QueryDef("dedup_best_in_cluster",
+      s"""WITH RECURSIVE $sqlJaccardEnCtes,
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM jp
+        |  UNION SELECT id_b, id_a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep
+        |  FROM reach GROUP BY u),
+        |assign AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep
+        |  FROM d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |q AS (
+        |  SELECT a.cluster_rep, a.doc_id, doc.n_chars
+        |  FROM assign a JOIN documents doc ON doc.doc_id = a.doc_id),
+        |w AS (
+        |  SELECT cluster_rep, doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT cluster_rep, doc_id, n_chars FROM w WHERE rn = 1
+        |ORDER BY cluster_rep""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("lang") === "en")
+      val pairs = Dedup.jaccardPairsBitset(docs, "doc_id", "text",
+        n = 1, threshold = 0.9)
+      val assign = graft.ops.ConnectedComponents
+        .assignClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      Dedup.bestInCluster(assign, "doc_id", "cluster_rep", "n_chars")
+        .orderBy("cluster_rep")
+    },
+
     // majority label propagation (2 synchronous rounds) on the exact
     // unigram-Jaccard similarity graph — community detection that,
     // unlike connected components, doesn't merge dense groups across a

@@ -1468,6 +1468,39 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // within-document line dedup end to end: a boiler line repeats
+    // doc_id%2+1 times between the body and a unique tail; the
+    // first-occurrence selection, order-restoring reassembly, and the
+    // kept/total counts all replay in SQL (string_agg ORDER BY the
+    // same min-position key).
+    QueryDef("text_dedup_lines",
+      """WITH src AS (
+        |  SELECT doc_id, text || chr(10) || 'boiler plate line' ||
+        |    CASE WHEN doc_id % 2 = 1
+        |      THEN chr(10) || 'boiler plate line' ELSE '' END ||
+        |    chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM src),
+        |ix AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |       FROM ls),
+        |rw AS (SELECT doc_id, i, list_extract(l, i) AS line FROM ix),
+        |g AS (SELECT doc_id, line, MIN(i) AS first, COUNT(*) AS occ
+        |      FROM rw GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY first) AS text,
+        |  CAST(SUM(occ) AS BIGINT) AS n_lines,
+        |  COUNT(*) AS n_kept
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val boiler = "\nboiler plate line"
+      val ml = concat(col("text"), lit(boiler),
+        when(col("doc_id") % 2 === 1, lit(boiler)).otherwise(lit("")),
+        lit("\ntail "), col("doc_id").cast("string"))
+      TextAnalysis.dedupDocLines(
+          Tables.documents(s, d).select(col("doc_id"), ml.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     crawlRefreshDef,
   )
 

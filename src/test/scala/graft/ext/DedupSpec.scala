@@ -360,4 +360,17 @@ class DedupSpec extends SparkSpec {
     graft.ops.PlanChecks.assertNoCartesian(df)
   }
 
+  test("bestInCluster: max quality wins, ties break to the smallest " +
+    "id, singletons survive, partitioning never changes the answer") {
+    val assign = Seq(
+      (10L, 1L, 50L), (11L, 1L, 80L), (12L, 1L, 80L), // tie 11 vs 12
+      (20L, 2L, 5L),                                   // singleton
+      (30L, 3L, 9L), (31L, 3L, 7L)).toDF("id", "cluster", "q")
+    val got = Dedup.bestInCluster(assign, "id", "cluster", "q")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L, 80L), (2L, 20L, 5L), (3L, 30L, 9L)))
+    val re = Dedup.bestInCluster(assign.repartition(5), "id", "cluster", "q")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(re == got)
+  }
 }

@@ -620,4 +620,20 @@ class TextAnalysisSpec extends SparkSpec {
     // symbols: ### and ... (NOT #tag) -> 2; digits: 9,4,2 -> 3 of 28
     assert(got == (1L, 7L, 314L, 571L, 285L, 107L))
   }
+
+  test("dedupDocLines: first occurrence wins in order, counts exact, " +
+    "regex-metachar separators are literal, partition-independent") {
+    val df = Seq(
+      (1L, "a|b|a|c|b|a"),
+      (2L, "x"),
+      (3L, "same|same|same")).toDF("id", "t")
+    val got = TextAnalysis.dedupDocLines(df, "id", "t", sep = "|")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, "a|b|c", 6L, 3L))
+    assert(got(2L) == (2L, "x", 1L, 1L))
+    assert(got(3L) == (3L, "same", 3L, 1L))
+    val re = TextAnalysis.dedupDocLines(df.repartition(7), "id", "t", "|")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(re == got)
+  }
 }
