@@ -1449,8 +1449,10 @@ object TextQueries {
             when(TextAnalysis.tokenHash31(t) % 5 === 0, lit("."))
               .otherwise(lit("")))),
         " ")
-      Tables.documents(s, d).select(
-          (col("doc_id") +: TextAnalysis.sentenceStats(planted)): _*)
+      TextAnalysis.sentenceStatsDf(
+          Tables.documents(s, d)
+            .select(col("doc_id"), planted.as("__p")),
+          "doc_id", "__p")
         .orderBy("doc_id")
     },
 

@@ -601,12 +601,17 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("sentenceStats: terminal permil and mean chars are exact " +
     "integrals; the unterminated tail is counted as non-terminal") {
-    val got = Seq((1L, "One. Two! Three")).toDF("id", "t")
-      .select((col("id") +: TextAnalysis.sentenceStats(col("t"))): _*)
+    val got = TextAnalysis.sentenceStatsDf(
+        Seq((1L, "One. Two! Three")).toDF("id", "t"), "id", "t")
       .as[(Long, Long, Long, Long, Long)].head()
     // sentences: "One."(4) "Two!"(4) "Three"(5): 2 of 3 terminal,
     // permil 666, mean chars x100 = 1300/3 = 433
     assert(got == (1L, 3L, 2L, 666L, 433L))
+    // sentence-free docs survive as an all-zero row (explode_outer)
+    val empty = TextAnalysis.sentenceStatsDf(
+        Seq((9L, "   ")).toDF("id", "t"), "id", "t")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(empty == (9L, 0L, 0L, 0L, 0L))
   }
 
   test("gopherSignals: word-shape columns exact on a crafted doc; " +
