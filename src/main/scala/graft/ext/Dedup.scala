@@ -943,6 +943,35 @@ object Dedup {
     crossNames.unionByName(sameName)
   }
 
+  /** SOFT exact dedup — duplicate-count-weighted sampling (the
+    * SlimPajama-adjacent middle ground between keep-all and
+    * [[keepFirstExact]]): each member of an exact-content group
+    * survives with probability ≈ 1/count, so every distinct content
+    * contributes ~1 copy in expectation — repeated boilerplate is
+    * DOWN-WEIGHTED rather than erased, preserving the natural
+    * frequency signal cited against hard dedup. Zero RNG: a copy is
+    * kept iff `h31(id) mod 1000 < ⌊1000/count⌋` — the deterministic
+    * hash-threshold trick of the train/val split, reproducible under
+    * any partitioning and in any engine. Unique documents
+    * (count = 1) always survive.
+    *
+    * Shape: one content-keyed count agg + one content-keyed join back
+    * + a narrow filter — shuffle bounded by distinct contents; the
+    * count table carries ONE row per content, so even a
+    * million-duplicate group costs one join row, not a blowup.
+    * Returns the surviving rows plus `dup_count`. */
+  def softDedupSample(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val cnt = df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("dup_count"))
+    df.withColumn("__h", md5(col(textCol)))
+      .join(cnt, Seq("__h"))
+      .filter(graft.ext.TextAnalysis.tokenHash31(
+        col(idCol).cast("string")) % 1000L <
+        expr("CAST(1000 AS BIGINT) div dup_count"))
+      .drop("__h")
+  }
+
   /** Cluster-representative selection — the KEEP-POLICY half of
     * near-dup dedup (min-id is a tie-break convention, not a policy;
     * production pipelines keep the BEST member of each cluster, e.g.

@@ -1006,6 +1006,33 @@ object TextAnalysis {
         sum("__occ").cast("long").as("n_lines"),
         count(lit(1)).as("n_kept"))
 
+  /** Encoding-quality signals — the mojibake/corruption screen a crawl
+    * pipeline runs before any language or quality model (broken
+    * transcodes poison token statistics silently): integral permils of
+    * U+FFFD replacement characters (the decoder's own corruption
+    * marker), C0 control characters (NUL..US minus tab/newline/CR —
+    * binary spill into "text"), and non-ASCII characters (not an error
+    * signal — a script profile that contextualizes the other two).
+    * Character-class counts via the length-difference of a single
+    * codegen'd `regexp_replace` each (`\x{FFFD}` / `[\x00-\x08...]`
+    * spell identically in Java regex and RE2); zero shuffles. */
+  def encodingSignals(text: Column): Seq[Column] = {
+    val allChars = length(text).cast("long")
+    def classCount(cls: String): Column =
+      (allChars - length(regexp_replace(text, cls, "")).cast("long"))
+    val repl = classCount("\\x{FFFD}")
+    val ctrl = classCount("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val nonAscii = classCount("[^\\x00-\\x7F]")
+    Seq(
+      allChars.as("n_chars"),
+      when(allChars > 0L, intDiv(repl * 1000L, allChars))
+        .otherwise(lit(0L)).as("replacement_permil"),
+      when(allChars > 0L, intDiv(ctrl * 1000L, allChars))
+        .otherwise(lit(0L)).as("control_permil"),
+      when(allChars > 0L, intDiv(nonAscii * 1000L, allChars))
+        .otherwise(lit(0L)).as("non_ascii_permil"))
+  }
+
   /** C4-style wordlist content gate, ANNOTATION half: per-document
     * blocked-token counts against a CALLER-SUPPLIED wordlist table
     * (first column = word; nothing hardcoded — C4 ships a ~400-entry

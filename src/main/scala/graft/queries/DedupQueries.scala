@@ -391,6 +391,36 @@ object DedupQueries {
         .orderBy("cluster_rep")
     },
 
+    // duplicate-count-weighted SOFT dedup: planted shared contents
+    // (two boiler groups via doc_id mod 7) give count>1 groups whose
+    // members survive iff h31(id) clears the 1000/count hash
+    // threshold — zero RNG, so the oracle replays the exact survivor
+    // set including the always-kept unique docs.
+    QueryDef("dedup_soft_sample",
+      """WITH src AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 7 <= 1 THEN 'shared boiler alpha'
+        |    WHEN doc_id % 7 = 2 THEN 'shared boiler beta'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT md5(t) AS h, COUNT(*) AS dup_count
+        |      FROM src GROUP BY 1),
+        |j AS (SELECT doc_id, dup_count FROM src
+        |      JOIN c ON md5(src.t) = c.h)
+        |SELECT doc_id, dup_count FROM j
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 2147483647 % 1000 < 1000 // dup_count
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val content = when(col("doc_id") % 7 <= 1, lit("shared boiler alpha"))
+        .when(col("doc_id") % 7 === 2, lit("shared boiler beta"))
+        .otherwise(col("text"))
+      Dedup.softDedupSample(
+          Tables.documents(s, d).select(col("doc_id"), content.as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("dup_count"))
+        .orderBy("doc_id")
+    },
+
     // majority label propagation (2 synchronous rounds) on the exact
     // unigram-Jaccard similarity graph — community detection that,
     // unlike connected components, doesn't merge dense groups across a

@@ -1503,6 +1503,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // encoding-quality screen with planted corruption: a replacement
+    // char + a C0 control for doc%3=0, an accented char for doc%3=1 —
+    // the permil arithmetic and the \x{FFFD}/C0/non-ASCII classes
+    // (identical spellings in Java regex and RE2) replay in SQL.
+    QueryDef("text_encoding_signals",
+      """WITH src AS (
+        |  SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN chr(65533) || chr(7)
+        |    WHEN 1 THEN chr(233) ELSE '' END AS p
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, CAST(length(p) AS BIGINT) AS n,
+        |    CAST(length(p) - length(regexp_replace(p,
+        |      '\x{FFFD}', '', 'g')) AS BIGINT) AS repl,
+        |    CAST(length(p) - length(regexp_replace(p,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT)
+        |      AS ctrl,
+        |    CAST(length(p) - length(regexp_replace(p,
+        |      '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS na
+        |  FROM src)
+        |SELECT doc_id, n AS n_chars,
+        |  CASE WHEN n > 0 THEN (repl * 1000) // n ELSE 0 END
+        |    AS replacement_permil,
+        |  CASE WHEN n > 0 THEN (ctrl * 1000) // n ELSE 0 END
+        |    AS control_permil,
+        |  CASE WHEN n > 0 THEN (na * 1000) // n ELSE 0 END
+        |    AS non_ascii_permil
+        |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val m = col("doc_id") % 3
+      val planted = concat(col("text"),
+        when(m === 0, lit("�")).when(m === 1, lit("é"))
+          .otherwise(lit("")))
+      Tables.documents(s, d).select(
+          (col("doc_id") +: TextAnalysis.encodingSignals(planted)): _*)
+        .orderBy("doc_id")
+    },
+
     crawlRefreshDef,
   )
 

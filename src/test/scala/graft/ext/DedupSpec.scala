@@ -373,4 +373,28 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(re == got)
   }
+
+  test("softDedupSample: uniques always survive, duplicate groups thin " +
+    "to the exact hash-threshold set, partitioning never matters") {
+    val docs = ((0L until 40L).map(i => (i, "boiler")) ++
+      Seq((100L, "unique a"), (101L, "unique b"))).toDF("id", "t")
+    val got = Dedup.softDedupSample(docs, "id", "t")
+      .select("id", "dup_count").as[(Long, Long)].collect().toSet
+    // uniques: dup_count 1 -> threshold 1000 -> always kept
+    assert(got((100L, 1L)) && got((101L, 1L)))
+    // the boiler group (count 40, threshold 25 permil) keeps exactly
+    // the ids whose h31 clears it — replay the rule directly
+    val h = (i: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2147483647L
+    }
+    val expect = (0L until 40L).filter(i => h(i) % 1000L < 1000L / 40L)
+      .map(i => (i, 40L)).toSet ++ Set((100L, 1L), (101L, 1L))
+    assert(got == expect, s"got $got expect $expect")
+    val re = Dedup.softDedupSample(docs.repartition(7), "id", "t")
+      .select("id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(re == got)
+  }
 }

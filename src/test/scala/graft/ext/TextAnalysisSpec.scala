@@ -641,4 +641,23 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(re == got)
   }
+
+  test("encodingSignals: planted corruption counted exactly; clean " +
+    "ASCII and empty strings are all-zero") {
+    val docs = Seq(
+      (1L, "clean ascii"),
+      (2L, "bad \ufffd\ufffd here"),          // 2 replacement of 11
+      (3L, "ctl\u0007\u000b"),                // 2 C0 controls of 5
+      (4L, "caf\u00e9"),                       // 1 non-ascii of 4
+      (5L, "")).toDF("id", "t")
+    val got = docs.select(
+        (col("id") +: TextAnalysis.encodingSignals(col("t"))): _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 11L, 0L, 0L, 0L))
+    assert(got(2L) == (2L, 11L, 181L, 0L, 181L))
+    assert(got(3L) == (3L, 5L, 0L, 400L, 0L))
+    assert(got(4L) == (4L, 4L, 0L, 0L, 250L))
+    assert(got(5L) == (5L, 0L, 0L, 0L, 0L))
+  }
 }
