@@ -1540,6 +1540,49 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // corpus DATA CARD: the per-(source, lang) rollup a training run
+    // publishes next to its mixture table — documents, token/char
+    // volume, vocabulary and stopword mass, PII incidence, integral
+    // mean length. Pure integer sums over one scan + one low-
+    // cardinality keyed agg (the group count is bounded by
+    // sources×languages, so the final agg is broadcast-sized at any
+    // corpus scale).
+    QueryDef("text_corpus_card",
+      s"""WITH per AS (
+        |  SELECT source, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_dis,
+        |    length(text)::BIGINT AS n_ch,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains($sqlStop, t)))::BIGINT AS n_stop
+        |  FROM documents)
+        |SELECT source, lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_ch) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_dis) AS BIGINT) AS distinct_token_sum,
+        |  CAST(SUM(n_stop) AS BIGINT) AS stopword_sum,
+        |  CAST((SUM(n_tok) * 100) // COUNT(*) AS BIGINT)
+        |    AS mean_tokens_x100
+        |FROM per GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          TextAnalysis.nTokens(col("text")).as("n_tok"),
+          TextAnalysis.nDistinct(col("text")).as("n_dis"),
+          length(col("text")).cast("long").as("n_ch"),
+          TextAnalysis.nStopwords(col("text")).as("n_stop"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("total_tokens"),
+          sum("n_ch").cast("long").as("total_chars"),
+          sum("n_dis").cast("long").as("distinct_token_sum"),
+          sum("n_stop").cast("long").as("stopword_sum"))
+        .withColumn("mean_tokens_x100",
+          expr("(total_tokens * CAST(100 AS BIGINT)) div n_docs"))
+        .orderBy("source", "lang")
+    },
+
     crawlRefreshDef,
   )
 

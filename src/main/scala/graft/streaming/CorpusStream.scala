@@ -252,6 +252,40 @@ object CorpusStream {
         graft.ext.TextAnalysis.piiRedact(col(textCol)).as(textCol)) ++
         graft.ext.TextAnalysis.piiCounts(col(textCol)): _*)
 
+  /** Streaming C4-style wordlist gate — the blocklist stage of the
+    * crawl ingest, per micro-batch inside `foreachBatch` (the hits
+    * pipeline carries a per-doc aggregate, which mid-stream would
+    * become a stateful agg; batch-scoped it is the ordinary
+    * [[graft.ext.TextAnalysis.wordlistFilter]] plan with the wordlist
+    * frozen at stream start — swap the list out of band like the ANN
+    * model / language profiles). Survivors land in a
+    * `batch_id`-partitioned store under DYNAMIC partition overwrite —
+    * the idempotent-crash-replay contract shared with
+    * [[langIdGateBatches]] and [[AnnStream.indexBatches]]. */
+  def wordlistGateBatches(docs: DataFrame, words: DataFrame,
+      storeDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxPermil: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one eager snapshot for the stream's lifetime (foreachBatch
+    // re-evaluates its plan per trigger — a live lineage would re-read
+    // and could drift mid-stream)
+    val frozen = words.localCheckpoint(true)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.TextAnalysis
+          .wordlistFilter(batch, idCol, textCol, frozen, maxPermil)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming language gate — the crawl-ingest stage that keeps only
     * target-language documents using the TRAINED hashed-linear
     * classifier ([[graft.ext.TextAnalysis.langIdLinear]], model frozen

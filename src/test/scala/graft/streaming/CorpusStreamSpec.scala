@@ -434,4 +434,53 @@ class CorpusStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(batchKept == ids)
   }
+
+  test("streaming wordlist gate: frozen blocklist filters per batch, " +
+    "store equals the batch-side filter; HTML extraction runs NATIVELY " +
+    "mid-stream (stateless projection + generator)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.TextAnalysis
+    val words = Seq("blocked").toDF("word")
+    val root = java.nio.file.Files.createTempDirectory("wl-gate")
+    val storeDir = root.resolve("kept").toString
+    val s1 = Seq((1L, "clean text here"), (2L, "very blocked content"))
+    val s2 = Seq((3L, "also clean"), (4L, "blocked blocked blocked"))
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.wordlistGateBatches(
+      mem.toDF().toDF("doc_id", "text"), words,
+      storeDir, root.resolve("ckpt").toString)
+    try {
+      mem.addData(s1: _*); q.processAllAvailable()
+      mem.addData(s2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(storeDir)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // differential vs the batch-side gate
+    val batchKept = TextAnalysis.wordlistFilter(
+        (s1 ++ s2).toDF("doc_id", "text"), "doc_id", "text", words, 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 3L))
+
+    // HtmlExtract is a pure projection + generator: it plans directly
+    // on a streaming frame (no foreachBatch needed) — the whole
+    // extract stage of the crawl ingest runs inside the stream
+    val htmlMem = MemoryStream[(Long, String)]
+    val extracted = graft.ext.HtmlExtract.extractLines(
+      htmlMem.toDF().toDF("doc_id", "html"), "doc_id", "html")
+    val outDir = root.resolve("lines").toString
+    val q2 = extracted.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", root.resolve("ckpt2").toString)
+      .start()
+    try {
+      htmlMem.addData((7L, "<p>first</p><li><a href=x>Nav</a></li>"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val lines = spark.read.parquet(outDir)
+      .select("doc_id", "line", "link_permil")
+      .as[(Long, String, Long)].collect().toSet
+    assert(lines == Set((7L, "first", 0L), (7L, "Nav", 1000L)),
+      lines.toString)
+  }
 }
