@@ -1583,8 +1583,143 @@ object TextQueries {
         .orderBy("source", "lang")
     },
 
+    // ROUND-9 FLAGSHIP — the crawl-ingest curation chain composed end
+    // to end from this round's operators, markup in, training corpus
+    // out: HTML extraction with link-density boilerplate pruning →
+    // within-doc line dedup → encoding gate (replacement chars) →
+    // wordlist gate → Gopher symbol gate → duplicate-count-weighted
+    // soft dedup. Every hazard is planted by doc_id arithmetic (a
+    // corrupted body, a blocked paragraph, a symbol-spam block, a
+    // ~2/19 shared mirror-page group, a repeated subscribe line, pure-
+    // link nav items), and the oracle replays all six stages in SQL —
+    // stage order included — so one misordered gate hash-mismatches.
+    QueryDef("pipeline_html_curate", sqlHtmlCurateOracle) { (s, d) =>
+      import graft.ext.{Dedup, HtmlExtract}
+      val id = col("doc_id")
+      val shell = concat(
+        lit("<html><body><p>"), col("text"),
+        when(id % 11 === 0, lit("�")).otherwise(lit("")),
+        lit("</p>"),
+        when(id % 13 === 0, lit("<p>this is blocked content</p>"))
+          .otherwise(lit("")),
+        lit("<p>subscribe now</p><p>subscribe now</p>"),
+        lit("<ul><li><a href=\"/l\">Link One</a></li>"),
+        lit("<li><a href=\"/l\">Link Two</a></li></ul>"),
+        when(id % 17 === 0, lit("<p>### ### ### ### ###</p>"))
+          .otherwise(lit("")),
+        lit("<p>tail "), id.cast("string"), lit("</p></body></html>"))
+      val html = when(id % 19 < 2,
+        lit("<p>shared mirror page</p><p>subscribe now</p>"))
+        .otherwise(shell)
+      val src = Tables.documents(s, d).select(id, html.as("html"))
+      val extracted = HtmlExtract.extractText(src, "doc_id", "html",
+        maxLinkPermil = 500)
+      // the extract+dedup prefix feeds every later gate, and two of
+      // them (wordlist semi-join, soft-dedup count join) consume their
+      // input TWICE — persist the expensive prefix and the final gated
+      // stage so the six-stage chain evaluates once, not 4-6x (the
+      // in-query persist discipline of the other flagships; the bench
+      // clears the cache between queries)
+      val deduped = TextAnalysis.dedupDocLines(extracted, "doc_id", "text")
+        .persist()
+      val keepCols = Seq(col("doc_id"), col("text"), col("n_lines"),
+        col("n_kept"))
+      val encOk = deduped
+        .select((keepCols ++
+          TextAnalysis.encodingSignals(col("text"))): _*)
+        .filter(col("replacement_permil") === 0L)
+        .select(keepCols: _*)
+      val words = {
+        import s.implicits._
+        Seq("blocked").toDF("word")
+      }
+      val wlOk = TextAnalysis.wordlistFilter(encOk, "doc_id", "text",
+        words, maxPermil = 0)
+      val gopOk = wlOk
+        .select((keepCols ++ TextAnalysis.gopherSignals(col("text"))): _*)
+        .filter(col("symbol_word_permil") <= 30L)
+        .select(keepCols: _*)
+        .persist()
+      Dedup.softDedupSample(gopOk, "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("dup_count"))
+        .orderBy("doc_id")
+    },
+
     crawlRefreshDef,
   )
+
+  /** DuckDB replay of the pipeline_html_curate flagship — six stages
+    * in the exact operator order, built from the shared extraction
+    * helpers. */
+  private def sqlHtmlCurateOracle: String = {
+    val vis = sqlVisible("raw")
+    val noa = sqlVisible("regexp_replace(raw, " +
+      "'(?is)<a\\b[^>]*>.*?</a[ \\t\\r\\n\\f]*>', '', 'g')")
+    s"""WITH src AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 19 < 2
+       |    THEN '<p>shared mirror page</p><p>subscribe now</p>'
+       |    ELSE '<html><body><p>' || text ||
+       |      CASE WHEN doc_id % 11 = 0 THEN chr(65533) ELSE '' END ||
+       |      '</p>' ||
+       |      CASE WHEN doc_id % 13 = 0
+       |        THEN '<p>this is blocked content</p>' ELSE '' END ||
+       |      '<p>subscribe now</p><p>subscribe now</p>' ||
+       |      '<ul><li><a href="/l">Link One</a></li>' ||
+       |      '<li><a href="/l">Link Two</a></li></ul>' ||
+       |      CASE WHEN doc_id % 17 = 0
+       |        THEN '<p>### ### ### ### ###</p>' ELSE '' END ||
+       |      '<p>tail ' || CAST(doc_id AS VARCHAR) || '</p></body></html>'
+       |    END AS html
+       |  FROM documents),
+       |blk AS (SELECT doc_id, ${sqlHtmlNoiseBlock("html")} AS b FROM src),
+       |lsx AS (SELECT doc_id, string_split(b, chr(10)) AS l FROM blk),
+       |ixx AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+       |        FROM lsx),
+       |rwx AS (SELECT doc_id, i - 1 AS line_no, list_extract(l, i) AS raw
+       |        FROM ixx),
+       |vl AS (SELECT doc_id, line_no, $vis AS line, $noa AS noal
+       |       FROM rwx),
+       |kept AS (
+       |  SELECT doc_id, line_no, line FROM vl
+       |  WHERE length(line) > 0 AND
+       |    ((length(line) - length(noal)) * 1000) // length(line) <= 500),
+       |ext AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS t
+       |  FROM kept GROUP BY doc_id),
+       |dl AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM ext),
+       |di AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM dl),
+       |dr AS (SELECT doc_id, i, list_extract(l, i) AS line FROM di),
+       |dg AS (SELECT doc_id, line, MIN(i) AS first, COUNT(*) AS occ
+       |       FROM dr GROUP BY 1, 2),
+       |dd AS (
+       |  SELECT doc_id,
+       |    string_agg(line, chr(10) ORDER BY first) AS t,
+       |    CAST(SUM(occ) AS BIGINT) AS n_lines,
+       |    COUNT(*) AS n_kept
+       |  FROM dg GROUP BY doc_id),
+       |enc AS (
+       |  SELECT * FROM dd
+       |  WHERE length(t) > 0 AND
+       |    ((length(t) - length(regexp_replace(t, '\\x{FFFD}', '', 'g')))
+       |      * 1000) // length(t) = 0),
+       |wl AS (
+       |  SELECT * FROM enc
+       |  WHERE len(list_filter(string_split(lower(t), ' '),
+       |    x -> x = 'blocked')) = 0),
+       |gop AS (
+       |  SELECT * FROM wl
+       |  WHERE (len(list_filter(string_split(t, ' '),
+       |      x -> regexp_matches(x, '^(#+|\\.\\.\\.|…)$$'))) * 1000)
+       |    // len(string_split(t, ' ')) <= 30),
+       |cnt AS (
+       |  SELECT md5(t) AS h, COUNT(*) AS dup_count FROM gop GROUP BY 1)
+       |SELECT g.doc_id, g.n_lines, g.n_kept, c.dup_count
+       |FROM gop g JOIN cnt c ON md5(g.t) = c.h
+       |WHERE ('0x' || substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 15))
+       |    ::BIGINT % 2147483647 % 1000 < 1000 // c.dup_count
+       |ORDER BY g.doc_id""".stripMargin
+  }
 
   /** DuckDB replay of text_line_repetition: HTML synth → the
     * [[sqlHtmlNoiseBlock]]/[[sqlVisible]] extraction chain → the
