@@ -38,7 +38,10 @@ object ScaleCurve {
     "q22_bpe_pairs" -> "documents",
     "pipeline_crawl_refresh" -> "documents",
     "ann_ivfpq_topk" -> "embeddings",
-    "ann_ivfpq_multi" -> "embeddings")
+    "ann_ivfpq_multi" -> "embeddings",
+    "pipeline_html_curate" -> "documents",
+    "text_html_extract" -> "documents",
+    "dedup_best_in_cluster" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
