@@ -1646,6 +1646,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Unicode NFC canonicalization graded end to end: decomposed
+    // sequences (e+U+0301, A+U+030A) planted by doc_id class must
+    // compose (length shrinks by one), already-composed and ASCII
+    // text must pass through unchanged — the JDK Normalizer and
+    // DuckDB's nfc_normalize implement the same Unicode tables, so
+    // the full normalized text hash-compares.
+    QueryDef("text_nfc_normalize",
+      """WITH src AS (
+        |  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN chr(101) || chr(769)
+        |    WHEN 1 THEN chr(233)
+        |    WHEN 2 THEN chr(65) || chr(778)
+        |    ELSE '' END AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(p) AS BIGINT) AS len_before,
+        |  CAST(length(nfc_normalize(p)) AS BIGINT) AS len_after,
+        |  nfc_normalize(p) AS norm_text
+        |FROM src ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val m = col("doc_id") % 4
+      val planted = concat(col("text"),
+        // explicit escapes: class 0/2 are DECOMPOSED (base + combining
+        // mark), class 1 is precomposed - editors silently NFC source
+        // files, so the decomposed forms must never appear literally
+        when(m === 0, lit("e\u0301")).when(m === 1, lit("\u00e9"))
+          .when(m === 2, lit("A\u030A")).otherwise(lit("")))
+      Tables.documents(s, d).select(col("doc_id"),
+          length(planted).cast("long").as("len_before"),
+          length(graft.functions.NfcNormalize(planted)).cast("long")
+            .as("len_after"),
+          graft.functions.NfcNormalize(planted).as("norm_text"))
+        .orderBy("doc_id")
+    },
+
     crawlRefreshDef,
   )
 
