@@ -632,11 +632,91 @@ object Multimodal {
       }
     }
 
+    /** Parse a PNG IHDR — header-only, codec-free (zlib never
+      * touched): the 8-byte signature must be followed by a 13-byte
+      * IHDR as the FIRST chunk (the spec mandates it), giving
+      * dimensions (u32 BE), bit depth per sample, and the color type
+      * (variant: gray / rgb / palette / gray+a / rgba; alpha from
+      * types 4 and 6). Hostile-input contract as everywhere:
+      * bounds-checked, zero/oversized dimensions and unknown color
+      * types return None. */
+    def parsePngMeta(id: Long, payload: Array[Byte]): Option[ImageContainerMeta] = {
+      val n = payload.length
+      if (n < 33 || (payload(0) & 0xff) != 0x89 || payload(1) != 'P' ||
+        payload(2) != 'N' || payload(3) != 'G' ||
+        (payload(4) & 0xff) != 0x0d || (payload(5) & 0xff) != 0x0a ||
+        (payload(6) & 0xff) != 0x1a || (payload(7) & 0xff) != 0x0a)
+        return None
+      def u32(o: Int): Long =
+        ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+          ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+      if (u32(8) != 13L || payload(12) != 'I' || payload(13) != 'H' ||
+        payload(14) != 'D' || payload(15) != 'R') return None
+      val w = u32(16); val h = u32(20)
+      if (w <= 0L || h <= 0L || w > Int.MaxValue || h > Int.MaxValue)
+        return None
+      val depth = payload(24) & 0xff
+      val variant = (payload(25) & 0xff) match {
+        case 0 => "gray"
+        case 2 => "rgb"
+        case 3 => "palette"
+        case 4 => "gray+a"
+        case 6 => "rgba"
+        case _ => return None
+      }
+      val alpha = variant == "gray+a" || variant == "rgba"
+      Some(ImageContainerMeta(id, "png", variant, w.toInt, h.toInt,
+        depth, alpha))
+    }
+
+    /** Parse a JPEG SOF header — a bounds-checked marker walk to the
+      * first start-of-frame (SOF0-15 minus DHT/JPG/DAC), yielding
+      * sample precision, dimensions (u16 BE), and the frame variant
+      * ("SOF0" baseline … "SOF2" progressive …). Standalone markers
+      * (TEM, RSTn) carry no length; every other segment advances by
+      * its u16 length, so the walk strictly advances and terminates on
+      * any input. Truncated/markerless payloads return None. */
+    def parseJpegMeta(id: Long, payload: Array[Byte]): Option[ImageContainerMeta] = {
+      val n = payload.length
+      if (n < 4 || (payload(0) & 0xff) != 0xff ||
+        (payload(1) & 0xff) != 0xd8) return None
+      def u16(o: Int): Int =
+        ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+      var off = 2
+      while (off + 4 <= n) {
+        if ((payload(off) & 0xff) != 0xff) return None
+        // fill bytes: FF may repeat before the marker id
+        var mOff = off + 1
+        while (mOff < n && (payload(mOff) & 0xff) == 0xff) mOff += 1
+        if (mOff >= n) return None
+        val m = payload(mOff) & 0xff
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { off = mOff + 1 }
+        else if (m == 0xd9 || m == 0xda) return None // EOI / scan: no SOF seen
+        else {
+          if (mOff + 3 > n) return None
+          val len = u16(mOff + 1)
+          if (len < 2 || mOff + 1 + len > n) return None
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (len < 8) return None
+            val depth = payload(mOff + 3) & 0xff
+            val h = u16(mOff + 4); val w = u16(mOff + 6)
+            if (w <= 0 || h <= 0) return None
+            return Some(ImageContainerMeta(id, "jpeg", s"SOF${m - 0xc0}",
+              w, h, depth, has_alpha = false))
+          }
+          off = mOff + 1 + len
+        }
+      }
+      None
+    }
+
     /** Image-container branch of the pipeline: binary DataFrame ->
-      * partition-batched GIF/TIFF/WebP header parse -> typed metadata
-      * Dataset; rows that parse as none of the three are dropped
-      * (quarantine upstream via [[sniffFormat]], the same contract as
-      * [[decodeWav]]/[[decodeVideo]]). */
+      * partition-batched PNG/JPEG/GIF/TIFF/WebP header parse -> typed
+      * metadata Dataset; rows that parse as none of the five are
+      * dropped (quarantine upstream via [[sniffFormat]], the same
+      * contract as [[decodeWav]]/[[decodeVideo]]). */
     def decodeImageContainers(df: DataFrame, idCol: String = "doc_id",
         binCol: String = "payload"): Dataset[ImageContainerMeta] = {
       val spark = df.sparkSession
@@ -645,6 +725,8 @@ object Multimodal {
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           sniffOne(payload) match {
+            case "png" => parsePngMeta(id, payload)
+            case "jpeg" => parseJpegMeta(id, payload)
             case "gif" => parseGifMeta(id, payload)
             case "tiff" => parseTiffMeta(id, payload)
             case "webp" => parseWebPMeta(id, payload)

@@ -64,6 +64,18 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       "VP8X".getBytes ++ le32(10L) ++ vp8x
   }
 
+  private val pngFix: Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(320) ++ be32(200) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+  private val jpegFix: Array[Byte] =
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 4, 0, 0) ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 0x11, 8) ++
+      Array[Byte](0, 200.toByte) ++ Array[Byte](1, 64) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+
   private type Parser = Array[Byte] => Option[Any]
   private val parsers: Seq[(String, Array[Byte], Parser)] = Seq(
     ("wav", wavFix, p => parseWavMeta(1L, p)),
@@ -72,7 +84,9 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     ("mp4", mp4Fix, p => parseMp4Meta(1L, p)),
     ("gif", gifFix, p => parseGifMeta(1L, p)),
     ("tiff", tiffFix, p => parseTiffMeta(1L, p)),
-    ("webp", webpFix, p => parseWebPMeta(1L, p)))
+    ("webp", webpFix, p => parseWebPMeta(1L, p)),
+    ("png", pngFix, p => parsePngMeta(1L, p)),
+    ("jpeg", jpegFix, p => parseJpegMeta(1L, p)))
 
   /** Parsed-field sanity under mutation: whatever survives must carry
     * non-negative physical quantities. */

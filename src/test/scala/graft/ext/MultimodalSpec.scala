@@ -420,4 +420,57 @@ class MultimodalSpec extends SparkSpec {
     assert(r._1.length == 16 && r._2.length == 16)
     assert(r._1 == "6162" * 4) // 'a'=61 'b'=62
   }
+
+  test("PNG IHDR / JPEG SOF hostile vectors: truncation, wrong first " +
+    "chunk, missing SOF, standalone markers, zero dims -> None, " +
+    "valid headers parse field-exactly") {
+    import Multimodal.Decoder.{parseJpegMeta, parsePngMeta}
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a)
+    val ihdr = be32(13) ++ "IHDR".getBytes ++ be32(320) ++ be32(200) ++
+      Array[Byte](16, 4, 0, 0, 0) ++ be32(0)
+    val png = sig ++ ihdr
+    val m = parsePngMeta(1L, png).get
+    assert(m == Multimodal.ImageContainerMeta(1L, "png", "gray+a",
+      320, 200, 16, has_alpha = true))
+    assert(parsePngMeta(1L, png.take(32)).isEmpty)   // one byte short
+    val wrongChunk = sig ++ be32(13) ++ "IDAT".getBytes ++ png.drop(16)
+    assert(parsePngMeta(1L, wrongChunk).isEmpty)
+    val zeroW = sig ++ be32(13) ++ "IHDR".getBytes ++ be32(0) ++
+      be32(200) ++ Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    assert(parsePngMeta(1L, zeroW).isEmpty)
+    val badColor = sig ++ be32(13) ++ "IHDR".getBytes ++ be32(1) ++
+      be32(1) ++ Array[Byte](8, 7, 0, 0, 0) ++ be32(0)
+    assert(parsePngMeta(1L, badColor).isEmpty)
+
+    val soi = Array[Byte](0xFF.toByte, 0xD8.toByte)
+    def seg(marker: Int, body: Array[Byte]) =
+      Array[Byte](0xFF.toByte, marker.toByte,
+        ((body.length + 2) >> 8).toByte, ((body.length + 2) & 0xff).toByte
+      ) ++ body
+    val sof2 = seg(0xC2, Array[Byte](12) ++ Array[Byte](1, 44) ++
+      Array[Byte](2, 88) ++ Array[Byte](1, 1, 0x11, 0))
+    // a progressive SOF behind an APP0, a comment, AND a standalone
+    // restart marker — the walk must skip all three
+    val jpeg = soi ++ seg(0xE0, new Array[Byte](4)) ++
+      seg(0xFE, "comment".getBytes) ++ Array[Byte](0xFF.toByte, 0x01) ++
+      sof2
+    val j = parseJpegMeta(1L, jpeg).get
+    assert(j == Multimodal.ImageContainerMeta(1L, "jpeg", "SOF2",
+      600, 300, 12, has_alpha = false))
+    // EOI before any SOF
+    assert(parseJpegMeta(1L,
+      soi ++ Array[Byte](0xFF.toByte, 0xD9.toByte)).isEmpty)
+    // scan start before any SOF
+    assert(parseJpegMeta(1L,
+      soi ++ seg(0xDA, Array[Byte](1, 1, 0))).isEmpty)
+    // truncated mid-segment
+    assert(parseJpegMeta(1L, jpeg.dropRight(3)).isEmpty)
+    // zero dims
+    val zeroSof = soi ++ seg(0xC0, Array[Byte](8, 0, 0, 0, 1, 1, 1,
+      0x11, 0))
+    assert(parseJpegMeta(1L, zeroSof).isEmpty)
+  }
 }
