@@ -25,18 +25,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression costs one quick-check pass on the hot path and only
   * pays the full normalize on the rare decomposed document.
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression, form: String = "NFC")
+    extends UnaryExpression {
+
+  require(NfcNormalize.Forms.contains(form),
+    s"unicode_normalize: unknown form $form")
 
   override def dataType: DataType = StringType
-  override def prettyName: String = "nfc_normalize"
+  override def prettyName: String = "unicode_normalize"
 
   override def nullSafeEval(input: Any): Any =
-    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String], form)
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
+      ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("nfForm", form, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.NfcNormalize.normalize($c)")
+      s"graft.functions.NfcNormalize.normalize($c, $f)")
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
@@ -45,16 +51,24 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 object NfcNormalize {
   import org.apache.spark.sql.graftx.ColumnBridge
 
+  /** NFC composes canonically; NFKC additionally folds compatibility
+    * characters (ligatures, fullwidth forms, superscripts) — the
+    * common LLM-tokenizer preprocessing choice. NFD/NFKD exposed for
+    * completeness (some pipelines strip diacritics by decomposing and
+    * dropping marks). */
+  val Forms: Set[String] = Set("NFC", "NFKC", "NFD", "NFKD")
+
   /** Shared by interpreted eval and generated code (one body — the
     * two paths cannot diverge). */
-  def normalize(s: UTF8String): UTF8String = {
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
     val str = s.toString
-    if (java.text.Normalizer.isNormalized(str,
-        java.text.Normalizer.Form.NFC)) s
-    else UTF8String.fromString(java.text.Normalizer.normalize(str,
-      java.text.Normalizer.Form.NFC))
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
 
-  def apply(c: Column): Column =
-    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  def apply(c: Column): Column = apply(c, "NFC")
+
+  def apply(c: Column, form: String): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c), form))
 }

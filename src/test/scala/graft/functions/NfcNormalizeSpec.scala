@@ -47,11 +47,11 @@ class NfcNormalizeSpec extends SparkSpec {
   test("fast path: already-normalized input returns the SAME " +
     "UTF8String instance — zero allocation on the hot path") {
     val s = UTF8String.fromString("already normalized ascii")
-    assert(NfcNormalize.normalize(s) eq s)
+    assert(NfcNormalize.normalize(s, "NFC") eq s)
     val composed = UTF8String.fromString("caf" + EAcute)
-    assert(NfcNormalize.normalize(composed) eq composed)
+    assert(NfcNormalize.normalize(composed, "NFC") eq composed)
     val decomposed = UTF8String.fromString("cafe" + Acute)
-    val out = NfcNormalize.normalize(decomposed)
+    val out = NfcNormalize.normalize(decomposed, "NFC")
     assert(!(out eq decomposed) && out.toString == "caf" + EAcute)
   }
 
@@ -62,5 +62,26 @@ class NfcNormalizeSpec extends SparkSpec {
     val raw = docs.select(md5(col("t"))).distinct().count()
     val norm = docs.select(md5(NfcNormalize(col("t")))).distinct().count()
     assert(raw == 2L && norm == 1L)
+  }
+
+  test("NFKC folds compatibility characters (ligature, fullwidth, " +
+    "superscript) that NFC leaves alone") {
+    val fi = "\ufb01"        // latin small ligature fi
+    val fullA = "\uff21"     // fullwidth A
+    val sup2 = "\u00b2"      // superscript two
+    val docs = Seq((1L, s"$fi le $fullA $sup2")).toDF("id", "t")
+    val nfc = docs.select(NfcNormalize(col("t"), "NFC"))
+      .as[String].head()
+    val nfkc = docs.select(NfcNormalize(col("t"), "NFKC"))
+      .as[String].head()
+    assert(nfc == s"$fi le $fullA $sup2", "NFC must not compat-fold")
+    assert(nfkc == "fi le A 2", s"NFKC must fold: $nfkc")
+    // NFD decomposes what NFC composes
+    val nfd = Seq((1L, EAcute)).toDF("id", "t")
+      .select(NfcNormalize(col("t"), "NFD")).as[String].head()
+    assert(nfd == "e" + Acute)
+    intercept[IllegalArgumentException] {
+      NfcNormalize(col("t"), "NFX")
+    }
   }
 }
