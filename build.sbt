@@ -30,4 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The full bench generates whole-stage-codegen classes for 164
+  // queries x 3 reps in ONE JVM; the JDK default 240 MB code cache
+  // fills late in the session and flushing starts evicting hot
+  // compiled methods — measured as multi-stage pipeline queries
+  // running 4-5x slower in full-bench context than isolated
+  // (pipeline_html_curate 0.8 -> 4.3 s) with the slowdown moving to
+  // whatever runs late. Spark's own launcher raises this for the
+  // same reason.
+  "-XX:ReservedCodeCacheSize=1g",
 )
