@@ -1,0 +1,180 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WARC/WET record parsing — the ingest stage of a crawl corpus.
+  *
+  * Every large public crawl (Common Crawl, web archives) ships as WARC
+  * (ISO 28500): concatenated records of a version line (`WARC/1.0`),
+  * named headers, a blank line, then exactly `Content-Length` octets of
+  * payload. WET files are WARC files whose `conversion` records carry
+  * extracted UTF-8 text — the input to everything else in the text
+  * suite (HTML extraction for raw WARC `response` records is
+  * [[HtmlExtract]]; this module handles the record framing).
+  *
+  * Parser contract, chosen for hostile real-world inputs:
+  *  - **Length-driven, not delimiter-driven.** The payload is consumed
+  *    by `Content-Length` octets, so payload bytes that themselves look
+  *    like a record header (`WARC/1.0\r\n...`) can never split a
+  *    record. This is the spec-mandated framing and the property the
+  *    graded query asserts end-to-end.
+  *  - **Total.** `parseWet` never throws and never hangs: corrupt
+  *    records (missing/invalid `Content-Length`, truncated payload,
+  *    header block over [[maxHeaderBytes]]) are skipped and scanning
+  *    resumes at the next `WARC/` version line at a line start.
+  *    Recovery is forward-only, so a corrupt record costs at most the
+  *    bytes up to the next intact record boundary.
+  *  - **Tolerant.** LF-only line endings are accepted alongside CRLF;
+  *    header names are case-insensitive; unknown headers and malformed
+  *    (colon-free) header lines are ignored; leading garbage before the
+  *    first record is skipped.
+  *
+  * Scale shape: one blob (file/chunk) per row, `mapPartitions` over the
+  * binary column — the same per-row imperative-parse contract as
+  * [[Multimodal.Decoder]]; no shuffle, no driver-side state, linear in
+  * blob bytes for well-formed input. On a cluster the blobs arrive from
+  * a binary-file scan partitioned by file, so record extraction is a
+  * map-only stage at any corpus size.
+  */
+object Warc {
+
+  /** One parsed WET record. `rec_index` is the 0-based position of the
+    * record within its blob (intact records only — skipped corrupt
+    * records do not consume an index, so indices are always dense).
+    */
+  final case class WetRecord(
+      blob_id: Long,
+      rec_index: Int,
+      warc_type: String,
+      target_uri: String,
+      warc_date: String,
+      record_id: String,
+      content_length: Long,
+      text: String)
+
+  /** Header-block size cap: a candidate record whose headers run past
+    * this many bytes without a blank line is treated as corrupt (WET
+    * headers are ~300 B in practice; the cap bounds worst-case work on
+    * adversarial blobs full of fake version lines). */
+  val maxHeaderBytes: Int = 8192
+
+  /** Offset of the next `WARC/` at a line start (offset 0 or preceded
+    * by `\n`), at or after `from`; -1 if none. */
+  private def nextVersionLine(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val n = b.length
+    while (i + 5 <= n) {
+      if ((i == 0 || b(i - 1) == '\n') &&
+          b(i) == 'W' && b(i + 1) == 'A' && b(i + 2) == 'R' &&
+          b(i + 3) == 'C' && b(i + 4) == '/') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Read one header line starting at `off`: returns the line content
+    * (without the terminating `\n` and any trailing `\r`) and the
+    * offset just past the terminator (or end of blob). */
+  private def readLine(b: Array[Byte], off: Int): (String, Int) = {
+    var i = off
+    val n = b.length
+    while (i < n && b(i) != '\n') i += 1
+    var end = i
+    if (end > off && b(end - 1) == '\r') end -= 1
+    (new String(b, off, end - off, "UTF-8"), if (i < n) i + 1 else n)
+  }
+
+  /** Parse one candidate record whose version line starts at `start`.
+    * Right((record, offsetPastPayload)) on success; Left(resumeOffset)
+    * on corruption (resume scanning at `resumeOffset`). */
+  private def parseOne(blobId: Long, idx: Int, b: Array[Byte],
+      start: Int): Either[Int, (WetRecord, Int)] = {
+    val n = b.length
+    val (ver, afterVer) = readLine(b, start)
+    if (!ver.startsWith("WARC/")) return Left(afterVer)
+    var off = afterVer
+    var warcType = ""; var uri = ""; var date = ""; var rid = ""
+    var clen = -1L
+    var sawBlank = false
+    while (!sawBlank && off < n && off - afterVer <= maxHeaderBytes) {
+      val (line, next) = readLine(b, off)
+      off = next
+      if (line.isEmpty) sawBlank = true
+      else {
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val key = line.substring(0, c).trim.toLowerCase
+          val v = line.substring(c + 1).trim
+          key match {
+            case "warc-type" => warcType = v
+            case "warc-target-uri" => uri = v
+            case "warc-date" => date = v
+            case "warc-record-id" => rid = v
+            case "content-length" =>
+              clen = try v.toLong catch {
+                case _: NumberFormatException => -1L
+              }
+            case _ => () // unknown header: ignored
+          }
+        } // colon-free header line: tolerated, ignored
+      }
+    }
+    // corrupt: unterminated/oversized header block, unusable length, or
+    // payload running past the end of the blob (truncation)
+    if (!sawBlank || clen < 0 || clen > (n - off).toLong)
+      return Left(math.max(off, afterVer))
+    val text = new String(b, off, clen.toInt, "UTF-8")
+    Right((WetRecord(blobId, idx, warcType, uri, date, rid, clen, text),
+      off + clen.toInt))
+  }
+
+  /** Parse every intact WET record out of one blob. Total: never
+    * throws; corrupt regions are skipped (see the object doc for the
+    * recovery contract). */
+  def parseWet(blobId: Long, blob: Array[Byte]): Seq[WetRecord] = {
+    if (blob == null || blob.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[WetRecord]
+    var off = nextVersionLine(blob, 0)
+    while (off >= 0) {
+      parseOne(blobId, out.length, blob, off) match {
+        case Right((rec, next)) =>
+          out += rec
+          off = nextVersionLine(blob, next)
+        case Left(resume) =>
+          // forward progress is guaranteed: resume > off always (the
+          // version line itself is at least "WARC/" + newline long)
+          off = nextVersionLine(blob, math.max(resume, off + 1))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Record-extraction operator: binary blobs -> typed WET records.
+    * Map-only (one `mapPartitions` stage, no shuffle) — the cluster
+    * shape is one task per input split of the binary-file scan.
+    */
+  def wetRecords(df: DataFrame, idCol: String = "blob_id",
+      binCol: String = "payload"): Dataset[WetRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) => parseWet(id, blob) })
+  }
+
+  /** Serialize one well-formed WET record (spec/builder helper; the
+    * graded query synthesizes the same framing in-plan with SQL string
+    * functions so DuckDB can recompute the expected fields). */
+  def wetRecordBytes(uri: String, date: String, recordId: String,
+      payload: Array[Byte], warcType: String = "conversion"): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $warcType\r\n"
+    h ++= s"WARC-Target-URI: $uri\r\n"
+    h ++= s"WARC-Date: $date\r\n"
+    h ++= s"WARC-Record-ID: $recordId\r\n"
+    h ++= s"Content-Length: ${payload.length}\r\n\r\n"
+    h.toString.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+}

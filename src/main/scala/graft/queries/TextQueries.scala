@@ -1359,6 +1359,71 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // END-TO-END grade of the WARC/WET record parser (the ingest stage
+    // of every crawl corpus): documents are serialized IN-PLAN into
+    // multi-record WET blobs — ~64 blobs of real `WARC/1.0` framing,
+    // headers, Content-Length in OCTETS, CRLF separators — with a
+    // hostile line-start "WARC/1.0\r\nContent-Length: 0\r\n\r\n" block
+    // embedded inside every payload, so a delimiter-driven (rather than
+    // length-driven) parser would split records and hash-mismatch on
+    // rec_index, content_length, and text_md5 alike. The oracle
+    // recomputes every expected field directly from the documents table
+    // (uri/date/id from doc_id arithmetic, content_length via byte
+    // length, text_md5 over the exact payload string), so one
+    // mis-counted byte (chars-vs-octets, swallowed CRLF, off-by-one
+    // payload window) fails the grade. Multi-byte UTF-8 in `text`
+    // makes the octet/char distinction load-bearing at sf's with
+    // non-ASCII docs.
+    QueryDef("text_wet_extract",
+      """WITH recs AS (
+        |  SELECT CAST(doc_id % 64 AS BIGINT) AS blob_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 64
+        |      ORDER BY doc_id) - 1 AS INT) AS rec_index,
+        |    'conversion' AS warc_type,
+        |    'https://ex.example/doc/' || CAST(doc_id AS VARCHAR)
+        |      AS target_uri,
+        |    '2026-01-01T00:00:00Z' AS warc_date,
+        |    '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        |    CAST(strlen(text || chr(10) || 'WARC/1.0' || chr(13) ||
+        |      chr(10) || 'Content-Length: 0' || chr(13) || chr(10) ||
+        |      chr(13) || chr(10)) AS BIGINT) AS content_length,
+        |    md5(text || chr(10) || 'WARC/1.0' || chr(13) || chr(10) ||
+        |      'Content-Length: 0' || chr(13) || chr(10) || chr(13) ||
+        |      chr(10)) AS text_md5
+        |  FROM documents)
+        |SELECT blob_id, rec_index, warc_type, target_uri, warc_date,
+        |  record_id, content_length, text_md5
+        |FROM recs ORDER BY blob_id, rec_index""".stripMargin) { (s, d) =>
+      val id = col("doc_id").cast("string")
+      val crlf = "\r\n"
+      // payload = document text + an embedded fake record header at a
+      // line start (valid zero-length record if a parser ever treated
+      // payload bytes as framing)
+      val payload = concat(col("text"),
+        lit("\nWARC/1.0" + crlf + "Content-Length: 0" + crlf + crlf))
+      val rec = concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: conversion" + crlf),
+        lit("WARC-Target-URI: https://ex.example/doc/"), id, lit(crlf),
+        lit("WARC-Date: 2026-01-01T00:00:00Z" + crlf),
+        lit("WARC-Record-ID: <urn:uuid:"), id, lit(">" + crlf),
+        lit("Content-Length: "),
+        octet_length(payload).cast("string"), lit(crlf + crlf),
+        payload, lit(crlf + crlf))
+      val blobs = Tables.documents(s, d)
+        .select((col("doc_id") % 64).as("blob_id"),
+          struct(col("doc_id"), rec.as("rec")).as("sr"))
+        .groupBy("blob_id")
+        .agg(array_join(transform(array_sort(collect_list(col("sr"))),
+          x => x.getField("rec")), "").as("wet"))
+        .select(col("blob_id"), encode(col("wet"), "UTF-8").as("payload"))
+      graft.ext.Warc.wetRecords(blobs, "blob_id", "payload").toDF()
+        .select(col("blob_id"), col("rec_index"), col("warc_type"),
+          col("target_uri"), col("warc_date"), col("record_id"),
+          col("content_length"), md5(col("text")).as("text_md5"))
+        .orderBy("blob_id", "rec_index")
+    },
+
     // END-TO-END grade of the HTML extractor: every document wraps its
     // text in a REAL markup shell (title, style+script with a hostile
     // `</div>` inside the script string, a comment, a header with

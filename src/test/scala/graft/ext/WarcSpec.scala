@@ -1,0 +1,161 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** WARC/WET record parser: round-trip, framing hostility (payloads that
+  * look like records), corruption recovery, tolerance (LF-only lines,
+  * header case), and a seeded mutation fuzz over a valid multi-record
+  * blob. The distributed `wetRecords` path is exercised once; the pure
+  * `parseWet` function carries the vector matrix (same split as the
+  * container parsers: plain functions fuzz in-process, Spark wraps
+  * them in mapPartitions).
+  */
+class WarcSpec extends SparkSpec {
+  import Warc._
+
+  private def rec(uri: String, payload: String,
+      date: String = "2026-01-01T00:00:00Z",
+      rid: String = "<urn:uuid:1>"): Array[Byte] =
+    wetRecordBytes(uri, date, rid, payload.getBytes("UTF-8"))
+
+  test("round-trips a multi-record blob exactly") {
+    val blob = rec("https://ex.example/a", "hello world") ++
+      rec("https://ex.example/b", "second\npayload line") ++
+      rec("https://ex.example/c", "third")
+    val rs = parseWet(7L, blob)
+    assert(rs.map(_.target_uri) ==
+      Seq("https://ex.example/a", "https://ex.example/b",
+        "https://ex.example/c"))
+    assert(rs.map(_.rec_index) == Seq(0, 1, 2))
+    assert(rs.map(_.text) ==
+      Seq("hello world", "second\npayload line", "third"))
+    assert(rs.forall(_.warc_type == "conversion"))
+    assert(rs.forall(_.blob_id == 7L))
+    assert(rs.map(_.content_length) == Seq(11L, 19L, 5L))
+  }
+
+  test("framing is Content-Length-driven: record-like payload bytes") {
+    // the payload embeds a complete valid record INCLUDING framing —
+    // a delimiter-driven parser would report 3 records, not 2
+    val trojan = "before\nWARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 5\r\n\r\nxxxxx\r\n\r\nafter"
+    val blob = rec("https://ex.example/t", trojan) ++
+      rec("https://ex.example/u", "tail")
+    val rs = parseWet(0L, blob)
+    assert(rs.size == 2)
+    assert(rs.head.text == trojan)
+    assert(rs(1).target_uri == "https://ex.example/u")
+  }
+
+  test("Content-Length counts octets, not characters") {
+    val payload = "héllo 世界" // 6 chars multi-byte
+    val blob = rec("https://ex.example/u8", payload)
+    val rs = parseWet(0L, blob)
+    assert(rs.size == 1)
+    assert(rs.head.text == payload)
+    assert(rs.head.content_length ==
+      payload.getBytes("UTF-8").length.toLong)
+  }
+
+  test("tolerates LF-only line endings and header-name case") {
+    val blob = ("WARC/1.0\nwarc-type: conversion\n" +
+      "WARC-TARGET-URI: https://ex.example/lf\n" +
+      "content-length: 4\n\nbody").getBytes("UTF-8")
+    val rs = parseWet(0L, blob)
+    assert(rs.size == 1)
+    assert(rs.head.target_uri == "https://ex.example/lf")
+    assert(rs.head.text == "body")
+  }
+
+  test("skips leading garbage and colon-free header lines") {
+    val blob = ("noise line\nmore noise\n" +
+      "WARC/1.0\r\nWARC-Type: conversion\r\nbogus header no colon\r\n" +
+      "WARC-Target-URI: https://ex.example/g\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val rs = parseWet(0L, blob)
+    assert(rs.map(_.text) == Seq("ok"))
+  }
+
+  test("corrupt records are skipped and parsing recovers") {
+    val missingLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://ex.example/bad\r\n\r\n").getBytes("UTF-8")
+    val negLen = ("WARC/1.0\r\nContent-Length: -4\r\n\r\n")
+      .getBytes("UTF-8")
+    val nonNumLen = ("WARC/1.0\r\nContent-Length: twelve\r\n\r\n")
+      .getBytes("UTF-8")
+    val good = rec("https://ex.example/good", "fine")
+    for (bad <- Seq(missingLen, negLen, nonNumLen)) {
+      val rs = parseWet(0L, bad ++ good)
+      assert(rs.map(_.target_uri) == Seq("https://ex.example/good"))
+      assert(rs.map(_.rec_index) == Seq(0)) // dense indices
+    }
+  }
+
+  test("truncated payload yields no record, never throws") {
+    val whole = rec("https://ex.example/t", "full payload here")
+    for (cut <- Seq(whole.length - 1, whole.length - 10, 30, 9, 1, 0)) {
+      val rs = parseWet(0L, whole.take(cut))
+      // either nothing or only records whose payload fit entirely
+      assert(rs.forall(r => r.content_length >= 0))
+    }
+    assert(parseWet(0L, whole.take(whole.length - 5)).isEmpty)
+    assert(parseWet(0L, Array.emptyByteArray).isEmpty)
+    assert(parseWet(0L, null).isEmpty)
+  }
+
+  test("oversized header block is treated as corrupt, bounded work") {
+    val huge = ("WARC/1.0\r\n" +
+      ("X-Pad: " + "a" * 100 + "\r\n") * 200 + // > maxHeaderBytes
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val rs = parseWet(0L, huge ++ rec("https://ex.example/after", "yes"))
+    assert(rs.map(_.target_uri).contains("https://ex.example/after"))
+  }
+
+  test("seeded mutation fuzz: parse-or-skip, never throw or hang") {
+    val base = rec("https://ex.example/a", "alpha payload") ++
+      rec("https://ex.example/b", "beta") ++
+      rec("https://ex.example/c", "gamma gamma")
+    val rnd = new scala.util.Random(4209L)
+    for (_ <- 0 until 10000) {
+      val b = base.clone()
+      rnd.nextInt(4) match {
+        case 0 => // xor random byte
+          val i = rnd.nextInt(b.length)
+          b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+          checkTotal(b)
+        case 1 => checkTotal(b.take(rnd.nextInt(b.length + 1)))
+        case 2 => checkTotal(b ++ Array.fill(rnd.nextInt(16))(
+          rnd.nextInt(256).toByte))
+        case 3 => // splice 4 random bytes at a random offset
+          val i = rnd.nextInt(b.length)
+          checkTotal(b.take(i) ++ Array.fill(4)(rnd.nextInt(256).toByte)
+            ++ b.drop(i))
+      }
+    }
+  }
+
+  private def checkTotal(b: Array[Byte]): Unit = {
+    val rs = parseWet(1L, b) // must not throw
+    assert(rs.size <= 4)
+    assert(rs.map(_.rec_index) == rs.indices) // dense, ordered
+    rs.foreach { r =>
+      assert(r.content_length >= 0L)
+      assert(r.text.length <= b.length)
+    }
+  }
+
+  test("wetRecords is a map-only distributed parse") {
+    val s = spark
+    import s.implicits._
+    val blobA = rec("https://ex.example/1", "one") ++
+      rec("https://ex.example/2", "two")
+    val blobB = rec("https://ex.example/3", "three")
+    val df = Seq((10L, blobA), (20L, blobB)).toDF("blob_id", "payload")
+    val out = wetRecords(df).collect().sortBy(r => (r.blob_id, r.rec_index))
+    assert(out.map(r => (r.blob_id, r.rec_index, r.text)).toSeq ==
+      Seq((10L, 0, "one"), (10L, 1, "two"), (20L, 0, "three")))
+    // no exchange in the plan: record extraction must be map-only
+    val plan = wetRecords(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
