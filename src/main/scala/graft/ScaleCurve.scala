@@ -41,7 +41,9 @@ object ScaleCurve {
     "ann_ivfpq_multi" -> "embeddings",
     "pipeline_html_curate" -> "documents",
     "text_html_extract" -> "documents",
-    "dedup_best_in_cluster" -> "documents")
+    "dedup_best_in_cluster" -> "documents",
+    "text_wet_extract" -> "documents",
+    "text_shard_plan" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

@@ -286,6 +286,87 @@ object CorpusStream {
       .start()
   }
 
+  /** Streaming WET ingest — the crawl front door as a stream: binary
+    * WARC/WET blobs arrive (one row per fetched file/chunk),
+    * [[graft.ext.Warc.wetRecords]] extracts the records per micro-batch
+    * — a map-only stage, so the only cluster cost at any rate is the
+    * record store write — and records land in a `batch_id`-partitioned
+    * store under DYNAMIC partition overwrite (the idempotent
+    * crash-replay contract shared with [[langIdGateBatches]] /
+    * [[AnnStream.indexBatches]]: a replayed micro-batch rewrites
+    * exactly its own partition).
+    *
+    * Re-crawls: a blob id re-emitted in a later batch (the crawler
+    * refreshed the page set) leaves BOTH record sets in the store;
+    * [[readWetStore]] applies blob-keyed last-write-wins, and the
+    * compaction fold applies the same rule physically — every
+    * `compactEvery` batches (0 disables) history collapses to ONE
+    * merged `batch_id = current-1` partition via the shared
+    * [[StoreCompaction]] park-aside swap, so the partition count is
+    * bounded by `compactEvery + 1` instead of stream lifetime. The
+    * fold excludes the current batch's rows (a crashed first attempt's
+    * partial partition is dropped and rewritten by the replay). */
+  def wetIngestBatches(blobs: DataFrame, storeDir: String,
+      checkpointDir: String, idCol: String = "blob_id",
+      binCol: String = "payload", compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    blobs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        StoreCompaction.recoverParked(spark, storeDir)
+        if (StoreCompaction.due(batchId, compactEvery))
+          StoreCompaction.swapRewrite(spark, storeDir)(
+            dir => readWetRaw(spark, dir),
+            all => {
+              val hist = all.filter(col("batch_id") < batchId)
+              val newest = hist.groupBy("blob_id")
+                .agg(max("batch_id").as("batch_id"))
+              hist.join(newest, Seq("blob_id", "batch_id"))
+                .withColumn("batch_id", lit(batchId - 1))
+            },
+            (df, dir) => df.write.mode("overwrite")
+              .partitionBy("batch_id").parquet(dir))
+        graft.ext.Warc.wetRecords(batch, idCol, binCol).toDF()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        ()
+      }
+      .start()
+
+  /** The WET record store with blob-keyed LAST WRITE WINS applied (the
+    * compacted-log read shared with [[AnnStream.readCodes]]): only each
+    * blob's newest batch is visible, so a re-crawled page set fully
+    * replaces its old records. Explicit schema — partition-directory
+    * inference would int-ify `batch_id`. */
+  def readWetStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val all = readWetRaw(spark, storeDir)
+    val newest = all.groupBy("blob_id").agg(max("batch_id").as("batch_id"))
+    all.join(newest, Seq("blob_id", "batch_id"))
+      .select("blob_id", "rec_index", "warc_type", "target_uri",
+        "warc_date", "record_id", "content_length", "text")
+  }
+
+  private def readWetRaw(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("blob_id", LongType),
+        StructField("rec_index", IntegerType),
+        StructField("warc_type", StringType),
+        StructField("target_uri", StringType),
+        StructField("warc_date", StringType),
+        StructField("record_id", StringType),
+        StructField("content_length", LongType),
+        StructField("text", StringType),
+        StructField("batch_id", LongType))))
+      .parquet(storeDir)
+  }
+
   /** Streaming language gate — the crawl-ingest stage that keeps only
     * target-language documents using the TRAINED hashed-linear
     * classifier ([[graft.ext.TextAnalysis.langIdLinear]], model frozen
