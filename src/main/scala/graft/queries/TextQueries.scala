@@ -1452,6 +1452,65 @@ object TextQueries {
         .orderBy("blob_id", "rec_index")
     },
 
+    // END-TO-END grade of the robots.txt frontier gate (RFC 9309):
+    // seven hosts synthesized in-plan from doc_id arithmetic exercise
+    // every normative branch — no robots at all, Disallow-/ blanket,
+    // multiple rules, an exact-agent group that SHADOWS a blanket `*`
+    // group, a multi-User-agent group header, comment/blank/case
+    // tolerance, longest-match precedence, and the Allow-beats-Disallow
+    // tie rule. The oracle recomputes the expected verdicts from the
+    // arithmetic alone, so one mis-parsed group boundary, a wrong
+    // group-selection rule, or a tie-break slip flips a verdict and
+    // hash-mismatches.
+    QueryDef("text_robots_filter",
+      """SELECT doc_id,
+        |  'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+        |  '/p/' || CAST(doc_id % 10 AS VARCHAR) AS path,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 1 THEN FALSE
+        |    WHEN 2 THEN doc_id % 10 NOT IN (3, 5)
+        |    WHEN 3 THEN doc_id % 10 <> 9
+        |    WHEN 4 THEN doc_id % 10 = 4
+        |    WHEN 5 THEN doc_id % 10 <> 2
+        |    WHEN 6 THEN doc_id % 10 <> 8
+        |    ELSE TRUE END AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hostK = col("doc_id") % 7
+      val host = concat(lit("h"), hostK.cast("string"), lit(".example"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://"), host, lit("/p/"),
+          (col("doc_id") % 10).cast("string")).as("url"))
+      val robots = docs.select(hostK.as("k")).distinct()
+        .filter(col("k").between(1, 6))
+        .select(
+          concat(lit("h"), col("k").cast("string"), lit(".example"))
+            .as("host"),
+          when(col("k") === 1, "User-agent: *\nDisallow: /")
+            .when(col("k") === 2,
+              "User-agent: *\nDisallow: /p/3\nDisallow: /p/5")
+            .when(col("k") === 3,
+              // graftbot's own group shadows the blanket '*' group
+              "User-agent: graftbot\nDisallow: /p/9\n" +
+                "User-agent: *\nDisallow: /")
+            .when(col("k") === 4,
+              // longest match: Allow /p/4 (spec 4) beats Disallow /p
+              "User-agent: *\nDisallow: /p\nAllow: /p/4")
+            .when(col("k") === 5,
+              // one group header naming two agents
+              "User-agent: foo\nUser-agent: graftbot\nDisallow: /p/2")
+            .otherwise(
+              // comments, blank line, field case, inline comment, and
+              // the equal-specificity Allow-wins tie on /p/7
+              "# polite note\nUSER-AGENT: *\n\nAllow: /p/7\n" +
+                "DisAllow: /p/7\nDisallow: /p/8 # inline")
+            .as("robots_txt"))
+      graft.ext.Robots.filterUrls(urls,
+          graft.ext.Robots.rules(robots), agent = "graftbot")
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+        .orderBy("doc_id")
+    },
+
     // END-TO-END grade of the HTML extractor: every document wraps its
     // text in a REAL markup shell (title, style+script with a hostile
     // `</div>` inside the script string, a comment, a header with
