@@ -34,12 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Parse per-host robots.txt content into a rule table:
-    * (host, agent, allow, pattern, spec) — `spec` is the RFC's
-    * specificity (pattern length). One row per (group-agent, rule).
-    */
-  def rules(robots: DataFrame, hostCol: String = "host",
-      contentCol: String = "robots_txt"): DataFrame = {
+  /** Comment-stripped, classified, group-numbered directive lines:
+    * (host, grp, field, value, is_ua). The shared front half of
+    * [[rules]], [[crawlDelays]], and [[sitemaps]]. `fields` limits
+    * which directives survive (all lower-case). */
+  private def groupedDirectives(robots: DataFrame, hostCol: String,
+      contentCol: String, fields: Seq[String]): DataFrame = {
     val lines = robots.select(col(hostCol).as("host"),
         posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "raw")))
       // strip comments, then whitespace; classify by the field name
@@ -50,16 +50,36 @@ object Robots {
         lower(trim(substring_index(col("line"), ":", 1))))
       .withColumn("value",
         trim(expr("substring(line, instr(line, ':') + 1)")))
-      .filter(col("field").isin("user-agent", "allow", "disallow") &&
-        col("line").contains(":"))
+      .filter(col("field").isin(fields: _*) && col("line").contains(":"))
     val w = Window.partitionBy("host").orderBy("line_no")
-    val grouped = lines
+    lines
       .withColumn("is_ua", (col("field") === "user-agent").cast("int"))
       .withColumn("prev_ua",
         coalesce(lag(col("is_ua"), 1).over(w), lit(0)))
       // a User-agent line NOT preceded by another one starts a group
       .withColumn("grp", sum(when(col("is_ua") === 1 &&
         col("prev_ua") === 0, 1).otherwise(0)).over(w))
+  }
+
+  /** Group selection shared by the rule and delay paths: keep the
+    * exact agent's rows when the host has any, else the `*` rows. */
+  private def selectAgent(df: DataFrame, agent: String): DataFrame =
+    df.filter(col("agent").isin(agent, "*"))
+      .withColumn("has_exact",
+        max((col("agent") === agent).cast("int"))
+          .over(Window.partitionBy("host")))
+      .filter(when(col("has_exact") === 1, col("agent") === agent)
+        .otherwise(col("agent") === "*"))
+      .drop("has_exact")
+
+  /** Parse per-host robots.txt content into a rule table:
+    * (host, agent, allow, pattern, spec) — `spec` is the RFC's
+    * specificity (pattern length). One row per (group-agent, rule).
+    */
+  def rules(robots: DataFrame, hostCol: String = "host",
+      contentCol: String = "robots_txt"): DataFrame = {
+    val grouped = groupedDirectives(robots, hostCol, contentCol,
+      Seq("user-agent", "allow", "disallow"))
     val agents = grouped.filter(col("is_ua") === 1)
       .select(col("host"), col("grp"),
         lower(col("value")).as("agent"))
@@ -73,6 +93,42 @@ object Robots {
     agents.join(ruleRows, Seq("host", "grp"))
       .select("host", "agent", "allow", "pattern", "spec")
   }
+
+  /** Per-host `Crawl-delay` (the de-facto politeness extension; not in
+    * RFC 9309 but honored by most crawlers) for `agent`, with the same
+    * group semantics as [[filterUrls]]: the agent's own group(s) when
+    * any exist, else the `*` group(s); several selected groups keep the
+    * most conservative (max) delay. Hosts with no parseable delay are
+    * absent — callers supply their default. Returns
+    * (host, crawl_delay_sec DOUBLE). */
+  def crawlDelays(robots: DataFrame, agent: String,
+      hostCol: String = "host", contentCol: String = "robots_txt"): DataFrame = {
+    require(agent.nonEmpty && agent == agent.toLowerCase,
+      s"agent must be non-empty lowercase: '$agent'")
+    val grouped = groupedDirectives(robots, hostCol, contentCol,
+      Seq("user-agent", "crawl-delay"))
+    val agents = grouped.filter(col("is_ua") === 1)
+      .select(col("host"), col("grp"), lower(col("value")).as("agent"))
+    val delays = grouped.filter(col("is_ua") === 0 && col("grp") > 0)
+      .select(col("host"), col("grp"),
+        // try_cast, not cast: ANSI mode makes a plain cast THROW on a
+        // malformed delay value ("Crawl-delay: fast"), and hostile
+        // robots.txt content must never kill the frontier job
+        expr("try_cast(value AS double)").as("delay"))
+      .filter(col("delay").isNotNull && col("delay") >= 0)
+    selectAgent(agents.join(delays, Seq("host", "grp")), agent)
+      .groupBy("host")
+      .agg(max("delay").as("crawl_delay_sec"))
+  }
+
+  /** Host-level `Sitemap` URLs (group-independent per the protocol).
+    * Returns (host, sitemap_url), distinct. */
+  def sitemaps(robots: DataFrame, hostCol: String = "host",
+      contentCol: String = "robots_txt"): DataFrame =
+    groupedDirectives(robots, hostCol, contentCol, Seq("sitemap"))
+      .filter(col("value") =!= "")
+      .select(col("host"), col("value").as("sitemap_url"))
+      .distinct()
 
   /** Does `path` match the RFC pattern in `pattern`? Prefix semantics,
     * `*` wildcard, trailing-`$` end anchor. Literal prefixes (no
@@ -101,12 +157,7 @@ object Robots {
       s"agent must be non-empty lowercase: '$agent'")
     // group selection: the agent's own rules when the host has any,
     // else the '*' rules — never both
-    val mine = ruleTable.filter(col("agent").isin(agent, "*"))
-      .withColumn("has_exact",
-        max((col("agent") === agent).cast("int"))
-          .over(Window.partitionBy("host")))
-      .filter(when(col("has_exact") === 1, col("agent") === agent)
-        .otherwise(col("agent") === "*"))
+    val mine = selectAgent(ruleTable, agent)
       .select("host", "allow", "pattern", "spec")
     val withPath = urls
       .withColumn("host", regexp_extract(col(urlCol),

@@ -1511,6 +1511,54 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // END-TO-END grade of the politeness scheduler: per-host
+    // Crawl-delay parsed from in-plan robots.txt (hosts 1-6 declare
+    // delay = k seconds; host 0 has no robots and takes the default),
+    // then the frontier plan sequences each host's URLs by priority
+    // (n_chars desc, doc_id tiebreak) and computes the earliest polite
+    // fetch slot. The oracle replays the whole plan — window rank,
+    // delay CASE, slot arithmetic, URL tie hash — so a wave off-by-one,
+    // a delay mis-parse, or a wrong default hash-mismatches.
+    QueryDef("text_frontier_plan",
+      s"""WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+        |    CAST(doc_id % 7 AS INT) AS k,
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+        |      || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, host, k, url,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS fetch_wave
+        |  FROM u)
+        |SELECT doc_id, host, fetch_wave,
+        |  fetch_wave * (CASE WHEN k = 0 THEN 1.0
+        |    ELSE CAST(k AS DOUBLE) END) AS slot_sec,
+        |  ${sqlH31("url")} AS fetch_tie
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hostK = col("doc_id") % 7
+      val host = concat(lit("h"), hostK.cast("string"), lit(".example"))
+      val urls = docs.select(col("doc_id"), col("n_chars"),
+        host.as("host"),
+        concat(lit("https://"), host, lit("/p/"),
+          col("doc_id").cast("string")).as("url"))
+      val robots = docs.select(hostK.as("k")).distinct()
+        .filter(col("k").between(1, 6))
+        .select(
+          concat(lit("h"), col("k").cast("string"), lit(".example"))
+            .as("host"),
+          concat(lit("User-agent: *\nCrawl-delay: "),
+            col("k").cast("string")).as("robots_txt"))
+      graft.ops.Frontier.plan(urls,
+          graft.ext.Robots.crawlDelays(robots, "graftbot"),
+          orderBy = Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("host"), col("fetch_wave"),
+          col("slot_sec"), col("fetch_tie"))
+        .orderBy("doc_id")
+    },
+
     // END-TO-END grade of the HTML extractor: every document wraps its
     // text in a REAL markup shell (title, style+script with a hostile
     // `</div>` inside the script string, a comment, a header with
