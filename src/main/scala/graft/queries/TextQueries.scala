@@ -1559,6 +1559,52 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // END-TO-END grade of the sitemap extractor: per-host <urlset>
+    // XML synthesized in-plan (entity-encoded query strings, padded
+    // whitespace inside <loc>, lastmod present only on even docs), the
+    // regex-subset parser pulls the entries back, and the oracle
+    // recomputes host/entry_no/loc/lastmod from doc_id arithmetic —
+    // so a block-split slip, a missed entity decode, an untrimmed loc,
+    // or an absent-lastmod mishandling hash-mismatches.
+    QueryDef("text_sitemap_extract",
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    's' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 5
+        |      ORDER BY doc_id) - 1 AS INT) AS entry_no,
+        |    'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example/p/'
+        |      || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    ELSE NULL END AS lastmod
+        |  FROM documents)
+        |SELECT host, 'urlset' AS kind, entry_no, loc, lastmod
+        |FROM e ORDER BY host, entry_no""".stripMargin) { (s, d) =>
+      val k = col("doc_id") % 5
+      val host = concat(lit("s"), k.cast("string"), lit(".example"))
+      val locRaw = concat(lit("https://"), host, lit("/p/"),
+        col("doc_id").cast("string"), lit("?a=1&amp;b=2"))
+      val lastmod = concat(lit("2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+      val block = concat(lit("<url><loc> "), locRaw, lit(" </loc>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<lastmod>"), lastmod, lit("</lastmod>")))
+          .otherwise(lit("")),
+        lit("</url>"))
+      val xmlDf = Tables.documents(s, d)
+        .select(host.as("host"),
+          struct(col("doc_id"), block.as("b")).as("sb"))
+        .groupBy("host")
+        .agg(concat(
+          lit("<?xml version=\"1.0\"?><urlset " +
+            "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          array_join(transform(array_sort(collect_list(col("sb"))),
+            x => x.getField("b")), ""),
+          lit("</urlset>")).as("xml"))
+      graft.ext.Sitemap.entries(xmlDf)
+        .orderBy("host", "entry_no")
+    },
+
     // END-TO-END grade of the HTML extractor: every document wraps its
     // text in a REAL markup shell (title, style+script with a hostile
     // `</div>` inside the script string, a comment, a header with
