@@ -123,6 +123,35 @@ object HtmlExtract {
           "div CAST(length(line) AS BIGINT)").as("link_permil"))
   }
 
+  /** Hyperlink extraction — the LINK-GRAPH stage: one row per `<a>` run
+    * carrying an href, `(idCol, link_no, href, anchor)`. `link_no` is
+    * the 0-based position among ALL `<a>` runs (href-less anchors are
+    * dropped but still consume a number, so positions are stable under
+    * partial markup). The href accepts double-quoted, single-quoted,
+    * and bare attribute forms, is entity-decoded (`&amp;` in query
+    * strings is the norm in real markup), and `anchor` is the run's
+    * visible text ([[visibleText]]: inner tags stripped, entities
+    * decoded, whitespace collapsed). Script/style/comment regions are
+    * dropped FIRST, so commented-out or scripted markup contributes no
+    * edges. Map-only + one generator; no shuffle — feeding a
+    * PageRank/HITS stage, the edge list shuffles once on its own keys
+    * and nothing here adds to that. */
+  def links(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val runs = regexp_extract_all(stripNoise(col(htmlCol)),
+      lit(AnchorRe), lit(0))
+    val run = col("__run")
+    def attr(re: String) = nullif(regexp_extract(run, re, 1), lit(""))
+    val href = coalesce(
+      attr(s"(?is)\\bhref$Ws*=$Ws*\"([^\"]*)\""),
+      attr(s"(?is)\\bhref$Ws*=$Ws*'([^']*)'"),
+      attr(s"(?is)\\bhref$Ws*=$Ws*([^\\s>\"']+)"))
+    df.select(col(idCol), posexplode(runs).as(Seq("link_no", "__run")))
+      .withColumn("href", visibleText(href)) // entity decode + trim
+      .filter(col("href").isNotNull && col("href") =!= "")
+      .select(col(idCol), col("link_no").cast("long").as("link_no"),
+        col("href"), visibleText(run).as("anchor"))
+  }
+
   /** Extraction to one TEXT column per document, dropping link-dense
     * boilerplate lines (`link_permil > maxLinkPermil`) and rejoining
     * the survivors in document order with '\n'. One doc-keyed

@@ -1605,6 +1605,111 @@ object TextQueries {
         .orderBy("host", "entry_no")
     },
 
+    // END-TO-END grade of the hyperlink extractor: in-plan markup with
+    // a double-quoted entity-encoded href, an href-less anchor (drops
+    // but must keep later link numbers stable), a single-quoted href
+    // with nested tags in the anchor text, a bare-attribute href, and
+    // a SCRIPTED decoy link that must contribute nothing (noise strip
+    // runs first). The oracle enumerates the expected rows from doc_id
+    // arithmetic, so a quote-form miss, a numbering slip, an undecoded
+    // entity, or a script leak hash-mismatches.
+    QueryDef("text_link_extract",
+      """WITH l AS (
+        |  SELECT doc_id, CAST(doc_id % 11 AS INT) AS k FROM documents)
+        |SELECT doc_id, link_no, href, anchor FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS link_no,
+        |    'https://h' || CAST((k + 1) % 11 AS VARCHAR)
+        |      || '.example/x?a=1&b=2' AS href,
+        |    'Next & Friend' AS anchor FROM l
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT),
+        |    'https://h' || CAST((3 * k + 1) % 11 AS VARCHAR)
+        |      || '.example/y', 'Other Bold' FROM l
+        |  UNION ALL
+        |  SELECT doc_id, CAST(3 AS BIGINT),
+        |    '/rel/' || CAST(doc_id AS VARCHAR), 'Bare' FROM l)
+        |ORDER BY doc_id, link_no""".stripMargin) { (s, d) =>
+      val k = col("doc_id") % 11
+      val html = concat(
+        lit("<html><body><a href=\"https://h"),
+        ((k + 1) % 11).cast("string"),
+        lit(".example/x?a=1&amp;b=2\">Next &amp; Friend</a>"),
+        lit("<a class=\"nav\">No Href</a>"),
+        lit("<a href='https://h"), ((k * 3 + 1) % 11).cast("string"),
+        lit(".example/y'>Other <b>Bold</b></a>"),
+        lit("<a href=/rel/"), col("doc_id").cast("string"),
+        lit(">Bare</a>"),
+        lit("<script>var a = \"<a href=\\\"https://evil.example/\\\">" +
+          "x</a>\";</script></body></html>"))
+      graft.ext.HtmlExtract.links(
+          Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .orderBy("doc_id", "link_no")
+    },
+
+    // FLAGSHIP: the extracted link graph ranked — HTML in, host
+    // authority out, three families composed in one oracle-replayed
+    // query: hyperlink extraction (text), host-edge aggregation, and
+    // 3-round integer PageRank (graph; the graph_pagerank arithmetic,
+    // damping 85, floor-div mass splits — bit-exact in any engine).
+    // The host graph is doc_id-arithmetic-derived (host k links to
+    // k+1 and 3k+1 mod 11), so the oracle rebuilds the exact edge
+    // weights and replays the rank rounds as CTEs.
+    QueryDef("pipeline_link_rank", {
+      val s0 = graft.ops.PageRank.Scale
+      val base = s0 * 15 / 100
+      def round(t: Int): String =
+        s"""m$t AS (
+           |  SELECT e.dst AS node,
+           |    CAST(SUM((r.pr * e.w) // o.outw) AS BIGINT) AS cs
+           |  FROM edges e
+           |    JOIN r${t - 1} r ON r.node = e.src
+           |    JOIN outw o ON o.src = e.src
+           |  GROUP BY e.dst),
+           |r$t AS (
+           |  SELECT n.node, $base + (85 * COALESCE(m.cs, 0)) // 100 AS pr
+           |  FROM nodes n LEFT JOIN m$t m ON m.node = n.node)""".stripMargin
+      s"""WITH dd AS (
+         |  SELECT CAST(doc_id % 11 AS INT) AS k FROM documents),
+         |eraw AS (
+         |  SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS src,
+         |    'h' || CAST((k + 1) % 11 AS VARCHAR) || '.example' AS dst
+         |  FROM dd
+         |  UNION ALL
+         |  SELECT 'h' || CAST(k AS VARCHAR) || '.example',
+         |    'h' || CAST((3 * k + 1) % 11 AS VARCHAR) || '.example'
+         |  FROM dd),
+         |edges AS (SELECT src, dst, COUNT(*) AS w FROM eraw GROUP BY 1, 2),
+         |outw AS (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+         |  FROM edges GROUP BY src),
+         |nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |r0 AS (SELECT node, $s0 AS pr FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val k = col("doc_id") % 11
+      val srcHost = concat(lit("h"), k.cast("string"), lit(".example"))
+      val html = concat(
+        lit("<body><a href=\"https://h"), ((k + 1) % 11).cast("string"),
+        lit(".example/x\">A</a><a href=\"https://h"),
+        ((k * 3 + 1) % 11).cast("string"),
+        lit(".example/y\">B</a></body>"))
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), srcHost.as("src_host"), html.as("html"))
+      val edges = graft.ext.HtmlExtract.links(pages, "doc_id", "html")
+        .join(pages.select(col("doc_id"), col("src_host")), Seq("doc_id"))
+        .groupBy(col("src_host").as("src"),
+          regexp_extract(col("href"), "^https?://([^/]+)", 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.PageRank.ranks(edges, iters = 3, dampPct = 85)
+        .orderBy("node")
+    },
+
     // END-TO-END grade of the HTML extractor: every document wraps its
     // text in a REAL markup shell (title, style+script with a hostile
     // `</div>` inside the script string, a comment, a header with

@@ -115,4 +115,35 @@ class HtmlExtractSpec extends SparkSpec {
     assert(graft.ops.Bucketing.shuffleExchanges(df) == 0,
       df.queryExecution.executedPlan.toString)
   }
+
+  private def linksOf(html: String): Seq[(Long, String, String)] =
+    HtmlExtract.links(Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .select("link_no", "href", "anchor")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+
+  test("links: quote forms, numbering stability, entity decode") {
+    val got = linksOf(
+      "<a href=\"https://a.example/?x=1&amp;y=2\">One &amp; Two</a>" +
+        "<a name=\"no-href\">skip</a>" +
+        "<a href='https://b.example/p'>B <i>it</i></a>" +
+        "<a href=/bare/z>Z</a>")
+    assert(got == Seq(
+      (0L, "https://a.example/?x=1&y=2", "One & Two"),
+      (2L, "https://b.example/p", "B it"),
+      (3L, "/bare/z", "Z")))
+  }
+
+  test("links: scripted and commented-out anchors contribute nothing") {
+    val got = linksOf(
+      "<script>var s='<a href=\"https://evil.example/\">x</a>';</script>" +
+        "<!-- <a href=\"https://old.example/\">gone</a> -->" +
+        "<a href=\"https://keep.example/\">Keep</a>")
+    assert(got == Seq((0L, "https://keep.example/", "Keep")))
+  }
+
+  test("links: whitespace around '=' and attribute order tolerated") {
+    val got = linksOf(
+      "<a class=\"x\" href = \"https://a.example/\" rel=nofollow>T</a>")
+    assert(got == Seq((0L, "https://a.example/", "T")))
+  }
 }
