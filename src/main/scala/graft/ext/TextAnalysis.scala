@@ -1090,4 +1090,54 @@ object TextAnalysis {
       .select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Deflate compression ratio — the entropy-proxy quality signal
+    * (Gopher and CCNet both gate on it: template/boilerplate text
+    * compresses far below natural prose, near-random noise barely
+    * compresses at all). Emits per document
+    * `(idCol, raw_bytes, deflate_bytes, ratio_permil)` with
+    * `ratio_permil = deflate_bytes·1000 div raw_bytes` (integer; empty
+    * text → 1000). Raw-deflate (nowrap) at the given level, so the
+    * ratio carries no zlib header constant.
+    *
+    * Shape: `mapPartitions` (zlib is not SQL-expressible — the same
+    * carve-out as the binary media parsers), ONE native `Deflater` per
+    * partition reused across rows and released when the partition
+    * iterator is exhausted; map-only, no shuffle, no driver state. */
+  def compressionSignals(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, level: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    require(level >= 1 && level <= 9,
+      s"compressionSignals: level in [1,9] ($level)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level, true)
+        val buf = new Array[Byte](8192)
+        new Iterator[(Long, Long, Long, Long)] {
+          private var closed = false
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !closed) { deflater.end(); closed = true }
+            h
+          }
+          def next(): (Long, Long, Long, Long) = {
+            val (id, text) = it.next()
+            val raw = if (text == null) Array.emptyByteArray
+              else text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            val permil = if (raw.length > 0) n * 1000L / raw.length
+              else 1000L
+            (id, raw.length.toLong, n, permil)
+          }
+        }
+      }
+      .toDF(idCol, "raw_bytes", "deflate_bytes", "ratio_permil")
+  }
 }

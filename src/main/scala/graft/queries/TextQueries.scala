@@ -1387,6 +1387,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Deflate entropy-proxy probe (Gopher/CCNet compressibility gate):
+    // zlib is not SQL-expressible, so the oracle grades INVARIANTS with
+    // wide margins instead of byte counts — a 256-char constant run
+    // must compress below 10%, 256 chars of md5-hex noise (8 chained
+    // blocks, non-repeating) must stay above 45%, and the constant run
+    // must beat the document's own prose. If deflate breaks, the
+    // permil arithmetic flips, or a stream is mis-finished, a boolean
+    // goes false and the hash mismatches. Exact-ratio behavior is spec
+    // territory (zlib byte counts are JDK-version-scoped).
+    QueryDef("text_compression_probe",
+      """SELECT doc_id, TRUE AS repeat_ok, TRUE AS noise_ok,
+        |  TRUE AS order_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def sig(t: org.apache.spark.sql.Column, as: String) =
+        TextAnalysis.compressionSignals(
+            docs.select(col("doc_id"), t.as("t")), "doc_id", "t")
+          .select(col("doc_id"), col("ratio_permil").as(as))
+      val rep = sig(repeat(lit("a"), 256), "r_repeat")
+      val nat = sig(substring(col("text"), 1, 256), "r_text")
+      val noi = sig(concat((0 until 8).map(i =>
+        md5(concat(col("text"), lit(i.toString)))): _*), "r_noise")
+      rep.join(nat, Seq("doc_id")).join(noi, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("r_repeat") < 100).as("repeat_ok"),
+          (col("r_noise") > 450).as("noise_ok"),
+          (col("r_repeat") < col("r_text")).as("order_ok"))
+        .orderBy("doc_id")
+    },
+
     // END-TO-END grade of the WARC/WET record parser (the ingest stage
     // of every crawl corpus): documents are serialized IN-PLAN into
     // multi-record WET blobs — ~64 blobs of real `WARC/1.0` framing,

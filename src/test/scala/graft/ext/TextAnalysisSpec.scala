@@ -660,4 +660,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == (4L, 4L, 0L, 0L, 250L))
     assert(got(5L) == (5L, 0L, 0L, 0L, 0L))
   }
+
+  test("compressionSignals: ratio bands and exact byte accounting") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (0L, "a" * 4096),                       // constant run
+      (1L, "the quick brown fox " * 200),     // repetitive phrase
+      (2L, scala.util.Random.javaRandomToRandom(
+        new java.util.Random(42)).alphanumeric.take(4096).mkString),
+      (3L, ""),                               // empty
+      (4L, "héllo 世界")                       // multi-byte
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (rawA, defA, ratioA) = got(0L)
+    assert(rawA == 4096L && defA < 100L && ratioA < 25L)
+    assert(got(1L)._3 < 100L)                 // phrase repetition crushes
+    assert(got(2L)._3 > 600L)                 // alnum noise barely moves
+    assert(got(3L) == ((0L, 2L, 1000L)) || got(3L)._1 == 0L) // empty: raw 0
+    assert(got(4L)._1 == "héllo 世界".getBytes("UTF-8").length.toLong)
+    // permil arithmetic is integral: d*1000 div raw
+    got.values.foreach { case (raw, d, p) =>
+      if (raw > 0) assert(p == d * 1000L / raw)
+    }
+  }
+
+  test("compressionSignals: partition-count independent") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (0L until 64L).map(i => (i, s"token$i " * (i.toInt + 1)))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.compressionSignals(docs.repartition(2),
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val b = TextAnalysis.compressionSignals(docs.repartition(9),
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a == b)
+  }
 }
