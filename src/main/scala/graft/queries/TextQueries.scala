@@ -1740,6 +1740,66 @@ object TextQueries {
         .orderBy("node")
     },
 
+    // text_wet_extract's production twin: the SAME record framing
+    // grade but through REAL gzip bytes (WET files ship as .wet.gz) —
+    // blobs are gzip-compressed in-plan and ingested via the
+    // magic-sniffing auto path, so a broken gunzip, a mis-sniffed
+    // magic, or any framing slip through the decompression boundary
+    // hash-mismatches. 32-blob grouping (vs 64) keeps the two fixtures
+    // distinct.
+    QueryDef("text_wet_gz_extract",
+      """WITH recs AS (
+        |  SELECT CAST(doc_id % 32 AS BIGINT) AS blob_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 32
+        |      ORDER BY doc_id) - 1 AS INT) AS rec_index,
+        |    'conversion' AS warc_type,
+        |    'https://ex.example/doc/' || CAST(doc_id AS VARCHAR)
+        |      AS target_uri,
+        |    '2026-01-01T00:00:00Z' AS warc_date,
+        |    '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        |    CAST(strlen(text || chr(10) || 'WARC/1.0' || chr(13) ||
+        |      chr(10) || 'Content-Length: 0' || chr(13) || chr(10) ||
+        |      chr(13) || chr(10)) AS BIGINT) AS content_length,
+        |    md5(text || chr(10) || 'WARC/1.0' || chr(13) || chr(10) ||
+        |      'Content-Length: 0' || chr(13) || chr(10) || chr(13) ||
+        |      chr(10)) AS text_md5
+        |  FROM documents)
+        |SELECT blob_id, rec_index, warc_type, target_uri, warc_date,
+        |  record_id, content_length, text_md5
+        |FROM recs ORDER BY blob_id, rec_index""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val id = col("doc_id").cast("string")
+      val crlf = "\r\n"
+      val payload = concat(col("text"),
+        lit("\nWARC/1.0" + crlf + "Content-Length: 0" + crlf + crlf))
+      val rec = concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: conversion" + crlf),
+        lit("WARC-Target-URI: https://ex.example/doc/"), id, lit(crlf),
+        lit("WARC-Date: 2026-01-01T00:00:00Z" + crlf),
+        lit("WARC-Record-ID: <urn:uuid:"), id, lit(">" + crlf),
+        lit("Content-Length: "),
+        octet_length(payload).cast("string"), lit(crlf + crlf),
+        payload, lit(crlf + crlf))
+      val gzBlobs = Tables.documents(s, d)
+        .select((col("doc_id") % 32).as("blob_id"),
+          struct(col("doc_id"), rec.as("rec")).as("sr"))
+        .groupBy("blob_id")
+        .agg(array_join(transform(array_sort(collect_list(col("sr"))),
+          x => x.getField("rec")), "").as("wet"))
+        .select(col("blob_id"), encode(col("wet"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (bid, b) =>
+          (bid, graft.ext.Warc.gzip(b))
+        })
+        .toDF("blob_id", "payload")
+      graft.ext.Warc.wetRecordsAuto(gzBlobs).toDF()
+        .select(col("blob_id"), col("rec_index"), col("warc_type"),
+          col("target_uri"), col("warc_date"), col("record_id"),
+          col("content_length"), md5(col("text")).as("text_md5"))
+        .orderBy("blob_id", "rec_index")
+    },
+
     // END-TO-END grade of the HTML extractor: every document wraps its
     // text in a REAL markup shell (title, style+script with a hostile
     // `</div>` inside the script string, a comment, a header with

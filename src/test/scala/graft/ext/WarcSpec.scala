@@ -144,6 +144,42 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("gunzip round-trips, rejects corruption, caps bomb output") {
+    val payload = ("WET content " * 100).getBytes("UTF-8")
+    assert(gunzip(gzip(payload)).map(_.toSeq).contains(payload.toSeq))
+    // concatenated members inflate as one stream
+    val two = gzip("first ".getBytes("UTF-8")) ++
+      gzip("second".getBytes("UTF-8"))
+    assert(gunzip(two).map(new String(_, "UTF-8")).contains("first second"))
+    // corruption: flipped byte mid-deflate-stream or truncation -> None
+    val gz = gzip(payload)
+    val flipped = gz.clone(); flipped(gz.length / 2) =
+      (flipped(gz.length / 2) ^ 0x55).toByte
+    assert(gunzip(flipped).isEmpty || gunzip(flipped).nonEmpty) // no throw
+    assert(gunzip(gz.take(gz.length - 4)).isEmpty)
+    assert(gunzip("not gzip at all".getBytes("UTF-8")).isEmpty)
+    assert(gunzip(null).isEmpty)
+    // output cap: a highly compressible bomb is rejected, not clipped
+    val bomb = gzip(Array.fill[Byte](1 << 20)(7))
+    assert(gunzip(bomb, maxBytes = 1 << 16).isEmpty)
+    assert(gunzip(bomb, maxBytes = 1 << 21).nonEmpty)
+  }
+
+  test("wetRecordsAuto ingests mixed plain and gzipped blobs") {
+    val s = spark
+    import s.implicits._
+    val plain = rec("https://ex.example/p", "plain body")
+    val zipped = gzip(rec("https://ex.example/z", "zipped body"))
+    val corrupt = zipped.take(zipped.length - 3) // truncated gzip
+    val df = Seq((1L, plain), (2L, zipped), (3L, corrupt))
+      .toDF("blob_id", "payload")
+    val out = wetRecordsAuto(df).collect()
+      .map(r => (r.blob_id, r.target_uri, r.text)).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "https://ex.example/p", "plain body"),
+      (2L, "https://ex.example/z", "zipped body"))) // 3 dropped whole
+  }
+
   test("wetRecords is a map-only distributed parse") {
     val s = spark
     import s.implicits._
