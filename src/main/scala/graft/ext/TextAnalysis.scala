@@ -1091,6 +1091,110 @@ object TextAnalysis {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Hashed, per-document NORMALIZED bag-of-tokens features for the
+    * trained classifiers: one row per (id, bucket) with
+    * `x_fp = ⌊cnt·10^6 / len⌋` (the token FRACTION at 1e6 fixed
+    * point — fastText's mean-bag; raw counts would let high-count
+    * shared-vocabulary buckets swamp a sparse discriminative feature)
+    * and, when `labelCol` is set, the 0/1 label. Computed once and
+    * persisted by the training loop. */
+  private def hashedFeatures(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, labelCol: Option[String], dim: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val y = labelCol.map(c => col(c).cast("int")).getOrElse(lit(0))
+      .as("y")
+    df.select(col(idCol).as("id"), y,
+        size(tokens(col(textCol))).cast("long").as("len"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), col("y"), col("len"),
+        (tokenHash31(col("tok")) % dim).as("b"))
+      .groupBy("id", "y", "len", "b").agg(count(lit(1)).as("cnt"))
+      .select(col("id"), col("y"), col("b"),
+        expr("(cnt * CAST(1000000 AS BIGINT)) div len").as("x_fp"))
+  }
+
+  /** Distributed logistic-regression TRAINING over hashed token
+    * features — the quality-gate training loop (fastText-style bag of
+    * hashed features; C4/CCNet train exactly such binary gates on weak
+    * labels). Full-batch gradient descent:
+    *
+    *  - weights live on the driver as the bounded model state (`dim`
+    *    entries — the same collect() carve-out as k-means centroids
+    *    and the BPE merge table) and are broadcast-joined each
+    *    iteration;
+    *  - each iteration is one scan of the persisted feature frame:
+    *    margin agg (id-keyed), per-(id, bucket) gradient
+    *    contributions, bucket-keyed agg, `dim`-row collect;
+    *  - **determinism under any partitioning**: each document's
+    *    gradient contribution is quantized to an integer BEFORE the
+    *    sum, and integer addition is order-independent — so the
+    *    trained weights are bit-identical however Spark shapes the
+    *    plan (a raw double SUM would not be).
+    *
+    * Returns the weight table (b, w_fp) at 1e6 fixed point. Learning
+    * rate is `lrPermil`/1000 per mean-gradient step. */
+  def logisticTrain(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int = 1024,
+      iters: Int = 8, lrPermil: Int = 500)
+      : org.apache.spark.sql.DataFrame = {
+    require(dim > 0 && iters >= 1 && lrPermil > 0,
+      s"logisticTrain: dim=$dim iters=$iters lrPermil=$lrPermil")
+    val spark = df.sparkSession
+    val feats = hashedFeatures(df, idCol, textCol, Some(labelCol), dim)
+      .persist()
+    try {
+      val nDocs = feats.select("id").distinct().count()
+      require(nDocs > 0, "logisticTrain: empty corpus")
+      var w = Map.empty[Long, Long].withDefaultValue(0L)
+      for (_ <- 0 until iters) {
+        val wDf = spark.createDataFrame(
+          (0L until dim.toLong).map(b => (b, w(b))))
+          .toDF("b", "w_fp")
+        val joined = feats.join(broadcast(wDf), Seq("b"))
+        // margin = Σ w·x with both at 1e6 fixed point -> /1e12
+        val margins = joined.groupBy("id")
+          .agg((sum(col("w_fp") * col("x_fp")) / 1.0e12d).as("m"))
+        // p = sigmoid(m); per-doc error quantized to 1e6 fixed point
+        // BEFORE the bucket sum (order-independence); x_fp is already
+        // 1e6-scaled, so (p-y)·x_fp IS the 1e6-scaled gradient
+        val grads = joined.join(margins, Seq("id"))
+          .withColumn("p", lit(1.0d) / (lit(1.0d) + exp(-col("m"))))
+          .withColumn("g",
+            floor((col("p") - col("y")) * col("x_fp")).cast("long"))
+          .groupBy("b").agg(sum("g").as("gsum"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = w ++ (0L until dim.toLong).map { b =>
+          b -> (w(b) - lrPermil.toLong * grads.getOrElse(b, 0L) /
+            (1000L * nDocs))
+        }
+      }
+      spark.createDataFrame((0L until dim.toLong).map(b => (b, w(b))))
+        .toDF("b", "w_fp")
+    } finally { feats.unpersist(); () }
+  }
+
+  /** APPLY step: margin, probability, and accept flag per document
+    * against a [[logisticTrain]] weight table (broadcast — the model
+    * is dim-bounded). Documents with no tokens carry margin 0
+    * (p = 0.5). Returns (idCol, margin_fp, prob, accept). */
+  def logisticScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, model: org.apache.spark.sql.DataFrame,
+      dim: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val margins = hashedFeatures(df, idCol, textCol, None, dim)
+      .join(broadcast(model), Seq("b"))
+      .groupBy("id")
+      // w and x both 1e6 fixed point: div 1e6 back to a 1e6-scaled
+      // margin (integral — replayable, no float sum)
+      .agg(expr("sum(w_fp * x_fp) div CAST(1000000 AS BIGINT)")
+        .as("margin_fp"))
+    df.select(col(idCol)).distinct()
+      .join(margins.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .na.fill(0L, Seq("margin_fp"))
+      .withColumn("prob", lit(1.0d) /
+        (lit(1.0d) + exp(-col("margin_fp") / 1000000.0d)))
+      .withColumn("accept", col("margin_fp") >= 0L)
+  }
+
   /** Deflate compression ratio — the entropy-proxy quality signal
     * (Gopher and CCNet both gate on it: template/boilerplate text
     * compresses far below natural prose, near-random noise barely

@@ -1387,6 +1387,63 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // END-TO-END grade of the distributed GD training loop: labels are
+    // planted in-plan (even docs get a 3x positive marker token, odd a
+    // negative one), logistic regression trains on a hash-derived 80%
+    // split, and the held-out 20% is scored by the trained weights.
+    // Training is deterministic (full-batch, integer-quantized
+    // gradients, no RNG), so the accuracies are FIXED numbers for the
+    // fixture; the oracle grades the split sizes exactly and the
+    // accuracies as wide-margin invariants (>= 95% train, >= 90%
+    // eval) — a broken gradient, a sign flip, or a nondeterministic
+    // sum drops accuracy to ~50% and hash-mismatches.
+    QueryDef("text_logit_gate",
+      s"""WITH s AS (
+        |  SELECT doc_id,
+        |    ${sqlH31("CAST(doc_id AS VARCHAR)")} % 100 < 80 AS is_train
+        |  FROM documents)
+        |SELECT
+        |  CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_eval,
+        |  TRUE AS train_acc_ok, TRUE AS eval_acc_ok
+        |FROM s""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("y", (col("doc_id") % 2 === 0).cast("boolean"))
+        // the planted marker scales with document length (~5% of
+        // tokens): a weak label in a real pipeline correlates with a
+        // fraction of the text, not a constant 3 tokens that hundreds
+        // of noise tokens would swamp in few-iteration full-batch GD
+        .withColumn("__mk", expr(
+          "repeat(' qmark', GREATEST(3, CAST(size(split(text, ' ')) " +
+            "AS INT) DIV 20))"))
+        .withColumn("t2", concat(col("text"),
+          when(col("y"), col("__mk"))
+            .otherwise(regexp_replace(col("__mk"), "qmark", "jmark"))))
+        .withColumn("is_train",
+          TextAnalysis.tokenHash31(col("doc_id").cast("string"))
+            % 100 < 80)
+      val train = docs.filter(col("is_train"))
+      val eval_ = docs.filter(!col("is_train"))
+      val model = TextAnalysis.logisticTrain(train, "doc_id", "t2", "y",
+        dim = 512, iters = 10, lrPermil = 1000)
+      def acc(part: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.logisticScore(part, "doc_id", "t2", model, dim = 512)
+          .join(part.select("doc_id", "y"), Seq("doc_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("accept") === col("y"), 1L).otherwise(0L))
+              .as("ok"))
+          .select(col("n"),
+            expr("(ok * CAST(1000 AS BIGINT)) div n").as("permil"))
+          .head()
+      val (trainRow, evalRow) = (acc(train), acc(eval_))
+      import s.implicits._
+      Seq((trainRow.getLong(0), evalRow.getLong(0),
+          trainRow.getLong(1) >= 950L, evalRow.getLong(1) >= 900L))
+        .toDF("n_train", "n_eval", "train_acc_ok", "eval_acc_ok")
+    },
+
     // Deflate entropy-proxy probe (Gopher/CCNet compressibility gate):
     // zlib is not SQL-expressible, so the oracle grades INVARIANTS with
     // wide margins instead of byte counts — a 256-char constant run

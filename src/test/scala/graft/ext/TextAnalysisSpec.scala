@@ -698,4 +698,54 @@ class TextAnalysisSpec extends SparkSpec {
       "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(a == b)
   }
+
+  test("logisticTrain separates planted labels and is partition-stable") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (0L until 40L).map { i =>
+      val y = i % 2 == 0
+      val marker = if (y) "good good" else "bad bad"
+      (i, s"common filler tokens here $marker", y)
+    }.toDF("doc_id", "text", "y")
+    val m = TextAnalysis.logisticTrain(docs, "doc_id", "text", "y",
+      dim = 64, iters = 8, lrPermil = 500)
+    val scored = TextAnalysis.logisticScore(docs, "doc_id", "text", m,
+        dim = 64)
+      .join(docs.select("doc_id", "y"), Seq("doc_id")).collect()
+    assert(scored.forall(r => r.getAs[Boolean]("accept") ==
+      r.getAs[Boolean]("y")), "trained gate must separate the markers")
+    // bit-identical weights under a different partitioning
+    val m2 = TextAnalysis.logisticTrain(docs.repartition(7), "doc_id",
+      "text", "y", dim = 64, iters = 8, lrPermil = 500)
+    val w1 = m.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w2 = m2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == w2)
+  }
+
+  test("logisticScore: tokenless docs default to margin 0, p=0.5") {
+    val s2 = spark
+    import s2.implicits._
+    val train = Seq((0L, "good", true), (1L, "bad", false))
+      .toDF("doc_id", "text", "y")
+    val m = TextAnalysis.logisticTrain(train, "doc_id", "text", "y",
+      dim = 16, iters = 4)
+    val out = TextAnalysis.logisticScore(
+        Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", m,
+        dim = 16).head()
+    assert(out.getAs[Long]("margin_fp") == 0L)
+    assert(out.getAs[Double]("prob") == 0.5d)
+  }
+
+  test("logisticTrain rejects bad arguments and empty corpora") {
+    val s2 = spark
+    import s2.implicits._
+    val d = Seq((0L, "x", true)).toDF("doc_id", "text", "y")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logisticTrain(d, "doc_id", "text", "y", dim = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logisticTrain(d.filter("doc_id < 0"), "doc_id",
+        "text", "y")
+    }
+  }
 }
