@@ -286,6 +286,42 @@ object CorpusStream {
       .start()
   }
 
+  /** Streaming trained-quality gate — the GD-trained logistic model
+    * ([[graft.ext.TextAnalysis.logisticTrain]]) applied per
+    * micro-batch: survivors are documents the model accepts
+    * (margin ≥ 0). The model is frozen at stream start (retrain out of
+    * band and restart, the [[langIdGateBatches]] contract — and for
+    * the same reason: foreachBatch re-evaluates its plan per trigger,
+    * so a live training lineage would re-run the whole GD loop every
+    * micro-batch). `dim` MUST match training (hashed buckets disagree
+    * silently otherwise — the same visible-at-call-site contract as
+    * the langId gate). Survivors carry `margin_fp` and `prob` for
+    * downstream mixture accounting and land in the shared
+    * `batch_id`-partitioned dynamic-overwrite store. */
+  def qualityGateBatches(docs: DataFrame, model: DataFrame,
+      storeDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      dim: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val frozen = model.localCheckpoint(true)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = graft.ext.TextAnalysis
+          .logisticScore(batch, idCol, textCol, frozen, dim)
+          .filter(col("accept"))
+          .select(col(idCol), col("margin_fp"), col("prob"))
+        batch.join(scored, Seq(idCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming WET ingest — the crawl front door as a stream: binary
     * WARC/WET blobs arrive (one row per fetched file/chunk),
     * [[graft.ext.Warc.wetRecords]] extracts the records per micro-batch

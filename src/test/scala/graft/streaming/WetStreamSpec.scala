@@ -64,4 +64,32 @@ class WetStreamSpec extends SparkSpec {
       assert(partDirs.length == 2, s"expected folded store: ${partDirs.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming trained-quality gate keeps model-accepted docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = Seq(
+      (0L, "good solid prose here", true),
+      (1L, "spam junk junk spam", false),
+      (2L, "more good prose text", true),
+      (3L, "junk spam junk spam", false)).toDF("doc_id", "text", "y")
+    val model = graft.ext.TextAnalysis.logisticTrain(
+      train, "doc_id", "text", "y", dim = 64, iters = 8)
+    val root = java.nio.file.Files.createTempDirectory("qgate")
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.qualityGateBatches(
+      mem.toDF().toDF("doc_id", "text"), model,
+      s"$root/store", s"$root/ckpt", dim = 64)
+    try {
+      mem.addData(
+        (10L, "good prose all the way"),
+        (11L, "spam junk spam junk junk"))
+      q.processAllAvailable()
+      mem.addData((12L, "solid good text prose"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$root/store")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(10L, 12L), s"got ${kept.toSeq}")
+    } finally q.stop()
+  }
 }
