@@ -43,7 +43,9 @@ object ScaleCurve {
     "text_html_extract" -> "documents",
     "dedup_best_in_cluster" -> "documents",
     "text_wet_extract" -> "documents",
-    "text_shard_plan" -> "documents")
+    "text_shard_plan" -> "documents",
+    "text_logit_gate" -> "documents",
+    "pipeline_link_rank" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
