@@ -1865,6 +1865,81 @@ object TextQueries {
         .orderBy("blob_id", "rec_index")
     },
 
+    // FLAGSHIP: the crawl-refresh loop closed — sitemap XML parsed
+    // in-plan (the text_sitemap_extract fixture), entries joined
+    // against a last-fetch table, the refresh rule applied (refetch
+    // when lastmod is absent — unknown freshness — or newer than the
+    // last fetch), and survivors politeness-scheduled with per-host
+    // delays. Three of this round's operators compose in one query
+    // and the oracle replays every stage from doc_id arithmetic:
+    // lastmod/fetched day arithmetic, the refresh predicate, the
+    // per-host priority window, and the slot product.
+    QueryDef("pipeline_recrawl_plan",
+      s"""WITH e AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS k,
+        |    's' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    ELSE NULL END AS lastmod,
+        |    '2026-01-' || lpad(CAST(doc_id % 14 + 1 AS VARCHAR), 2, '0')
+        |      AS fetched_at
+        |  FROM documents),
+        |s AS (
+        |  SELECT * FROM e
+        |  WHERE lastmod IS NULL OR lastmod > fetched_at),
+        |w AS (
+        |  SELECT doc_id, host, k, lastmod,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY
+        |      COALESCE(lastmod, '9999') DESC, doc_id) - 1 AS BIGINT)
+        |      AS fetch_wave
+        |  FROM s)
+        |SELECT doc_id, host, lastmod, fetch_wave,
+        |  fetch_wave * CAST(k + 1 AS DOUBLE) AS slot_sec
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val k = col("doc_id") % 5
+      val host = concat(lit("s"), k.cast("string"), lit(".example"))
+      val locRaw = concat(lit("https://"), host, lit("/p/"),
+        col("doc_id").cast("string"))
+      val lastmod = concat(lit("2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+      val block = concat(lit("<url><loc>"), locRaw, lit("</loc>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<lastmod>"), lastmod, lit("</lastmod>")))
+          .otherwise(lit("")),
+        lit("</url>"))
+      val docs = Tables.documents(s, d)
+      val xmlDf = docs
+        .select(host.as("host"),
+          struct(col("doc_id"), block.as("b")).as("sb"))
+        .groupBy("host")
+        .agg(concat(lit("<urlset>"),
+          array_join(transform(array_sort(collect_list(col("sb"))),
+            x => x.getField("b")), ""),
+          lit("</urlset>")).as("xml"))
+      val entries = graft.ext.Sitemap.entries(xmlDf)
+        .withColumn("doc_id",
+          regexp_extract(col("loc"), "/p/(\\d+)$", 1).cast("long"))
+      val lastFetch = docs.select(col("doc_id"),
+        concat(lit("2026-01-"),
+          lpad((col("doc_id") % 14 + 1).cast("string"), 2, "0"))
+          .as("fetched_at"))
+      val due = entries.join(lastFetch, Seq("doc_id"))
+        .filter(col("lastmod").isNull ||
+          col("lastmod") > col("fetched_at"))
+      val delays = docs.select(k.cast("int").as("kk")).distinct()
+        .select(
+          concat(lit("s"), col("kk").cast("string"), lit(".example"))
+            .as("host"),
+          (col("kk") + 1).cast("double").as("crawl_delay_sec"))
+      graft.ops.Frontier.plan(due, delays,
+          orderBy = Seq(coalesce(col("lastmod"), lit("9999")).desc,
+            col("doc_id")),
+          urlCol = "loc")
+        .select(col("doc_id"), col("host"), col("lastmod"),
+          col("fetch_wave"), col("slot_sec"))
+        .orderBy("doc_id")
+    },
+
     // END-TO-END grade of the HTML extractor: every document wraps its
     // text in a REAL markup shell (title, style+script with a hostile
     // `</div>` inside the script string, a comment, a header with
