@@ -146,4 +146,13 @@ class HtmlExtractSpec extends SparkSpec {
       "<a class=\"x\" href = \"https://a.example/\" rel=nofollow>T</a>")
     assert(got == Seq((0L, "https://a.example/", "T")))
   }
+
+  test("links is a map-only plan: zero shuffle exchanges") {
+    val df = HtmlExtract.links(
+      Seq((1L, "<a href=\"https://a.example/\">x</a>")).toDF("id", "html"),
+      "id", "html")
+    df.collect()
+    assert(graft.ops.Bucketing.shuffleExchanges(df) == 0,
+      df.queryExecution.executedPlan.toString)
+  }
 }

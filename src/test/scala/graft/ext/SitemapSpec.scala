@@ -55,4 +55,13 @@ class SitemapSpec extends SparkSpec {
     assert(got.toSeq ==
       Seq(("urlset", 0, "https://h.example/deep", Some("2025-12-31"))))
   }
+
+  test("entries is a map-only plan: zero shuffle exchanges") {
+    val df = Sitemap.entries(Seq(("h.example",
+      "<urlset><url><loc>https://h.example/x</loc></url></urlset>"))
+      .toDF("host", "xml"))
+    df.collect()
+    assert(graft.ops.Bucketing.shuffleExchanges(df) == 0,
+      df.queryExecution.executedPlan.toString)
+  }
 }

@@ -74,4 +74,16 @@ class FrontierSpec extends SparkSpec {
     assert(a == b)
     assert(a.values.toSeq.sorted == (0L until 20L))
   }
+
+  test("plan contract: one host-keyed exchange, delays broadcast") {
+    val urls = Seq((0L, 5L, "a.example", "https://a.example/x"))
+      .toDF("id", "prio", "host", "url")
+    val delays = Seq(("a.example", 2.0)).toDF("host", "crawl_delay_sec")
+    val df = Frontier.plan(urls, delays, Seq(col("prio").desc, col("id")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.ops.Bucketing.shuffleExchanges(df) == 1, plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -81,4 +81,22 @@ class ShardShuffleSpec extends SparkSpec {
       ShardShuffle.assign(docs(1), "doc_id", "it's", 4)
     }
   }
+
+  test("plan contracts: assignment map-only, write shape one exchange") {
+    val s2 = spark
+    import s2.implicits._
+    // no fixture repartition here: the contract is that ASSIGN adds no
+    // exchange of its own
+    val flat = (0L until 100L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    val asg = ShardShuffle.assign(flat, "doc_id", "epoch-1", 16)
+    asg.collect()
+    assert(graft.ops.Bucketing.shuffleExchanges(asg) == 0,
+      asg.queryExecution.executedPlan.toString)
+    val rep = ShardShuffle.repartitionByShard(flat, "doc_id",
+      "epoch-1", 8)
+    rep.collect()
+    assert(graft.ops.Bucketing.shuffleExchanges(rep) == 1,
+      rep.queryExecution.executedPlan.toString)
+  }
 }
