@@ -170,9 +170,12 @@ object Robots {
       .withColumn("__hit", col("pattern").isNotNull &&
         matches(col("path"), col("pattern")))
     // longest match wins; tie -> Allow wins (struct max orders by
-    // spec, then allow: false < true)
-    val keyCols = urls.columns.map(col).toIndexedSeq :+ col("host") :+
-      col("path")
+    // spec, then allow: false < true). Input columns named host/path
+    // were overwritten by the derivation above — dedup so a frontier
+    // that already carries them doesn't double the grouping key.
+    val keyCols = urls.columns
+      .filterNot(c => c == "host" || c == "path")
+      .map(col).toIndexedSeq :+ col("host") :+ col("path")
     joined.groupBy(keyCols: _*)
       .agg(max(when(col("__hit"),
         struct(col("spec"), col("allow")))).as("__best"))

@@ -97,4 +97,17 @@ class RobotsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(got == Map("/a/x" -> false, "/b" -> true))
   }
+
+  test("frontier rows that already carry host/path columns are fine") {
+    val robots = Seq(("h.example", "User-agent: *\nDisallow: /a"))
+      .toDF("host", "robots_txt")
+    val urls = Seq((0L, "https://h.example/a/x", "stale.example", "/old"))
+      .toDF("id", "url", "host", "path")
+    val out = Robots.filterUrls(urls, Robots.rules(robots), "bot")
+    // derived host/path win over the stale input columns, once each
+    assert(out.columns.count(_ == "host") == 1)
+    val row = out.select("host", "path", "allowed").head()
+    assert(row.getString(0) == "h.example" &&
+      row.getString(1) == "/a/x" && !row.getBoolean(2))
+  }
 }
