@@ -215,6 +215,70 @@ object Warc {
       })
   }
 
+  /** Gzip member-header metadata (RFC 1952): compression method,
+    * member mtime, XFL, OS id, and the optional original FNAME —
+    * the archive-inventory scan that answers "what is in this crate
+    * of .gz files and when was it made" WITHOUT inflating anything.
+    */
+  final case class GzipMeta(
+      blob_id: Long,
+      method: Int,
+      mtime: Long,
+      xfl: Int,
+      os: Int,
+      fname: String)
+
+  /** Parse one gzip member header. Total: None on short input, bad
+    * magic, or a header whose optional fields run past the blob
+    * (FEXTRA length, unterminated FNAME/FCOMMENT). Reserved FLG bits
+    * are tolerated (per the RFC they are "must be zero" for writers,
+    * but a reader that dies on them loses real-world archives). */
+  def parseGzipMeta(blobId: Long, b: Array[Byte]): Option[GzipMeta] = {
+    if (b == null || b.length < 10) return None
+    if (b(0) != GzipMagic0 || b(1) != GzipMagic1) return None
+    val method = b(2) & 0xff
+    val flg = b(3) & 0xff
+    def u32le(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    val mtime = u32le(4)
+    val xfl = b(8) & 0xff
+    val os = b(9) & 0xff
+    var off = 10
+    if ((flg & 4) != 0) { // FEXTRA: u16 LE length + payload
+      if (off + 2 > b.length) return None
+      val xlen = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      off += 2 + xlen
+      if (off > b.length) return None
+    }
+    var fname: String = null
+    if ((flg & 8) != 0) { // FNAME: zero-terminated ISO-8859-1
+      val start = off
+      while (off < b.length && b(off) != 0) off += 1
+      if (off >= b.length) return None // unterminated
+      fname = new String(b, start, off - start, "ISO-8859-1")
+      off += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: skip, but must terminate
+      while (off < b.length && b(off) != 0) off += 1
+      if (off >= b.length) return None
+      off += 1
+    }
+    Some(GzipMeta(blobId, method, mtime, xfl, os, fname))
+  }
+
+  /** Archive-inventory operator: gzip blobs -> member-header metadata.
+    * Map-only; non-gzip rows are dropped (quarantine upstream via the
+    * magic, the [[Multimodal.Decoder]] contract). */
+  def gzipMeta(df: DataFrame, idCol: String = "blob_id",
+      binCol: String = "payload"): Dataset[GzipMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => parseGzipMeta(id, b) })
+  }
+
   /** Gzip-compress (spec/fixture helper — the graded query round-trips
     * records through REAL gzip bytes built with this). */
   def gzip(payload: Array[Byte]): Array[Byte] = {

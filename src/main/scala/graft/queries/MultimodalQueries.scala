@@ -84,6 +84,39 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // Gzip member-header metadata graded the mm_container_meta way:
+    // every doc synthesizes a REAL RFC 1952 header (FNAME flag, LE
+    // mtime from doc_id arithmetic, xfl/os constants, zero-terminated
+    // original name, trailing junk standing in for the deflate
+    // stream), the archive-inventory parser reads the BYTES back, and
+    // the oracle recomputes the fields from arithmetic — an
+    // endianness slip, a mis-skipped optional field, or an off-by-one
+    // name window hash-mismatches. The inflate path is graded
+    // separately by text_wet_gz_extract; this is the inventory scan
+    // that never inflates.
+    QueryDef("mm_gzip_meta",
+      """SELECT doc_id, CAST(8 AS INT) AS method,
+        |  CAST(doc_id * 7 + 123456 AS BIGINT) AS mtime,
+        |  CAST(2 AS INT) AS xfl, CAST(3 AS INT) AS os,
+        |  'f' || CAST(doc_id AS VARCHAR) || '.wet' AS fname
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val mt = col("doc_id") * 7 + 123456
+      val mtHi = expr("CAST((doc_id * 7 + 123456) div 65536 AS BIGINT)")
+      val headHex = concat(lit("1f8b0808"), u16le(mt % 65536),
+        u16le(mtHi), lit("0203"))
+      val payload = concat(unhex(headHex),
+        encode(concat(lit("f"), col("doc_id").cast("string"),
+          lit(".wet")), "UTF-8"),
+        unhex(lit("00")), unhex(lit("abcd")))
+      graft.ext.Warc.gzipMeta(
+          Tables.documents(s, d).select(col("doc_id"),
+            payload.as("payload")), idCol = "doc_id")
+        .toDF()
+        .select(col("blob_id").as("doc_id"), col("method"),
+          col("mtime"), col("xfl"), col("os"), col("fname"))
+        .orderBy("doc_id")
+    },
+
     // PNG IHDR / JPEG SOF parsers graded the mm_container_meta way:
     // even docs synthesize a real 33-byte PNG signature+IHDR (color
     // type rgba/rgb by doc_id mod 4), odd docs a minimal JPEG with an

@@ -194,4 +194,25 @@ class WarcSpec extends SparkSpec {
     val plan = wetRecords(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("gzip member-header metadata: real headers, hostile options") {
+    // JDK-written member: method 8, no FNAME, mtime 0
+    val real = parseGzipMeta(5L, gzip("body".getBytes("UTF-8")))
+    assert(real.exists(m => m.method == 8 && m.fname == null))
+    // hand-built: FNAME + FEXTRA + FCOMMENT all present
+    val full = Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16).toByte,
+      0x78, 0x56, 0x34, 0x12, 2, 3, // mtime LE, xfl, os
+      2, 0, 9, 9) ++ "name.gz".getBytes("ISO-8859-1") ++
+      Array[Byte](0) ++ "cmt".getBytes ++ Array[Byte](0, 77)
+    val m = parseGzipMeta(1L, full).get
+    assert(m.mtime == 0x12345678L && m.xfl == 2 && m.os == 3 &&
+      m.fname == "name.gz")
+    // hostile: FEXTRA overrunning the blob, unterminated FNAME, short
+    assert(parseGzipMeta(1L, Array[Byte](0x1f, 0x8b.toByte, 8, 4,
+      0, 0, 0, 0, 0, 0, 0x50, 0)).isEmpty)
+    assert(parseGzipMeta(1L, Array[Byte](0x1f, 0x8b.toByte, 8, 8,
+      0, 0, 0, 0, 0, 0, 'x', 'y')).isEmpty)
+    assert(parseGzipMeta(1L, Array[Byte](0x1f, 0x8b.toByte)).isEmpty)
+    assert(parseGzipMeta(1L, null).isEmpty)
+  }
 }
