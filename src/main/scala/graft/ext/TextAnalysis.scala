@@ -1113,6 +1113,42 @@ object TextAnalysis {
         expr("(cnt * CAST(1000000 AS BIGINT)) div len").as("x_fp"))
   }
 
+  /** [[hashedFeatures]] regrouped to ONE ROW PER DOCUMENT:
+    * `(id, y, fv: array<struct<b,x_fp>>)`. The array is bounded by
+    * `dim` entries (features are already bucket-grouped), so a row is
+    * O(dim) however long the document — this is the frame the GD loop
+    * scans once per iteration with NO per-iteration shuffle of the
+    * token-level frame (margins and gradients both come straight off
+    * the local array; sums are exact longs, so `collect_list` order
+    * never matters). */
+  private def groupedFeatures(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, labelCol: Option[String], dim: Int)
+      : org.apache.spark.sql.DataFrame =
+    hashedFeatures(df, idCol, textCol, labelCol, dim)
+      .groupBy("id", "y")
+      .agg(collect_list(struct(col("b"), col("x_fp"))).as("fv"))
+
+  /** Public handle on the per-doc feature frame
+    * `(id, y, fv: array<struct<b,x_fp>>)` so a pipeline that BOTH
+    * trains on and scores the same corpus (the usual gate-training
+    * shape: train on a split, score everything) builds the expensive
+    * tokenize+hash pass ONCE, persists it, and feeds the slices to
+    * [[logisticTrainOn]] / [[logisticScoreOn]]. */
+  def logisticFeatures(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, labelCol: Option[String],
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"logisticFeatures: dim=$dim")
+    groupedFeatures(df, idCol, textCol, labelCol, dim)
+  }
+
+  /** 1e12-fixed-point margin Σ w·x over a per-doc feature array,
+    * with the dim-bounded weight vector inlined as a LITERAL array
+    * (codegen'd `aggregate`, map-only — no join, no shuffle). */
+  private def marginFp(fv: Column, w: IndexedSeq[Long]): Column =
+    aggregate(fv, lit(0L), (acc, e) =>
+      acc + element_at(typedLit(w), e.getField("b").cast("int") + 1) *
+        e.getField("x_fp"))
+
   /** Distributed logistic-regression TRAINING over hashed token
     * features — the quality-gate training loop (fastText-style bag of
     * hashed features; C4/CCNet train exactly such binary gates on weak
@@ -1120,11 +1156,16 @@ object TextAnalysis {
     *
     *  - weights live on the driver as the bounded model state (`dim`
     *    entries — the same collect() carve-out as k-means centroids
-    *    and the BPE merge table) and are broadcast-joined each
-    *    iteration;
-    *  - each iteration is one scan of the persisted feature frame:
-    *    margin agg (id-keyed), per-(id, bucket) gradient
-    *    contributions, bucket-keyed agg, `dim`-row collect;
+    *    and the BPE merge table) and are inlined each iteration as a
+    *    LITERAL array into a codegen'd `aggregate` over the per-doc
+    *    feature array — no weight join, no id-keyed shuffle;
+    *  - each iteration is ONE map-only scan of the persisted per-doc
+    *    feature frame ([[groupedFeatures]]): margin and per-bucket
+    *    gradient contributions come straight off the local array, the
+    *    only shuffle is the bucket-keyed gradient agg (≤ `dim` rows
+    *    per map task after partial aggregation), then a `dim`-row
+    *    collect — 2 jobs/iteration instead of the 5 a
+    *    join+margin-shuffle+re-join formulation costs;
     *  - **determinism under any partitioning**: each document's
     *    gradient contribution is quantized to an integer BEFORE the
     *    sum, and integer addition is order-independent — so the
@@ -1137,59 +1178,92 @@ object TextAnalysis {
       textCol: String, labelCol: String, dim: Int = 1024,
       iters: Int = 8, lrPermil: Int = 500)
       : org.apache.spark.sql.DataFrame = {
+    val docs = groupedFeatures(df, idCol, textCol, Some(labelCol), dim)
+      .persist()
+    try logisticTrainOn(docs, dim, iters, lrPermil)
+    finally { docs.unpersist(); () }
+  }
+
+  /** The GD loop itself, over a PRE-BUILT (and ideally persisted)
+    * [[logisticFeatures]] frame — extra columns pass through untouched,
+    * so a split flag can ride along and the caller can train on
+    * `feats.filter(...)` without rebuilding features. */
+  def logisticTrainOn(feats: org.apache.spark.sql.DataFrame,
+      dim: Int, iters: Int, lrPermil: Int)
+      : org.apache.spark.sql.DataFrame = {
     require(dim > 0 && iters >= 1 && lrPermil > 0,
       s"logisticTrain: dim=$dim iters=$iters lrPermil=$lrPermil")
-    val spark = df.sparkSession
-    val feats = hashedFeatures(df, idCol, textCol, Some(labelCol), dim)
-      .persist()
-    try {
-      val nDocs = feats.select("id").distinct().count()
-      require(nDocs > 0, "logisticTrain: empty corpus")
-      var w = Map.empty[Long, Long].withDefaultValue(0L)
-      for (_ <- 0 until iters) {
-        val wDf = spark.createDataFrame(
-          (0L until dim.toLong).map(b => (b, w(b))))
-          .toDF("b", "w_fp")
-        val joined = feats.join(broadcast(wDf), Seq("b"))
-        // margin = Σ w·x with both at 1e6 fixed point -> /1e12
-        val margins = joined.groupBy("id")
-          .agg((sum(col("w_fp") * col("x_fp")) / 1.0e12d).as("m"))
-        // p = sigmoid(m); per-doc error quantized to 1e6 fixed point
-        // BEFORE the bucket sum (order-independence); x_fp is already
-        // 1e6-scaled, so (p-y)·x_fp IS the 1e6-scaled gradient
-        val grads = joined.join(margins, Seq("id"))
-          .withColumn("p", lit(1.0d) / (lit(1.0d) + exp(-col("m"))))
-          .withColumn("g",
-            floor((col("p") - col("y")) * col("x_fp")).cast("long"))
-          .groupBy("b").agg(sum("g").as("gsum"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        w = w ++ (0L until dim.toLong).map { b =>
-          b -> (w(b) - lrPermil.toLong * grads.getOrElse(b, 0L) /
-            (1000L * nDocs))
-        }
+    val spark = feats.sparkSession
+    val docs = feats
+    val nDocs = docs.count()
+    require(nDocs > 0, "logisticTrain: empty corpus")
+    var w: IndexedSeq[Long] = IndexedSeq.fill(dim)(0L)
+    for (_ <- 0 until iters) {
+      // margin = Σ w·x with both at 1e6 fixed point -> /1e12;
+      // p = sigmoid(m); per-doc error quantized to 1e6 fixed point
+      // BEFORE the bucket sum (order-independence); x_fp is already
+      // 1e6-scaled, so (p-y)·x_fp IS the 1e6-scaled gradient
+      val grads = docs
+        .withColumn("p", lit(1.0d) /
+          (lit(1.0d) + exp(-(marginFp(col("fv"), w) / 1.0e12d))))
+        .select(col("p"), col("y"), explode(col("fv")).as("e"))
+        .select(col("e.b").as("b"),
+          floor((col("p") - col("y")) * col("e.x_fp")).cast("long")
+            .as("g"))
+        .groupBy("b").agg(sum("g").as("gsum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = IndexedSeq.tabulate(dim) { b =>
+        w(b) - lrPermil.toLong * grads.getOrElse(b.toLong, 0L) /
+          (1000L * nDocs)
       }
-      spark.createDataFrame((0L until dim.toLong).map(b => (b, w(b))))
-        .toDF("b", "w_fp")
-    } finally { feats.unpersist(); () }
+    }
+    spark.createDataFrame(
+        (0 until dim).map(b => (b.toLong, w(b))))
+      .toDF("b", "w_fp")
   }
 
   /** APPLY step: margin, probability, and accept flag per document
-    * against a [[logisticTrain]] weight table (broadcast — the model
-    * is dim-bounded). Documents with no tokens carry margin 0
-    * (p = 0.5). Returns (idCol, margin_fp, prob, accept). */
+    * against a [[logisticTrain]] weight table (collected to a literal
+    * array — the model is dim-bounded driver state, the same carve-out
+    * as the training loop itself). Documents with no tokens carry
+    * margin 0 (p = 0.5). Returns (idCol, margin_fp, prob, accept). */
   def logisticScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, model: org.apache.spark.sql.DataFrame,
       dim: Int = 1024): org.apache.spark.sql.DataFrame = {
-    val margins = hashedFeatures(df, idCol, textCol, None, dim)
-      .join(broadcast(model), Seq("b"))
-      .groupBy("id")
-      // w and x both 1e6 fixed point: div 1e6 back to a 1e6-scaled
-      // margin (integral — replayable, no float sum)
-      .agg(expr("sum(w_fp * x_fp) div CAST(1000000 AS BIGINT)")
-        .as("margin_fp"))
+    val margins = logisticScoreOn(
+        groupedFeatures(df, idCol, textCol, None, dim), model, dim)
+      .select(col("id"), col("margin_fp"))
     df.select(col(idCol)).distinct()
       .join(margins.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
       .na.fill(0L, Seq("margin_fp"))
+      .withColumn("prob", lit(1.0d) /
+        (lit(1.0d) + exp(-col("margin_fp") / 1000000.0d)))
+      .withColumn("accept", col("margin_fp") >= 0L)
+  }
+
+  /** MAP-ONLY scoring over a pre-built [[logisticFeatures]] frame:
+    * every input column passes through (so a split flag or label rides
+    * along) plus `margin_fp`, `prob`, `accept`; `fv` is consumed. The
+    * weight table is collected to a literal array (dim-bounded model
+    * state) and the margin is an exact long-sum `aggregate` — no join,
+    * no shuffle, bit-identical to a broadcast-join-then-SUM plan. */
+  def logisticScoreOn(feats: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame, dim: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"logisticScoreOn: dim=$dim")
+    val wArr = Array.fill(dim)(0L)
+    model.select(col("b").cast("long"), col("w_fp").cast("long"))
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        if (b >= 0 && b < dim) wArr(b.toInt) = r.getLong(1)
+      }
+    feats
+      // w and x both 1e6 fixed point: div 1e6 back to a 1e6-scaled
+      // margin (integral — replayable, no float sum)
+      .withColumn("__m_fp", marginFp(col("fv"), wArr.toIndexedSeq))
+      .withColumn("margin_fp",
+        expr("__m_fp div CAST(1000000 AS BIGINT)"))
+      .drop("__m_fp", "fv")
       .withColumn("prob", lit(1.0d) /
         (lit(1.0d) + exp(-col("margin_fp") / 1000000.0d)))
       .withColumn("accept", col("margin_fp") >= 0L)

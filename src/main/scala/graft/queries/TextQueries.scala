@@ -1424,23 +1424,26 @@ object TextQueries {
         .withColumn("is_train",
           TextAnalysis.tokenHash31(col("doc_id").cast("string"))
             % 100 < 80)
-        // marker synthesis + split feed training, then two scoring
-        // passes — persist once, caller (Verify/Bench) clears cache
+      // ONE tokenize+hash pass feeds BOTH the 6-iteration GD loop and
+      // the scoring pass: the per-doc feature frame is built once with
+      // the split flag riding along (broadcast join of the 2-column id
+      // frame), persisted, and sliced — training filters it, scoring
+      // is a map-only pass over it. Caller (Verify/Bench) clears cache.
+      val grouped = TextAnalysis.logisticFeatures(
+          docs, "doc_id", "t2", Some("y"), dim = 512)
+        .join(broadcast(docs.select(col("doc_id").as("id"),
+          col("is_train"))), Seq("id"))
         .persist()
-      val train = docs.filter(col("is_train"))
-      val eval_ = docs.filter(!col("is_train"))
-      val model = TextAnalysis.logisticTrain(train, "doc_id", "t2", "y",
-        dim = 512, iters = 6, lrPermil = 1500)
-      // ONE scoring pass over the whole corpus, accuracies split by
-      // the train flag afterward (scoring twice would re-explode the
-      // token frame)
-      val byPart = TextAnalysis.logisticScore(docs, "doc_id", "t2",
-          model, dim = 512)
-        .join(docs.select("doc_id", "y", "is_train"), Seq("doc_id"))
+      val model = TextAnalysis.logisticTrainOn(
+        grouped.filter(col("is_train")), dim = 512, iters = 6,
+        lrPermil = 1500)
+      val byPart = TextAnalysis.logisticScoreOn(grouped, model,
+          dim = 512)
         .groupBy("is_train")
         .agg(count(lit(1)).as("n"),
-          sum(when(col("accept") === col("y"), 1L).otherwise(0L))
-            .as("ok"))
+          // the feature frame carries y as 0/1 int — compare flags
+          sum(when(col("accept") === (col("y") === 1), 1L)
+            .otherwise(0L)).as("ok"))
         .select(col("is_train"), col("n"),
           expr("(ok * CAST(1000 AS BIGINT)) div n").as("permil"))
         .collect().map(r => r.getBoolean(0) ->
