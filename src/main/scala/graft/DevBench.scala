@@ -23,6 +23,8 @@ object DevBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // match Bench: codegen cache sized past the suite (static conf)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.warehouse.dir",
         graft.Warehouse.dir)
       .getOrCreate()

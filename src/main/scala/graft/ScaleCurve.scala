@@ -60,6 +60,8 @@ object ScaleCurve {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench: codegen cache sized past the suite (static conf)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.warehouse.dir", graft.Warehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
