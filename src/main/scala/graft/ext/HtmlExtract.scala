@@ -152,6 +152,83 @@ object HtmlExtract {
         col("href"), visibleText(run).as("anchor"))
   }
 
+  /** jusText-style CONTEXT-FREE block classification — the
+    * extraction-quality tier above the bare link-density cut: each
+    * visible block from [[extractLines]] gets a verdict from the two
+    * signals jusText's core keys on, link density and STOPWORD density
+    * (boilerplate is link-dense OR function-word-poor; body prose is
+    * neither). Decision order is jusText's own (Pomikálek 2011,
+    * context-free part), all thresholds integral so a SQL oracle
+    * replays every boundary exactly:
+    *
+    *  1. `link_permil > maxLinkPermil`            → `bad`
+    *  2. `char_len < lenLow` and any link present → `bad`
+    *     `char_len < lenLow` otherwise            → `short`
+    *  3. `stop_permil >= stopHighPermil` and `char_len > lenHigh`
+    *                                              → `good`
+    *     `stop_permil >= stopHighPermil`          → `neargood`
+    *  4. `stop_permil >= stopLowPermil`           → `neargood`
+    *  5. else                                     → `bad`
+    *
+    * (`short`/`neargood` are the classes jusText's context-SENSITIVE
+    * pass re-labels from neighbours; emitting them lets a caller apply
+    * any neighbourhood policy as a window over `(id, line_no)`.)
+    *
+    * The stopword list is collected to a LITERAL array (bounded model
+    * state, same carve-out as the trained-gate weights — a language's
+    * function-word list is a few hundred entries; `maxStopwords` guards
+    * the contract), normalized like the C4 wordlist gate (trim, lower,
+    * whitespace-carrying entries dropped, distinct). The whole stage is
+    * MAP-ONLY: extraction, token filter, and classification fuse into
+    * one codegen'd pass — no shuffle, no join, linear in input bytes.
+    *
+    * Emits `(idCol, line_no, line, link_permil, n_words, stop_permil,
+    * cls)`; `stop_permil = ⌊1000·stopword_tokens/words⌋` (non-empty
+    * lines always have ≥ 1 token). */
+  def justextBlocks(df: DataFrame, idCol: String, htmlCol: String,
+      stopwords: DataFrame, maxLinkPermil: Int = 200,
+      lenLow: Int = 70, lenHigh: Int = 200,
+      stopLowPermil: Int = 300, stopHighPermil: Int = 320,
+      maxStopwords: Int = 100000): DataFrame = {
+    require(maxLinkPermil >= 0 && maxLinkPermil <= 1000,
+      s"justextBlocks: maxLinkPermil in [0,1000] ($maxLinkPermil)")
+    require(lenLow >= 0 && lenHigh >= lenLow,
+      s"justextBlocks: 0 <= lenLow <= lenHigh ($lenLow, $lenHigh)")
+    require(stopLowPermil >= 0 && stopHighPermil >= stopLowPermil &&
+      stopHighPermil <= 1000,
+      s"justextBlocks: 0 <= low <= high <= 1000 " +
+        s"($stopLowPermil, $stopHighPermil)")
+    require(stopwords.columns.nonEmpty,
+      "justextBlocks: stopword frame has no column")
+    val sw = stopwords
+      .select(lower(trim(col(stopwords.columns.head))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").rlike("\\s"))
+      .distinct().orderBy("w")
+      .collect().map(_.getString(0)).toIndexedSeq
+    require(sw.size <= maxStopwords,
+      s"justextBlocks: ${sw.size} stopwords exceeds maxStopwords=" +
+        s"$maxStopwords — a function-word list is bounded; use the " +
+        "keyed wordlistHits machinery for open vocabularies")
+    val swLit = typedLit(sw)
+    val toks = split(lower(col("line")), " ")
+    val len = length(col("line"))
+    extractLines(df, idCol, htmlCol)
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => array_contains(swLit, t))).cast("long"))
+      .withColumn("stop_permil",
+        expr("(n_stop * CAST(1000 AS BIGINT)) div n_words"))
+      .withColumn("cls",
+        when(col("link_permil") > maxLinkPermil, "bad")
+          .when(len < lenLow,
+            when(col("link_permil") > 0, "bad").otherwise("short"))
+          .when(col("stop_permil") >= stopHighPermil,
+            when(len > lenHigh, "good").otherwise("neargood"))
+          .when(col("stop_permil") >= stopLowPermil, "neargood")
+          .otherwise("bad"))
+      .drop("n_stop")
+  }
+
   /** Extraction to one TEXT column per document, dropping link-dense
     * boilerplate lines (`link_permil > maxLinkPermil`) and rejoining
     * the survivors in document order with '\n'. One doc-keyed

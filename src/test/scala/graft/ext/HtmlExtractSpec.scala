@@ -155,4 +155,86 @@ class HtmlExtractSpec extends SparkSpec {
     assert(graft.ops.Bucketing.shuffleExchanges(df) == 0,
       df.queryExecution.executedPlan.toString)
   }
+
+  private val JxStop = Seq("the", "a", "of", "and")
+
+  private def justext(html: String,
+      stop: Seq[String] = JxStop): Seq[(Long, String, Long, Long, String)] =
+    HtmlExtract.justextBlocks(
+        Seq((1L, html)).toDF("id", "html"), "id", "html",
+        stop.toDF("word"))
+      .select("line_no", "line", "link_permil", "stop_permil", "cls")
+      .as[(Long, String, Long, Long, String)].collect().sortBy(_._1).toSeq
+
+  test("justext: every context-free class from one document, decision " +
+    "order respected") {
+    val prose = ("the cat sat of the mat and " * 12).trim // 322 chars, high stop
+    val mid = ("the a " * 20).trim                        // 119 chars, stop 1000
+    val lowStop = ("alpha beta gamma delta epsilon " * 4).trim // 123, stop 0
+    val got = justext(
+      s"<li><a href='/n'>Nav One</a></li>" + // pure link -> bad
+        s"<p>short note</p>" +               // <70, no link -> short
+        s"<p><a href='/m'>more</a> see details</p>" + // <70 WITH link -> bad
+        s"<p>$prose</p>" +                   // >200 & high stop -> good
+        s"<p>$mid</p>" +                     // 70..200 & high stop -> neargood
+        s"<p>$lowStop</p>")                  // long, stop 0 -> bad
+    assert(got.map(_._5) ==
+      Seq("bad", "short", "bad", "good", "neargood", "bad"))
+    assert(got.head._3 == 1000L) // nav is pure-anchor
+    assert(got(4)._4 == 1000L)   // the-a block is all stopwords
+  }
+
+  test("justext: threshold boundaries are exact (len and permil edges)") {
+    // exactly lenLow chars, zero links: NOT short (len < 70 is strict),
+    // falls through to the stopword branches -> bad at stop 0
+    val exact70 = "x" * 70
+    assert(justext(s"<p>$exact70</p>").head._5 == "bad")
+    // 69 chars -> short
+    assert(justext(s"<p>${"x" * 69}</p>").head._5 == "short")
+    // stop_permil exactly 320 at len in (70,200]: neargood (>= is
+    // inclusive); 10 tokens: 4 stop words puts floor at 400, build
+    // 16/50: 16*1000/50=320 exactly
+    val mix = (List.fill(16)("the") ++ List.fill(34)("zz")).mkString(" ")
+    val r = justext(s"<p>$mix</p>").head
+    assert(r._4 == 320L && r._5 == "neargood", r.toString)
+    // one fewer stopword -> 300 exactly -> still neargood via the low
+    // branch; below 300 -> bad
+    val mix300 = (List.fill(15)("the") ++ List.fill(35)("zz")).mkString(" ")
+    val r300 = justext(s"<p>$mix300</p>").head
+    assert(r300._4 == 300L && r300._5 == "neargood", r300.toString)
+    val mix299 = (List.fill(14)("the") ++ List.fill(36)("zz")).mkString(" ")
+    assert(justext(s"<p>$mix299</p>").head._5 == "bad")
+  }
+
+  test("justext: stopword list is normalized like the wordlist gate — " +
+    "trim, lower, whitespace entries dropped, dups collapse") {
+    val prose = ("THE cat sat of THE mat and " * 12).trim
+    // messy list: padded uppercase dup, whitespace-carrying entry
+    val got = justext(s"<p>$prose</p>",
+      stop = Seq(" THE ", "the", "of", "and", "a b"))
+    assert(got.head._5 == "good", got.toString) // matching is case-insensitive
+  }
+
+  test("justext: oversized stopword list is rejected, empty list " +
+    "classifies everything bad-or-short") {
+    intercept[IllegalArgumentException] {
+      HtmlExtract.justextBlocks(
+        Seq((1L, "<p>x</p>")).toDF("id", "html"), "id", "html",
+        (1 to 11).map(i => s"w$i").toDF("word"), maxStopwords = 10)
+    }
+    val got = justext("<p>" + ("the a " * 60).trim + "</p>",
+      stop = Seq.empty[String])
+    assert(got.head._5 == "bad") // stop 0 despite all function words
+  }
+
+  test("justext: hostile markup (scripted anchor, bare '<') never " +
+    "throws and is a map-only plan") {
+    val df = HtmlExtract.justextBlocks(
+      Seq((1L, "<script>var a='<a href=x>y</a>'</script>" +
+        "<p>3 < 5 and the rest</p>")).toDF("id", "html"),
+      "id", "html", JxStop.toDF("word"))
+    df.collect()
+    assert(graft.ops.Bucketing.shuffleExchanges(df) == 0,
+      df.queryExecution.executedPlan.toString)
+  }
 }
