@@ -50,4 +50,49 @@ object Frontier {
       .withColumn("fetch_tie", TextAnalysis.tokenHash31(col(urlCol)))
       .drop("crawl_delay_sec")
   }
+
+  /** Budget cut over a [[plan]]: a real crawler fetches under BOTH a
+    * per-host budget (politeness × storage fairness — no host may
+    * dominate the corpus) and a global budget (the crawl's total
+    * byte/URL allowance). Composes two prefix sums:
+    *
+    *  1. per-host: inclusive running `costCol` within the host in
+    *     fetch-wave order (`host_cum`) — a window over the SAME
+    *     host-keyed shuffle [[plan]] already produced (no new
+    *     partitioning); keep while `fetch_wave < hostMaxUrls` and
+    *     `host_cum <= hostBudget`;
+    *  2. global: inclusive running cost over the survivors in the
+    *     global fetch order `(slot_sec, fetch_wave, fetch_tie,
+    *     tieBreak…)` (`global_cum`) via the DISTRIBUTED prefix sum
+    *     ([[PrefixSum.withRunningTotal]] — range-partitioned local
+    *     sums + a ≤numPartitions-row driver offset pass, never a
+    *     single-reducer window); keep while `global_cum <=
+    *     globalBudget`.
+    *
+    * Budgets are hard caps: an item whose cost alone exceeds the
+    * remaining budget drops (and, the sums being inclusive prefix
+    * sums, everything after it in that scope drops too — the crawl
+    * stops where the allowance runs out, it does not skip ahead).
+    * `tieBreak` must make the global order total (pass a unique id)
+    * or the cut boundary is partition-dependent. */
+  def budgetCut(plan: DataFrame, costCol: String, hostMaxUrls: Long,
+      hostBudget: Long, globalBudget: Long,
+      tieBreak: Seq[Column], hostCol: String = "host"): DataFrame = {
+    require(hostMaxUrls > 0, s"budgetCut: hostMaxUrls ($hostMaxUrls)")
+    require(hostBudget > 0, s"budgetCut: hostBudget ($hostBudget)")
+    require(globalBudget > 0, s"budgetCut: globalBudget ($globalBudget)")
+    require(tieBreak.nonEmpty,
+      "budgetCut: tieBreak must make the global fetch order total")
+    val w = Window.partitionBy(col(hostCol)).orderBy(col("fetch_wave"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hostCut = plan
+      .withColumn("host_cum", sum(col(costCol).cast("long")).over(w))
+      .filter(col("fetch_wave") < hostMaxUrls &&
+        col("host_cum") <= hostBudget)
+    PrefixSum.withRunningTotal(hostCut, "global_cum",
+        col(costCol).cast("long"),
+        Seq(col("slot_sec"), col("fetch_wave"), col("fetch_tie")) ++
+          tieBreak)
+      .filter(col("global_cum") <= globalBudget)
+  }
 }
