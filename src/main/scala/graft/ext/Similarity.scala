@@ -26,6 +26,67 @@ import org.apache.spark.sql.functions._
   *    correct at any SF but O(n²); kept as the small-n oracle-checkable
   *    baseline and the recall yardstick for the banded variant.
   */
+/** Measured sign-agreement quantiles of a corpus sample (permils —
+  * exact integers an oracle replays). `p50Permil` is the background
+  * measure for [[SimilarityProfile.derive]]; the upper tail
+  * legitimately holds the near-dups LSH should admit. */
+case class SignAgreeStats(nVecs: Long, nPairs: Long, p50Permil: Long,
+    p95Permil: Long, maxPermil: Long)
+
+/** Sign-LSH band geometry for embeddings, derived rather than
+  * hand-tuned — the embedding twin of [[DedupProfile]]. A pair at
+  * sign-agreement p (as permil/1000) collides in one r-bit band with
+  * probability p^r, in ≥1 of b bands with 1-(1-p^r)^b — the same
+  * S-curve as minhash banding with the sign bit as the collision
+  * unit. */
+case class SimilarityProfile(kBits: Int, bands: Int, bitsPerBand: Int,
+    thresholdPermil: Long) {
+  require(kBits >= 1 && bands >= 1 && bitsPerBand >= 1,
+    s"SimilarityProfile: kBits/bands/bitsPerBand positive: $this")
+  require(bands * bitsPerBand <= kBits,
+    s"SimilarityProfile: bands*bitsPerBand = ${bands * bitsPerBand} " +
+      s"exceeds kBits=$kBits: $this")
+  require(thresholdPermil > 0 && thresholdPermil <= 1000,
+    s"SimilarityProfile: thresholdPermil in (0,1000]: $this")
+}
+
+object SimilarityProfile {
+  /** Derive (bands, bitsPerBand) from a MEASURED background agreement
+    * ([[Similarity.sampleSignAgreeStats]].p50Permil) exactly the way
+    * [[DedupProfile.derive]] tunes minhash: among geometries within
+    * `kBits` (≤ the embedding dim — sign bits ARE coordinates), keep
+    * those admitting `thresholdPermil` pairs with probability ≥
+    * `minRecall` and background pairs with probability ≤
+    * `maxBackground`; argmin background probability (ties to fewer
+    * bands — fewer shuffled rows). Every probability is a
+    * [[DedupProfile.collisionProb]] fold — replayable bit-for-bit. */
+  def derive(kBits: Int, thresholdPermil: Long, backgroundPermil: Long,
+      minRecall: Double = 0.9, maxBackground: Double = 0.05)
+      : SimilarityProfile = {
+    require(backgroundPermil >= 0 && backgroundPermil < thresholdPermil,
+      s"derive: backgroundPermil ($backgroundPermil) must be below " +
+        s"thresholdPermil ($thresholdPermil) — equal means sign-LSH " +
+        "cannot separate them")
+    val pT = thresholdPermil / 1000.0
+    val pB = backgroundPermil / 1000.0
+    val candidates = for {
+      r <- 1 to kBits
+      b <- 1 to kBits / r
+      if DedupProfile.collisionProb(pT, b, r) >= minRecall
+      if DedupProfile.collisionProb(pB, b, r) <= maxBackground
+    } yield (b, r)
+    require(candidates.nonEmpty,
+      s"derive: no (bands, bits) geometry within kBits=$kBits " +
+        s"separates threshold=$thresholdPermil from " +
+        s"background=$backgroundPermil at recall>=$minRecall / " +
+        "background<=$maxBackground; raise kBits or relax the targets")
+    val (b, r) = candidates.minBy { case (b, r) =>
+      (DedupProfile.collisionProb(pB, b, r), b, r) }
+    SimilarityProfile(kBits = kBits, bands = b, bitsPerBand = r,
+      thresholdPermil = thresholdPermil)
+  }
+}
+
 object Similarity {
 
   /** floor(v * 1e6) per element, as longs. Exact in both engines: a
@@ -122,6 +183,77 @@ object Similarity {
       }
     }
     array(keys: _*)
+  }
+
+  /** Sign-agreement permil of two quantized vectors: ⌊1000·|{i :
+    * sign(qa_i) = sign(qb_i)}| / dim⌋ — the HAMMING-space twin of
+    * cosine (for sign-LSH the collision unit IS the sign bit, so
+    * deriving band geometry from agreement keeps every quantity an
+    * integer an oracle replays; the acos(cos)/π conversion a
+    * cosine-margin probe would need is transcendental and carries no
+    * cross-engine bit guarantee). */
+  def signAgreePermil(qa: Column, qb: Column): Column =
+    floor(size(filter(zip_with(qa, qb,
+        (x, y) => (x >= 0L) === (y >= 0L)), b => b))
+      .cast("long") * 1000L / size(qa)).cast("long")
+
+  /** Measured sign-agreement profile of a corpus sample — the
+    * embedding-side twin of [[Dedup.sampleJaccardStats]]: hash-sampled
+    * vectors (deterministic, replayable), ALL sample pairs' agreement
+    * permils, and the quantiles [[SimilarityProfile.derive]] consumes.
+    * The probe is quadratic in the sample — `maxSampleDocs` guards it
+    * (same carve-out as the Jaccard probe; the full corpus never
+    * pairs). */
+  def sampleSignAgreeStats(emb: DataFrame, samplePermil: Int = 20,
+      maxSampleDocs: Long = 2000, idCol: String = "vec_id",
+      embCol: String = "embedding"): SignAgreeStats = {
+    require(samplePermil >= 1 && samplePermil <= 1000,
+      s"sampleSignAgreeStats: samplePermil in [1,1000] ($samplePermil)")
+    val sample = emb
+      .filter(TextAnalysis.tokenHash31(col(idCol).cast("string"))
+        % 1000L < samplePermil)
+      .select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val nVecs = sample.count()
+    require(nVecs >= 2, s"sampleSignAgreeStats: sample has $nVecs " +
+      "vectors; raise samplePermil")
+    require(nVecs <= maxSampleDocs,
+      s"sampleSignAgreeStats: sample has $nVecs vectors (> " +
+        s"$maxSampleDocs); lower samplePermil — the probe is " +
+        "quadratic in the sample")
+    val a = sample.select(col("id").as("ia"), col("q").as("qa"))
+    val b = sample.select(col("id").as("ib"), col("q").as("qb"))
+    val agrees = a.join(b, col("ia") < col("ib"))
+      .select(signAgreePermil(col("qa"), col("qb")).as("ap"))
+      .collect().map(_.getLong(0)).sorted
+    val nPairs = nVecs * (nVecs - 1) / 2
+    def quantile(q: Double): Long = {
+      val idx = math.min(nPairs - 1, math.ceil(q * nPairs).toLong - 1)
+      agrees(idx.toInt)
+    }
+    SignAgreeStats(nVecs, nPairs, p50Permil = quantile(0.50),
+      p95Permil = quantile(0.95), maxPermil = agrees.last)
+  }
+
+  /** LSH-banded near-dup pairs under a DERIVED geometry, re-ranked in
+    * the same SIGN-AGREEMENT space the geometry was derived in:
+    * same-band candidates (sign bands over the leading
+    * `bands·bitsPerBand` coordinates — requires that many dims), then
+    * the exact integral agreement filter. The never-materialize-n²
+    * contract of [[bandedPairs]] holds unchanged. */
+  def bandedPairsAgree(emb: DataFrame, profile: SimilarityProfile,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val q = emb.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .withColumn("band", explode(
+        signBandKeys(col("q"), profile.bands, profile.bitsPerBand)))
+    val a = q.select(col("band"), col("id").as("id_a"), col("q").as("qa"))
+    val b = q.select(col("band"), col("id").as("id_b"), col("q").as("qb"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        signAgreePermil(col("qa"), col("qb")).as("agree_permil"))
+      .distinct() // a pair can collide in several bands
+      .filter(col("agree_permil") >= profile.thresholdPermil)
   }
 
   /** LSH-banded near-dup pairs: same-band candidates, exact quantized

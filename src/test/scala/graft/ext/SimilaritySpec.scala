@@ -139,6 +139,58 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 9000L)), s"high-cos pair must survive banding: $pairs")
   }
 
+  test("SimilarityProfile.derive: recall floor holds by construction, " +
+    "background separation is enforced, ties are total") {
+    val prof = SimilarityProfile.derive(kBits = 64,
+      thresholdPermil = 900, backgroundPermil = 500)
+    // the derived geometry's own S-curve IS the recall floor
+    assert(DedupProfile.collisionProb(0.9, prof.bands,
+      prof.bitsPerBand) >= 0.9, prof.toString)
+    assert(DedupProfile.collisionProb(0.5, prof.bands,
+      prof.bitsPerBand) <= 0.05, prof.toString)
+    assert(prof.bands * prof.bitsPerBand <= 64)
+    // on background 500 within 64 bits this derivation is unique:
+    // bits=10 is the only width meeting recall (11+ under-recalls at
+    // any band count within the budget), bands=6 the only count
+    assert((prof.bands, prof.bitsPerBand) == ((6, 10)), prof.toString)
+    // inseparable: background at/above threshold must be rejected
+    intercept[IllegalArgumentException] {
+      SimilarityProfile.derive(64, 900, 900)
+    }
+    // impossible targets must fail loudly, not silently under-recall
+    intercept[IllegalArgumentException] {
+      SimilarityProfile.derive(4, 900, 890)
+    }
+  }
+
+  test("sampleSignAgreeStats + bandedPairsAgree: measured quantiles " +
+    "are exact, sign-identical plants always collide (empirical " +
+    "recall 1 at agreement 1000)") {
+    // 4 vectors, 64 dims: a and b sign-identical (agree 1000), c flips
+    // 32 of a's signs (agree 500), d flips every sign (agree 0 vs a)
+    def vec(f: Int => Double): Seq[Double] = (0 until 64).map(f)
+    val a = vec(_ => 0.5)
+    val b = vec(i => if (i % 2 == 0) 0.9 else 0.1) // same signs as a
+    val c = vec(i => if (i < 32) -0.5 else 0.5)
+    val d = vec(_ => -0.5)
+    val df = Seq((0L, a), (1L, b), (2L, c), (3L, d))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.sampleSignAgreeStats(df, samplePermil = 1000)
+    assert(stats.nVecs == 4 && stats.nPairs == 6)
+    // pairs: ab=1000, ac=500, ad=0, bc=500, bd=0, cd=500
+    // sorted: 0,0,500,500,500,1000 -> p50 idx=min(5,3-1)=2 -> 500
+    assert(stats.p50Permil == 500L, stats.toString)
+    assert(stats.p95Permil == 1000L && stats.maxPermil == 1000L,
+      stats.toString)
+    val prof = SimilarityProfile.derive(64, 900, stats.p50Permil)
+    val got = Similarity.bandedPairsAgree(df, prof)
+      .select("id_a", "id_b", "agree_permil")
+      .as[(Long, Long, Long)].collect().toSet
+    // the sign-identical pair collides in EVERY band and survives the
+    // 900 re-rank; nothing else reaches 900
+    assert(got == Set((0L, 1L, 1000L)), got.toString)
+  }
+
   test("semanticDedup: pairs are same-cluster brute-force pairs; " +
     "survivors + dropped partition the corpus") {
     val brute = Similarity.bruteForcePairs(emb, 0.35)
