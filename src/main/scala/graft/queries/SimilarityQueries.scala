@@ -24,6 +24,10 @@ object SimilarityQueries {
        | / sqrt(CAST(list_sum(list_transform($qa, x -> x * x)) AS DOUBLE)
        |        * CAST(list_sum(list_transform($qb, x -> x * x)) AS DOUBLE))""".stripMargin
 
+  /** DuckDB fragment: TextAnalysis.tokenHash31. */
+  private def sqlH31(t: String): String =
+    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+
   /** DuckDB fragment: Similarity.signBandKeys band b (8 sign bits). */
   private def sqlBand(b: Int, rowsPerBand: Int = 8): String =
     (0 until rowsPerBand).foldLeft(s"${b}::BIGINT") { (acc, r) =>
@@ -269,6 +273,111 @@ object SimilarityQueries {
     }) { (s, d) =>
       Similarity.bandedPairs(Tables.embeddings(s, d), threshold = 0.3,
           bands = 4, rowsPerBand = 8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // PROFILE-GUIDED sign-LSH: the banded-embedding twin of
+    // dedup_pipeline_derived. Geometry is MEASURED, not hand-tuned — a
+    // hash-sampled pair probe yields the corpus's background
+    // sign-agreement permil (~500 on isotropic fixtures), the S-curve
+    // grid derives the (bands, bits) argmin under recall>=0.9 at
+    // agreement 900 / background<=0.05, and the derived bands drive
+    // candidate generation with an exact integral agreement re-rank.
+    // Near-dups are PLANTED in-plan (vec_id%19<2 mirrors a ±0.5 sign
+    // pattern keyed by parity: same-parity pairs agree 1000 permil and
+    // MUST collide — sign-identical vectors share every band — while
+    // cross-parity mirrors agree ~700 and real pairs top out ~765, so
+    // the 900 filter isolates exactly the planted set). The oracle
+    // replays the sample, both quantiles' index arithmetic, the
+    // power-fold S-curve grid, the argmin tie order, variable-geometry
+    // band keys, and the re-rank — a drift anywhere hash-mismatches.
+    QueryDef("sim_banded_derived", {
+      def pw(x: String, n: String) =
+        s"list_reduce(list_prepend(1.0::DOUBLE, list_transform(range($n)," +
+          s" __i -> ($x))), (__a, __b) -> __a * __b)"
+      val agree = (a: String, b: String) =>
+        s"(1000 * len(list_filter(range(1, 65), " +
+          s"i -> ($a.q[i] >= 0) = ($b.q[i] >= 0)))) // 64"
+      s"""WITH tot AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pm AS (SELECT CASE WHEN n < 1000 THEN 1000 ELSE 20 END AS pm
+         |       FROM tot),
+         |src AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 19 < 2 THEN
+         |      list_transform(range(0, 64), i ->
+         |        CASE WHEN (i + vec_id % 2) % 7 = 0 THEN -0.5
+         |        ELSE 0.5 END)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END
+         |      AS emb
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, ${sqlQ("emb")} AS q FROM src),
+         |samp AS (
+         |  SELECT vec_id, q FROM e, pm
+         |  WHERE ${sqlH31("vec_id::VARCHAR")} % 1000 < pm.pm),
+         |sn AS (SELECT COUNT(*)::BIGINT AS nv FROM samp),
+         |sp AS (
+         |  SELECT ${agree("a", "b")} AS ap
+         |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id),
+         |spx AS (SELECT ap, row_number() OVER (ORDER BY ap) AS rn
+         |        FROM sp),
+         |st AS (SELECT nv, nv * (nv - 1) // 2 AS np FROM sn),
+         |bg AS (
+         |  SELECT (SELECT ap FROM spx
+         |          WHERE rn = least(np - 1, (np + 1) // 2 - 1) + 1)
+         |    AS bgp
+         |  FROM st),
+         |grid AS (
+         |  SELECT tb.range AS b, tr.range AS r
+         |  FROM range(1, 65) tr, range(1, 65) tb
+         |  WHERE tb.range * tr.range <= 64),
+         |probs AS (
+         |  SELECT b, r,
+         |    1.0 - ${pw(s"1.0 - ${pw("0.9::DOUBLE", "r")}", "b")} AS prt,
+         |    1.0 - ${pw(s"1.0 - ${pw("(bg.bgp / 1000.0)", "r")}", "b")}
+         |      AS prb
+         |  FROM grid, bg),
+         |pick AS (
+         |  SELECT b, r FROM probs WHERE prt >= 0.9 AND prb <= 0.05
+         |  ORDER BY prb, b, r LIMIT 1),
+         |banded AS (
+         |  SELECT vec_id, q, unnest(list_transform(range(pk.b), __bi ->
+         |    list_reduce(
+         |      list_prepend(__bi::BIGINT,
+         |        list_transform(
+         |          list_slice(q, __bi * pk.r + 1, (__bi + 1) * pk.r),
+         |          x -> CASE WHEN x >= 0 THEN 1::BIGINT
+         |               ELSE 0::BIGINT END)),
+         |      (__a, __x) -> __a * 2 + __x))) AS band
+         |  FROM e, pick pk),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${agree("a", "b")} AS agree_permil
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, CAST(agree_permil AS BIGINT) AS agree_permil,
+         |  CAST(pk.b AS BIGINT) AS bands, CAST(pk.r AS BIGINT)
+         |    AS bits_per_band
+         |FROM cand, pick pk
+         |WHERE agree_permil >= 900
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val pmil = if (emb.count() < 1000) 1000 else 20
+      val par = col("vec_id") % 2
+      val planted = transform(sequence(lit(0), lit(63)),
+        i => when((i + par) % 7 === 0, lit(-0.5d)).otherwise(lit(0.5d)))
+      val src = emb.select(col("vec_id"),
+        when(col("vec_id") % 19 < 2, planted)
+          .otherwise(transform(col("embedding"), x => x.cast("double")))
+          .as("embedding"))
+      val stats = Similarity.sampleSignAgreeStats(src,
+        samplePermil = pmil)
+      val prof = graft.ext.SimilarityProfile.derive(kBits = 64,
+        thresholdPermil = 900, backgroundPermil = stats.p50Permil,
+        minRecall = 0.9, maxBackground = 0.05)
+      Similarity.bandedPairsAgree(src, prof)
+        .withColumn("bands", lit(prof.bands.toLong))
+        .withColumn("bits_per_band", lit(prof.bitsPerBand.toLong))
         .orderBy("id_a", "id_b")
     },
 

@@ -1657,6 +1657,76 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Frontier plan → BUDGET CUT composed end to end: the same 7-host
+    // politeness plan, then the two prefix-sum allowances a real crawl
+    // runs under — per-host (wave cap 15 AND byte budget 6000 over
+    // n_chars, whichever binds first per host) and global (30000 bytes
+    // over the global fetch order slot/wave/tie, doc_id tiebreak). The
+    // oracle replays both running sums and both inclusive-boundary
+    // cuts in SQL windows — an off-by-one at either boundary, a wrong
+    // cut order (global before host), or a non-total global order
+    // hash-mismatches.
+    QueryDef("pipeline_fetch_budget",
+      s"""WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+        |    CAST(doc_id % 7 AS INT) AS k,
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+        |      || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_chars, host, k, url,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS fetch_wave
+        |  FROM u),
+        |p AS (
+        |  SELECT doc_id, n_chars, host, fetch_wave,
+        |    fetch_wave * (CASE WHEN k = 0 THEN 1.0
+        |      ELSE CAST(k AS DOUBLE) END) AS slot_sec,
+        |    ${sqlH31("url")} AS fetch_tie
+        |  FROM w),
+        |hc AS (
+        |  SELECT *, CAST(SUM(n_chars) OVER (PARTITION BY host
+        |    ORDER BY fetch_wave
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS host_cum
+        |  FROM p),
+        |hk AS (SELECT * FROM hc
+        |       WHERE fetch_wave < 15 AND host_cum <= 6000),
+        |gc AS (
+        |  SELECT *, CAST(SUM(n_chars) OVER (
+        |    ORDER BY slot_sec, fetch_wave, fetch_tie, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS global_cum
+        |  FROM hk)
+        |SELECT doc_id, host, fetch_wave, host_cum, global_cum
+        |FROM gc WHERE global_cum <= 30000
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hostK = col("doc_id") % 7
+      val host = concat(lit("h"), hostK.cast("string"), lit(".example"))
+      val urls = docs.select(col("doc_id"), col("n_chars"),
+        host.as("host"),
+        concat(lit("https://"), host, lit("/p/"),
+          col("doc_id").cast("string")).as("url"))
+      val robots = docs.select(hostK.as("k")).distinct()
+        .filter(col("k").between(1, 6))
+        .select(
+          concat(lit("h"), col("k").cast("string"), lit(".example"))
+            .as("host"),
+          concat(lit("User-agent: *\nCrawl-delay: "),
+            col("k").cast("string")).as("robots_txt"))
+      val plan = graft.ops.Frontier.plan(urls,
+        graft.ext.Robots.crawlDelays(robots, "graftbot"),
+        orderBy = Seq(col("n_chars").desc, col("doc_id")))
+      graft.ops.Frontier.budgetCut(plan, "n_chars",
+          hostMaxUrls = 15, hostBudget = 6000, globalBudget = 30000,
+          tieBreak = Seq(col("doc_id")))
+        .select(col("doc_id"), col("host"), col("fetch_wave"),
+          col("host_cum"), col("global_cum"))
+        .orderBy("doc_id")
+    },
+
     // END-TO-END grade of the sitemap extractor: per-host <urlset>
     // XML synthesized in-plan (entity-encoded query strings, padded
     // whitespace inside <loc>, lastmod present only on even docs), the
@@ -1969,6 +2039,44 @@ object TextQueries {
       graft.ext.HtmlExtract.extractLines(
           Tables.documents(s, d).select(col("doc_id"), html.as("html")),
           "doc_id", "html")
+        .orderBy("doc_id", "line_no")
+    },
+
+    // jusText context-free block classification end to end: every
+    // document's markup shell plants one block per verdict class from
+    // doc_id arithmetic — the natural-prose paragraph (its stopword
+    // density varies per document, grading the permil thresholds on
+    // real variation), two pure-anchor nav items (link bad), a short
+    // noteless block (short), a short block WITH a link (the
+    // link-present bad branch), a 359-char all-stopword block (good:
+    // high-stop AND past lenHigh), a 119-char all-stopword block
+    // (neargood: high-stop but mid-length), and a short tail. The
+    // caller-supplied stopword list is deliberately messy (uppercase
+    // padded dup, whitespace-carrying entry) so the normalization
+    // contract is graded too. The oracle replays extraction, token
+    // stopword counting, and the five-way CASE in decision order — one
+    // swapped branch or off-by-one threshold hash-mismatches.
+    QueryDef("text_justext_blocks", sqlJustextOracle) { (s, d) =>
+      import s.implicits._
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<ul><li><a href=\"/x\">Nav One</a></li>"),
+        lit("<li><a href=\"/y\">Nav Two</a></li></ul>"),
+        when(id % 5 === 0, lit("<p>short isolated note</p>"))
+          .otherwise(lit("")),
+        when(id % 7 === 0,
+          lit("<p><a href=\"/m\">more</a> see details</p>"))
+          .otherwise(lit("")),
+        lit("<p>" + ("the a " * 60).trim + "</p>"),
+        when(id % 3 === 0, lit("<p>" + ("the a " * 20).trim + "</p>"))
+          .otherwise(lit("")),
+        lit("<p>tail "), id.cast("string"), lit("</p></body></html>"))
+      val words = Seq("the", "a", " THE ", "of", "and", "x y")
+        .toDF("word")
+      graft.ext.HtmlExtract.justextBlocks(
+          Tables.documents(s, d).select(id, html.as("html")),
+          "doc_id", "html", words)
         .orderBy("doc_id", "line_no")
     },
 
@@ -2496,6 +2604,62 @@ object TextQueries {
        |    AS link_permil
        |FROM vis WHERE length(line) > 0
        |ORDER BY doc_id, line_no""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ext.HtmlExtract.justextBlocks]] over the
+    * planted markup shell: extraction chain → per-line stopword permil
+    * (normalized literal list) → the five-way verdict CASE in jusText
+    * decision order with the default thresholds (200/70/200/300/320). */
+  private def sqlJustextOracle: String = {
+    val vis = sqlVisible("raw")
+    val noa = sqlVisible("regexp_replace(raw, " +
+      "'(?is)<a\\b[^>]*>.*?</a[ \\t\\r\\n\\f]*>', '', 'g')")
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    '<html><body><p>' || text || '</p>'
+       |    || '<ul><li><a href="/x">Nav One</a></li>'
+       |    || '<li><a href="/y">Nav Two</a></li></ul>'
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN '<p>short isolated note</p>' ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |         THEN '<p><a href="/m">more</a> see details</p>'
+       |         ELSE '' END
+       |    || '<p>' || trim(repeat('the a ', 60)) || '</p>'
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN '<p>' || trim(repeat('the a ', 20)) || '</p>'
+       |         ELSE '' END
+       |    || '<p>tail ' || CAST(doc_id AS VARCHAR)
+       |    || '</p></body></html>' AS html
+       |  FROM documents),
+       |blk AS (SELECT doc_id, ${sqlHtmlNoiseBlock("html")} AS b FROM src),
+       |ls AS (SELECT doc_id, string_split(b, chr(10)) AS l FROM blk),
+       |ix AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM ls),
+       |rw AS (SELECT doc_id, i - 1 AS line_no, list_extract(l, i) AS raw
+       |       FROM ix),
+       |vis AS (SELECT doc_id, line_no, $vis AS line, $noa AS noa FROM rw),
+       |lp AS (
+       |  SELECT doc_id, line_no, line,
+       |    ((length(line) - length(noa)) * 1000) // length(line)
+       |      AS link_permil,
+       |    CAST(len(string_split(lower(line), ' ')) AS BIGINT)
+       |      AS n_words,
+       |    CAST(len(list_filter(string_split(lower(line), ' '),
+       |      t -> list_contains(['a', 'and', 'of', 'the'], t)))
+       |      AS BIGINT) AS n_stop
+       |  FROM vis WHERE length(line) > 0)
+       |SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line,
+       |  CAST(link_permil AS BIGINT) AS link_permil, n_words,
+       |  (n_stop * 1000) // n_words AS stop_permil,
+       |  CASE
+       |    WHEN link_permil > 200 THEN 'bad'
+       |    WHEN length(line) < 70 THEN
+       |      CASE WHEN link_permil > 0 THEN 'bad' ELSE 'short' END
+       |    WHEN (n_stop * 1000) // n_words >= 320 THEN
+       |      CASE WHEN length(line) > 200 THEN 'good' ELSE 'neargood' END
+       |    WHEN (n_stop * 1000) // n_words >= 300 THEN 'neargood'
+       |    ELSE 'bad'
+       |  END AS cls
+       |FROM lp ORDER BY doc_id, line_no""".stripMargin
   }
 
   /** DuckDB replay of [[graft.ext.TextAnalysis.wordlistHits]] +
