@@ -229,6 +229,75 @@ object HtmlExtract {
       .drop("n_stop")
   }
 
+  /** jusText CONTEXT-SENSITIVE revision over a [[justextBlocks]]
+    * frame: `good`/`bad` verdicts are anchors and keep their class;
+    * each `short`/`neargood` block resolves against its nearest
+    * anchors — `prev_cls` = nearest preceding anchor in the document
+    * (document edge → `bad`, jusText's own default), `next_cls` =
+    * nearest following. Both anchors good → `good`; both bad → `bad`;
+    * mixed → `neargood` promotes to `good` (one good anchor adjacent
+    * is enough for almost-prose), `short` demotes to `bad` (a short
+    * block needs prose on BOTH sides to be a caption/heading worth
+    * keeping). Deterministic given the block order, and every branch
+    * is a window CASE a SQL oracle replays.
+    *
+    * Shape: ONE window over the document key — high-cardinality
+    * partitioning (the per-doc block count is bounded by document
+    * length), so the pass scales as a single doc-keyed shuffle; at
+    * 100 TB that shuffle is shared with the reassembly aggregate that
+    * almost always follows. Emits the input plus `prev_cls`,
+    * `next_cls`, `final_cls`. */
+  def justextRevise(blocks: DataFrame, idCol: String = "doc_id")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchor = when(col("cls").isin("good", "bad"), col("cls"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("line_no"))
+    val prev = last(anchor, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nxt = first(anchor, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    blocks
+      .withColumn("prev_cls", coalesce(prev, lit("bad")))
+      .withColumn("next_cls", coalesce(nxt, lit("bad")))
+      .withColumn("final_cls",
+        when(col("cls").isin("good", "bad"), col("cls"))
+          .when(col("prev_cls") === "good" && col("next_cls") === "good",
+            "good")
+          .when(col("prev_cls") === "bad" && col("next_cls") === "bad",
+            "bad")
+          .when(col("cls") === "neargood", "good")
+          .otherwise("bad"))
+  }
+
+  /** Full jusText extraction to one TEXT column per document:
+    * [[justextBlocks]] → [[justextRevise]] → keep `final_cls = good` →
+    * reassemble survivors in document order (in-row `sort_array`,
+    * partitioning-independent — the [[extractText]] contract).
+    * Documents with no good block drop. Emits
+    * `(idCol, n_blocks, n_kept, text)`. */
+  def justextText(df: DataFrame, idCol: String, htmlCol: String,
+      stopwords: DataFrame, maxLinkPermil: Int = 200,
+      lenLow: Int = 70, lenHigh: Int = 200,
+      stopLowPermil: Int = 300, stopHighPermil: Int = 320): DataFrame = {
+    val revised = justextRevise(
+      justextBlocks(df, idCol, htmlCol, stopwords, maxLinkPermil,
+        lenLow, lenHigh, stopLowPermil, stopHighPermil), idCol)
+    revised
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("final_cls") === "good", 1L).otherwise(0L))
+          .as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("final_cls") === "good",
+                struct(col("line_no"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("text"))
+      .filter(col("n_kept") > 0L)
+  }
+
   /** Extraction to one TEXT column per document, dropping link-dense
     * boilerplate lines (`link_permil > maxLinkPermil`) and rejoining
     * the survivors in document order with '\n'. One doc-keyed

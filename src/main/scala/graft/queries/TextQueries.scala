@@ -2056,28 +2056,99 @@ object TextQueries {
     // contract is graded too. The oracle replays extraction, token
     // stopword counting, and the five-way CASE in decision order — one
     // swapped branch or off-by-one threshold hash-mismatches.
-    QueryDef("text_justext_blocks", sqlJustextOracle) { (s, d) =>
-      import s.implicits._
-      val id = col("doc_id")
-      val html = concat(
-        lit("<html><body><p>"), col("text"), lit("</p>"),
-        lit("<ul><li><a href=\"/x\">Nav One</a></li>"),
-        lit("<li><a href=\"/y\">Nav Two</a></li></ul>"),
-        when(id % 5 === 0, lit("<p>short isolated note</p>"))
-          .otherwise(lit("")),
-        when(id % 7 === 0,
-          lit("<p><a href=\"/m\">more</a> see details</p>"))
-          .otherwise(lit("")),
-        lit("<p>" + ("the a " * 60).trim + "</p>"),
-        when(id % 3 === 0, lit("<p>" + ("the a " * 20).trim + "</p>"))
-          .otherwise(lit("")),
-        lit("<p>tail "), id.cast("string"), lit("</p></body></html>"))
-      val words = Seq("the", "a", " THE ", "of", "and", "x y")
-        .toDF("word")
+    QueryDef("text_justext_blocks",
+      s"""WITH $sqlJustextClassifiedCtes
+        |SELECT doc_id, line_no, line, link_permil, n_words,
+        |  stop_permil, cls
+        |FROM cl ORDER BY doc_id, line_no""".stripMargin) { (s, d) =>
       graft.ext.HtmlExtract.justextBlocks(
-          Tables.documents(s, d).select(id, html.as("html")),
-          "doc_id", "html", words)
+          justextSrc(s, d), "doc_id", "html", justextWords(s))
         .orderBy("doc_id", "line_no")
+    },
+
+    // jusText CONTEXT-SENSITIVE pass graded per line: good/bad anchor,
+    // short/neargood resolve against nearest anchors (document edge
+    // defaults bad). The fixture plants every branch — the %11
+    // good-short-good sandwich (short PROMOTES between prose), the
+    // short note whose following anchor flips with %7 (bad-link
+    // neighbour) vs the good block, the %3 neargood promoted by a
+    // single good anchor, and the edge-default tail. The oracle
+    // replays the anchor windows (IGNORE NULLS last/first) and the
+    // four-way resolution CASE.
+    QueryDef("text_justext_revise",
+      s"""WITH $sqlJustextClassifiedCtes,
+        |rv AS (
+        |  SELECT doc_id, line_no, cls,
+        |    coalesce(last_value(CASE WHEN cls IN ('good', 'bad')
+        |        THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY line_no
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'bad') AS prev_cls,
+        |    coalesce(first_value(CASE WHEN cls IN ('good', 'bad')
+        |        THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY line_no
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |      'bad') AS next_cls
+        |  FROM cl)
+        |SELECT doc_id, line_no, cls, prev_cls, next_cls,
+        |  CASE
+        |    WHEN cls IN ('good', 'bad') THEN cls
+        |    WHEN prev_cls = 'good' AND next_cls = 'good' THEN 'good'
+        |    WHEN prev_cls = 'bad' AND next_cls = 'bad' THEN 'bad'
+        |    WHEN cls = 'neargood' THEN 'good'
+        |    ELSE 'bad'
+        |  END AS final_cls
+        |FROM rv ORDER BY doc_id, line_no""".stripMargin) { (s, d) =>
+      graft.ext.HtmlExtract.justextRevise(
+          graft.ext.HtmlExtract.justextBlocks(
+            justextSrc(s, d), "doc_id", "html", justextWords(s)))
+        .select("doc_id", "line_no", "cls", "prev_cls", "next_cls",
+          "final_cls")
+        .orderBy("doc_id", "line_no")
+    },
+
+    // The full jusText extraction flagship: markup in, boilerplate-free
+    // prose out — classification, context revision, good-block keep,
+    // in-order reassembly, empty-doc drop, all replayed in SQL (an
+    // ordered FILTER string_agg mirrors the in-row sort_array join).
+    QueryDef("pipeline_justext_extract",
+      s"""WITH $sqlJustextClassifiedCtes,
+        |rv AS (
+        |  SELECT doc_id, line_no, line, cls,
+        |    coalesce(last_value(CASE WHEN cls IN ('good', 'bad')
+        |        THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY line_no
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'bad') AS prev_cls,
+        |    coalesce(first_value(CASE WHEN cls IN ('good', 'bad')
+        |        THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY line_no
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |      'bad') AS next_cls
+        |  FROM cl),
+        |fin AS (
+        |  SELECT doc_id, line_no, line,
+        |    CASE
+        |      WHEN cls IN ('good', 'bad') THEN cls
+        |      WHEN prev_cls = 'good' AND next_cls = 'good' THEN 'good'
+        |      WHEN prev_cls = 'bad' AND next_cls = 'bad' THEN 'bad'
+        |      WHEN cls = 'neargood' THEN 'good'
+        |      ELSE 'bad'
+        |    END AS final_cls
+        |  FROM rv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(*) FILTER (final_cls = 'good') AS BIGINT)
+        |    AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY line_no)
+        |    FILTER (final_cls = 'good') AS text
+        |FROM fin GROUP BY doc_id
+        |HAVING count(*) FILTER (final_cls = 'good') > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ext.HtmlExtract.justextText(
+          justextSrc(s, d), "doc_id", "html", justextWords(s))
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          col("text"))
+        .orderBy("doc_id")
     },
 
     // C4-style wordlist gate, both halves graded: per-document
@@ -2606,15 +2677,52 @@ object TextQueries {
        |ORDER BY doc_id, line_no""".stripMargin
   }
 
+  /** The shared jusText fixture: every document's markup shell plants
+    * one block per verdict class AND one per context-revision branch
+    * (see the three `text_justext_*` / `pipeline_justext_extract`
+    * QueryDefs). Spark side of the oracle's `src` CTE. */
+  private def justextSrc(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val id = col("doc_id")
+    val goodBlock = "<p>" + ("the a " * 60).trim + "</p>"
+    val html = concat(
+      lit("<html><body><p>"), col("text"), lit("</p>"),
+      lit("<ul><li><a href=\"/x\">Nav One</a></li>"),
+      lit("<li><a href=\"/y\">Nav Two</a></li></ul>"),
+      when(id % 5 === 0, lit("<p>short isolated note</p>"))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        lit("<p><a href=\"/m\">more</a> see details</p>"))
+        .otherwise(lit("")),
+      lit(goodBlock),
+      when(id % 11 === 0, lit("<p>short middle</p>" + goodBlock))
+        .otherwise(lit("")),
+      when(id % 3 === 0, lit("<p>" + ("the a " * 20).trim + "</p>"))
+        .otherwise(lit("")),
+      lit("<p>tail "), id.cast("string"), lit("</p></body></html>"))
+    Tables.documents(s, d).select(id, html.as("html"))
+  }
+
+  /** Deliberately-messy caller stopword list (normalization is part of
+    * the grade): normalized form is ['a', 'and', 'of', 'the']. */
+  private def justextWords(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq("the", "a", " THE ", "of", "and", "x y").toDF("word")
+  }
+
   /** DuckDB replay of [[graft.ext.HtmlExtract.justextBlocks]] over the
-    * planted markup shell: extraction chain → per-line stopword permil
-    * (normalized literal list) → the five-way verdict CASE in jusText
-    * decision order with the default thresholds (200/70/200/300/320). */
-  private def sqlJustextOracle: String = {
+    * planted markup shell, as a WITH-body ending in `cl(doc_id,
+    * line_no, line, link_permil, n_words, stop_permil, cls)`:
+    * extraction chain → per-line stopword permil (normalized literal
+    * list) → the five-way verdict CASE in jusText decision order with
+    * the default thresholds (200/70/200/300/320). Shared by the three
+    * justext QueryDefs. */
+  private def sqlJustextClassifiedCtes: String = {
     val vis = sqlVisible("raw")
     val noa = sqlVisible("regexp_replace(raw, " +
       "'(?is)<a\\b[^>]*>.*?</a[ \\t\\r\\n\\f]*>', '', 'g')")
-    s"""WITH src AS (
+    s"""src AS (
        |  SELECT doc_id,
        |    '<html><body><p>' || text || '</p>'
        |    || '<ul><li><a href="/x">Nav One</a></li>'
@@ -2625,6 +2733,10 @@ object TextQueries {
        |         THEN '<p><a href="/m">more</a> see details</p>'
        |         ELSE '' END
        |    || '<p>' || trim(repeat('the a ', 60)) || '</p>'
+       |    || CASE WHEN doc_id % 11 = 0
+       |         THEN '<p>short middle</p><p>'
+       |           || trim(repeat('the a ', 60)) || '</p>'
+       |         ELSE '' END
        |    || CASE WHEN doc_id % 3 = 0
        |         THEN '<p>' || trim(repeat('the a ', 20)) || '</p>'
        |         ELSE '' END
@@ -2646,20 +2758,25 @@ object TextQueries {
        |    CAST(len(list_filter(string_split(lower(line), ' '),
        |      t -> list_contains(['a', 'and', 'of', 'the'], t)))
        |      AS BIGINT) AS n_stop
-       |  FROM vis WHERE length(line) > 0)
-       |SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line,
-       |  CAST(link_permil AS BIGINT) AS link_permil, n_words,
-       |  (n_stop * 1000) // n_words AS stop_permil,
-       |  CASE
-       |    WHEN link_permil > 200 THEN 'bad'
-       |    WHEN length(line) < 70 THEN
-       |      CASE WHEN link_permil > 0 THEN 'bad' ELSE 'short' END
-       |    WHEN (n_stop * 1000) // n_words >= 320 THEN
-       |      CASE WHEN length(line) > 200 THEN 'good' ELSE 'neargood' END
-       |    WHEN (n_stop * 1000) // n_words >= 300 THEN 'neargood'
-       |    ELSE 'bad'
-       |  END AS cls
-       |FROM lp ORDER BY doc_id, line_no""".stripMargin
+       |  FROM vis WHERE length(line) > 0),
+       |cl AS (
+       |  SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line,
+       |    CAST(link_permil AS BIGINT) AS link_permil, n_words,
+       |    (n_stop * 1000) // n_words AS stop_permil,
+       |    CASE
+       |      WHEN link_permil > 200 THEN 'bad'
+       |      WHEN length(line) < 70 THEN
+       |        CASE WHEN link_permil > 0 THEN 'bad' ELSE 'short' END
+       |      WHEN (n_stop * 1000) // n_words >= 320 THEN
+       |        CASE WHEN length(line) > 200 THEN 'good'
+       |        ELSE 'neargood' END
+       |      WHEN (n_stop * 1000) // n_words >= 300 THEN 'neargood'
+       |      ELSE 'bad'
+       |    END AS cls
+       |  FROM lp)"""
+    // NO stripMargin here: this body interpolates into QueryDef SQL
+    // templates that strip the margins ONCE for the whole string —
+    // stripping twice would eat one pipe of every '||' concatenation
   }
 
   /** DuckDB replay of [[graft.ext.TextAnalysis.wordlistHits]] +

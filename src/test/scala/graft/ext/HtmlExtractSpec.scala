@@ -227,6 +227,50 @@ class HtmlExtractSpec extends SparkSpec {
     assert(got.head._5 == "bad") // stop 0 despite all function words
   }
 
+  test("justextRevise: every context branch — both-good promotes, " +
+    "both-bad demotes, mixed splits by class, edges default bad") {
+    val prose = ("the cat sat of the mat and " * 12).trim // good
+    val nav = "<li><a href='/n'>Nav</a></li>"             // bad
+    val html =
+      s"<p>head note</p>" +          // 0: short, edge+bad -> bad
+        nav +                        // 1: bad anchor
+        s"<p>$prose</p>" +           // 2: good anchor
+        "<p>sandwiched caption</p>" + // 3: short, good..good -> good
+        s"<p>$prose</p>" +           // 4: good anchor
+        "<p>trailing note</p>" +     // 5: short, good..edge -> bad
+        "<p>" + ("the a " * 20).trim + "</p>" // 6: neargood, good..edge -> good
+    // line 6 comes BEFORE 5 in doc order? no — keep as listed: indices
+    // are line_no order of the non-empty visible lines
+    val got = HtmlExtract.justextRevise(
+        HtmlExtract.justextBlocks(
+          Seq((1L, html)).toDF("id", "html"), "id", "html",
+          JxStop.toDF("word")), "id")
+      .select("line_no", "cls", "final_cls")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq("short", "bad", "good", "short",
+      "good", "short", "neargood"), got.toString)
+    assert(got.map(_._3) == Seq("bad", "bad", "good", "good",
+      "good", "bad", "good"), got.toString)
+  }
+
+  test("justextText: good blocks reassemble in document order, " +
+    "all-boilerplate docs drop, counts are exact") {
+    val prose1 = ("the cat sat of the mat and " * 12).trim
+    val prose2 = ("a dog ran of the hill and " * 12).trim
+    val keepDoc = (1L, s"<p>$prose1</p><p>mid caption</p><p>$prose2</p>" +
+      "<li><a href='/n'>Nav</a></li>")
+    val dropDoc = (2L, "<li><a href='/n'>Nav One</a></li><p>short</p>")
+    val got = HtmlExtract.justextText(
+        Seq(keepDoc, dropDoc).toDF("id", "html"), "id", "html",
+        JxStop.toDF("word"))
+      .select("id", "n_blocks", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L), got.toString) // doc 2 dropped whole
+    val (_, nb, nk, text) = got.head
+    assert(nb == 4L && nk == 3L)
+    assert(text == s"$prose1\nmid caption\n$prose2", text)
+  }
+
   test("justext: hostile markup (scripted anchor, bare '<') never " +
     "throws and is a map-only plan") {
     val df = HtmlExtract.justextBlocks(
