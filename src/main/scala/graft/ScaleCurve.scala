@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * overhead that biases a full fit toward sub-linear), `exp_fit` is the
   * least-squares log-log slope over all distinct sizes.
   *
-  * Emits one JSON line to stdout and SCALECURVE_r09.json.
+  * Emits one JSON line to stdout and SCALECURVE_r11.json.
   */
 object ScaleCurve {
 
@@ -45,7 +45,10 @@ object ScaleCurve {
     "text_wet_extract" -> "documents",
     "text_shard_plan" -> "documents",
     "text_logit_gate" -> "documents",
-    "pipeline_link_rank" -> "documents")
+    "pipeline_link_rank" -> "documents",
+    "pipeline_justext_extract" -> "documents",
+    "pipeline_fetch_budget" -> "documents",
+    "sim_banded_derived" -> "embeddings")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
@@ -54,7 +57,7 @@ object ScaleCurve {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_CURVE_REPS", "3").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_CURVE_OUT",
-      "SCALECURVE_r09.json")
+      "SCALECURVE_r11.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the step between hyperlink extraction
+  * ([[HtmlExtract.links]]) and the crawl frontier
+  * ([[graft.ops.Frontier]]): raw hrefs are messy (mixed case, default
+  * ports, fragments, tracking params, relative forms) and a frontier
+  * keyed on raw strings both re-fetches duplicates and splits one
+  * host's politeness budget across its spellings.
+  *
+  * Entirely MAP-ONLY `Column` algebra in the shared Java-regex/RE2
+  * subset (explicit classes, no lookaround, anchored extracts — the
+  * [[HtmlExtract]] dialect contract), so a DuckDB oracle replays every
+  * rule bit-for-bit and the stage fuses into the extraction scan's
+  * codegen at 100 TB.
+  *
+  * Canonical form, applied in order (each deterministic given the
+  * previous):
+  *  1. trim surrounding whitespace; drop the fragment (`#…` — never
+  *     sent on the wire);
+  *  2. resolve the reference form: absolute (`scheme://…`) kept;
+  *     protocol-relative (`//host/…`) gets `baseScheme`;
+  *     root-relative (`/…`) gets `baseScheme://baseHost`; anything
+  *     else (path-relative, `mailto:`, `javascript:`, empty) → NULL —
+  *     a crawl frontier wants absolute fetchable URLs (path-relative
+  *     resolution needs the REFERRING page's full path, which a
+  *     link-level frame does not carry; filter upstream if needed);
+  *  3. scheme and host lowercase (RFC 3986 §6.2.2.1); the explicit
+  *     default port drops (`:80` for http, `:443` for https), other
+  *     ports stay;
+  *  4. empty path becomes `/` (RFC 3986 §6.2.3);
+  *  5. tracking params (`utm_*`, `fbclid`, `gclid`, `msclkid`) drop
+  *     from the query string, remaining params KEEP their order
+  *     (reordering would be a semantics change for servers that care);
+  *     an emptied query drops its `?`.
+  */
+object UrlNormalize {
+
+  /** Tracking-param pattern (anchored at param start, `=`-terminated
+    * or bare). */
+  private val TrackRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)(=.*)?$"
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Canonicalize one URL column against a base host (the page's own
+    * host, for root-/protocol-relative references). NULL for
+    * non-resolvable reference forms — see scaladoc rule 2. */
+  def canonicalUrl(url: Column, baseHost: Column,
+      baseScheme: String = "https"): Column = {
+    require(baseScheme == "http" || baseScheme == "https",
+      s"canonicalUrl: baseScheme http|https ($baseScheme)")
+    val t = regexp_replace(trim(url), "#.*$", "")
+    // reference-form resolution to an absolute candidate
+    val absolute = when(t.rlike(SchemeRe), t)
+      .when(t.rlike("^//[^/]"), concat(lit(baseScheme + ":"), t))
+      .when(t.rlike("^/") && !t.rlike("^//"),
+        concat(lit(baseScheme + "://"), baseHost, t))
+    val scheme = lower(regexp_extract(absolute, SchemeRe, 1))
+    val hostPort = regexp_extract(absolute, SchemeRe + "([^/?#]*)", 2)
+    val rest = regexp_replace(absolute, SchemeRe + "[^/?#]*", "")
+    val host = lower(regexp_replace(hostPort, ":[0-9]*$", ""))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val authority = when(keepPort, concat(host, lit(":"), port))
+      .otherwise(host)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val canonPath = when(path === "", "/").otherwise(path)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => !(p rlike TrackRe) && p =!= "")
+    val canonQuery = when(query === "" || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    when(absolute.isNotNull && host =!= "",
+      concat(scheme, lit("://"), authority, canonPath, canonQuery))
+  }
+
+  /** The registrable-host key a frontier/politeness layer partitions
+    * on, from an already-canonical URL (lowercased by construction). */
+  def hostOf(canonical: Column): Column =
+    nullif(regexp_extract(canonical, SchemeRe + "([^/?#:]*)", 2),
+      lit(""))
+}

@@ -1815,6 +1815,135 @@ object TextQueries {
         .orderBy("doc_id", "link_no")
     },
 
+    // URL canonicalization graded rule by rule: doc_id%8 plants one
+    // messy reference form per rule — case+default-port+fragment+
+    // tracking (0), https default port (1), protocol-relative (2),
+    // root-relative against the page host (3), path-relative and
+    // javascript: (4, 5 — both NULL: not fetchable absolutes),
+    // non-default port kept (6), empty path (7). Expected canonicals
+    // are rebuilt arithmetically, so any drift in any rule —
+    // including the kept-param ORDER — hash-mismatches.
+    QueryDef("text_url_canon",
+      """WITH l AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS m,
+        |    CAST(doc_id AS VARCHAR) AS n,
+        |    'b' || CAST(doc_id % 4 AS VARCHAR) || '.example' AS bh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE m
+        |    WHEN 0 THEN 'HTTP://EXAMPLE.COM:80/Path/' || n
+        |      || '?utm_source=x&id=' || n || '#f'
+        |    WHEN 1 THEN 'https://h1.example:443/a/' || n || '?gclid=z'
+        |    WHEN 2 THEN '//cdn.example/lib/' || n || '.js?v=' || n
+        |    WHEN 3 THEN '/p/' || n || '?utm_campaign=c'
+        |    WHEN 4 THEN 'rel/' || n
+        |    WHEN 5 THEN 'javascript:void(0)'
+        |    WHEN 6 THEN 'https://H6.Example:8080/' || n
+        |    ELSE 'https://h7.example' END AS raw,
+        |  CASE m
+        |    WHEN 0 THEN 'http://example.com/Path/' || n || '?id=' || n
+        |    WHEN 1 THEN 'https://h1.example/a/' || n
+        |    WHEN 2 THEN 'https://cdn.example/lib/' || n || '.js?v=' || n
+        |    WHEN 3 THEN 'https://' || bh || '/p/' || n
+        |    WHEN 4 THEN NULL
+        |    WHEN 5 THEN NULL
+        |    WHEN 6 THEN 'https://h6.example:8080/' || n
+        |    ELSE 'https://h7.example/' END AS canon,
+        |  CASE m
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'h1.example'
+        |    WHEN 2 THEN 'cdn.example'
+        |    WHEN 3 THEN bh
+        |    WHEN 6 THEN 'h6.example'
+        |    WHEN 7 THEN 'h7.example'
+        |    ELSE NULL END AS host
+        |FROM l ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val m = col("doc_id") % 8
+      val n = col("doc_id").cast("string")
+      val bh = concat(lit("b"), (col("doc_id") % 4).cast("string"),
+        lit(".example"))
+      val raw =
+        when(m === 0, concat(lit("HTTP://EXAMPLE.COM:80/Path/"), n,
+          lit("?utm_source=x&id="), n, lit("#f")))
+        .when(m === 1, concat(lit("https://h1.example:443/a/"), n,
+          lit("?gclid=z")))
+        .when(m === 2, concat(lit("//cdn.example/lib/"), n,
+          lit(".js?v="), n))
+        .when(m === 3, concat(lit("/p/"), n, lit("?utm_campaign=c")))
+        .when(m === 4, concat(lit("rel/"), n))
+        .when(m === 5, lit("javascript:void(0)"))
+        .when(m === 6, concat(lit("https://H6.Example:8080/"), n))
+        .otherwise(lit("https://h7.example"))
+      import graft.ext.UrlNormalize
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"), bh.as("bh"))
+        .select(col("doc_id"), col("raw"),
+          UrlNormalize.canonicalUrl(col("raw"), col("bh")).as("canon"))
+        .withColumn("host", UrlNormalize.hostOf(col("canon")))
+        .orderBy("doc_id")
+    },
+
+    // FLAGSHIP: link extraction → URL canonicalization → dedup by
+    // canonical → politeness frontier, composed end to end. Each page
+    // plants an UPPERCASE default-port tracking-param spelling AND the
+    // root-relative spelling of the SAME url (they must collapse to one
+    // frontier entry — dedup-by-canonical graded through the chain), a
+    // javascript: decoy (dropped), and a protocol-relative image URL.
+    // The oracle rebuilds the canonical url set arithmetically and
+    // replays the frontier window, so a drift anywhere in the chain —
+    // extraction, any canonicalization rule, the dedup, wave
+    // numbering — hash-mismatches.
+    QueryDef("pipeline_link_frontier",
+      """WITH l AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS k,
+        |    CAST(doc_id AS VARCHAR) AS n
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'https://s' || CAST(k AS VARCHAR) || '.example/p/'
+        |      || n AS url,
+        |    's' || CAST(k AS VARCHAR) || '.example' AS host
+        |  FROM l
+        |  UNION ALL
+        |  SELECT 'https://img.example/i/' || n || '.png',
+        |    'img.example'
+        |  FROM l),
+        |w AS (
+        |  SELECT url, host,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY url)
+        |      - 1 AS BIGINT) AS fetch_wave
+        |  FROM u)
+        |SELECT url, host, fetch_wave, fetch_wave * 1.0 AS slot_sec
+        |FROM w ORDER BY url""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.ext.{HtmlExtract, UrlNormalize}
+      val k = (col("doc_id") % 3).cast("string")
+      val n = col("doc_id").cast("string")
+      val pageHost = concat(lit("s"), k, lit(".example"))
+      val html = concat(
+        lit("<p>see <a href=\"HTTPS://S"), k,
+        lit(".EXAMPLE:443/p/"), n,
+        lit("?utm_source=l#x\">dup</a></p>"),
+        lit("<a href='/p/"), n, lit("'>rel</a>"),
+        lit("<a href=javascript:void(0)>js</a>"),
+        lit("<a href=\"//img.example/i/"), n, lit(".png\">img</a>"))
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), pageHost.as("page_host"),
+          html.as("html"))
+      val urls = HtmlExtract.links(pages, "doc_id", "html")
+        .join(pages.select("doc_id", "page_host"), Seq("doc_id"))
+        .select(UrlNormalize.canonicalUrl(col("href"),
+          col("page_host")).as("url"))
+        .filter(col("url").isNotNull)
+        .distinct()
+        .withColumn("host", UrlNormalize.hostOf(col("url")))
+      graft.ops.Frontier.plan(urls,
+          Seq.empty[(String, Double)].toDF("host", "crawl_delay_sec"),
+          orderBy = Seq(col("url")), urlCol = "url")
+        .select(col("url"), col("host"), col("fetch_wave"),
+          col("slot_sec"))
+        .orderBy("url")
+    },
+
     // FLAGSHIP: the extracted link graph ranked — HTML in, host
     // authority out, three families composed in one oracle-replayed
     // query: hyperlink extraction (text), host-edge aggregation, and

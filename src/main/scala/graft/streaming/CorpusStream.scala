@@ -286,6 +286,40 @@ object CorpusStream {
       .start()
   }
 
+  /** Streaming jusText extraction — markup arrives, boilerplate-free
+    * prose lands: [[graft.ext.HtmlExtract.justextText]] per
+    * micro-batch (classification is map-only, the context revision is
+    * one batch-scoped doc-keyed window, the reassembly one doc-keyed
+    * agg — documents never span micro-batches, so nothing is stateful
+    * mid-stream). The stopword list is frozen at stream start (the
+    * [[wordlistGateBatches]] contract and for the same reason —
+    * foreachBatch re-evaluates its plan per trigger). All-boilerplate
+    * documents drop inside the batch, survivors carry
+    * `(n_blocks, n_kept, text)` into the shared `batch_id`-partitioned
+    * DYNAMIC-overwrite store — the idempotent crash-replay contract
+    * shared with every other gate store. */
+  def justextExtractBatches(docs: DataFrame, stopwords: DataFrame,
+      storeDir: String, checkpointDir: String,
+      idCol: String = "doc_id", htmlCol: String = "html",
+      maxLinkPermil: Int = 200)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val frozen = stopwords.localCheckpoint(true)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.HtmlExtract
+          .justextText(batch, idCol, htmlCol, frozen,
+            maxLinkPermil = maxLinkPermil)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming trained-quality gate — the GD-trained logistic model
     * ([[graft.ext.TextAnalysis.logisticTrain]]) applied per
     * micro-batch: survivors are documents the model accepts

@@ -483,4 +483,39 @@ class CorpusStreamSpec extends SparkSpec {
     assert(lines == Set((7L, "first", 0L), (7L, "Nav", 1000L)),
       lines.toString)
   }
+  test("streaming jusText extraction: per-batch classify+revise+" +
+    "reassemble equals the batch-side justextText; replayed batch " +
+    "overwrites its own partition") {
+    implicit val sqlCtx = spark.sqlContext
+    val stop = Seq("the", "a", "of", "and").toDF("word")
+    val prose = ("the cat sat of the mat and " * 12).trim
+    val root = java.nio.file.Files.createTempDirectory("jx-stream")
+    val storeDir = root.resolve("prose").toString
+    val mkDoc = (id: Long) =>
+      (id, s"<p>$prose</p><p>caption $id</p><p>$prose</p>" +
+        "<li><a href='/n'>Nav</a></li>")
+    val allBoiler = (99L, "<li><a href='/n'>Nav Only</a></li>")
+    val s1 = Seq(mkDoc(1L), allBoiler)
+    val s2 = Seq(mkDoc(2L), mkDoc(3L))
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.justextExtractBatches(
+      mem.toDF().toDF("doc_id", "html"), stop,
+      storeDir, root.resolve("ckpt").toString)
+    try {
+      mem.addData(s1: _*); q.processAllAvailable()
+      mem.addData(s2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(storeDir)
+      .select("doc_id", "n_blocks", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // differential vs the batch-side operator over the same docs
+    val batch = graft.ext.HtmlExtract.justextText(
+        (s1 ++ s2).toDF("doc_id", "html"), "doc_id", "html", stop)
+      .select("doc_id", "n_blocks", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got.map(_._1) == Seq(1L, 2L, 3L)) // all-boilerplate dropped
+    assert(got.forall { case (_, nb, nk, t) =>
+      nb == 4L && nk == 3L && t.startsWith(prose) })
+  }
 }
