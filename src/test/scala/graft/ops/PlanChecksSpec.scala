@@ -119,6 +119,37 @@ class PlanChecksSpec extends SparkSpec {
     PlanChecks.assertExchangesAtMost(df, 3)
   }
 
+  test("justext extraction flagship: classify+revise+reassemble is " +
+    "one doc-keyed window + one doc-keyed agg — bounded exchanges, " +
+    "no cartesian") {
+    val df = q("pipeline_justext_extract")
+    PlanChecks.assertNoCartesian(df)
+    // window shuffle + reassembly agg + final sort; the classify
+    // stage must contribute ZERO exchanges of its own (map-only)
+    PlanChecks.assertExchangesAtMost(df, 3)
+  }
+
+  test("fetch-budget flagship: host window rides the plan's own " +
+    "host shuffle, delays broadcast, no cartesian") {
+    val df = q("pipeline_fetch_budget")
+    PlanChecks.assertNoCartesian(df)
+    PlanChecks.assertBroadcastJoin(df)
+  }
+
+  test("link-frontier flagship: extraction+canonicalization are " +
+    "map-only — only dedup, host window, and sort shuffle") {
+    val df = q("pipeline_link_frontier")
+    PlanChecks.assertNoCartesian(df)
+    // canonical distinct + frontier host window + final sort, plus
+    // the doc-keyed page_host join the fixture itself introduces
+    PlanChecks.assertExchangesAtMost(df, 4)
+  }
+
+  test("derived sign-LSH: candidates come from the band equi-join, " +
+    "never a cartesian") {
+    PlanChecks.assertNoCartesian(q("sim_banded_derived"))
+  }
+
   test("violations raise with the offending plan attached") {
     val crossed = Tables.lineitem(spark, sfDir).limit(5).crossJoin(
       Tables.orders(spark, sfDir).limit(5).hint("shuffle_replicate_nl"))
