@@ -23,6 +23,33 @@ object Multimodal {
   /** Lowercase sha-256 content address of a payload. */
   def contentAddress(bin: Column): Column = sha2(bin, 256)
 
+  /** Deterministic frame-sampling PLAN over parsed video metadata
+    * (e.g. [[Decoder.decodeVideo]]): `k` midpoint-uniform presentation
+    * timestamps per video, `ts_us(i) = ⌊duration_us·(2i+1) / 2k⌋` —
+    * the seek-target list a decode fleet consumes (actual frame decode
+    * needs a codec and stays out of scope container-wide; see
+    * [[Decoder.decodeVideo]]). Midpoints, not endpoints: sampling at
+    * t=0 and t=duration wastes two frames on credits/black, and the
+    * midpoint grid is stable under small duration edits. Integral
+    * arithmetic — a SQL oracle replays every timestamp.
+    *
+    * Map-only (one generator over a bounded `k`); all input columns
+    * pass through. Zero-duration rows emit no frames; durations whose
+    * `·2k` multiply would overflow a long are dropped like any other
+    * out-of-contract media field (the [[Decoder]] hostile-input
+    * rule — ANSI mode would otherwise fail the whole job on one
+    * forged mvhd). */
+  def frameSamplePlan(meta: DataFrame, k: Int,
+      durationCol: String = "duration_us"): DataFrame = {
+    require(k >= 1 && k <= 100000, s"frameSamplePlan: k in [1,100000] ($k)")
+    meta
+      .filter(col(durationCol) > 0L &&
+        col(durationCol) <= Long.MaxValue / (2L * k))
+      .withColumn("frame_no", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("ts_us",
+        expr(s"($durationCol * (2 * frame_no + 1)) div ${2L * k}"))
+  }
+
   /** "Frame sampling" over an opaque payload: the hex of `frameBytes`
     * bytes at byte offset `frameIdx * strideBytes` — the Spark-side shape
     * of sampling every k-th video frame / audio window. Hex-domain

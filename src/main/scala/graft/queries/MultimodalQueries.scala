@@ -84,6 +84,51 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // Frame-sampling PLAN graded through the REAL container parser:
+    // every doc synthesizes a walkable ISO BMFF tree in-plan (ftyp +
+    // moov holding an mvhd v0 with arithmetic-derived duration and
+    // doc_id%3+1 empty trak boxes), decodeVideo walks the BYTES back,
+    // and frameSamplePlan emits 4 midpoint-uniform seek timestamps —
+    // the oracle recomputes tracks, microsecond duration, and every
+    // ts_us from doc_id arithmetic, so a box-walk slip, a timescale
+    // mix-up, or a midpoint off-by-one hash-mismatches.
+    QueryDef("mm_frame_plan",
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 3 + 1 AS INT) AS n_tracks,
+        |    CAST((doc_id % 9000 + 1000) * 1000 AS BIGINT)
+        |      AS duration_us
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_tracks, duration_us,
+        |    CAST(unnest(range(0, 4)) AS BIGINT) AS frame_no
+        |  FROM v)
+        |SELECT doc_id, n_tracks, duration_us, frame_no,
+        |  (duration_us * (2 * frame_no + 1)) // 8 AS ts_us
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin) { (s, d) =>
+      def be32(v: org.apache.spark.sql.Column) =
+        lpad(hex(v.cast("long")), 8, "0")
+      val dur = col("doc_id") % 9000 + 1000
+      // ftyp(isom) + moov[ mvhd v0 (timescale 1000, duration dur) +
+      // (doc_id%3+1) empty trak boxes ]
+      val mvhd = concat(
+        lit("0000001c6d766864" + "00000000" + "00000000" + "00000000"),
+        be32(lit(1000L)), be32(dur))
+      val hexStr = concat(
+        lit("00000010" + "66747970" + "69736f6d" + "00000200"),
+        be32(lit(36L) + (col("doc_id") % 3 + 1) * 8L),
+        lit("6d6f6f76"), mvhd,
+        expr("repeat('000000087472616b', CAST(doc_id % 3 + 1 AS INT))"))
+      val meta = Multimodal.Decoder.decodeVideo(
+          Tables.documents(s, d).select(col("doc_id"),
+            unhex(hexStr).as("payload")))
+        .toDF()
+      Multimodal.frameSamplePlan(meta, 4)
+        .select(col("doc_id"), col("n_tracks"), col("duration_us"),
+          col("frame_no"), col("ts_us"))
+        .orderBy("doc_id", "frame_no")
+    },
+
     // Gzip member-header metadata graded the mm_container_meta way:
     // every doc synthesizes a REAL RFC 1952 header (FNAME flag, LE
     // mtime from doc_id arithmetic, xfl/os constants, zero-terminated

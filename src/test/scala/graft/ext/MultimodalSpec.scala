@@ -473,4 +473,22 @@ class MultimodalSpec extends SparkSpec {
       0x11, 0))
     assert(parseJpegMeta(1L, zeroSof).isEmpty)
   }
+  test("frameSamplePlan: midpoint timestamps are exact, zero and " +
+    "overflow durations drop, columns pass through, k is guarded") {
+    val meta = Seq(
+      (1L, 8000000L, "isom"),            // 8s -> midpoints at 1,3,5,7s
+      (2L, 0L, "zero"),                  // no frames
+      (3L, Long.MaxValue / 4L, "huge")   // 2k=8 multiply would overflow
+    ).toDF("doc_id", "duration_us", "brand")
+    val got = Multimodal.frameSamplePlan(meta, 4)
+      .select("doc_id", "brand", "frame_no", "ts_us")
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(got.map(_._1).distinct.toSeq == Seq(1L))
+    assert(got.map(_._4).toSeq ==
+      Seq(1000000L, 3000000L, 5000000L, 7000000L), got.toSeq.toString)
+    assert(got.forall(_._2 == "isom")) // passthrough
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSamplePlan(meta, 0)
+    }
+  }
 }
