@@ -50,6 +50,32 @@ object Multimodal {
         expr(s"($durationCol * (2 * frame_no + 1)) div ${2L * k}"))
   }
 
+  /** Deterministic segmentation PLAN over parsed audio metadata
+    * (e.g. [[Decoder.decodeWav]]/[[Decoder.decodeAudio]]) — the audio
+    * twin of [[frameSamplePlan]]: fixed `windowUs` windows advancing by
+    * `windowUs - overlapUs` (the ASR chunking shape — fixed windows
+    * with context overlap), every instant of the stream covered, the
+    * final window truncated at the stream end. Emits all input columns
+    * plus `(seg_no, start_us, end_us)`; integral arithmetic
+    * throughout, map-only with one generator. Zero-duration rows emit
+    * nothing; durations whose `+windowUs` would overflow drop under
+    * the [[Decoder]] hostile-input contract. */
+  def segmentPlan(meta: DataFrame, windowUs: Long, overlapUs: Long,
+      durationCol: String = "duration_us"): DataFrame = {
+    require(windowUs > 0 && overlapUs >= 0 && overlapUs < windowUs,
+      s"segmentPlan: need windowUs > overlapUs >= 0 " +
+        s"($windowUs, $overlapUs)")
+    val hop = windowUs - overlapUs
+    meta
+      .filter(col(durationCol) > 0L &&
+        col(durationCol) <= Long.MaxValue - windowUs)
+      .withColumn("seg_no", explode(sequence(lit(0L),
+        expr(s"($durationCol - 1) div $hop"))))
+      .withColumn("start_us", col("seg_no") * hop)
+      .withColumn("end_us",
+        least(col("start_us") + windowUs, col(durationCol)))
+  }
+
   /** "Frame sampling" over an opaque payload: the hex of `frameBytes`
     * bytes at byte offset `frameIdx * strideBytes` — the Spark-side shape
     * of sampling every k-th video frame / audio window. Hex-domain

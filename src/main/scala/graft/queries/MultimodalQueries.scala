@@ -129,6 +129,54 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_no")
     },
 
+    // Audio segmentation plan graded through the REAL RIFF chunk walk:
+    // every doc synthesizes a complete PCM WAV in-plan (fmt chunk at
+    // 50 Hz mono 16-bit, a physically-present data chunk sized by
+    // doc_id arithmetic — the parser clamps declared size to actual
+    // bytes, so the bytes must exist), decodeWav reads frames and
+    // microsecond duration back, and segmentPlan windows the stream
+    // (0.5 s windows, 0.1 s overlap). The oracle recomputes frames,
+    // duration, segment count, and every window edge — including the
+    // truncated final window — from arithmetic.
+    QueryDef("mm_segment_plan",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 100 + 50 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_frames,
+        |    CAST(n_frames * 20000 AS BIGINT) AS duration_us
+        |  FROM a),
+        |s AS (
+        |  SELECT doc_id, n_frames, duration_us,
+        |    CAST(unnest(range(0, (duration_us - 1) // 400000 + 1))
+        |      AS BIGINT) AS seg_no
+        |  FROM m)
+        |SELECT doc_id, n_frames, duration_us, seg_no,
+        |  seg_no * 400000 AS start_us,
+        |  least(seg_no * 400000 + 500000, duration_us) AS end_us
+        |FROM s ORDER BY doc_id, seg_no""".stripMargin) { (s, d) =>
+      val frames = col("doc_id") % 100 + 50
+      val dataBytes = frames * 2 // mono 16-bit: blockAlign 2
+      val hexStr = concat(
+        lit("52494646" + "00000000" + "57415645"), // RIFF + WAVE
+        lit("666d7420" + "10000000" + "0100" + "0100"), // fmt: PCM mono
+        lit("32000000"), // rate 50 Hz (LE)
+        lit("64000000"), // byte rate 100 (LE)
+        lit("0200" + "1000"), // block align 2, bits 16
+        lit("64617461"), u16le(dataBytes), lit("0000"), // data size LE
+        expr(s"repeat('00', CAST(${"doc_id % 100 + 50"} AS INT) * 2)"))
+      val meta = Multimodal.Decoder.decodeWav(
+          Tables.documents(s, d).select(col("doc_id"),
+            unhex(hexStr).as("payload")))
+        .toDF()
+      Multimodal.segmentPlan(meta, windowUs = 500000L,
+          overlapUs = 100000L)
+        .select(col("doc_id"), col("n_frames"), col("duration_us"),
+          col("seg_no"), col("start_us"), col("end_us"))
+        .orderBy("doc_id", "seg_no")
+    },
+
     // Gzip member-header metadata graded the mm_container_meta way:
     // every doc synthesizes a REAL RFC 1952 header (FNAME flag, LE
     // mtime from doc_id arithmetic, xfl/os constants, zero-terminated

@@ -491,4 +491,23 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.frameSamplePlan(meta, 0)
     }
   }
+  test("segmentPlan: full coverage with overlap, truncated final " +
+    "window, zero-duration drop, guards") {
+    val meta = Seq((1L, 1000000L), (2L, 0L)).toDF("doc_id", "duration_us")
+    val got = Multimodal.segmentPlan(meta, windowUs = 400000L,
+        overlapUs = 100000L)
+      .select("doc_id", "seg_no", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    // hop 300000 over 1s: starts 0,300k,600k,900k; last truncates
+    assert(got == Seq(
+      (1L, 0L, 0L, 400000L), (1L, 1L, 300000L, 700000L),
+      (1L, 2L, 600000L, 1000000L), (1L, 3L, 900000L, 1000000L)),
+      got.toString)
+    // every instant covered: consecutive windows overlap by 100k
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 < a._4); case _ => }
+    intercept[IllegalArgumentException] {
+      Multimodal.segmentPlan(meta, 100L, 100L) // overlap must be < window
+    }
+  }
 }
