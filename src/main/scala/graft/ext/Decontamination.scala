@@ -17,6 +17,76 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  /** Double-hash probe positions of one shingle: `(h1 + i·h2) mod m`
+    * for i in [0, k), with `h1 = tokenHash31(s)` and
+    * `h2 = 2·tokenHash31(s ∥ '#') + 1` (odd, so with a power-of-two
+    * `m` the probe sequence walks distinct positions). All integral —
+    * a SQL oracle replays every position. */
+  private def probeCols(shingle: org.apache.spark.sql.Column,
+      mBits: Int, k: Int) = {
+    val h1 = TextAnalysis.tokenHash31(shingle)
+    val h2 = TextAnalysis.tokenHash31(concat(shingle, lit("#"))) * 2 + 1
+    (0 until k).map(i => (h1 + lit(i.toLong) * h2) % mBits)
+  }
+
+  /** Build the benchmark-side BLOOM BITMAP — the decontamination scale
+    * path when the eval shingle set itself is too large to broadcast
+    * as rows (billions of benchmark shingles across suites), or too
+    * sensitive to ship verbatim (only hashes leave the eval
+    * enclave): `mBits` bits of bounded driver state, built with ONE
+    * distributed distinct-position pass and a ≤(mBits/32)-row collect
+    * (the model-state carve-out — the bitmap, not the shingles, is
+    * what ships to executors). Packed 32 bits per array slot so every
+    * value stays positive and `>>` is logical in any engine. */
+  def bloomBits(bench: DataFrame, textCol: String, n: Int,
+      mBits: Int, k: Int): Array[Long] = {
+    require(mBits >= 64 && mBits <= (1 << 24) &&
+      Integer.bitCount(mBits) == 1,
+      s"bloomBits: mBits a power of two in [64, 2^24] ($mBits)")
+    require(k >= 1 && k <= 8, s"bloomBits: k in [1,8] ($k)")
+    val sh = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val positions = sh
+      .select(array(probeCols(col("shingle"), mBits, k): _*).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val bits = new Array[Long](mBits / 32)
+    positions.foreach { p =>
+      bits((p / 32).toInt) |= (1L << (p % 32).toInt)
+    }
+    bits
+  }
+
+  /** Map-only Bloom probe of the corpus against a [[bloomBits]]
+    * bitmap: per document, total shingles, shingles whose EVERY probe
+    * position is set (`bloom_hits` — a superset of the exact hit set:
+    * no false negatives, and the false-positive rate is the standard
+    * (fill)^k), and the flag. The bitmap rides the plan as a literal
+    * array (bounded state, like the trained-gate weights); the only
+    * shuffle is the doc-keyed count — corpus rows never join
+    * anything. */
+  def bloomFlags(corpus: DataFrame, idCol: String, textCol: String,
+      bits: Array[Long], mBits: Int, k: Int, n: Int): DataFrame = {
+    require(bits.length == mBits / 32,
+      s"bloomFlags: bitmap length ${bits.length} != ${mBits / 32}")
+    val bitsLit = typedLit(bits.toIndexedSeq)
+    val isHit = (s: org.apache.spark.sql.Column) =>
+      probeCols(s, mBits, k).map { p =>
+        // call_function: the Scala shiftright() helper only takes a
+        // literal count, and the probe's bit index is a column
+        when((call_function("shiftright",
+          element_at(bitsLit, (p / lit(32L)).cast("int") + 1),
+          (p % 32).cast("int")) % 2) === 1L, 1L).otherwise(0L)
+      }.reduce(_ + _) === k.toLong
+    corpus
+      .select(col(idCol), Dedup.shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
+        size(filter(col("__sh"), isHit)).cast("long").as("bloom_hits"))
+      .withColumn("flagged", col("bloom_hits") > 0L)
+  }
+
   /** Per-document n-gram overlap against `bench`: (id, n_sh, n_hits,
     * contamination = n_hits / n_sh) for corpus docs with >= 1 hit.
     * Shingles are DISTINCT ordered word n-grams ([[Dedup.shingles]]). */

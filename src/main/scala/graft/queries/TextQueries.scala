@@ -967,6 +967,79 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-filter decontamination — the scale path when the benchmark
+    // shingle set is too large (or too sensitive) to broadcast as
+    // rows: the eval side compresses to a 65536-bit double-hash bitmap
+    // (bounded driver state riding the plan as a literal array), and
+    // corpus membership is a map-only 3-probe with NO join on the
+    // corpus side. All-integer hashing, so the oracle rebuilds the
+    // identical bitmap and replays every probe — including any
+    // deterministic false positives — and the exact n-gram hits ride
+    // along so the no-false-negative superset law is graded per
+    // document, not just asserted.
+    QueryDef("text_contamination_bloom", {
+      val h1 = sqlH31("shingle")
+      val h2 = s"(2 * ${sqlH31("shingle || '#'")} + 1)"
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(
+        |    range(0, len(tk) - 4),
+        |    i -> array_to_string(tk[i+1:i+5], ' '))) AS sh
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM d
+        |  WHERE source = 'src0'),
+        |bp AS (
+        |  SELECT DISTINCT ($h1 + i.range * $h2) % 65536 AS p
+        |  FROM bench, range(3) i),
+        |base AS (
+        |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh
+        |  FROM d WHERE source <> 'src0'),
+        |t AS (
+        |  SELECT doc_id, n_sh, unnest(sh) AS shingle FROM base),
+        |pr AS (
+        |  SELECT doc_id, shingle, ($h1 + i.range * $h2) % 65536 AS p
+        |  FROM t, range(3) i),
+        |shok AS (
+        |  SELECT doc_id, COUNT(*) AS bloom_hits FROM (
+        |    SELECT doc_id, shingle FROM pr JOIN bp USING (p)
+        |    GROUP BY doc_id, shingle HAVING COUNT(*) = 3)
+        |  GROUP BY doc_id),
+        |exact AS (
+        |  SELECT doc_id, COUNT(*) AS n_hits
+        |  FROM t JOIN bench USING (shingle) GROUP BY 1)
+        |SELECT b.doc_id, b.n_sh,
+        |  CAST(coalesce(e.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(s.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+        |  coalesce(s.bloom_hits, 0) > 0 AS flagged,
+        |  coalesce(s.bloom_hits, 0) >= coalesce(e.n_hits, 0)
+        |    AS superset_ok
+        |FROM base b
+        |LEFT JOIN exact e USING (doc_id)
+        |LEFT JOIN shok s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import graft.ext.Decontamination
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("source") === "src0")
+      val corpus = docs.filter(col("source") =!= "src0")
+      val bits = Decontamination.bloomBits(bench, "text", n = 5,
+        mBits = 65536, k = 3)
+      val exact = Decontamination.ngramHits(corpus, "doc_id", "text",
+          bench, "text", n = 5)
+        .select(col("doc_id"), col("n_hits"))
+      Decontamination.bloomFlags(corpus, "doc_id", "text", bits,
+          mBits = 65536, k = 3, n = 5)
+        .join(exact, Seq("doc_id"), "left_outer")
+        .na.fill(0L, Seq("n_hits"))
+        .select(col("doc_id"), col("n_sh"), col("n_hits"),
+          col("bloom_hits"), col("flagged"),
+          (col("bloom_hits") >= col("n_hits")).as("superset_ok"))
+        .orderBy("doc_id")
+    },
+
     // PII scan: per-category regexp counts over a corpus with PII
     // planted deterministically from doc_id (the fixture vocabulary has
     // none) — both dialects build the identical full_text, then count

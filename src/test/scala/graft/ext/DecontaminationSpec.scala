@@ -30,4 +30,49 @@ class DecontaminationSpec extends SparkSpec {
     assert(Decontamination
       .ngramHits(corpus, "doc_id", "text", bench, "text", 5).count() == 0)
   }
+  test("bloom path: no false negatives (every exact hit probes " +
+    "positive), bitmap is bounded state, guards reject bad geometry") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bid", "text")
+    val corpus = Seq(
+      (10L, "a quick brown fox jumps over fences daily"), // 1 exact hit
+      (11L, "completely unrelated words with zero shared grams here"),
+      (12L, "the quick brown fox jumps over the lazy dog") // all hit
+    ).toDF("doc_id", "text")
+    val bits = Decontamination.bloomBits(bench, "text", n = 5,
+      mBits = 4096, k = 3)
+    assert(bits.length == 4096 / 32)
+    assert(bits.forall(w => w >= 0L && w < (1L << 32))) // 32-bit packing
+    val bloom = Decontamination
+      .bloomFlags(corpus, "doc_id", "text", bits, 4096, 3, 5)
+      .select("doc_id", "n_sh", "bloom_hits", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // superset of the exact hits: >= 1 and >= 5 respectively
+    assert(bloom(10L)._3 >= 1L && bloom(10L)._4)
+    assert(bloom(12L)._3 >= 5L && bloom(12L)._4)
+    // doc 11 may only flag through a (deterministic) false positive;
+    // with 5 bench shingles in 4096 bits the fill is ~0.4%, so the
+    // 3-probe FP rate is ~5e-8 — assert the clean doc stays clean
+    assert(bloom(11L)._3 == 0L && !bloom(11L)._4, bloom(11L).toString)
+    intercept[IllegalArgumentException] {
+      Decontamination.bloomBits(bench, "text", 5, mBits = 100, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Decontamination.bloomFlags(corpus, "doc_id", "text",
+        new Array[Long](3), 4096, 3, 5)
+    }
+  }
+
+  test("bloom probe is map-only on the corpus side: the only " +
+    "exchange is the final projection's — no join anywhere") {
+    val bench = Seq((1L, "a b c d e f")).toDF("bid", "text")
+    val corpus = Seq((10L, "a b c d e f g")).toDF("doc_id", "text")
+    val bits = Decontamination.bloomBits(bench, "text", 5, 4096, 3)
+    val df = Decontamination.bloomFlags(corpus, "doc_id", "text",
+      bits, 4096, 3, 5)
+    df.collect()
+    assert(graft.ops.Bucketing.shuffleExchanges(df) == 0,
+      df.queryExecution.executedPlan.toString)
+  }
 }
