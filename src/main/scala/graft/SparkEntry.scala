@@ -1,7 +1,7 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, DedupQueries, MultimodalQueries,
-  RefQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, BpeQueries, DedupQueries,
+  MultimodalQueries, RefQueries, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     RefQueries.defs ++ AnalyticsQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ TextQueries.defs ++
+      MultimodalQueries.defs ++ BpeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.{Bpe, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer-training suite: the [[graft.ext.Bpe]] learn loop and
+  * map-only encoder, oracle-replayed END TO END — the DuckDB side
+  * re-runs every training iteration (pair count, deterministic argmax,
+  * greedy merge apply) as a generated MATERIALIZED-CTE chain and must
+  * land on the identical merge table, token counts and token streams.
+  * (MATERIALIZED is load-bearing: each stage is referenced twice —
+  * by the next stage and by the argmax — so an inlining planner would
+  * otherwise expand the chain exponentially.)
+  *
+  * Everything is integral or exact-string, so the grade is
+  * hash-strict: a wrong tie-break, a shared-delimiter merge loss, or
+  * a pair counted per-word instead of per-position all flip the hash.
+  */
+object BpeQueries {
+
+  /** Generated SQL replay of [[Bpe.train]]: `k` chained stages over
+    * the word-frequency table of `documents` (optionally filtered).
+    * Returns the WITH-clause body; stage `i` leaves CTEs `m{i}` (the
+    * winning merge) and `w{i}` (the vocab after applying it). */
+  private def sqlTrainCtes(k: Int, srcFilter: String): String = {
+    val b = Seq.newBuilder[String]
+    b += s"""wf AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents$srcFilter)
+  WHERE length(word) > 0 GROUP BY 1)"""
+    b += """w0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS w, freq FROM wf)"""
+    for (i <- 1 to k) {
+      b += s"""p$i AS MATERIALIZED (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS f FROM (
+    SELECT unnest(list_transform(range(1, len(l)),
+        j -> struct_pack(a := l[j], b := l[j+1]))) AS p, freq
+    FROM (SELECT string_split(trim(w), '  ') AS l, freq FROM w${i - 1}))
+  GROUP BY 1, 2)"""
+      b += s"m$i AS MATERIALIZED (" +
+        s"SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1)"
+      b += s"""w$i AS MATERIALIZED (
+  SELECT replace(w, ' ' || m.a || '  ' || m.b || ' ',
+                 ' ' || m.a || m.b || ' ') AS w, freq
+  FROM w${i - 1}, m$i m)"""
+    }
+    b.result().mkString(",\n")
+  }
+
+  /** Nested-replace encode chain of one word `w` under the oracle's
+    * learned merges `m1..mk` (cross-joined one-row CTEs). */
+  private def sqlEncodeChain(k: Int): String =
+    (1 to k).foldLeft("regexp_replace(w, '(.)', ' \\1 ', 'g')") {
+      (acc, i) =>
+        s"replace($acc, ' ' || m$i.a || '  ' || m$i.b || ' '," +
+          s" ' ' || m$i.a || m$i.b || ' ')"
+    }
+
+  /** Merges used by the graded queries — small enough that the
+    * unrolled oracle stays readable, large enough that multi-char
+    * symbols feed later merges (rank 12 fuses "jo"+"in"). */
+  private val K = 12
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The learn loop itself, graded merge by merge: rank, the fused
+    // pair, and the winning weighted pair count. Ties break on the
+    // lexicographically smallest (lhs, rhs) — binary collation in
+    // both engines — so the table is deterministic to the byte.
+    QueryDef("text_bpe_train",
+      "WITH " + sqlTrainCtes(K, "") + "\nSELECT * FROM (\n" +
+        (1 to K).map(i =>
+          s"  SELECT $i AS merge_rank, a AS lhs, b AS rhs, f AS freq" +
+            s" FROM m$i").mkString(" UNION ALL\n") +
+        "\n) ORDER BY merge_rank") { (s, d) =>
+      val merges = Bpe.train(
+        Bpe.wordFreq(Tables.documents(s, d), "text"), K)
+      Bpe.mergeTable(s, merges).orderBy("merge_rank")
+    },
+
+    // End-to-end tokenizer flagship: train on the src0 slice (the
+    // "tokenizer corpus"), then encode the WHOLE corpus map-only with
+    // the merge table riding the plan as literals. Per document:
+    // word count, subword token count, integral fertility
+    // (tokens-per-1000-words — THE tokenizer-quality metric), and the
+    // first five tokens of the stream as a direct token-level grade.
+    QueryDef("pipeline_bpe_tokenize",
+      "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'") + s""",
+enc AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split(text, ' '), v -> length(v) > 0),
+      w -> string_split(trim(${sqlEncodeChain(K)}), '  ')) AS tw
+  FROM documents, ${(1 to K).map("m" + _).mkString(", ")})
+SELECT doc_id,
+  CAST(len(tw) AS BIGINT) AS n_words,
+  CAST(coalesce(list_sum(list_transform(tw, t -> len(t))), 0)
+    AS BIGINT) AS n_tokens,
+  CASE WHEN len(tw) = 0 THEN 0 ELSE
+    CAST(coalesce(list_sum(list_transform(tw, t -> len(t))), 0) * 1000
+      AS BIGINT) // len(tw) END AS fertility_permil,
+  array_to_string(flatten(tw)[1:5], '|') AS head_tokens
+FROM enc ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(
+        Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
+      val wds = filter(TextAnalysis.tokens(col("text")),
+        w => length(w) > 0)
+      val toks = flatten(transform(wds, w => Bpe.encodeWord(w, merges)))
+      docs
+        .select(col("doc_id"),
+          size(wds).cast("long").as("n_words"),
+          size(toks).cast("long").as("n_tokens"),
+          slice(toks, 1, 5).as("head"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          when(col("n_words") === 0L, 0L)
+            .otherwise(expr("(n_tokens * CAST(1000 AS BIGINT))" +
+              " div n_words")).as("fertility_permil"),
+          concat_ws("|", col("head")).as("head_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delimited replace IS greedy left-to-right pair merging: " +
+    "adjacent sites both merge, overlapping runs merge like the " +
+    "reference") {
+    val df = Seq("abab", "aaa", "aaaaa", "xa", "bx").toDF("word")
+    val merged = df.select(col("word"),
+      Bpe.encodeWord(col("word"), Seq(Bpe.Merge(1, "a", "b", 0L)))
+        .as("t")).as[(String, Seq[String])].collect().toMap
+    assert(merged("abab") == Seq("ab", "ab")) // no shared-delimiter loss
+    assert(merged("xa") == Seq("x", "a")) // 'a' suffix is NOT a site
+    assert(merged("bx") == Seq("b", "x")) // 'b' prefix is NOT a site
+    val aa = df.select(col("word"),
+      Bpe.encodeWord(col("word"), Seq(Bpe.Merge(1, "a", "a", 0L)))
+        .as("t")).as[(String, Seq[String])].collect().toMap
+    assert(aa("aaa") == Seq("aa", "a")) // greedy consumes left first
+    assert(aa("aaaaa") == Seq("aa", "aa", "a")) // Sennrich reference
+  }
+
+  test("train learns the hand-computable merge sequence, ties break " +
+    "lexicographically, freq-weighted counting is per position") {
+    // freq-weighted pairs: "aab" x3 -> (a,a)=3 (a,b)=3; "ab" x2 ->
+    // (a,b)=2. So (a,b)=5 wins rank 1. After merging: "a ab" x3,
+    // "ab" x2 -> (a,ab)=3 wins rank 2.
+    val words = Seq(("aab", 3L), ("ab", 2L)).toDF("word", "freq")
+    val merges = Bpe.train(words, numMerges = 3)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.freq)) ==
+      Seq((1, "a", "b", 5L), (2, "a", "ab", 3L)))
+    // only 2 merges learnable: third iteration finds single-symbol
+    // words only ("aab" -> [a·ab] -> [aab], "ab" -> [ab]) and stops
+    assert(merges.size == 2)
+  }
+
+  test("encode applies merges in rank order and flattens words; " +
+    "word boundaries never merge") {
+    val docs = Seq((1L, "aab ab b"), (2L, ""), (3L, "b a")).toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.train(words, 2)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(enc(1L) == Seq("aab", "ab", "b")) // full-word tokens emerge
+    assert(enc(2L) == Seq())
+    assert(enc(3L) == Seq("b", "a")) // "b a" stays two tokens
+  }
+
+  test("wordFreq is the single corpus pass; train guards reject bad " +
+    "geometry; minFreq stops the loop") {
+    val docs = Seq((1L, "x y x")).toDF("doc_id", "text")
+    val wf = Bpe.wordFreq(docs, "text").as[(String, Long)].collect().toMap
+    assert(wf == Map("x" -> 2L, "y" -> 1L))
+    intercept[IllegalArgumentException] {
+      Bpe.train(wf.toSeq.toDF("word", "freq"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.train(wf.toSeq.toDF("word", "freq"), 1, minFreq = 0L)
+    }
+    // all words single-char: nothing to merge at any minFreq
+    assert(Bpe.train(wf.toSeq.toDF("word", "freq"), 5).isEmpty)
+  }
+
+  test("encode is map-only: zero shuffle exchanges with a literal " +
+    "merge table") {
+    val docs = Seq((1L, "aab ab")).toDF("doc_id", "text")
+    val df = Bpe.encode(docs, "doc_id", "text",
+      Seq(Bpe.Merge(1, "a", "b", 5L), Bpe.Merge(2, "a", "ab", 3L)))
+    df.collect()
+    assert(graft.ops.Bucketing.shuffleExchanges(df) == 0,
+      df.queryExecution.executedPlan.toString)
+  }
+}
