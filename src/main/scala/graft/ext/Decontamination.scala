@@ -67,24 +67,44 @@ object Decontamination {
     * array (bounded state, like the trained-gate weights); the only
     * shuffle is the doc-keyed count — corpus rows never join
     * anything. */
+  /** Bitmap membership of one shingle column: TRUE iff every probe
+    * position is set. */
+  private def bloomIsHit(bits: Array[Long], mBits: Int, k: Int)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    require(bits.length == mBits / 32,
+      s"bloom probe: bitmap length ${bits.length} != ${mBits / 32}")
+    val bitsLit = typedLit(bits.toIndexedSeq)
+    s => probeCols(s, mBits, k).map { p =>
+      // call_function: the Scala shiftright() helper only takes a
+      // literal count, and the probe's bit index is a column
+      when((call_function("shiftright",
+        element_at(bitsLit, (p / lit(32L)).cast("int") + 1),
+        (p % 32).cast("int")) % 2) === 1L, 1L).otherwise(0L)
+    }.reduce(_ + _) === k.toLong
+  }
+
   def bloomFlags(corpus: DataFrame, idCol: String, textCol: String,
       bits: Array[Long], mBits: Int, k: Int, n: Int): DataFrame = {
-    require(bits.length == mBits / 32,
-      s"bloomFlags: bitmap length ${bits.length} != ${mBits / 32}")
-    val bitsLit = typedLit(bits.toIndexedSeq)
-    val isHit = (s: org.apache.spark.sql.Column) =>
-      probeCols(s, mBits, k).map { p =>
-        // call_function: the Scala shiftright() helper only takes a
-        // literal count, and the probe's bit index is a column
-        when((call_function("shiftright",
-          element_at(bitsLit, (p / lit(32L)).cast("int") + 1),
-          (p % 32).cast("int")) % 2) === 1L, 1L).otherwise(0L)
-      }.reduce(_ + _) === k.toLong
+    val isHit = bloomIsHit(bits, mBits, k)
     corpus
       .select(col(idCol), Dedup.shingles(col(textCol), n).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
         size(filter(col("__sh"), isHit)).cast("long").as("bloom_hits"))
       .withColumn("flagged", col("bloom_hits") > 0L)
+  }
+
+  /** The GATE form of [[bloomFlags]]: keep only documents with ZERO
+    * bloom hits, all columns preserved, as a single map-only FILTER —
+    * no join back, no shuffle, streaming-legal (the shape a crawl
+    * ingest composes directly after extraction). Because the probe
+    * has no false negatives, every document with real benchmark
+    * overlap is guaranteed dropped; the price is the (fill)^k
+    * false-positive over-drop. */
+  def bloomClean(corpus: DataFrame, textCol: String,
+      bits: Array[Long], mBits: Int, k: Int, n: Int): DataFrame = {
+    val isHit = bloomIsHit(bits, mBits, k)
+    corpus.filter(
+      size(filter(Dedup.shingles(col(textCol), n), isHit)) === 0)
   }
 
   /** Per-document n-gram overlap against `bench`: (id, n_sh, n_hits,

@@ -449,6 +449,35 @@ object CorpusStream {
     * own partition, the same idempotent-crash-replay contract as
     * [[AnnStream.indexBatches]]. Kept rows carry `predicted` and
     * `score` for downstream mixture accounting. */
+  /** Streaming decontamination gate — the Bloom probe of
+    * [[graft.ext.Decontamination.bloomClean]] applied per micro-batch
+    * against a benchmark bitmap FROZEN at stream start (the bitmap is
+    * bounded driver state riding every batch's plan as a literal
+    * array — rebuild it out of band when the eval suite changes, like
+    * the ANN index and the langId model). The probe is a map-only
+    * filter with no false negatives, so every document with real
+    * benchmark n-gram overlap is guaranteed dropped mid-stream; clean
+    * rows land in a `batch_id`-partitioned store with dynamic
+    * partition overwrite (idempotent crash replay — the
+    * [[AnnStream.indexBatches]] contract). */
+  def bloomGateBatches(docs: DataFrame, bits: Array[Long], mBits: Int,
+      k: Int, n: Int, storeDir: String, checkpointDir: String,
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Decontamination
+          .bloomClean(batch, textCol, bits, mBits, k, n)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        ()
+      }
+      .start()
+
   def langIdGateBatches(docs: DataFrame, model: DataFrame,
       keepLangs: Set[String], storeDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",

@@ -518,4 +518,43 @@ class CorpusStreamSpec extends SparkSpec {
     assert(got.forall { case (_, nb, nk, t) =>
       nb == 4L && nk == 3L && t.startsWith(prose) })
   }
+
+  test("streaming bloom decontamination gate: frozen bitmap drops " +
+    "every overlapping doc per batch, store equals the batch-side " +
+    "bloomClean, crash-replay idempotent by partition identity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Decontamination
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bid", "text")
+    val bits = Decontamination.bloomBits(bench, "text", n = 5,
+      mBits = 4096, k = 3)
+    val root = java.nio.file.Files.createTempDirectory("bloom-gate")
+    val storeDir = root.resolve("kept").toString
+    val s1 = Seq(
+      (10L, "a quick brown fox jumps over fences daily"), // 1 real hit
+      (11L, "completely unrelated words with zero shared grams here"))
+    val s2 = Seq(
+      (12L, "the quick brown fox jumps over the lazy dog"), // full copy
+      (13L, "another clean document nothing in common at all today"))
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.bloomGateBatches(
+      mem.toDF().toDF("doc_id", "text"), bits, 4096, 3, 5,
+      storeDir, root.resolve("ckpt").toString)
+    try {
+      mem.addData(s1: _*); q.processAllAvailable()
+      mem.addData(s2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(storeDir)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(11L, 13L),
+      s"docs 10 (one 5-gram hit) and 12 (full copy) must drop: $ids")
+    assert(kept.columns.toSet == Set("doc_id", "text", "batch_id"))
+    // differential: store == batch-side gate over the same docs
+    val batchClean = Decontamination.bloomClean(
+        (s1 ++ s2).toDF("doc_id", "text"), "text", bits, 4096, 3, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchClean == ids)
+    // the two micro-batches landed as distinct batch_id partitions
+    assert(kept.select("batch_id").as[Long].collect().toSet == Set(0L, 1L))
+  }
 }
