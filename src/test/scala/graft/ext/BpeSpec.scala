@@ -73,4 +73,26 @@ class BpeSpec extends SparkSpec {
     assert(graft.ops.Bucketing.shuffleExchanges(df) == 0,
       df.queryExecution.executedPlan.toString)
   }
+
+  test("encode is streaming-NATIVE: the stateless map-only projection " +
+    "runs mid-stream unchanged and matches the batch encode") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val merges = Seq(Bpe.Merge(1, "a", "b", 5L), Bpe.Merge(2, "a", "ab", 3L))
+    val rows = Seq((1L, "aab ab b"), (2L, "ba aab"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Bpe.encode(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .writeStream.format("memory").queryName("bpe_enc")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bpe_enc").as[(Long, Seq[String])]
+      .collect().toMap
+    val batch = Bpe.encode(rows.toDF("doc_id", "text"),
+      "doc_id", "text", merges).as[(Long, Seq[String])].collect().toMap
+    assert(got == batch)
+    assert(got(1L) == Seq("aab", "ab", "b"))
+  }
 }
