@@ -48,7 +48,9 @@ object ScaleCurve {
     "pipeline_link_rank" -> "documents",
     "pipeline_justext_extract" -> "documents",
     "pipeline_fetch_budget" -> "documents",
-    "sim_banded_derived" -> "embeddings")
+    "sim_banded_derived" -> "embeddings",
+    "pipeline_bpe_tokenize" -> "documents",
+    "text_contamination_bloom" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

@@ -83,4 +83,51 @@ object UrlNormalize {
   def hostOf(canonical: Column): Column =
     nullif(regexp_extract(canonical, SchemeRe + "([^/?#:]*)", 2),
       lit(""))
+
+  /** REGISTERED (registrable) domain of a lowercase host under a
+    * caller-supplied public-suffix list — the key domain-level
+    * governance groups on (per-domain contribution caps, domain
+    * share audits, politeness above host granularity): `co.uk` rules
+    * make `news.bbc.co.uk` and `www.bbc.co.uk` the same publisher
+    * `bbc.co.uk`, where a naive last-two-labels cut yields the
+    * meaningless `co.uk`.
+    *
+    * Mozilla PSL matching semantics on explicit rules: the LONGEST
+    * listed suffix wins; a host not matching any listed rule falls to
+    * the prevailing `*` rule (its last label is the suffix); a host
+    * that IS a suffix, or a single label, has no registered domain
+    * (NULL). Wildcard (`*.ck`) and exception (`!www.ck`) rules are out
+    * of scope — the list is caller-supplied explicit rules, the same
+    * frozen-broadcast contract as the stopword/wordlist gates (the
+    * full ~9k-rule PSL rides fine as a literal array; it is bounded
+    * state like the BPE merge table).
+    *
+    * Map-only Column algebra — label split, longest-first literal set
+    * membership (CaseWhen evaluates lazily, so out-of-range slices
+    * are never touched), one dynamic slice — replayable in any engine
+    * with list slicing. */
+  def registeredDomain(host: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.nonEmpty, "registeredDomain: empty suffix list")
+    require(suffixes.forall(s =>
+      s.nonEmpty && !s.startsWith(".") && !s.endsWith(".") &&
+        s == s.toLowerCase && !s.contains("*") && !s.contains("!")),
+      "registeredDomain: suffixes are explicit lowercase dotted " +
+        s"labels (no wildcard/exception rules): $suffixes")
+    val byDepth = suffixes.distinct.groupBy(_.count(_ == '.') + 1)
+    val maxD = byDepth.keys.max
+    require(maxD <= 4, s"registeredDomain: suffix depth <= 4 ($maxD)")
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def lastK(k: Column): Column =
+      array_join(slice(labels, -k, k), ".")
+    // longest listed rule first; depth-1 listed rules are subsumed by
+    // the prevailing `*` fallback (same depth, same cut)
+    val depth = coalesce(
+      ((maxD to 2 by -1).flatMap { d =>
+        byDepth.get(d).map(sfx =>
+          when(n >= d && lastK(lit(d)).isin(sfx: _*), lit(d)))
+      } :+ lit(1)): _*)
+    when(host.isNotNull && trim(host) =!= "" && n >= depth + 1,
+      lastK(depth + 1))
+  }
 }

@@ -2646,7 +2646,117 @@ object TextQueries {
     },
 
     crawlRefreshDef,
+
+    // Registered-domain share audit — domain-level governance over a
+    // synthesized host column (PSL semantics: `co.uk` rules fuse the
+    // www./news. spellings of one publisher; an unlisted TLD falls to
+    // the prevailing * rule; doc_id%97 plants hosts that ARE a suffix
+    // and therefore have NO registered domain). The longest-match CASE,
+    // the dynamic label slice and the integral share permil all replay
+    // in SQL.
+    QueryDef("text_domain_share",
+      s"""WITH h AS (
+        |  SELECT doc_id, $sqlDomainHost AS host FROM documents),
+        |r AS (
+        |  SELECT doc_id, coalesce($sqlRegisteredDomain, '(none)')
+        |    AS domain
+        |  FROM (SELECT doc_id, string_split(host, '.') AS l FROM h)),
+        |g AS (
+        |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM g)
+        |SELECT domain, n_docs,
+        |  n_docs * 1000 // total AS share_permil
+        |FROM g, t ORDER BY n_docs DESC, domain""".stripMargin) {
+      (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(coalesce(
+          graft.ext.UrlNormalize.registeredDomain(
+            domainHost, DomainSuffixes), lit("(none)")).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      val t = g.agg(sum("n_docs").cast("long").as("total"))
+      g.crossJoin(broadcast(t))
+        .select(col("domain"), col("n_docs"),
+          expr("n_docs * CAST(1000 AS BIGINT) div total")
+            .as("share_permil"))
+        .orderBy(col("n_docs").desc, col("domain"))
+    },
+
+    // Per-domain contribution cap — the C4/Gopher governance move
+    // that stops one publisher dominating a corpus: rank every
+    // document within its registered domain (deterministic by
+    // doc_id) and keep the first `cap`. The rank is a domain-keyed
+    // window — shuffle bounded by the doc-id frame, no global sort;
+    // at 100 TB the same plan holds because domains are the natural
+    // partition key of a crawl.
+    QueryDef("pipeline_domain_cap",
+      s"""WITH h AS (
+        |  SELECT doc_id, $sqlDomainHost AS host FROM documents),
+        |r AS (
+        |  SELECT doc_id, coalesce($sqlRegisteredDomain, '(none)')
+        |    AS domain
+        |  FROM (SELECT doc_id, string_split(host, '.') AS l FROM h)),
+        |rk AS (
+        |  SELECT doc_id, domain,
+        |    CAST(row_number() OVER (PARTITION BY domain
+        |      ORDER BY doc_id) AS BIGINT) AS domain_rank
+        |  FROM r)
+        |SELECT doc_id, domain, domain_rank,
+        |  domain_rank <= 10 AS kept
+        |FROM rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val r = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(
+          graft.ext.UrlNormalize.registeredDomain(
+            domainHost, DomainSuffixes), lit("(none)")).as("domain"))
+      r.withColumn("domain_rank",
+          row_number().over(
+            Window.partitionBy("domain").orderBy("doc_id"))
+            .cast("long"))
+        .select(col("doc_id"), col("domain"), col("domain_rank"),
+          (col("domain_rank") <= 10L).as("kept"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** Suffix rules for the domain-governance queries — explicit PSL
+    * subset (the caller-supplied frozen-list contract; the full list
+    * is bounded state like the BPE merge table). */
+  private val DomainSuffixes = Seq("co.uk", "com", "org")
+
+  /** Host synthesized from doc_id arithmetic: two subdomain spellings
+    * of one co.uk publisher per source, a .com apex, a deep host on an
+    * UNLISTED TLD (prevailing-rule path), and a bare public suffix
+    * every 97 docs (the no-registered-domain edge). The variant key is
+    * `doc_id div 4 % 4`, NOT `doc_id % 4` — the fixture's source is
+    * `doc_id % 20` and 4 | 20, so a plain mod-4 key would be constant
+    * per source and the www./news. publisher fusion would never
+    * exercise. */
+  private def domainHost: org.apache.spark.sql.Column = {
+    val m = expr("doc_id div 4 % 4")
+    when(col("doc_id") % 97 === 0, lit("co.uk"))
+      .when(m === 0, concat(lit("www."), col("source"), lit(".co.uk")))
+      .when(m === 1, concat(lit("news."), col("source"), lit(".co.uk")))
+      .when(m === 2, concat(col("source"), lit(".com")))
+      .otherwise(concat(lit("cdn.static."), col("source"), lit(".io")))
+  }
+
+  private def sqlDomainHost: String =
+    "CASE WHEN doc_id % 97 = 0 THEN 'co.uk' " +
+      "WHEN doc_id // 4 % 4 = 0 THEN 'www.' || source || '.co.uk' " +
+      "WHEN doc_id // 4 % 4 = 1 THEN 'news.' || source || '.co.uk' " +
+      "WHEN doc_id // 4 % 4 = 2 THEN source || '.com' " +
+      "ELSE 'cdn.static.' || source || '.io' END"
+
+  /** DuckDB twin of [[graft.ext.UrlNormalize.registeredDomain]] over a
+    * pre-split label list `l` and the [[DomainSuffixes]] rules:
+    * longest listed suffix first (only `co.uk` is multi-label), then
+    * the prevailing * rule; NULL when the host IS the suffix. */
+  private def sqlRegisteredDomain: String =
+    "(SELECT CASE WHEN len(l) >= dep + 1 THEN " +
+      "array_to_string(l[-(dep+1):], '.') END FROM (SELECT " +
+      "CASE WHEN len(l) >= 2 AND array_to_string(l[-2:], '.') " +
+      "IN ('co.uk') THEN 2 ELSE 1 END AS dep))"
 
   /** DuckDB replay of the pipeline_html_curate flagship — six stages
     * in the exact operator order, built from the shared extraction

@@ -89,4 +89,38 @@ class UrlNormalizeSpec extends SparkSpec {
       UrlNormalize.canonicalUrl(col("u"), lit("h"), baseScheme = "ftp")
     }
   }
+
+  test("registeredDomain: longest listed suffix wins, prevailing-rule " +
+    "fallback, suffix-itself and single-label hosts are NULL, guards") {
+    import org.apache.spark.sql.functions.col
+    val sfx = Seq("co.uk", "com", "org")
+    val got = Seq(
+      "news.bbc.co.uk", "www.bbc.co.uk", "bbc.co.uk", // one publisher
+      "co.uk",          // IS a suffix -> NULL
+      "a.example.com",  // listed depth-1
+      "cdn.static.site.io", // unlisted TLD -> prevailing * rule
+      "localhost",      // single label -> NULL
+      "sub.deep.x.co.uk")
+      .toDF("host")
+      .select(col("host"),
+        UrlNormalize.registeredDomain(col("host"), sfx).as("rd"))
+      .as[(String, Option[String])].collect().toMap
+    assert(got("news.bbc.co.uk") == Some("bbc.co.uk"))
+    assert(got("www.bbc.co.uk") == Some("bbc.co.uk"))
+    assert(got("bbc.co.uk") == Some("bbc.co.uk"))
+    assert(got("co.uk").isEmpty)
+    assert(got("a.example.com") == Some("example.com"))
+    assert(got("cdn.static.site.io") == Some("site.io"))
+    assert(got("localhost").isEmpty)
+    assert(got("sub.deep.x.co.uk") == Some("x.co.uk"))
+    intercept[IllegalArgumentException] {
+      UrlNormalize.registeredDomain(col("host"), Seq())
+    }
+    intercept[IllegalArgumentException] {
+      UrlNormalize.registeredDomain(col("host"), Seq("*.ck"))
+    }
+    intercept[IllegalArgumentException] {
+      UrlNormalize.registeredDomain(col("host"), Seq("a.b.c.d.e"))
+    }
+  }
 }
