@@ -512,4 +512,43 @@ object CorpusStream {
       }
       .start()
   }
+
+  final case class DomainSeen(n: Long)
+  final case class QuotaDoc(doc_id: Long, domain: String,
+      domain_rank: Long)
+
+  /** Streaming per-domain contribution quota — the stateful twin of
+    * the `pipeline_domain_cap` governance query, and the shape a crawl
+    * ingests under a PER-PUBLISHER byte/doc budget: one `GroupState`
+    * counter per registered domain (bounded by |domains|, not corpus
+    * size), each micro-batch's group sorted by `doc_id` for
+    * determinism (streams deliver unordered), ranks continuing across
+    * batches, and ONLY under-quota documents emitted. Unlike the batch
+    * window there is no shuffle-the-corpus-again step per batch — the
+    * domain-keyed state store IS the rank memory. `NoTimeout`: a
+    * domain's counter must outlive any lull (politeness pauses are the
+    * norm); the state row is one long, so |domains| rows ride for the
+    * stream's lifetime by design. */
+  def domainQuota(docs: DataFrame, domainCol: String, idCol: String,
+      cap: Long): org.apache.spark.sql.Dataset[QuotaDoc] = {
+    require(cap >= 1L, s"domainQuota: cap >= 1 ($cap)")
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(domainCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DomainSeen, QuotaDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (domain: String, batch: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[DomainSeen]) =>
+          val before = state.getOption.map(_.n).getOrElse(0L)
+          val ids = batch.map(_._2).toArray.sorted
+          state.update(DomainSeen(before + ids.length))
+          ids.iterator.zipWithIndex
+            .map { case (id, i) => QuotaDoc(id, domain, before + i + 1) }
+            .filter(_.domain_rank <= cap)
+      }
+  }
 }

@@ -557,4 +557,42 @@ class CorpusStreamSpec extends SparkSpec {
     // the two micro-batches landed as distinct batch_id partitions
     assert(kept.select("batch_id").as[Long].collect().toSet == Set(0L, 1L))
   }
+
+  test("streaming per-domain quota: ranks continue across micro-" +
+    "batches, only under-cap docs emit, state is one counter per " +
+    "domain; matches the batch window when arrival respects doc order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.domainQuota(
+        mem.toDF().toDF("doc_id", "domain"), "domain", "doc_id", cap = 3L)
+      .writeStream.format("memory").queryName("dq_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a.com gets 2 (unordered arrival), b.org gets 1
+      mem.addData((12L, "a.com"), (10L, "a.com"), (20L, "b.org"))
+      q.processAllAvailable()
+      // batch 2: a.com gets 2 more (ranks 3,4 -> only 13 kept), b 1
+      mem.addData((14L, "a.com"), (13L, "a.com"), (21L, "b.org"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dq_out")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (10L, "a.com", 1L), (12L, "a.com", 2L), (13L, "a.com", 3L),
+      (20L, "b.org", 1L), (21L, "b.org", 2L)),
+      s"doc 14 (rank 4 > cap) must be dropped: $got")
+    // differential: equals the batch-side domain-cap window over the
+    // same rows (arrival order respected doc order per domain)
+    val all = Seq((12L, "a.com"), (10L, "a.com"), (20L, "b.org"),
+      (14L, "a.com"), (13L, "a.com"), (21L, "b.org"))
+      .toDF("doc_id", "domain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("doc_id")
+    val batchKept = all
+      .withColumn("domain_rank",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= 3L)
+      .as[(Long, String, Long)].collect().toSet
+    assert(batchKept == got)
+  }
 }
