@@ -119,6 +119,36 @@ FROM enc ORDER BY doc_id""") { (s, d) =>
               " div n_words")).as("fertility_permil"),
           concat_ws("|", col("head")).as("head_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Corpus vocabulary audit under the learned tokenizer: encode the
+    // whole corpus with the src0-trained merges, then the top-25
+    // subword types by corpus frequency (freq desc, token asc — a
+    // total order). Grades the full train -> encode -> corpus-count
+    // composition: whole-word tokens ("join") must emerge above raw
+    // characters exactly as the merge table dictates. The count is the
+    // canonical post-encode word-count shuffle (token-keyed, map-side
+    // combined) — the one corpus-scale aggregation a tokenizer audit
+    // costs at 100 TB.
+    QueryDef("text_bpe_vocab",
+      "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'") + s""",
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform(
+      list_filter(string_split(text, ' '), v -> length(v) > 0),
+      w -> string_split(trim(${sqlEncodeChain(K)}), '  '))) AS toks
+  FROM documents, ${(1 to K).map("m" + _).mkString(", ")})
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (SELECT unnest(toks) AS token FROM enc)
+GROUP BY token ORDER BY freq DESC, token LIMIT 25""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(
+        Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
+      Bpe.encode(docs, "doc_id", "text", merges)
+        .select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(25)
     }
   )
 }
