@@ -2717,6 +2717,59 @@ object TextQueries {
           (col("domain_rank") <= 10L).as("kept"))
         .orderBy("doc_id")
     },
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): documents
+    // rank within their source by the transcendental-free LM signal
+    // (integral micro-avg of the bigram likelihood — same ordering as
+    // log-perplexity) and split into head/middle/tail terciles, the
+    // groups CCNet keeps/inspects/drops. ntile over a TOTAL order
+    // (score desc, then doc_id) — standard remainder-to-first-buckets
+    // semantics in both engines. Source-keyed window, no global sort;
+    // the model table is vocabulary-bounded and broadcastable.
+    QueryDef("pipeline_ccnet_buckets",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM t),
+        |m AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+        |m2 AS (SELECT bigram, cnt, string_split(bigram, ' ')[1] AS w1
+        |       FROM m),
+        |pf AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS prefix_cnt
+        |       FROM m2 GROUP BY w1),
+        |mp AS (SELECT m2.bigram,
+        |         CAST(floor(1000000.0 * cnt / prefix_cnt) AS BIGINT) AS p
+        |       FROM m2 JOIN pf ON pf.w1 = m2.w1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(p) AS BIGINT) // COUNT(*) AS avg_mi
+        |  FROM bg JOIN mp ON mp.bigram = bg.bigram
+        |  GROUP BY doc_id),
+        |nt AS (
+        |  SELECT d.doc_id, d.source, sc.avg_mi,
+        |    ntile(3) OVER (PARTITION BY d.source
+        |      ORDER BY sc.avg_mi DESC, d.doc_id) AS b
+        |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+        |SELECT doc_id, source, avg_mi,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM nt ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val sc = TextAnalysis.lmScore(docs, "doc_id", "text",
+          TextAnalysis.bigramModel(docs, "text"))
+        .select(col("doc_id"),
+          expr("lm_sum_micro div n_bigrams").as("avg_mi"))
+      docs.select(col("doc_id"), col("source"))
+        .join(sc, Seq("doc_id"))
+        .withColumn("b", ntile(3).over(Window.partitionBy("source")
+          .orderBy(col("avg_mi").desc, col("doc_id"))))
+        .select(col("doc_id"), col("source"), col("avg_mi"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Suffix rules for the domain-governance queries — explicit PSL

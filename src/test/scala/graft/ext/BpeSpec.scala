@@ -95,4 +95,30 @@ class BpeSpec extends SparkSpec {
     assert(got == batch)
     assert(got(1L) == Seq("aab", "ab", "b"))
   }
+
+  test("encode is LOSSLESS over 500 adversarial words: tokens " +
+    "concatenate back to the word and characters are conserved, for " +
+    "merges trained on the same distribution (incl. repeated-char runs)") {
+    // deterministic LCG over a tiny alphabet -> dense pair overlap,
+    // repeated runs, shared prefixes/suffixes — the shapes that broke
+    // naive delimiter encodings
+    var x = 12345L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x >>> 33 }
+    val words = (0 until 500).map { _ =>
+      val len = 1 + (nxt() % 9).toInt
+      (0 until len).map(_ => ('a' + (nxt() % 4).toInt).toChar).mkString
+    }
+    val df = words.toDF("word")
+    val merges = Bpe.train(
+      df.groupBy("word").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("freq")), 10)
+    assert(merges.size == 10) // dense alphabet: always 10 learnable
+    val bad = df.select(col("word"),
+        Bpe.encodeWord(col("word"), merges).as("t"))
+      .filter(array_join(col("t"), "") =!= col("word") ||
+        aggregate(transform(col("t"), s => length(s)),
+          lit(0), (a, b) => a + b) =!= length(col("word")))
+      .count()
+    assert(bad == 0L)
+  }
 }
