@@ -163,4 +163,25 @@ class PlanChecksSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("no_such_column"))
   }
+
+  test("bpe tokenize flagship: the encode is pure projection — the " +
+    "only shuffle is the final presentation sort; share/cap/bucket " +
+    "governance queries never go cartesian") {
+    // cap exchanges at 1 (the ORDER BY doc_id): a join or shuffle
+    // sneaking into the merge-table application would break this
+    PlanChecks.assertExchangesAtMost(q("pipeline_bpe_tokenize"), 1)
+    PlanChecks.assertNoCartesian(q("pipeline_bpe_tokenize"))
+    // domain share: the 1-row total rides a broadcast
+    val share = q("text_domain_share")
+    PlanChecks.assertNoCartesian(share)
+    PlanChecks.assertBroadcastJoin(share)
+    // domain cap: registered-domain window is domain-keyed — agg +
+    // window + sort, never a corpus self-join
+    PlanChecks.assertNoCartesian(q("pipeline_domain_cap"))
+    // ccnet buckets: model join keyed, window source-keyed
+    PlanChecks.assertNoCartesian(q("pipeline_ccnet_buckets"))
+    // bloom decontamination: the bitmap rides as a literal — the ONLY
+    // joins are the exact-hits grading rails, never a cartesian
+    PlanChecks.assertNoCartesian(q("text_contamination_bloom"))
+  }
 }
