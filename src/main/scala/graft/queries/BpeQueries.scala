@@ -149,6 +149,45 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 25""") { (s, d) =>
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("token"))
         .limit(25)
+    },
+
+    // Training-batch assembly under the REAL tokenizer: context
+    // windows fill by SUBWORD counts, not whitespace words — the
+    // number that actually bounds a training sequence. Encode is the
+    // map-only literal-merge pass; the only additional corpus work is
+    // the distributed prefix sum (range-partitioned, never a
+    // single-reducer window). Rows longer than the budget still get
+    // their own bin(s) — the packIntoBins contract.
+    QueryDef("pipeline_bpe_packing",
+      "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'") + s""",
+tc AS (
+  SELECT doc_id,
+    CAST(coalesce(list_sum(list_transform(
+      list_filter(string_split(text, ' '), v -> length(v) > 0),
+      w -> len(string_split(trim(${sqlEncodeChain(K)}), '  ')))), 0)
+      AS BIGINT) AS n_tokens
+  FROM documents, ${(1 to K).map("m" + _).mkString(", ")}),
+rr AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS BIGINT) AS start_offset
+  FROM tc)
+SELECT doc_id, n_tokens, start_offset,
+  CAST(FLOOR(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin
+FROM rr ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(
+        Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
+      val counts = Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("tokens")).cast("long")
+          .as("n_tokens"))
+      graft.ops.PrefixSum.packIntoBins(counts,
+          weight = col("n_tokens"), budget = 2048L,
+          orderBy = Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("bin").cast("bigint").as("bin"))
+        .orderBy("doc_id")
     }
   )
 }
