@@ -1033,6 +1033,29 @@ object TextAnalysis {
         .otherwise(lit(0L)).as("non_ascii_permil"))
   }
 
+  /** Mojibake DETECTION — the classic UTF-8-read-as-Latin-1 damage
+    * signature: a 'Â'/'Ã' lead (the Latin-1 reading of a UTF-8 2-byte
+    * lead 0xC2/0xC3) immediately followed by a character in the
+    * continuation range 0x80-0xBF. Legitimate Latin-1 text almost
+    * never pairs these (uppercase-tilde letters followed by
+    * unprintable controls); a false positive needs exactly that
+    * pairing, documented here as the heuristic's known edge. */
+  def looksMojibake(text: Column): Column =
+    text.rlike("[\\x{00C2}-\\x{00C3}][\\x{0080}-\\x{00BF}]")
+
+  /** Mojibake REPAIR — invert the bad transcode by re-reading the
+    * string's codepoints as Latin-1 bytes and decoding them as UTF-8
+    * (`decode(encode(s, ISO-8859-1), UTF-8)` — both codegen'd).
+    * Applied ONLY when [[looksMojibake]] fires AND every character is
+    * < U+0100 (a codepoint above 0xFF cannot come from a Latin-1
+    * reading, and Latin-1-encoding it would be lossy — mixed-damage
+    * strings pass through for a human). Clean text is untouched by
+    * construction; map-only, zero shuffles. */
+  def fixMojibake(text: Column): Column =
+    when(looksMojibake(text) && !text.rlike("[^\\x00-\\x{00FF}]"),
+      decode(encode(text, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+
   /** C4-style wordlist content gate, ANNOTATION half: per-document
     * blocked-token counts against a CALLER-SUPPLIED wordlist table
     * (first column = word; nothing hardcoded — C4 ships a ~400-entry

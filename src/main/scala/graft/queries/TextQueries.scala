@@ -2770,6 +2770,40 @@ object TextQueries {
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
     },
+
+    // Mojibake repair graded end to end: doc_id classes plant UTF-8-
+    // read-as-Latin-1 damage (Ã© for é, Ã¯ for ï), clean ASCII, and
+    // the heuristic's near-miss (a REAL Latin-1 'À' followed by a
+    // space — lead byte range but no continuation pairing, must NOT
+    // repair). The Spark side runs the actual detection regex and the
+    // encode/decode inversion; the oracle does NOT replay the
+    // transcode — it constructs the expected repaired text
+    // independently from chr() arithmetic (the mm_container_meta
+    // grading pattern), so a wrong charset, a lossy pass, or an
+    // over-eager heuristic hash-mismatches.
+    QueryDef("text_mojibake_repair",
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 AS INT) IN (0, 1) AS mojibake,
+        |  text || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN ' menu caf' || chr(233) || ' list'
+        |    WHEN 1 THEN ' na' || chr(239) || 've words'
+        |    WHEN 2 THEN ' plain tail'
+        |    ELSE ' ' || chr(192) || ' la carte' END AS fixed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val m = col("doc_id") % 4
+      // explicit escapes (mojibake pairs: C3+continuation; class 3 is
+      // a REAL Latin-1 letter) — literal non-ASCII in source would be
+      // at the mercy of editor/toolchain re-encoding
+      val planted = concat(col("text"),
+        when(m === 0, lit(" menu caf\u00c3\u00a9 list"))
+          .when(m === 1, lit(" na\u00c3\u00afve words"))
+          .when(m === 2, lit(" plain tail"))
+          .otherwise(lit(" \u00c0 la carte")))
+      Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.looksMojibake(planted).as("mojibake"),
+          TextAnalysis.fixMojibake(planted).as("fixed"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Suffix rules for the domain-governance queries — explicit PSL

@@ -748,4 +748,39 @@ class TextAnalysisSpec extends SparkSpec {
         "text", "y")
     }
   }
+
+  test("mojibake repair: inverts the bad transcode, is idempotent on " +
+    "clean text, and refuses mixed-damage and non-Latin-1 strings") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "menu caf\u00c3\u00a9 list",   // Ã© -> é
+      "double caf\u00c3\u0083\u00c2\u00a9", // ÃÃ‚-style double damage still < 0x100: one inversion layer peels
+      "plain ascii only",
+      "\u00c0 la carte",              // real Latin-1, no continuation pair
+      "damaged caf\u00c3\u00a9 plus \u20ac euro" // mixed: > 0xFF char present -> untouched
+    ).toDF("t")
+    val got = rows.select(col("t"),
+        TextAnalysis.fixMojibake(col("t")).as("f"),
+        TextAnalysis.looksMojibake(col("t")).as("m"))
+      .as[(String, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("menu caf\u00c3\u00a9 list")._2 == "menu caf\u00e9 list")
+    assert(got("plain ascii only")._2 == "plain ascii only")
+    assert(!got("plain ascii only")._3)
+    assert(got("\u00c0 la carte")._2 == "\u00c0 la carte") // near-miss kept
+    assert(!got("\u00c0 la carte")._3)
+    // euro sign (U+20AC) cannot come from Latin-1 -> pass through even
+    // though the detector fires
+    assert(got("damaged caf\u00c3\u00a9 plus \u20ac euro")._2 ==
+      "damaged caf\u00c3\u00a9 plus \u20ac euro")
+    assert(got("damaged caf\u00c3\u00a9 plus \u20ac euro")._3)
+    // repaired text no longer trips the detector (single application)
+    val again = rows.select(TextAnalysis.fixMojibake(
+        TextAnalysis.fixMojibake(col("t"))).as("ff"),
+      TextAnalysis.fixMojibake(col("t")).as("f"))
+    // idempotence holds for single-layer damage; the double-damage row
+    // peels one layer per pass by design
+    val cnt = again.filter(col("ff") =!= col("f") &&
+      !col("f").contains("\u00c3\u0083")).count()
+    assert(cnt <= 1L) // only the double-damage row may change again
+  }
 }
