@@ -184,4 +184,22 @@ class PlanChecksSpec extends SparkSpec {
     // joins are the exact-hits grading rails, never a cartesian
     PlanChecks.assertNoCartesian(q("text_contamination_bloom"))
   }
+
+  test("rank-cap GATE form: Spark's WindowGroupLimit prunes each map " +
+    "partition to k rows per domain BEFORE the shuffle — the 100 TB " +
+    "shape of the per-domain cap (the graded query keeps all rows " +
+    "with a flag, so it legitimately skips the pushdown)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val gated = docs
+      .select(col("doc_id"), col("source").as("domain"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("domain").orderBy("doc_id")))
+      .filter(col("r") <= 10)
+    gated.collect()
+    val plan = PlanChecks.executedPlan(gated)
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push a map-side group limit:\n$plan")
+  }
 }
