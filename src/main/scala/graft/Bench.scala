@@ -121,7 +121,15 @@ object Bench {
           codegenCount() - cg0, peakStorage / (1024L * 1024L))
         name -> times
       }
-    val qSeq = SparkEntry.queries.toVector
+    // STABLE alphabetical run order: `queries` is a HashMap, so any
+    // key-set change reshuffles its iteration order — and per-query
+    // cost depends on run position (which families JIT-warmed before
+    // you). The r11 bench caught this as a phantom 2.0→5.4 s
+    // "regression" on an untouched query that had merely lost its
+    // warm predecessor. Sorting pins every query's neighborhood
+    // across rounds, which is the regression gate's comparability
+    // assumption.
+    val qSeq = SparkEntry.queries.toVector.sortBy(_._1)
     val (firstHalf, secondHalf) = qSeq.splitAt(qSeq.size / 2)
     val sampled = timeQueries(firstHalf) ++ {
       probeTimes += calProbe()

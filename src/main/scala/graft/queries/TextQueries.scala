@@ -2804,6 +2804,102 @@ object TextQueries {
           TextAnalysis.fixMojibake(planted).as("fixed"))
         .orderBy("doc_id")
     },
+
+    // The curation FUNNEL — per-stage attrition accounting for a
+    // four-gate chain (encoding → wordlist → exact dedup → domain
+    // cap), the report every production pipeline publishes next to
+    // its corpus: stage, docs in, docs kept, integral drop permil.
+    // Hazards planted per stage from doc_id arithmetic (U+FFFD spill
+    // every 13th doc, the shared-boiler dup classes, the co.uk
+    // publisher cap), wordlist drops ride real token variation. Each
+    // stage filters the SURVIVORS of the previous — the oracle replays
+    // the whole chain, so one gate mis-ordered or one count taken on
+    // the wrong frame hash-mismatches. Counts are 1-row aggregates
+    // fanned out over broadcasts (the dq_constraint_report shape).
+    QueryDef("pipeline_corpus_funnel",
+      s"""WITH d0 AS (
+        |  SELECT doc_id, source, text || CASE WHEN doc_id % 13 = 0
+        |    THEN ' ' || chr(65533) ELSE '' END AS text
+        |  FROM documents),
+        |s1 AS (SELECT * FROM d0 WHERE strpos(text, chr(65533)) = 0),
+        |s2 AS (
+        |  SELECT * FROM s1
+        |  WHERE len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('slow', 'big'))) * 1000
+        |    <= 100 * len(string_split(text, ' '))),
+        |s2c AS (
+        |  SELECT *, CASE WHEN doc_id % 7 <= 1 THEN 'shared boiler alpha'
+        |    WHEN doc_id % 7 = 2 THEN 'shared boiler beta'
+        |    ELSE text END AS content
+        |  FROM s2),
+        |s3 AS (
+        |  SELECT doc_id, source FROM s2c
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM s2c GROUP BY content)),
+        |h AS (SELECT doc_id, $sqlDomainHost AS host FROM s3),
+        |r AS (
+        |  SELECT doc_id, coalesce($sqlRegisteredDomain, '(none)')
+        |    AS domain
+        |  FROM (SELECT doc_id, string_split(host, '.') AS l FROM h)),
+        |s4 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY domain
+        |      ORDER BY doc_id) AS rk FROM r)
+        |  WHERE rk <= 4),
+        |c0 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM d0),
+        |c1 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM s1),
+        |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM s2),
+        |c3 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM s3),
+        |c4 AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM s4)
+        |SELECT stage_no, stage, n_in, n_kept,
+        |  (n_in - n_kept) * 1000 // n_in AS drop_permil
+        |FROM (
+        |  SELECT 1 AS stage_no, 'encoding' AS stage,
+        |    (SELECT n FROM c0) AS n_in, (SELECT n FROM c1) AS n_kept
+        |  UNION ALL SELECT 2, 'wordlist',
+        |    (SELECT n FROM c1), (SELECT n FROM c2)
+        |  UNION ALL SELECT 3, 'dedup_exact',
+        |    (SELECT n FROM c2), (SELECT n FROM c3)
+        |  UNION ALL SELECT 4, 'domain_cap',
+        |    (SELECT n FROM c3), (SELECT n FROM c4))
+        |ORDER BY stage_no""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val d0 = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(col("text"), when(col("doc_id") % 13 === 0,
+          lit(" \uFFFD")).otherwise(lit(""))).as("text"))
+      val s1 = d0.filter(!col("text").contains("\uFFFD"))
+      val s2 = s1.filter(
+        size(filter(TextAnalysis.tokens(col("text")),
+          t => t.isin("slow", "big"))) * 1000 <=
+          lit(100) * size(TextAnalysis.tokens(col("text"))))
+      val s2c = s2.withColumn("content",
+        when(col("doc_id") % 7 <= 1, lit("shared boiler alpha"))
+          .when(col("doc_id") % 7 === 2, lit("shared boiler beta"))
+          .otherwise(col("text")))
+      val s3 = s2c
+        .join(s2c.groupBy("content").agg(min("doc_id").as("doc_id"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "source")
+      val s4 = s3
+        .select(col("doc_id"), coalesce(
+          graft.ext.UrlNormalize.registeredDomain(
+            domainHost, DomainSuffixes), lit("(none)")).as("domain"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("domain").orderBy("doc_id")))
+        .filter(col("rk") <= 4)
+      def cnt(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("n"))
+      val stages = Seq(
+        (1, "encoding", d0, s1), (2, "wordlist", s1, s2),
+        (3, "dedup_exact", s2, s3.toDF), (4, "domain_cap", s3.toDF, s4))
+      stages.map { case (i, nm, in, out) =>
+        cnt(in).withColumnRenamed("n", "n_in")
+          .crossJoin(broadcast(cnt(out).withColumnRenamed("n", "n_kept")))
+          .select(lit(i).as("stage_no"), lit(nm).as("stage"),
+            col("n_in"), col("n_kept"),
+            expr("(n_in - n_kept) * CAST(1000 AS BIGINT) div n_in")
+              .as("drop_permil"))
+      }.reduce(_ unionByName _).orderBy("stage_no")
+    },
   )
 
   /** Suffix rules for the domain-governance queries — explicit PSL

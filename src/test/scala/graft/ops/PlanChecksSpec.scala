@@ -183,6 +183,10 @@ class PlanChecksSpec extends SparkSpec {
     // bloom decontamination: the bitmap rides as a literal — the ONLY
     // joins are the exact-hits grading rails, never a cartesian
     PlanChecks.assertNoCartesian(q("text_contamination_bloom"))
+    // funnel: the per-stage 1-row count fan-outs ride broadcasts
+    val funnel = q("pipeline_corpus_funnel")
+    PlanChecks.assertNoCartesian(funnel)
+    PlanChecks.assertBroadcastJoin(funnel)
   }
 
   test("rank-cap GATE form: Spark's WindowGroupLimit prunes each map " +
