@@ -77,4 +77,26 @@ object ShardShuffle {
         sum(weight).cast("long").as("total_tokens"),
         min_by(col(idCol), col("epoch_key")).as("first_doc"),
         max_by(col(idCol), col("epoch_key")).as("last_doc"))
+
+  /** [[manifest]] plus a CONTENT checksum per shard — the integrity
+    * half of an export: `checksum = Σ tokenHash31(id ∥ '|' ∥ content)`,
+    * an ORDER-INDEPENDENT exact integer sum, so the consumer of a
+    * shard recomputes it with one map-only pass in any engine and in
+    * any read order (a concatenated whole-shard hash would pin a read
+    * order; an order-free sum survives splits and parallel readers).
+    * Per-row terms are < 2^31, so int64 holds ~4×10^9 rows per shard
+    * before overflow — wrap the SUM in a modulus beyond that. One
+    * map-only pass + the shard-keyed agg; numShards rows out. */
+  def integrityManifest(df: DataFrame, idCol: String, contentCol: String,
+      weight: org.apache.spark.sql.Column, seed: String,
+      numShards: Int): DataFrame =
+    assign(df, idCol, seed, numShards)
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(weight).cast("long").as("total_tokens"),
+        sum(TextAnalysis.tokenHash31(concat(col(idCol).cast("string"),
+          lit("|"), col(contentCol)))).cast("long").as("checksum"),
+        min_by(col(idCol), col("epoch_key")).as("first_doc"),
+        max_by(col(idCol), col("epoch_key")).as("last_doc"))
 }

@@ -2900,6 +2900,38 @@ object TextQueries {
               .as("drop_permil"))
       }.reduce(_ unionByName _).orderBy("stage_no")
     },
+
+    // Export integrity manifest — the verification half of a 100 TB
+    // shard fan-out: per shard, counts, token totals, epoch-order
+    // endpoints, and an ORDER-INDEPENDENT content checksum
+    // (Σ h31(id|text) — exact integer sum, so a consumer revalidates
+    // a shard with one map-only pass in ANY read order; a whole-shard
+    // concatenated hash would pin one). The oracle recomputes every
+    // column including the checksum, so a single flipped byte, a
+    // dropped row, or a mis-assigned shard hash-mismatches.
+    QueryDef("pipeline_export_manifest",
+      s"""WITH a AS (
+        |  SELECT doc_id, text,
+        |    ${sqlH31("CAST(doc_id AS VARCHAR) || '#epoch-1'")} AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, h % 16 AS shard_id,
+        |    h * 10000000 + doc_id % 10000000 AS k, nt
+        |  FROM a)
+        |SELECT shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(${sqlH31("CAST(doc_id AS VARCHAR) || '|' || text")})
+        |    AS BIGINT) AS checksum,
+        |  arg_min(doc_id, k) AS first_doc,
+        |  arg_max(doc_id, k) AS last_doc
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.ops.ShardShuffle.integrityManifest(
+          Tables.documents(s, d), "doc_id", "text",
+          TextAnalysis.nTokens(col("text")), seed = "epoch-1",
+          numShards = 16)
+        .orderBy("shard_id")
+    },
   )
 
   /** Suffix rules for the domain-governance queries — explicit PSL
