@@ -2932,6 +2932,73 @@ object TextQueries {
           numShards = 16)
         .orderBy("shard_id")
     },
+
+    // SFT conversation-format validation — the instruction-data QA
+    // gate: each doc synthesizes a chat transcript as a REAL JSON
+    // string (2-6 messages from doc_id arithmetic, roles alternating
+    // from 'user'; every 11th doc plants a double-'user' violation),
+    // the engine PARSES it back (from_json with an array-of-struct
+    // schema — the machinery an SFT pipeline runs on raw JSONL) and
+    // validates: starts with user, strictly alternating, ends on
+    // assistant. Map-only; both dialects build byte-identical JSON
+    // and re-derive every verdict from the parsed form, not the
+    // arithmetic — a parser or indexing slip hash-mismatches.
+    QueryDef("text_chat_turns",
+      """WITH c AS (
+        |  SELECT doc_id, doc_id % 5 + 2 AS n,
+        |    '[' || array_to_string(list_transform(
+        |      range(0, CAST(doc_id % 5 + 2 AS BIGINT)),
+        |      i -> '{"role":"' ||
+        |        CASE WHEN doc_id % 11 = 0 AND i = 1 THEN 'user'
+        |          WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END ||
+        |        '","content":"w' || CAST(doc_id % 7 AS VARCHAR) ||
+        |        '-' || CAST(i AS VARCHAR) || '"}'), ',') || ']' AS j
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0,
+        |        CAST(json_array_length(j::JSON) AS BIGINT)),
+        |      i -> json_extract_string(j::JSON,
+        |        '$[' || CAST(i AS VARCHAR) || '].role')) AS roles
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(len(roles) AS BIGINT) AS n_msgs,
+        |  CAST(len(list_filter(range(1, CAST(len(roles) AS BIGINT)),
+        |    i -> roles[i + 1] = roles[i])) AS BIGINT) AS violations,
+        |  roles[1] = 'user' AS starts_user,
+        |  roles[len(roles)] = 'assistant' AS ends_assistant,
+        |  len(list_filter(range(1, CAST(len(roles) AS BIGINT)),
+        |    i -> roles[i + 1] = roles[i])) = 0
+        |    AND roles[1] = 'user'
+        |    AND roles[len(roles)] = 'assistant' AS valid
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val n = col("doc_id") % 5 + 2
+      val msg = expr(
+        """transform(sequence(0, CAST(doc_id % 5 + 1 AS INT)), i ->
+          |  concat('{"role":"',
+          |    CASE WHEN doc_id % 11 = 0 AND i = 1 THEN 'user'
+          |      WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+          |    '","content":"w', CAST(doc_id % 7 AS STRING),
+          |    '-', CAST(i AS STRING), '"}'))""".stripMargin)
+      val j = concat(lit("["), array_join(msg, ","), lit("]"))
+      val roles = expr(
+        "transform(from_json(j, 'array<struct<role string," +
+          " content string>>'), m -> m.role)")
+      Tables.documents(s, d)
+        .select(col("doc_id"), n.as("n"), j.as("j"))
+        .select(col("doc_id"), roles.as("roles"))
+        .select(col("doc_id"),
+          size(col("roles")).cast("long").as("n_msgs"),
+          expr("CAST(size(filter(sequence(1, size(roles) - 1)," +
+            " i -> element_at(roles, i + 1) = element_at(roles, i)))" +
+            " AS BIGINT)").as("violations"),
+          expr("element_at(roles, 1) = 'user'").as("starts_user"),
+          expr("element_at(roles, size(roles)) = 'assistant'")
+            .as("ends_assistant"))
+        .withColumn("valid", col("violations") === 0L &&
+          col("starts_user") && col("ends_assistant"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Suffix rules for the domain-governance queries — explicit PSL
