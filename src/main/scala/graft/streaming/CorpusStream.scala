@@ -551,4 +551,45 @@ object CorpusStream {
             .filter(_.domain_rank <= cap)
       }
   }
+
+  /** Streaming JSONL ingest with quarantine — the continuous form of
+    * [[graft.sources.JsonlCorpus.load]], same contract: never fail the
+    * stream, never silently drop. Each micro-batch parses raw lines
+    * against the EXPLICIT schema (`from_json` is null on malformed
+    * input — no inference job, no exception path); typed rows land in
+    * the corpus store, and every malformed or identity-less line lands
+    * in a quarantine store with the RAW line preserved for replay.
+    * Both stores are batch_id-partitioned dynamic overwrites
+    * (idempotent crash replay). Map-only per batch — a parse split,
+    * two writes, no shuffle. */
+  def jsonlIngestBatches(lines: DataFrame, storeDir: String,
+      quarantineDir: String, checkpointDir: String,
+      docSchema: org.apache.spark.sql.types.StructType =
+        graft.sources.JsonlCorpus.schema,
+      lineCol: String = "line")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parsed = batch.withColumn("__p",
+          from_json(col(lineCol), docSchema))
+        val bad = col("__p").isNull || col("__p.doc_id").isNull
+        parsed.filter(!bad)
+          .select(docSchema.fieldNames.toIndexedSeq
+            .map(f => col("__p." + f)): _*)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        parsed.filter(bad)
+          .select(col(lineCol).as("raw"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(quarantineDir)
+        ()
+      }
+      .start()
 }

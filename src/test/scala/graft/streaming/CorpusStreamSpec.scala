@@ -595,4 +595,33 @@ class CorpusStreamSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(batchKept == got)
   }
+
+  test("streaming JSONL ingest: typed rows to the corpus store, " +
+    "malformed and identity-less lines to the quarantine with the " +
+    "raw line preserved — never fail, never silently drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("jsonl-ingest")
+    val store = root.resolve("corpus").toString
+    val quar = root.resolve("quarantine").toString
+    val good1 = """{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s0"}"""
+    val noId = """{"text": "orphan", "lang": "en", "source": "s0"}"""
+    val broken = """{"doc_id": 2, "text": "unterminated"""
+    val good2 = """{"doc_id": 3, "text": "beta", "lang": "fr", "source": "s1"}"""
+    val mem = MemoryStream[String]
+    val q = CorpusStream.jsonlIngestBatches(
+      mem.toDF().toDF("line"), store, quar,
+      root.resolve("ckpt").toString)
+    try {
+      mem.addData(good1, noId); q.processAllAvailable()
+      mem.addData(broken, good2); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = spark.read.parquet(store)
+    assert(corpus.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L))
+    assert(corpus.filter(col("doc_id") === 3L).select("lang")
+      .as[String].head() == "fr")
+    val raws = spark.read.parquet(quar).select("raw")
+      .as[String].collect().toSet
+    assert(raws == Set(noId, broken), s"raw lines must survive: $raws")
+  }
 }
