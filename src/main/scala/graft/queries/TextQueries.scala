@@ -2999,6 +2999,74 @@ object TextQueries {
           col("starts_user") && col("ends_assistant"))
         .orderBy("doc_id")
     },
+
+    // DPO preference-pair construction — the reward-data assembly
+    // step: adjacent documents within a source pair up (lead window,
+    // source-keyed — no global sort), the higher integral LM score is
+    // 'chosen', ties break to the smaller doc_id, and the margin rides
+    // along for margin-weighted loss variants. Odd tail docs drop
+    // (no partner). The preference signal is the transcendental-free
+    // bigram-LM micro-average, so every pair verdict and margin is
+    // exactly replayable.
+    QueryDef("train_dpo_pairs",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM t),
+        |m AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+        |m2 AS (SELECT bigram, cnt, string_split(bigram, ' ')[1] AS w1
+        |       FROM m),
+        |pf AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS prefix_cnt
+        |       FROM m2 GROUP BY w1),
+        |mp AS (SELECT m2.bigram,
+        |         CAST(floor(1000000.0 * cnt / prefix_cnt) AS BIGINT) AS p
+        |       FROM m2 JOIN pf ON pf.w1 = m2.w1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(p) AS BIGINT) // COUNT(*) AS avg_mi
+        |  FROM bg JOIN mp ON mp.bigram = bg.bigram
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT d.doc_id, d.source, sc.avg_mi,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY d.doc_id) AS rn,
+        |    lead(d.doc_id) OVER (PARTITION BY d.source
+        |      ORDER BY d.doc_id) AS partner_id,
+        |    lead(sc.avg_mi) OVER (PARTITION BY d.source
+        |      ORDER BY d.doc_id) AS partner_mi
+        |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+        |SELECT source,
+        |  CASE WHEN partner_mi > avg_mi THEN partner_id
+        |    ELSE doc_id END AS chosen_id,
+        |  CASE WHEN partner_mi > avg_mi THEN doc_id
+        |    ELSE partner_id END AS rejected_id,
+        |  abs(avg_mi - partner_mi) AS margin
+        |FROM r WHERE rn % 2 = 1 AND partner_id IS NOT NULL
+        |ORDER BY source, chosen_id, rejected_id""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val sc = TextAnalysis.lmScore(docs, "doc_id", "text",
+          TextAnalysis.bigramModel(docs, "text"))
+        .select(col("doc_id"),
+          expr("lm_sum_micro div n_bigrams").as("avg_mi"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs.select(col("doc_id"), col("source"))
+        .join(sc, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("partner_id", lead("doc_id", 1).over(w))
+        .withColumn("partner_mi", lead("avg_mi", 1).over(w))
+        .filter(col("rn") % 2 === 1 && col("partner_id").isNotNull)
+        .select(col("source"),
+          when(col("partner_mi") > col("avg_mi"), col("partner_id"))
+            .otherwise(col("doc_id")).as("chosen_id"),
+          when(col("partner_mi") > col("avg_mi"), col("doc_id"))
+            .otherwise(col("partner_id")).as("rejected_id"),
+          abs(col("avg_mi") - col("partner_mi")).as("margin"))
+        .orderBy("source", "chosen_id", "rejected_id")
+    },
   )
 
   /** Suffix rules for the domain-governance queries — explicit PSL
