@@ -121,4 +121,40 @@ class BpeSpec extends SparkSpec {
       .count()
     assert(bad == 0L)
   }
+
+  test("delimit splits on CODE POINTS: a supplementary-plane emoji is " +
+    "one symbol, not two surrogate halves; encode stays lossless") {
+    val df = Seq("a\ud83d\ude00b", "caf\u00e9").toDF("word")
+    val syms = df.select(col("word"),
+        Bpe.symbols(Bpe.delimit(col("word"))).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(syms("a\ud83d\ude00b") == Seq("a", "\ud83d\ude00", "b"))
+    assert(syms("caf\u00e9") == Seq("c", "a", "f", "\u00e9"))
+    // lossless through a merge that fuses around the emoji
+    val enc = df.select(col("word"), Bpe.encodeWord(col("word"),
+        Seq(Bpe.Merge(1, "a", "\ud83d\ude00", 1L))).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(enc("a\ud83d\ude00b") == Seq("a\ud83d\ude00", "b"))
+    assert(enc("a\ud83d\ude00b").mkString == "a\ud83d\ude00b")
+  }
+
+  test("merge table round-trips through parquet: the shipped artifact " +
+    "reproduces the encoder exactly") {
+    val words = Seq(("aab", 3L), ("ab", 2L)).toDF("word", "freq")
+    val merges = Bpe.train(words, 2)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-merges")
+      .resolve("m").toString
+    Bpe.mergeTable(spark, merges).write.parquet(dir)
+    val loaded = spark.read.parquet(dir)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect()
+      .map { case (r, l, rr, f) => Bpe.Merge(r, l, rr, f) }.toSeq
+    assert(loaded == merges)
+    val docs = Seq((1L, "aab ab b")).toDF("doc_id", "text")
+    val a = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toSeq
+    val b = Bpe.encode(docs, "doc_id", "text", loaded)
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(a == b)
+  }
 }
