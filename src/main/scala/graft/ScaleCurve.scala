@@ -50,7 +50,10 @@ object ScaleCurve {
     "pipeline_fetch_budget" -> "documents",
     "sim_banded_derived" -> "embeddings",
     "pipeline_bpe_tokenize" -> "documents",
-    "text_contamination_bloom" -> "documents")
+    "text_contamination_bloom" -> "documents",
+    "pipeline_corpus_funnel" -> "documents",
+    "pipeline_export_manifest" -> "documents",
+    "train_dpo_pairs" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

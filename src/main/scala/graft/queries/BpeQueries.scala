@@ -23,27 +23,28 @@ object BpeQueries {
     * the word-frequency table of `documents` (optionally filtered).
     * Returns the WITH-clause body; stage `i` leaves CTEs `m{i}` (the
     * winning merge) and `w{i}` (the vocab after applying it). */
-  private def sqlTrainCtes(k: Int, srcFilter: String): String = {
+  private def sqlTrainCtes(k: Int, srcFilter: String,
+      cte: String = ""): String = {
     val b = Seq.newBuilder[String]
-    b += s"""wf AS MATERIALIZED (
+    b += s"""${cte}wf AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS word FROM documents$srcFilter)
   WHERE length(word) > 0 GROUP BY 1)"""
-    b += """w0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS w, freq FROM wf)"""
+    b += s"""${cte}w0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w, freq FROM ${cte}wf)"""
     for (i <- 1 to k) {
-      b += s"""p$i AS MATERIALIZED (
+      b += s"""${cte}p$i AS MATERIALIZED (
   SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS f FROM (
     SELECT unnest(list_transform(range(1, len(l)),
         j -> struct_pack(a := l[j], b := l[j+1]))) AS p, freq
-    FROM (SELECT string_split(trim(w), '  ') AS l, freq FROM w${i - 1}))
+    FROM (SELECT string_split(trim(w), '  ') AS l, freq FROM ${cte}w${i - 1}))
   GROUP BY 1, 2)"""
-      b += s"m$i AS MATERIALIZED (" +
-        s"SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1)"
-      b += s"""w$i AS MATERIALIZED (
+      b += s"${cte}m$i AS MATERIALIZED (" +
+        s"SELECT a, b, f FROM ${cte}p$i ORDER BY f DESC, a, b LIMIT 1)"
+      b += s"""${cte}w$i AS MATERIALIZED (
   SELECT replace(w, ' ' || m.a || '  ' || m.b || ' ',
                  ' ' || m.a || m.b || ' ') AS w, freq
-  FROM w${i - 1}, m$i m)"""
+  FROM ${cte}w${i - 1}, ${cte}m$i m)"""
     }
     b.result().mkString(",\n")
   }
@@ -188,6 +189,40 @@ FROM rr ORDER BY doc_id""") { (s, d) =>
         .select(col("doc_id"), col("n_tokens"), col("start_offset"),
           col("bin").cast("bigint").as("bin"))
         .orderBy("doc_id")
+    },
+
+    // Tokenizer DRIFT audit — the governance question after a corpus
+    // shift: train the same-geometry tokenizer on two slices (src0 vs
+    // src1) and compare merge tables rank by rank. Divergence rank
+    // tells you when the learned vocabularies part ways; at 100 TB
+    // both trains still cost one word-count each plus vocab-table
+    // iterations. Oracle runs BOTH 12-stage chains (prefixed CTE
+    // namespaces) and replays the comparison.
+    QueryDef("text_bpe_drift",
+      "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'", "x") + ",\n" +
+        sqlTrainCtes(K, " WHERE source = 'src1'", "y") +
+        ",\nm AS (\n" +
+        (1 to K).map(i =>
+          s"  SELECT $i AS merge_rank, xm$i.a AS lhs_a, xm$i.b AS" +
+            s" rhs_a, ym$i.a AS lhs_b, ym$i.b AS rhs_b" +
+            s" FROM xm$i, ym$i").mkString(" UNION ALL\n") + ")\n" +
+        """SELECT merge_rank, lhs_a, rhs_a, lhs_b, rhs_b,
+          |  lhs_a = lhs_b AND rhs_a = rhs_b AS agree
+          |FROM m ORDER BY merge_rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = Bpe.train(
+        Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
+      val b = Bpe.train(
+        Bpe.wordFreq(docs.filter(col("source") === "src1"), "text"), K)
+      Bpe.mergeTable(s, a)
+        .select(col("merge_rank"), col("lhs").as("lhs_a"),
+          col("rhs").as("rhs_a"))
+        .join(Bpe.mergeTable(s, b)
+          .select(col("merge_rank"), col("lhs").as("lhs_b"),
+            col("rhs").as("rhs_b")), Seq("merge_rank"))
+        .withColumn("agree",
+          col("lhs_a") === col("lhs_b") && col("rhs_a") === col("rhs_b"))
+        .orderBy("merge_rank")
     }
   )
 }

@@ -592,4 +592,46 @@ object CorpusStream {
         ()
       }
       .start()
+
+  /** Streaming export-integrity manifest — one manifest row per
+    * (batch, shard) appended per micro-batch. Because the checksum is
+    * an ORDER-INDEPENDENT integer sum (Σ h31(id ∥ '|' ∥ content)),
+    * per-batch manifests FOLD: summing checksums and counts across
+    * batch rows of one shard reproduces exactly the batch-side
+    * [[graft.ops.ShardShuffle.integrityManifest]] over the union of
+    * the batches — the consumer revalidates a continuously-exported
+    * corpus without ever re-reading old batches together. Append-mode
+    * parquet (manifest rows are immutable facts; a replayed batch
+    * re-appends its rows, and the reader dedups on (batch_id,
+    * shard_id) — last write wins is unnecessary because replays are
+    * bit-identical). */
+  def manifestBatches(docs: DataFrame, storeDir: String,
+      checkpointDir: String, seed: String, numShards: Int,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.ShardShuffle.integrityManifest(batch, idCol, textCol,
+            graft.ext.TextAnalysis.nTokens(col(textCol)), seed,
+            numShards)
+          .select(lit(batchId).as("batch_id"), col("shard_id"),
+            col("n_docs"), col("total_tokens"), col("checksum"))
+          .write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+
+  /** Fold a [[manifestBatches]] store to per-shard totals (distinct on
+    * (batch_id, shard_id) first — replays are bit-identical, so dedup
+    * is exact). The result equals the batch-side integrity manifest's
+    * (n_docs, total_tokens, checksum) over all batches' rows. */
+  def foldManifest(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .dropDuplicates("batch_id", "shard_id")
+      .groupBy("shard_id")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("total_tokens").cast("long").as("total_tokens"),
+        sum("checksum").cast("long").as("checksum"))
 }

@@ -624,4 +624,32 @@ class CorpusStreamSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(raws == Set(noId, broken), s"raw lines must survive: $raws")
   }
+
+  test("streaming integrity manifest: per-batch rows FOLD to the " +
+    "batch-side manifest over the union — order-independent checksums " +
+    "compose across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("manifest")
+    val store = root.resolve("m").toString
+    val b1 = Seq((1L, "alpha words here"), (2L, "beta text body"))
+    val b2 = Seq((3L, "gamma content line"), (4L, "delta tail piece"))
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.manifestBatches(
+      mem.toDF().toDF("doc_id", "text"), store,
+      root.resolve("ckpt").toString, seed = "e1", numShards = 4)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val folded = CorpusStream.foldManifest(spark, store)
+      .select("shard_id", "n_docs", "total_tokens", "checksum")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchSide = graft.ops.ShardShuffle.integrityManifest(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+        graft.ext.TextAnalysis.nTokens(col("text")), "e1", 4)
+      .select("shard_id", "n_docs", "total_tokens", "checksum")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(folded == batchSide, s"folded=$folded batch=$batchSide")
+    assert(folded.toSeq.map(_._2).sum == 4L) // every doc accounted for
+  }
 }
