@@ -3067,6 +3067,89 @@ object TextQueries {
           abs(col("avg_mi") - col("partner_mi")).as("margin"))
         .orderBy("source", "chosen_id", "rejected_id")
     },
+
+    // Gate marginal-contribution audit — the filter-redundancy
+    // question every multi-gate pipeline owes an answer to: for each
+    // of three INDEPENDENTLY-evaluated gates (encoding-clean,
+    // wordlist, exact-dedup representative), how many docs does it
+    // drop, and how many does it drop UNIQUELY (kept by both
+    // others)? A gate with zero unique drops is redundant — candidate
+    // for removal at 100 TB where each gate is a corpus pass. Gates
+    // reuse the funnel's planted hazards; all three verdicts come
+    // from one shared scan.
+    QueryDef("dq_gate_marginals",
+      """WITH d0 AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 13 = 0
+        |    THEN ' ' || chr(65533) ELSE '' END AS text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    strpos(text, chr(65533)) = 0 AS g_enc,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('slow', 'big'))) * 1000
+        |      <= 100 * len(string_split(text, ' ')) AS g_word,
+        |    doc_id IN (SELECT min(doc_id) FROM (
+        |      SELECT doc_id, CASE WHEN doc_id % 7 <= 1
+        |        THEN 'shared boiler alpha'
+        |        WHEN doc_id % 7 = 2 THEN 'shared boiler beta'
+        |        ELSE text END AS content FROM d0)
+        |      GROUP BY content) AS g_dedup
+        |  FROM d0)
+        |SELECT gate, n_drop, n_unique_drop,
+        |  n_drop * 1000 // (SELECT COUNT(*) FROM g) AS drop_permil
+        |FROM (
+        |  SELECT 'encoding' AS gate,
+        |    CAST(COUNT(*) FILTER (NOT g_enc) AS BIGINT) AS n_drop,
+        |    CAST(COUNT(*) FILTER (NOT g_enc AND g_word AND g_dedup)
+        |      AS BIGINT) AS n_unique_drop FROM g
+        |  UNION ALL SELECT 'wordlist',
+        |    CAST(COUNT(*) FILTER (NOT g_word) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (NOT g_word AND g_enc AND g_dedup)
+        |      AS BIGINT) FROM g
+        |  UNION ALL SELECT 'dedup_exact',
+        |    CAST(COUNT(*) FILTER (NOT g_dedup) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (NOT g_dedup AND g_enc AND g_word)
+        |      AS BIGINT) FROM g)
+        |ORDER BY gate""".stripMargin) { (s, d) =>
+      val d0 = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 13 === 0,
+          lit(" \uFFFD")).otherwise(lit(""))).as("text"))
+      val content = when(col("doc_id") % 7 <= 1,
+          lit("shared boiler alpha"))
+        .when(col("doc_id") % 7 === 2, lit("shared boiler beta"))
+        .otherwise(col("text"))
+      val keepers = d0.select(col("doc_id"), content.as("content"))
+        .groupBy("content").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), lit(true).as("g_dedup"))
+      val g = d0
+        .select(col("doc_id"),
+          (!col("text").contains("\uFFFD")).as("g_enc"),
+          (size(filter(TextAnalysis.tokens(col("text")),
+            t => t.isin("slow", "big"))) * 1000 <=
+            lit(100) * size(TextAnalysis.tokens(col("text"))))
+            .as("g_word"))
+        .join(keepers, Seq("doc_id"), "left_outer")
+        .na.fill(false, Seq("g_dedup"))
+        .persist()
+      val total = g.agg(count(lit(1)).cast("long").as("t"))
+      def row(name: String, self: org.apache.spark.sql.Column,
+          others: org.apache.spark.sql.Column) =
+        g.agg(
+          sum(when(!self, 1L).otherwise(0L)).cast("long").as("n_drop"),
+          sum(when(!self && others, 1L).otherwise(0L)).cast("long")
+            .as("n_unique_drop"))
+          .select(lit(name).as("gate"), col("n_drop"),
+            col("n_unique_drop"))
+      Seq(
+        row("dedup_exact", col("g_dedup"), col("g_enc") && col("g_word")),
+        row("encoding", col("g_enc"), col("g_word") && col("g_dedup")),
+        row("wordlist", col("g_word"), col("g_enc") && col("g_dedup")))
+        .reduce(_ unionByName _)
+        .crossJoin(broadcast(total))
+        .select(col("gate"), col("n_drop"), col("n_unique_drop"),
+          expr("n_drop * CAST(1000 AS BIGINT) div t").as("drop_permil"))
+        .orderBy("gate")
+    },
   )
 
   /** Suffix rules for the domain-governance queries — explicit PSL
