@@ -3130,7 +3130,6 @@ object TextQueries {
             .as("g_word"))
         .join(keepers, Seq("doc_id"), "left_outer")
         .na.fill(false, Seq("g_dedup"))
-        .persist()
       val total = g.agg(count(lit(1)).cast("long").as("t"))
       def row(name: String, self: org.apache.spark.sql.Column,
           others: org.apache.spark.sql.Column) =
