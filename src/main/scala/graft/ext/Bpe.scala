@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Byte-pair-encoding TOKENIZER TRAINING as a distributed pipeline —
   * the Sennrich et al. 2016 learn loop re-expressed Spark-first.
   *
@@ -83,11 +85,17 @@ object Bpe {
     * deterministic argmax (count desc, then left/right lexicographic
     * — binary collation in both engines), map-only merge apply.
     * Stops early when no pair reaches `minFreq`. */
-  def train(words: DataFrame, numMerges: Int, minFreq: Long = 1L)
-      : Seq[Merge] = {
+  def train(words: DataFrame, numMerges: Int, minFreq: Long = 1L,
+      vocabPartitions: Int = 8): Seq[Merge] = {
     require(numMerges >= 1 && numMerges <= 4096,
-      s"Bpe.train: numMerges in [1,4096] ($numMerges)")
+      s"Bpe.train: numMerges in [1,4096] ($numMerges) — one Spark job " +
+        "per merge is the SQL-replayable reference loop, not the " +
+        "production-vocab path; for 32k-100k merges use Bpe.trainLocal " +
+        "(classic in-memory loop over the Heaps-bounded word-frequency " +
+        "table, one corpus pass total) and encode with Bpe.encodeScalable")
     require(minFreq >= 1L, s"Bpe.train: minFreq >= 1 ($minFreq)")
+    require(vocabPartitions >= 1,
+      s"Bpe.train: vocabPartitions >= 1 ($vocabPartitions)")
     // ONE Spark job per iteration: the pair-count argmax job is also
     // what materializes the current iteration's (lazily
     // local-checkpointed) vocab. localCheckpoint — not persist —
@@ -98,9 +106,15 @@ object Bpe {
     // iteration cost is constant. (Executor loss mid-train would
     // fail the job — at cluster scale hand a reliable checkpointDir
     // to the session, same opt-in as the graph ops.)
+    // Coalesce to a SMALL partition count, not one: the fixture vocab
+    // is tiny (empty-task overhead would dominate a natural 32-way
+    // split) but the module's own scale contract says the vocab table
+    // can reach 10^6-10^8 rows — a handful of partitions keeps both
+    // regimes healthy, and the localCheckpoint truncates the plan
+    // regardless of partition count.
     var cur = words
       .select(delimit(col("word")).as("w"), col("freq"))
-      .coalesce(1)
+      .coalesce(vocabPartitions)
       .localCheckpoint(false)
     val out = Seq.newBuilder[Merge]
     var rank = 1
@@ -149,11 +163,20 @@ object Bpe {
   /** Encode ONE word column with a learned merge list: the delimited
     * form runs through `merges.size` literal `replace` calls in rank
     * order, then splits back to the token array. Pure string
-    * expressions — map-only, no state, no shuffle. */
-  def encodeWord(word: Column, merges: Seq[Merge]): Column =
+    * expressions — map-only, no state, no shuffle. This is the
+    * SQL-replayable reference path; at production vocab sizes the
+    * k-deep literal tree is the wrong plan shape (codegen and analysis
+    * cost grow with k) — use [[encodeScalable]] there. */
+  def encodeWord(word: Column, merges: Seq[Merge]): Column = {
+    require(merges.size <= 4096,
+      s"Bpe.encodeWord: merge table has ${merges.size} rows — a literal" +
+        " replace chain this deep is not a plan you want (codegen and" +
+        " analysis cost grow with vocab); use Bpe.encodeScalable, the" +
+        " mapPartitions encoder with the merge table as a broadcast")
     symbols(merges.foldLeft(delimit(word)) { (acc, m) =>
       call_function("replace", acc, lit(pat(m)), lit(rep(m)))
     })
+  }
 
   /** Per-document subword tokenization: whitespace words each encoded
     * with [[encodeWord]], flattened to one token array per document.
@@ -166,4 +189,256 @@ object Bpe {
         filter(TextAnalysis.tokens(col(textCol)),
           w => length(w) > 0),
         w => encodeWord(w, merges))).as("tokens"))
+
+  // ------------------------------------------------------------------
+  // Production-vocab scale path. The literal-replace encoder and the
+  // one-Spark-job-per-merge trainer above are exactly SQL-replayable,
+  // which is what the correctness gate grades — but at a real
+  // tokenizer's 32k-100k merges the replace chain is a 32k-deep
+  // expression tree (codegen falls over, analysis is O(k^2)) and the
+  // trainer is 32k sequential Spark jobs. The pair below keeps the
+  // SAME rank-order greedy semantics (differential-tested merge-for-
+  // merge and token-for-token in BpeSpec) with per-word cost and plan
+  // size INDEPENDENT of vocab size:
+  //  - trainLocal: one corpus-scale word-count shuffle, then the
+  //    classic in-memory merge loop over the Heaps-bounded vocabulary
+  //    table on the driver (the k-means/GD bounded-model-state
+  //    carve-out) with incremental pair-count maintenance;
+  //  - encodeScalable: one map-only mapPartitions pass with the merge
+  //    table riding a broadcast as a pair->rank hash index; per word,
+  //    only merges whose pair is PRESENT are ever touched.
+  // ------------------------------------------------------------------
+
+  /** Compare by Unicode CODE POINTS — the order DuckDB/Spark binary
+    * string collation (UTF-8 bytes) induces. Java's String.compareTo
+    * orders by UTF-16 code units, which disagrees for supplementary
+    * characters vs U+E000..U+FFFF; training ties must break the same
+    * way in every engine. */
+  private[ext] def cmpCodePoints(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** Split a word into single-code-point symbol strings — the local
+    * twin of [[delimit]]'s `(.)` regex (java.util.regex and RE2 both
+    * match `.` per code point). */
+  private[ext] def splitCodePoints(word: String): Array[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** One greedy left-to-right non-overlapping merge pass — the symbol-
+    * level twin of `replace(w, " a  b ", " ab ")` on the delimited
+    * form: a fused symbol is never the LEFT element of a later match
+    * in the same pass (replace resumes scanning after the replacement
+    * text), which the old-array scan reproduces exactly. */
+  private[ext] def mergePass(syms: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Pair -> ascending merge ranks (a pair normally wins at most one
+    * rank, but later merges can re-create a symbol string; the array
+    * keeps the index total either way). */
+  private[ext] def mergeIndex(merges: Seq[Merge])
+      : Map[(String, String), Array[Int]] =
+    merges.groupBy(m => (m.left, m.right))
+      .map { case (k, ms) => k -> ms.map(_.rank).sorted.toArray }
+
+  /** Rank-order encode of one word against the broadcast pair index —
+    * semantically IDENTICAL to [[encodeWord]]'s k-replace chain, but
+    * touching only merges whose pair occurs in the word. A sequential
+    * sweep of ranks cursor..r-1 whose pairs are absent is a no-op, so
+    * jumping the cursor straight to the smallest present rank >= cursor
+    * replays the chain exactly; cost is O(len^2) worst case per word,
+    * independent of vocab size. */
+  private[ext] def encodeWordLocal(word: String,
+      idx: Map[(String, String), Array[Int]]): Array[String] = {
+    var syms = splitCodePoints(word)
+    var cursor = 1
+    var done = false
+    while (!done && syms.length >= 2) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var j = 0
+      while (j + 1 < syms.length) {
+        idx.get((syms(j), syms(j + 1))) match {
+          case Some(ranks) =>
+            // first rank >= cursor (ranks ascending, tiny arrays)
+            var p = 0
+            while (p < ranks.length && ranks(p) < cursor) p += 1
+            if (p < ranks.length && ranks(p) < bestRank) {
+              bestRank = ranks(p); bestA = syms(j); bestB = syms(j + 1)
+            }
+          case None => ()
+        }
+        j += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        syms = mergePass(syms, bestA, bestB)
+        cursor = bestRank + 1
+      }
+    }
+    syms
+  }
+
+  /** Per-document subword tokenization at PRODUCTION vocab size: one
+    * map-only `mapPartitions` pass with the merge table as a broadcast
+    * hash index — no join, no shuffle, plan size independent of k.
+    * Token-for-token equal to [[encode]] (differential-tested); `idCol`
+    * must be integral (it rides through as bigint). */
+  def encodeScalable(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(mergeIndex(merges))
+    df.select(col(idCol).cast("long"),
+        filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.map { case (id, words) =>
+          (id, words.flatMap(w => encodeWordLocal(w, idx)))
+        }
+      }
+      .toDF(idCol, "tokens")
+  }
+
+  /** Learn merges with the CLASSIC in-memory loop over the collected
+    * `(word, freq)` table — the production-vocab trainer. The corpus
+    * is still touched exactly once (the distributed [[wordFreq]]
+    * shuffle); what moves to the driver is the Heaps-bounded
+    * vocabulary, the same bounded-model-state carve-out as k-means
+    * centroids and GD weights. Per merge: argmax over the live pair
+    * counts (freq desc, then code-point-lexicographic (lhs, rhs) —
+    * the exact [[train]] tie-break) and an INCREMENTAL pair-count
+    * update touching only words that contain the winning pair.
+    * Merge-for-merge identical to [[train]] (differential-tested). */
+  def trainLocal(words: DataFrame, numMerges: Int, minFreq: Long = 1L,
+      maxVocabRows: Int = 20000000): Seq[Merge] = {
+    require(numMerges >= 1, s"Bpe.trainLocal: numMerges >= 1 ($numMerges)")
+    require(minFreq >= 1L, s"Bpe.trainLocal: minFreq >= 1 ($minFreq)")
+    val rows = words.select(col("word").cast("string"),
+        col("freq").cast("long"))
+      .limit(maxVocabRows + 1).collect()
+    require(rows.length <= maxVocabRows,
+      s"Bpe.trainLocal: vocabulary exceeds maxVocabRows=$maxVocabRows —" +
+        " Heaps' law says a real corpus vocab fits (10^6-10^8 rows);" +
+        " raise the cap or pre-filter rare words (minFreq upstream)")
+    val syms = new Array[Array[String]](rows.length)
+    val freqs = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      syms(i) = splitCodePoints(rows(i).getString(0))
+      freqs(i) = rows(i).getLong(1)
+      i += 1
+    }
+    // live pair counts (per POSITION, weighted by word freq — a word
+    // with a repeated pair contributes once per position, matching the
+    // distributed explode) + a pair -> candidate-word index. The index
+    // is allowed to go stale (words are re-checked on use); the counts
+    // are exact at all times.
+    val counts = mutable.HashMap[(String, String), Long]()
+    val where = mutable.HashMap[(String, String), mutable.HashSet[Int]]()
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val nv = counts.getOrElse(p, 0L) + sign * freqs(wi)
+        if (nv == 0L) counts.remove(p) else counts(p) = nv
+        if (sign > 0) where.getOrElseUpdate(p, mutable.HashSet[Int]()) += wi
+        j += 1
+      }
+    }
+    i = 0
+    while (i < rows.length) { addWord(i, 1L); i += 1 }
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // deterministic argmax: freq desc, then (lhs, rhs) ascending in
+      // code-point order — byte-identical to the distributed ORDER BY
+      var bestP: (String, String) = null
+      var bestF = Long.MinValue
+      counts.foreach { case (p, f) =>
+        if (f > bestF || (f == bestF && {
+          val c = cmpCodePoints(p._1, bestP._1)
+          c < 0 || (c == 0 && cmpCodePoints(p._2, bestP._2) < 0)
+        })) { bestP = p; bestF = f }
+      }
+      if (bestP == null || bestF < minFreq) done = true
+      else {
+        out += Merge(rank, bestP._1, bestP._2, bestF)
+        val affected = where.remove(bestP).getOrElse(mutable.HashSet())
+        affected.foreach { wi =>
+          // stale-index check: the word may no longer contain the pair
+          val s = syms(wi)
+          var has = false
+          var j = 0
+          while (!has && j + 1 < s.length) {
+            if (s(j) == bestP._1 && s(j + 1) == bestP._2) has = true
+            j += 1
+          }
+          if (has) {
+            addWord(wi, -1L)
+            syms(wi) = mergePass(s, bestP._1, bestP._2)
+            addWord(wi, 1L)
+          }
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** GPT-2-family pretokenization pattern — contractions, optionally
+    * space-prefixed letter runs, digit runs, punctuation runs, and
+    * residual whitespace runs. Deliberately lookahead-free: the
+    * original GPT-2 pattern's `\s+(?!\S)` branch needs negative
+    * lookahead, which RE2 (the oracle engine) lacks; dropping it only
+    * changes how MULTI-space runs split, and both engines then agree
+    * token-for-token. (`\s` is ASCII whitespace in both dialects for
+    * the characters that occur in practice; Java additionally includes
+    * U+000B, a character no real corpus emits.) */
+  val PretokPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** GPT-2-style pretokens of a text column: leftmost-first regex
+    * scan, then the byte-level space marker — every 0x20 inside a
+    * token becomes U+0120 (the visible "G-dot" GPT-2 uses), so
+    * pretokens never contain the BPE delimiter. Map-only. */
+  def pretokenize(text: Column): Column =
+    transform(
+      regexp_extract_all(text, lit(PretokPattern), lit(0)),
+      t => translate(t, " ", "\u0120"))
+
+  /** Word-frequency table over GPT-2-style pretokens — the
+    * production pre-tokenization front end for [[train]] /
+    * [[trainLocal]]. Same one-pass corpus shape as [[wordFreq]]. */
+  def wordFreqPretok(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(pretokenize(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
 }

@@ -24,11 +24,12 @@ object BpeQueries {
     * Returns the WITH-clause body; stage `i` leaves CTEs `m{i}` (the
     * winning merge) and `w{i}` (the vocab after applying it). */
   private def sqlTrainCtes(k: Int, srcFilter: String,
-      cte: String = ""): String = {
+      cte: String = "", wordExpr: String =
+        "unnest(string_split(text, ' '))"): String = {
     val b = Seq.newBuilder[String]
     b += s"""${cte}wf AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM documents$srcFilter)
+    SELECT $wordExpr AS word FROM documents$srcFilter)
   WHERE length(word) > 0 GROUP BY 1)"""
     b += s"""${cte}w0 AS MATERIALIZED (
   SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w, freq FROM ${cte}wf)"""
@@ -62,6 +63,17 @@ object BpeQueries {
     * unrolled oracle stays readable, large enough that multi-char
     * symbols feed later merges (rank 12 fuses "jo"+"in"). */
   private val K = 12
+
+  /** The GPT-2-family pretokenizer as DuckDB SQL: same RE2-safe
+    * pattern as [[graft.ext.Bpe.PretokPattern]] (the `'` doubled for
+    * the SQL literal), then the byte-level space marker U+0120
+    * (`chr(288)`) replacing every in-token space — so the oracle's
+    * pretokens are delimiter-free exactly like the Spark side's. */
+  private val sqlPretok: String =
+    "unnest(list_transform(regexp_extract_all(text," +
+      " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
+      " ?[^\\s\\p{L}\\p{N}]+|\\s+')," +
+      " t -> replace(t, ' ', chr(288))))"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -223,6 +235,58 @@ FROM rr ORDER BY doc_id""") { (s, d) =>
         .withColumn("agree",
           col("lhs_a") === col("lhs_b") && col("rhs_a") === col("rhs_b"))
         .orderBy("merge_rank")
+    },
+
+    // PRODUCTION pre-tokenization ahead of BPE: GPT-2-family regex
+    // pretokens (contractions, optionally space-prefixed letter/digit
+    // runs, punctuation runs) with the byte-level U+0120 space marker,
+    // trained with the DRIVER-LOCAL classic merge loop (the
+    // production-vocab trainer — one corpus word-count shuffle, then
+    // in-memory iterations over the Heaps-bounded vocab). The oracle
+    // replays the identical 12-stage chain over the same pretokens, so
+    // this entry grades BOTH the pretokenizer's cross-engine regex
+    // fidelity AND trainLocal's merge-for-merge equality with the
+    // distributed reference loop.
+    QueryDef("text_bpe_pretok",
+      "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'",
+        wordExpr = sqlPretok) + "\nSELECT * FROM (\n" +
+        (1 to K).map(i =>
+          s"  SELECT $i AS merge_rank, a AS lhs, b AS rhs, f AS freq" +
+            s" FROM m$i").mkString(" UNION ALL\n") +
+        "\n) ORDER BY merge_rank") { (s, d) =>
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreqPretok(
+          Tables.documents(s, d).filter(col("source") === "src0"),
+          "text"), K)
+      Bpe.mergeTable(s, merges).orderBy("merge_rank")
+    },
+
+    // The 100 TB encode shape end to end: trainLocal (driver-local
+    // classic loop) + encodeScalable (one map-only mapPartitions pass,
+    // merge table riding a broadcast pair->rank index — plan size
+    // independent of vocab). Semantics are rank-order greedy, so the
+    // SQL oracle is the SAME literal-replace chain the reference
+    // encoder uses: a divergence in either scale-path component flips
+    // the hash. Per document: subword count and the first five tokens.
+    QueryDef("pipeline_bpe_scaled",
+      "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'") + s""",
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform(
+      list_filter(string_split(text, ' '), v -> length(v) > 0),
+      w -> string_split(trim(${sqlEncodeChain(K)}), '  '))) AS toks
+  FROM documents, ${(1 to K).map("m" + _).mkString(", ")})
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  array_to_string(toks[1:5], '|') AS head_tokens
+FROM enc ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
+      Bpe.encodeScalable(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws("|", slice(col("tokens"), 1, 5)).as("head_tokens"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -138,6 +138,176 @@ class BpeSpec extends SparkSpec {
     assert(enc("a\ud83d\ude00b").mkString == "a\ud83d\ude00b")
   }
 
+  // ------------------------------------------------------------------
+  // Production-vocab scale path: trainLocal / encodeScalable must be
+  // bit-identical twins of the SQL-replayable reference loop.
+  // ------------------------------------------------------------------
+
+  private def lcgWords(n: Int): Seq[String] = {
+    var x = 12345L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x >>> 33 }
+    (0 until n).map { _ =>
+      val len = 1 + (nxt() % 9).toInt
+      (0 until len).map(_ => ('a' + (nxt() % 4).toInt).toChar).mkString
+    }
+  }
+
+  test("trainLocal is merge-for-merge identical to the distributed " +
+    "train loop: 500-word dense corpus, hand fixture, and early stop") {
+    val wf = lcgWords(500).toDF("word")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val k = 10
+    assert(Bpe.trainLocal(wf, k) == Bpe.train(wf, k))
+    val tiny = Seq(("aab", 3L), ("ab", 2L)).toDF("word", "freq")
+    assert(Bpe.trainLocal(tiny, 3) == Bpe.train(tiny, 3)) // early stop at 2
+    // deterministic tie-break: equal counts fall to code-point order
+    val tie = Seq(("cd", 1L), ("ab", 1L)).toDF("word", "freq")
+    assert(Bpe.trainLocal(tie, 2).map(m => (m.left, m.right)) ==
+      Seq(("a", "b"), ("c", "d")))
+    assert(Bpe.trainLocal(tie, 2) == Bpe.train(tie, 2))
+  }
+
+  test("trainLocal guards the driver-state boundary: a vocabulary past " +
+    "maxVocabRows is refused, naming the cap") {
+    val wf = lcgWords(300).distinct.toSeq.toDF("word")
+      .withColumn("freq", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(wf, 2, maxVocabRows = 10)
+    }
+    assert(e.getMessage.contains("maxVocabRows"))
+  }
+
+  test("encodeScalable is token-for-token identical to the literal-" +
+    "replace encode over 500 adversarial words, and stays map-only") {
+    val words = lcgWords(500)
+    val docs = words.grouped(5).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val merges = Bpe.train(
+      words.toDF("word").groupBy("word").agg(count(lit(1)).as("freq")), 10)
+    val ref = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val scaled = Bpe.encodeScalable(docs, "doc_id", "text", merges)
+    assert(scaled.as[(Long, Seq[String])].collect().toMap == ref)
+    assert(graft.ops.Bucketing.shuffleExchanges(scaled) == 0,
+      scaled.queryExecution.executedPlan.toString)
+  }
+
+  test("encodeWord refuses a production-size merge table, naming the " +
+    "scale twin; encodeScalable takes it without building a k-deep plan") {
+    val big = (1 to 5000).map(i => Bpe.Merge(i, s"x$i", s"y$i", 1L))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeWord(col("w"), big)
+    }
+    assert(e.getMessage.contains("encodeScalable"))
+    val docs = Seq((1L, "ab x1y1")).toDF("doc_id", "text")
+    // 5000 merges, none applicable: plan size independent of k
+    val out = Bpe.encodeScalable(docs, "doc_id", "text", big)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a", "b", "x", "1", "y", "1"))
+  }
+
+  // Fixed checked-in merge table + hand-computed encodings — the
+  // tokenizer-apply fidelity audit. Every expected array below was
+  // derived BY HAND from the rank-order semantics (each merge is one
+  // greedy left-to-right non-overlapping pass, ranks ascending, a
+  // passed rank never revisited). Rank 1 (x+est) can only ever fire if
+  // "est" already exists, which ranks 2-3 create LATER — the documented
+  // rank-order vs iterate-lowest-rank divergence class.
+  private val fidelityMerges = Seq(
+    Bpe.Merge(1, "x", "est", 0L), Bpe.Merge(2, "e", "s", 0L),
+    Bpe.Merge(3, "es", "t", 0L), Bpe.Merge(4, "t", "h", 0L),
+    Bpe.Merge(5, "th", "e", 0L), Bpe.Merge(6, "a", "n", 0L),
+    Bpe.Merge(7, "an", "d", 0L), Bpe.Merge(8, "i", "n", 0L),
+    Bpe.Merge(9, "in", "g", 0L), Bpe.Merge(10, "o", "o", 0L),
+    Bpe.Merge(11, "oo", "oo", 0L), Bpe.Merge(12, "s", "t", 0L))
+
+  private val fidelityVectors: Seq[(String, Seq[String])] = Seq(
+    // DIVERGENCE: rank-order leaves [x, est] (rank 1 passed before
+    // "est" exists); an iterate-lowest-rank encoder would emit [xest]
+    "xest" -> Seq("x", "est"),
+    "xestx" -> Seq("x", "est", "x"), // same divergence mid-word
+    "test" -> Seq("t", "est"), // (s,t) rank 12 starved by rank 3
+    "the" -> Seq("the"),
+    "then" -> Seq("the", "n"),
+    "thethe" -> Seq("the", "the"), // two sites in one pass, twice
+    "es" -> Seq("es"),
+    "best" -> Seq("b", "est"),
+    "sets" -> Seq("s", "e", "t", "s"), // no pair matches any merge
+    "esthe" -> Seq("est", "h", "e"), // est consumes t; (t,h) starved
+    "testing" -> Seq("t", "est", "ing"),
+    "and" -> Seq("and"),
+    "sand" -> Seq("s", "and"),
+    "anand" -> Seq("an", "and"), // left-to-right: first (a,n) wins
+    "andand" -> Seq("and", "and"),
+    "xthe" -> Seq("x", "the"), // no (x,the) merge exists
+    "ing" -> Seq("ing"),
+    "ningn" -> Seq("n", "ing", "n"),
+    "oooo" -> Seq("oooo"), // repeated-run ladder
+    "ooooo" -> Seq("oooo", "o"),
+    "oooooo" -> Seq("oooo", "oo"),
+    "ooooooo" -> Seq("oooo", "oo", "o"),
+    "st" -> Seq("st"),
+    "star" -> Seq("st", "a", "r"),
+    "stest" -> Seq("st", "est"), // rank 12 fires AFTER rank 3's est
+    "esest" -> Seq("es", "est"), // shared-prefix merge contention
+    "ses" -> Seq("s", "es"),
+    "tht" -> Seq("th", "t"),
+    "ests" -> Seq("est", "s"),
+    "a" -> Seq("a"))
+
+  test("tokenizer-apply fidelity: 30 hand-computed vectors under a " +
+    "fixed merge table — BOTH encoders match, including the rank-order " +
+    "vs iterate-lowest-rank divergence words") {
+    val df = fidelityVectors.map(_._1).toDF("word")
+    val viaChain = df.select(col("word"),
+        Bpe.encodeWord(col("word"), fidelityMerges).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    val idx = Bpe.mergeIndex(fidelityMerges)
+    fidelityVectors.foreach { case (w, expected) =>
+      assert(viaChain(w) == expected, s"encodeWord($w)")
+      assert(Bpe.encodeWordLocal(w, idx).toSeq == expected,
+        s"encodeWordLocal($w)")
+    }
+    // and the full-document scalable path agrees on the joined stream
+    val docs = Seq((1L, fidelityVectors.map(_._1).mkString(" ")))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encodeScalable(docs, "doc_id", "text", fidelityMerges)
+      .as[(Long, Seq[String])].collect().head._2
+    assert(enc == fidelityVectors.flatMap(_._2))
+  }
+
+  test("GPT-2-family pretokenizer: contractions, space-prefixed runs, " +
+    "digit/punct classes, whitespace-run fallback, and the U+0120 " +
+    "space marker keep pretokens delimiter-free and lossless") {
+    val cases = Seq(
+      "hello world" -> Seq("hello", "\u0120world"),
+      "it's" -> Seq("it", "'s"),
+      "don't stop" -> Seq("don", "'t", "\u0120stop"),
+      "abc123" -> Seq("abc", "123"),
+      "x2 3y" -> Seq("x", "2", "\u01203", "y"),
+      "Hello, world!!" -> Seq("Hello", ",", "\u0120world", "!!"),
+      "I'm ok" -> Seq("I", "'m", "\u0120ok"),
+      "e.g. test" -> Seq("e", ".", "g", ".", "\u0120test"),
+      // no-lookahead deviation (documented): a multi-space run binds
+      // to \s+ whole, not "all but the last space"
+      "  a" -> Seq("\u0120\u0120", "a"),
+      "a\nb" -> Seq("a", "\n", "b"))
+    val got = cases.map(_._1).toDF("text")
+      .select(col("text"), Bpe.pretokenize(col("text")).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    cases.foreach { case (t, expected) =>
+      assert(got(t) == expected, s"pretokenize($t)")
+      assert(!expected.exists(_.contains(" ")), "delimiter-free")
+      assert(got(t).mkString.replace('\u0120', ' ') == t, "lossless")
+    }
+    val wf = Bpe.wordFreqPretok(
+      Seq((1L, "it's it's nice")).toDF("doc_id", "text"), "text")
+      .as[(String, Long)].collect().toMap
+    assert(wf == Map("it" -> 1L, "'s" -> 2L, "\u0120it" -> 1L,
+      "\u0120nice" -> 1L))
+  }
+
   test("merge table round-trips through parquet: the shipped artifact " +
     "reproduces the encoder exactly") {
     val words = Seq(("aab", 3L), ("ab", 2L)).toDF("word", "freq")
