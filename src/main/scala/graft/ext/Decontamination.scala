@@ -31,9 +31,13 @@ object Decontamination {
 
   /** Build the benchmark-side BLOOM BITMAP — the decontamination scale
     * path when the eval shingle set itself is too large to broadcast
-    * as rows (billions of benchmark shingles across suites), or too
-    * sensitive to ship verbatim (only hashes leave the eval
-    * enclave): `mBits` bits of bounded driver state, built with ONE
+    * as rows (billions of benchmark shingles across suites), or when
+    * the shingles should not ship VERBATIM to the corpus side (the
+    * bitmap carries only unsalted 31-bit hash positions — note this is
+    * obfuscation, NOT membership privacy: anyone holding a candidate
+    * shingle can test it by dictionary; if membership privacy is a
+    * real requirement, salt the probe hashes with a secret the corpus
+    * side never sees): `mBits` bits of bounded driver state, built with ONE
     * distributed distinct-position pass and a ≤(mBits/32)-row collect
     * (the model-state carve-out — the bitmap, not the shingles, is
     * what ships to executors). Packed 32 bits per array slot so every

@@ -197,6 +197,18 @@ object Similarity {
         (x, y) => (x >= 0L) === (y >= 0L)), b => b))
       .cast("long") * 1000L / size(qa)).cast("long")
 
+  /** Sample permil targeting ~`target` sampled rows out of `total` —
+    * integral and oracle-replayable (`least/greatest` arithmetic),
+    * clamped to [1,1000]. Callers derive the probe's sample rate from
+    * the MEASURED corpus count so the quadratic probe stays bounded at
+    * any SF; a fixed two-point rule aborts on a fixture past its
+    * threshold (the r11 ADVICE finding). The default target of 1000
+    * leaves 2x headroom under [[sampleSignAgreeStats]]'s
+    * `maxSampleDocs` guard for hash-sampling variance. */
+  def derivedSamplePermil(total: Long, target: Long = 1000L): Int =
+    math.max(1L, math.min(1000L,
+      target * 1000L / math.max(total, 1L))).toInt
+
   /** Measured sign-agreement profile of a corpus sample — the
     * embedding-side twin of [[Dedup.sampleJaccardStats]]: hash-sampled
     * vectors (deterministic, replayable), ALL sample pairs' agreement
@@ -208,7 +220,9 @@ object Similarity {
       maxSampleDocs: Long = 2000, idCol: String = "vec_id",
       embCol: String = "embedding"): SignAgreeStats = {
     require(samplePermil >= 1 && samplePermil <= 1000,
-      s"sampleSignAgreeStats: samplePermil in [1,1000] ($samplePermil)")
+      s"sampleSignAgreeStats: samplePermil in [1,1000] ($samplePermil)" +
+        " — derive it from the measured corpus count with" +
+        " derivedSamplePermil so the probe stays bounded at any SF")
     val sample = emb
       .filter(TextAnalysis.tokenHash31(col(idCol).cast("string"))
         % 1000L < samplePermil)
@@ -218,7 +232,8 @@ object Similarity {
       "vectors; raise samplePermil")
     require(nVecs <= maxSampleDocs,
       s"sampleSignAgreeStats: sample has $nVecs vectors (> " +
-        s"$maxSampleDocs); lower samplePermil — the probe is " +
+        s"$maxSampleDocs); lower samplePermil (derivedSamplePermil " +
+        "picks one from the measured count) — the probe is " +
         "quadratic in the sample")
     val a = sample.select(col("id").as("ia"), col("q").as("qa"))
     val b = sample.select(col("id").as("ib"), col("q").as("qb"))

@@ -1043,16 +1043,39 @@ object TextAnalysis {
   def looksMojibake(text: Column): Column =
     text.rlike("[\\x{00C2}-\\x{00C3}][\\x{0080}-\\x{00BF}]")
 
+  /** The string's Latin-1 byte reading is structurally VALID UTF-8 —
+    * the RFC 3629 grammar as an anchored regex over the char values
+    * (only meaningful when every char is < U+0100, which the caller
+    * guarantees). Without this gate, a string holding one real
+    * C2/C3+continuation pair PLUS an unrelated 0x80-0xFF char whose
+    * byte reading is not valid UTF-8 would decode to U+FFFD
+    * replacement chars — corruption, not repair (the r11 ADVICE
+    * false-positive class). */
+  private def latin1ReadsAsUtf8(text: Column): Column =
+    text.rlike("^(?:[\\x00-\\x7F]" +
+      "|[\\x{00C2}-\\x{00DF}][\\x{0080}-\\x{00BF}]" +
+      "|\\x{00E0}[\\x{00A0}-\\x{00BF}][\\x{0080}-\\x{00BF}]" +
+      "|[\\x{00E1}-\\x{00EC}][\\x{0080}-\\x{00BF}]{2}" +
+      "|\\x{00ED}[\\x{0080}-\\x{009F}][\\x{0080}-\\x{00BF}]" +
+      "|[\\x{00EE}-\\x{00EF}][\\x{0080}-\\x{00BF}]{2}" +
+      "|\\x{00F0}[\\x{0090}-\\x{00BF}][\\x{0080}-\\x{00BF}]{2}" +
+      "|[\\x{00F1}-\\x{00F3}][\\x{0080}-\\x{00BF}]{3}" +
+      "|\\x{00F4}[\\x{0080}-\\x{008F}][\\x{0080}-\\x{00BF}]{3})*$")
+
   /** Mojibake REPAIR — invert the bad transcode by re-reading the
     * string's codepoints as Latin-1 bytes and decoding them as UTF-8
     * (`decode(encode(s, ISO-8859-1), UTF-8)` — both codegen'd).
     * Applied ONLY when [[looksMojibake]] fires AND every character is
     * < U+0100 (a codepoint above 0xFF cannot come from a Latin-1
     * reading, and Latin-1-encoding it would be lossy — mixed-damage
-    * strings pass through for a human). Clean text is untouched by
+    * strings pass through for a human) AND the ENTIRE Latin-1 reading
+    * is valid UTF-8 ([[latin1ReadsAsUtf8]] — so the decode can never
+    * manufacture U+FFFD replacement chars on a partially-damaged
+    * string). Clean and unrepairable text is untouched by
     * construction; map-only, zero shuffles. */
   def fixMojibake(text: Column): Column =
-    when(looksMojibake(text) && !text.rlike("[^\\x00-\\x{00FF}]"),
+    when(looksMojibake(text) && !text.rlike("[^\\x00-\\x{00FF}]") &&
+        latin1ReadsAsUtf8(text),
       decode(encode(text, "ISO-8859-1"), "UTF-8"))
       .otherwise(text)
 

@@ -299,7 +299,8 @@ object SimilarityQueries {
         s"(1000 * len(list_filter(range(1, 65), " +
           s"i -> ($a.q[i] >= 0) = ($b.q[i] >= 0)))) // 64"
       s"""WITH tot AS (SELECT COUNT(*) AS n FROM embeddings),
-         |pm AS (SELECT CASE WHEN n < 1000 THEN 1000 ELSE 20 END AS pm
+         |pm AS (SELECT least(1000, greatest(1,
+         |         (1000 * 1000) // greatest(n, 1))) AS pm
          |       FROM tot),
          |src AS (
          |  SELECT vec_id,
@@ -362,7 +363,9 @@ object SimilarityQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val pmil = if (emb.count() < 1000) 1000 else 20
+      // count-derived sample rate (targets ~1000 sampled vectors at
+      // ANY SF — the fixed two-point rule aborted past its threshold)
+      val pmil = Similarity.derivedSamplePermil(emb.count())
       val par = col("vec_id") % 2
       val planted = transform(sequence(lit(0), lit(63)),
         i => when((i + par) % 7 === 0, lit(-0.5d)).otherwise(lit(0.5d)))

@@ -783,4 +783,28 @@ class TextAnalysisSpec extends SparkSpec {
       !col("f").contains("\u00c3\u0083")).count()
     assert(cnt <= 1L) // only the double-damage row may change again
   }
+
+  test("mojibake repair NEVER manufactures U+FFFD: a string with one " +
+    "real C2/C3 pair plus an unrelated high byte whose Latin-1 " +
+    "reading is invalid UTF-8 passes through unchanged") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      // detector fires on C3+A9, but the stray 0xE9 (a 3-byte UTF-8
+      // lead followed by ASCII) makes the full reading invalid \u2014 the
+      // old behavior decoded this to "... caf\u00e9 but \ufffd!"
+      "ok caf\u00c3\u00a9 but \u00e9!",
+      // bare continuation byte 0x80 after a valid pair: also invalid
+      "x\u00c2\u00a9y\u0080z",
+      // control: fully-valid reading still repairs
+      "menu caf\u00c3\u00a9 list"
+    ).toDF("t")
+    val got = rows.select(col("t"),
+        TextAnalysis.fixMojibake(col("t")).as("f"))
+      .as[(String, String)].collect().toMap
+    assert(got("ok caf\u00c3\u00a9 but \u00e9!") ==
+      "ok caf\u00c3\u00a9 but \u00e9!")
+    assert(got("x\u00c2\u00a9y\u0080z") == "x\u00c2\u00a9y\u0080z")
+    assert(got("menu caf\u00c3\u00a9 list") == "menu caf\u00e9 list")
+    assert(!got.values.exists(_.contains("\ufffd")))
+  }
 }
