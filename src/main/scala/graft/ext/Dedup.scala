@@ -723,7 +723,10 @@ object Dedup {
       n: Int = 1, samplePermil: Int = 20,
       maxSampleDocs: Long = 2000): JaccardStats = {
     require(samplePermil >= 1 && samplePermil <= 1000,
-      s"sampleJaccardStats: samplePermil in [1,1000] ($samplePermil)")
+      s"sampleJaccardStats: samplePermil in [1,1000] ($samplePermil)" +
+        " — derive it from the measured corpus count with" +
+        " Similarity.derivedSamplePermil so the probe stays bounded" +
+        " at any SF")
     val sample = df
       .filter(TextAnalysis.tokenHash31(col(idCol).cast("string"))
         % 1000L < samplePermil)
@@ -733,7 +736,8 @@ object Dedup {
       "raise samplePermil")
     require(nDocs <= maxSampleDocs,
       s"sampleJaccardStats: sample has $nDocs docs (> $maxSampleDocs); " +
-        "lower samplePermil — the probe is quadratic in the sample")
+        "lower samplePermil (Similarity.derivedSamplePermil picks one " +
+        "from the measured count) — the probe is quadratic in the sample")
     val shared = jaccardPairs(sample, idCol, textCol, n, threshold = 1e-12)
       .select(col("jaccard"))
       .collect().map(_.getDouble(0)).sorted

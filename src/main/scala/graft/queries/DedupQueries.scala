@@ -153,7 +153,8 @@ object DedupQueries {
           s" __i -> ($x))), (__a, __b) -> __a * __b)"
       val mh32 = (0 until 32).map(sqlMinhash).mkString(", ")
       s"""WITH tot AS (SELECT COUNT(*) AS n FROM documents),
-         |pm AS (SELECT CASE WHEN n < 1000 THEN 1000 ELSE 20 END AS pm FROM tot),
+         |pm AS (SELECT least(1000, greatest(1,
+         |         (1000 * 1000) // greatest(n, 1))) AS pm FROM tot),
          |samp AS (
          |  SELECT doc_id, $sqlToks AS toks
          |  FROM documents, pm
@@ -217,7 +218,9 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val permil = if (docs.count() < 1000) 1000 else 20
+      // count-derived sample rate (targets ~1000 sampled docs at ANY
+      // SF — the fixed two-point rule aborted past its threshold)
+      val permil = graft.ext.Similarity.derivedSamplePermil(docs.count())
       val stats = Dedup.sampleJaccardStats(docs, "doc_id", "text",
         n = 1, samplePermil = permil)
       val prof = graft.ext.DedupProfile.derive(k = 32, threshold = 0.95,
@@ -227,6 +230,92 @@ object DedupQueries {
         .withColumn("bands", lit(prof.bands.toLong))
         .withColumn("rows_per_band", lit(prof.rowsPerBand.toLong))
         .orderBy("id_a", "id_b")
+    },
+
+    // 3c. the DEDUP-INDEX STORE round-trip — "query the dedup index
+    // without rebuilding it", the 100 TB serve shape the IVF-PQ family
+    // already has (`ann_ivfpq_store`): MinHash band signatures written
+    // ONCE to a parquet store partitioned by a BOUNDED band-key bucket
+    // (raw band keys would mean billions of partition dirs; 64 buckets
+    // keep the directory tree sane at any scale), re-read with an
+    // explicit schema (partition-dir inference would int-ify the
+    // bucket), then a probe batch served against it: probe signatures
+    // are computed MAP-ONLY (no index shuffle), the store scan is
+    // PRUNED to the probe buckets (static isin pruning — the probe
+    // bucket set is bounded driver state, <= bands x |probes| values;
+    // a large probe batch would broadcast-join and let dynamic
+    // partition pruning do the same), candidates are band-key
+    // collisions, and the exact-Jaccard re-rank confirms. The oracle
+    // replays signatures, banding, the probe/index split, collision
+    // join and re-rank; bucketing is a superset-safe physical detail
+    // the oracle need not model. Pruning itself is metric-asserted in
+    // DedupSpec (files read < files written).
+    QueryDef("dedup_band_store", {
+      val mh = (0 until 32).map(i => s"${sqlMinhash(i)} AS m$i")
+        .mkString(",\n    ")
+      val bands = (0 until 2).map(b => s"${sqlBand(b)} AS band_$b")
+        .mkString(",\n    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, toks,
+         |    $mh
+         |  FROM t),
+         |k AS (
+         |  SELECT doc_id,
+         |    $bands
+         |  FROM m),
+         |banded AS (
+         |  SELECT doc_id, unnest([band_0, band_1]) AS band FROM k),
+         |probes AS (SELECT * FROM banded WHERE doc_id % 50 = 0),
+         |store AS (SELECT * FROM banded WHERE doc_id % 50 <> 0),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS probe_id, s.doc_id AS cand_id
+         |  FROM probes p JOIN store s ON s.band = p.band),
+         |j AS (
+         |  SELECT c.probe_id, c.cand_id,
+         |    len(list_intersect(ta.toks, tb.toks))::BIGINT AS inter,
+         |    (len(ta.toks) + len(tb.toks)
+         |      - len(list_intersect(ta.toks, tb.toks)))::BIGINT AS un
+         |  FROM cand c JOIN t ta ON ta.doc_id = c.probe_id
+         |              JOIN t tb ON tb.doc_id = c.cand_id)
+         |SELECT probe_id, cand_id, inter, un,
+         |  CAST(inter AS DOUBLE) / un AS jaccard
+         |FROM j WHERE inter * 20 >= un * 19
+         |ORDER BY probe_id, cand_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val banded = docs.select(col("doc_id"),
+        explode(Dedup.bandKeys(Dedup.minhashes(col("text"), 32),
+          bands = 2, rowsPerBand = 16)).as("band"))
+      val store = banded.filter(col("doc_id") % 50 =!= 0)
+        .withColumn("bucket", col("band") % 64L)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-band-store").resolve("bands").toString
+      store.write.partitionBy("bucket").parquet(dir)
+      val stored = s.read.schema(store.schema).parquet(dir)
+      val probes = banded.filter(col("doc_id") % 50 === 0)
+      val probeBuckets = probes.select((col("band") % 64L).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val cand = stored.filter(col("bucket").isin(probeBuckets: _*))
+        .join(probes.select(col("band"), col("doc_id").as("probe_id")),
+          Seq("band"))
+        .select(col("probe_id"), col("doc_id").as("cand_id"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+      val inter = size(array_intersect(col("ta"), col("tb"))).cast("long")
+      cand
+        .join(toks.select(col("doc_id").as("probe_id"),
+          col("toks").as("ta")), Seq("probe_id"))
+        .join(toks.select(col("doc_id").as("cand_id"),
+          col("toks").as("tb")), Seq("cand_id"))
+        .select(col("probe_id"), col("cand_id"), inter.as("inter"),
+          (size(col("ta")) + size(col("tb")) - inter).cast("long")
+            .as("un"))
+        .filter(col("inter") * 20L >= col("un") * 19L)
+        .withColumn("jaccard", col("inter").cast("double") / col("un"))
+        .orderBy("probe_id", "cand_id")
     },
 
     // 4. SimHash: 24-bit bitwise-majority signature; hamming-0 pairs

@@ -552,6 +552,53 @@ object CorpusStream {
       }
   }
 
+  final case class DomainSpent(cum: Long)
+  final case class BudgetDoc(doc_id: Long, domain: String, cost: Long,
+      domain_cum: Long)
+
+  /** Streaming per-domain TOKEN budget — [[domainQuota]]'s
+    * cost-denominated twin, the shape a real crawl ingests under:
+    * budgets are byte/token allowances per publisher, not document
+    * counts (the batch form is `Frontier.budgetCut`'s per-host leg).
+    * One `GroupState` long per registered domain carries the
+    * cumulative cost; each micro-batch's group is sorted by `doc_id`
+    * for determinism, the INCLUSIVE running cost continues across
+    * batches, and a document is emitted only while its inclusive
+    * cumulative cost stays within `budget` — identical semantics to
+    * the batch window `sum(cost) OVER (PARTITION BY domain ORDER BY
+    * doc_id) <= budget` (differential-tested). The state accumulates
+    * EVERY document's cost, kept or dropped, exactly like the batch
+    * window sums all rows — with non-negative costs the cut is final
+    * once crossed (no skip-ahead), matching `budgetCut`'s contract.
+    * State is one long per domain; `NoTimeout` because politeness
+    * lulls are the norm. */
+  def domainTokenQuota(docs: DataFrame, domainCol: String,
+      idCol: String, costCol: String, budget: Long)
+      : org.apache.spark.sql.Dataset[BudgetDoc] = {
+    require(budget >= 1L, s"domainTokenQuota: budget >= 1 ($budget)")
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(domainCol).cast("string"), col(idCol).cast("long"),
+        col(costCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DomainSpent, BudgetDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (domain: String, batch: Iterator[(String, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[DomainSpent]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val rows = batch.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+          val out = rows.map { case (id, cost) =>
+            cum += cost
+            BudgetDoc(id, domain, cost, cum)
+          }
+          state.update(DomainSpent(cum))
+          out.iterator.filter(_.domain_cum <= budget)
+      }
+  }
+
   /** Streaming JSONL ingest with quarantine — the continuous form of
     * [[graft.sources.JsonlCorpus.load]], same contract: never fail the
     * stream, never silently drop. Each micro-batch parses raw lines

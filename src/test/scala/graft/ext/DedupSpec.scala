@@ -397,4 +397,64 @@ class DedupSpec extends SparkSpec {
       .select("id", "dup_count").as[(Long, Long)].collect().toSet
     assert(re == got)
   }
+
+  test("MinHash band store: signatures written partitioned by band-key " +
+    "bucket prune to the probe buckets at serve — measured at file " +
+    "listing — and store candidates equal the in-memory band join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // mostly-unique token sets -> diverse band keys across buckets
+    val docs = (0L until 120L).map(i => (i,
+      (0 to 6).map(j => s"tok${(i * 7 + j * 13) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val banded = docs.select(col("doc_id"),
+      explode(Dedup.bandKeys(Dedup.minhashes(col("text"), 32),
+        bands = 2, rowsPerBand = 16)).as("band"))
+    val store = banded.filter(col("doc_id") % 40 =!= 0)
+      .withColumn("bucket", col("band") % 16L)
+    val dir = java.nio.file.Files.createTempDirectory("band-store")
+      .resolve("bands").toString
+    store.write.partitionBy("bucket").parquet(dir)
+    // explicit schema keeps bucket LongType (partition-dir inference
+    // would int-ify it) and the writer's column order
+    val stored = spark.read.schema(store.schema).parquet(dir)
+    val nParts = spark.read.parquet(dir)
+      .select("bucket").distinct().count()
+    val probes = banded.filter(col("doc_id") % 40 === 0)
+    val probeBuckets = probes.select((col("band") % 16L).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val served = stored.filter(col("bucket").isin(probeBuckets: _*))
+      .join(probes.select(col("band"), col("doc_id").as("probe_id")),
+        Seq("band"))
+      .select(col("probe_id"), col("doc_id").as("cand_id"))
+      .distinct()
+    val got = served.as[(Long, Long)].collect().toSet
+    // differential: identical to the in-memory band join, no pruning
+    val mem = banded.filter(col("doc_id") % 40 =!= 0)
+      .select(col("band"), col("doc_id").as("cand_id"))
+      .join(probes.select(col("band"), col("doc_id").as("probe_id")),
+        Seq("band"))
+      .select("probe_id", "cand_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == mem, s"store serve must equal in-memory join: $got / $mem")
+    // the literal IN predicate IS partition pruning: the store scan
+    // lists only the probe buckets' directories
+    val plan = served.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(dir))
+        => s
+    }.getOrElse(fail(s"no FileSourceScanExec over $dir in plan"))
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead <= probeBuckets.size.toLong,
+      s"serve must list only the ${probeBuckets.size} probe buckets " +
+        s"of $nParts, read $partsRead")
+    assert(nParts > probeBuckets.size.toLong,
+      s"sanity: the store must have more buckets ($nParts) than the " +
+        s"probe set touches (${probeBuckets.size})")
+    spark.catalog.clearCache()
+  }
 }

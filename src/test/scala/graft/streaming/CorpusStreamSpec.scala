@@ -596,6 +596,56 @@ class CorpusStreamSpec extends SparkSpec {
     assert(batchKept == got)
   }
 
+  test("streaming per-domain TOKEN budget: inclusive running cost " +
+    "continues across batches, an over-budget doc blocks everything " +
+    "after it in its domain, and the cut equals the batch window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = CorpusStream.domainTokenQuota(
+        mem.toDF().toDF("doc_id", "domain", "cost"),
+        "domain", "doc_id", "cost", budget = 100L)
+      .writeStream.format("memory").queryName("dtq_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 (unordered arrival): a.com spends 40+30=70 of 100;
+      // b.org's FIRST doc alone blows the budget (120 > 100) — dropped,
+      // and its cost still counts (the batch window sums all rows)
+      mem.addData((12L, "a.com", 30L), (10L, "a.com", 40L),
+        (20L, "b.org", 120L))
+      q.processAllAvailable()
+      // batch 2: a.com doc 13 fits exactly (70+30=100, inclusive cap);
+      // doc 14 overflows; b.org doc 21 is small but arrives AFTER the
+      // blown budget — no skip-ahead, stays dropped
+      mem.addData((14L, "a.com", 1L), (13L, "a.com", 30L),
+        (21L, "b.org", 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dtq_out")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, "a.com", 40L, 40L), (12L, "a.com", 30L, 70L),
+      (13L, "a.com", 30L, 100L)),
+      s"14 overflows, 20 blows the budget, 21 may not skip ahead: $got")
+    // differential: equals the batch-side inclusive-prefix-sum window
+    // over the same rows
+    val all = Seq((12L, "a.com", 30L), (10L, "a.com", 40L),
+      (20L, "b.org", 120L), (14L, "a.com", 1L), (13L, "a.com", 30L),
+      (21L, "b.org", 5L)).toDF("doc_id", "domain", "cost")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val batchKept = all
+      .withColumn("domain_cum",
+        org.apache.spark.sql.functions.sum(col("cost")).over(w))
+      .filter(col("domain_cum") <= 100L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(batchKept == got)
+    intercept[IllegalArgumentException] {
+      CorpusStream.domainTokenQuota(all, "domain", "doc_id", "cost", 0L)
+    }
+  }
+
   test("streaming JSONL ingest: typed rows to the corpus store, " +
     "malformed and identity-less lines to the quarantine with the " +
     "raw line preserved — never fail, never silently drop") {
