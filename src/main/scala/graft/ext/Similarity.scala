@@ -202,10 +202,13 @@ object Similarity {
     * clamped to [1,1000]. Callers derive the probe's sample rate from
     * the MEASURED corpus count so the quadratic probe stays bounded at
     * any SF; a fixed two-point rule aborts on a fixture past its
-    * threshold (the r11 ADVICE finding). The default target of 1000
-    * leaves 2x headroom under [[sampleSignAgreeStats]]'s
-    * `maxSampleDocs` guard for hash-sampling variance. */
-  def derivedSamplePermil(total: Long, target: Long = 1000L): Int =
+    * threshold (the r11 ADVICE finding). The default target of 100
+    * sits 20x under the probes' 2000-row `maxSampleDocs` guard (ample
+    * hash-sampling-variance headroom) and keeps the quadratic pair
+    * count at ~5k — a p50/p95 estimate over thousands of pairs is
+    * plenty for geometry derivation, and the probe's cost stays flat
+    * as the corpus grows. */
+  def derivedSamplePermil(total: Long, target: Long = 100L): Int =
     math.max(1L, math.min(1000L,
       target * 1000L / math.max(total, 1L))).toInt
 

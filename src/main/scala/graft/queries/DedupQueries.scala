@@ -154,7 +154,7 @@ object DedupQueries {
       val mh32 = (0 until 32).map(sqlMinhash).mkString(", ")
       s"""WITH tot AS (SELECT COUNT(*) AS n FROM documents),
          |pm AS (SELECT least(1000, greatest(1,
-         |         (1000 * 1000) // greatest(n, 1))) AS pm FROM tot),
+         |         (100 * 1000) // greatest(n, 1))) AS pm FROM tot),
          |samp AS (
          |  SELECT doc_id, $sqlToks AS toks
          |  FROM documents, pm
@@ -218,7 +218,7 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // count-derived sample rate (targets ~1000 sampled docs at ANY
+      // count-derived sample rate (targets ~100 sampled docs at ANY
       // SF — the fixed two-point rule aborted past its threshold)
       val permil = graft.ext.Similarity.derivedSamplePermil(docs.count())
       val stats = Dedup.sampleJaccardStats(docs, "doc_id", "text",
@@ -285,16 +285,41 @@ object DedupQueries {
          |ORDER BY probe_id, cand_id""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val banded = docs.select(col("doc_id"),
-        explode(Dedup.bandKeys(Dedup.minhashes(col("text"), 32),
-          bands = 2, rowsPerBand = 16)).as("band"))
-      val store = banded.filter(col("doc_id") % 50 =!= 0)
+      // INDEX side (the corpus-scale leg): one hash per (doc, token)
+      // via the token index + hash-agg signatures — the minhashLshPairs
+      // scale path; the per-row `minhashes` expression would recompute
+      // md5(token) once per permutation (32x) and cost minutes at sf0.1
+      val storeSig = Dedup.minhashSignatures(
+        Dedup.tokenIndex(docs.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text", 1), 32)
+      val store = storeSig
+        .select(col("id").as("doc_id"),
+          explode(Dedup.bandKeyCols(2, 16)).as("band"))
         .withColumn("bucket", col("band") % 64L)
       val dir = java.nio.file.Files
         .createTempDirectory("graft-band-store").resolve("bands").toString
-      store.write.partitionBy("bucket").parquet(dir)
+      // cluster by the partition column before the write: without it
+      // every task writes a sliver of every bucket dir (tasks x buckets
+      // tiny files — 2048 here, file-open overhead dominated the query);
+      // clustered, each bucket is one file — the shape a 100 TB store
+      // wants anyway (fewer, larger files per partition)
+      store.repartition(col("bucket")).write.partitionBy("bucket")
+        .parquet(dir)
       val stored = s.read.schema(store.schema).parquet(dir)
-      val probes = banded.filter(col("doc_id") % 50 === 0)
+      // PROBE side: the same token-index signature operators over ONLY
+      // the probe slice (the scan prunes on the predicate first, so the
+      // groupBy touches ~|corpus|/50 rows — signing a probe batch costs
+      // the batch, not the corpus). NOT the per-row `minhashes`
+      // expression: its 32-permutation tree costs ~4 s of codegen per
+      // action at any data size (measured), and this frame feeds three
+      // actions. The tiny result is lazily checkpointed so those
+      // actions share one computation.
+      val probes = Dedup.minhashSignatures(
+        Dedup.tokenIndex(docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", 1), 32)
+        .select(col("id").as("doc_id"),
+          explode(Dedup.bandKeyCols(2, 16)).as("band"))
+        .localCheckpoint(false)
       val probeBuckets = probes.select((col("band") % 64L).as("b"))
         .distinct().collect().map(_.getLong(0)).toSeq
       val cand = stored.filter(col("bucket").isin(probeBuckets: _*))

@@ -300,7 +300,7 @@ object SimilarityQueries {
           s"i -> ($a.q[i] >= 0) = ($b.q[i] >= 0)))) // 64"
       s"""WITH tot AS (SELECT COUNT(*) AS n FROM embeddings),
          |pm AS (SELECT least(1000, greatest(1,
-         |         (1000 * 1000) // greatest(n, 1))) AS pm
+         |         (100 * 1000) // greatest(n, 1))) AS pm
          |       FROM tot),
          |src AS (
          |  SELECT vec_id,
@@ -363,7 +363,7 @@ object SimilarityQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      // count-derived sample rate (targets ~1000 sampled vectors at
+      // count-derived sample rate (targets ~100 sampled vectors at
       // ANY SF — the fixed two-point rule aborted past its threshold)
       val pmil = Similarity.derivedSamplePermil(emb.count())
       val par = col("vec_id") % 2

@@ -166,10 +166,11 @@ class SimilaritySpec extends SparkSpec {
   test("derivedSamplePermil keeps the quadratic probe bounded at ANY " +
     "corpus size: clamped integral rate, and a 40k-row frame samples " +
     "under the guard instead of aborting") {
-    assert(Similarity.derivedSamplePermil(500) == 1000) // small: take all
-    assert(Similarity.derivedSamplePermil(1000) == 1000)
-    assert(Similarity.derivedSamplePermil(5000) == 200)
-    assert(Similarity.derivedSamplePermil(100000) == 10)
+    assert(Similarity.derivedSamplePermil(50) == 1000) // small: take all
+    assert(Similarity.derivedSamplePermil(500) == 200)
+    assert(Similarity.derivedSamplePermil(1000) == 100)
+    assert(Similarity.derivedSamplePermil(5000) == 20) // == the old rule
+    assert(Similarity.derivedSamplePermil(100000) == 1)
     assert(Similarity.derivedSamplePermil(100000000) == 1) // floor 1
     assert(Similarity.derivedSamplePermil(0) == 1000) // degenerate
     // a frame 40x past the old two-point rule's threshold: the derived
@@ -178,7 +179,7 @@ class SimilaritySpec extends SparkSpec {
       "transform(sequence(0, 7), i -> CASE WHEN (id + i) % 3 = 0 " +
         "THEN -0.5D ELSE 0.5D END) AS embedding")
     val p = Similarity.derivedSamplePermil(40000)
-    assert(p == 25)
+    assert(p == 2)
     val stats = Similarity.sampleSignAgreeStats(big, samplePermil = p)
     assert(stats.nVecs >= 2 && stats.nVecs <= 2000, stats.toString)
   }
