@@ -334,9 +334,19 @@ object Bpe {
     * counts (freq desc, then code-point-lexicographic (lhs, rhs) —
     * the exact [[train]] tie-break) and an INCREMENTAL pair-count
     * update touching only words that contain the winning pair.
-    * Merge-for-merge identical to [[train]] (differential-tested). */
+    * Merge-for-merge identical to [[train]] (differential-tested).
+    *
+    * CONTINUATION: pass `initialMerges` to EXTEND an existing merge
+    * table instead of starting from characters — the vocab is first
+    * rewritten under the initial merges (rank-order, exactly the
+    * encoder's semantics) and new merges take ranks from
+    * `initialMerges.size + 1`. Training k merges in one run equals
+    * training j then continuing with k-j (spec-pinned invariant) —
+    * the shape a production tokenizer grows by (domain adaptation
+    * without retraining the base vocabulary). */
   def trainLocal(words: DataFrame, numMerges: Int, minFreq: Long = 1L,
-      maxVocabRows: Int = 20000000): Seq[Merge] = {
+      maxVocabRows: Int = 20000000,
+      initialMerges: Seq[Merge] = Nil): Seq[Merge] = {
     require(numMerges >= 1, s"Bpe.trainLocal: numMerges >= 1 ($numMerges)")
     require(minFreq >= 1L, s"Bpe.trainLocal: minFreq >= 1 ($minFreq)")
     val rows = words.select(col("word").cast("string"),
@@ -346,11 +356,16 @@ object Bpe {
       s"Bpe.trainLocal: vocabulary exceeds maxVocabRows=$maxVocabRows —" +
         " Heaps' law says a real corpus vocab fits (10^6-10^8 rows);" +
         " raise the cap or pre-filter rare words (minFreq upstream)")
+    val initIdx =
+      if (initialMerges.isEmpty) Map.empty[(String, String), Array[Int]]
+      else mergeIndex(initialMerges)
     val syms = new Array[Array[String]](rows.length)
     val freqs = new Array[Long](rows.length)
     var i = 0
     while (i < rows.length) {
-      syms(i) = splitCodePoints(rows(i).getString(0))
+      syms(i) =
+        if (initialMerges.isEmpty) splitCodePoints(rows(i).getString(0))
+        else encodeWordLocal(rows(i).getString(0), initIdx)
       freqs(i) = rows(i).getLong(1)
       i += 1
     }
@@ -375,9 +390,9 @@ object Bpe {
     i = 0
     while (i < rows.length) { addWord(i, 1L); i += 1 }
     val out = Seq.newBuilder[Merge]
-    var rank = 1
+    var rank = initialMerges.size + 1
     var done = false
-    while (rank <= numMerges && !done) {
+    while (rank <= initialMerges.size + numMerges && !done) {
       // deterministic argmax: freq desc, then (lhs, rhs) ascending in
       // code-point order — byte-identical to the distributed ORDER BY
       var bestP: (String, String) = null

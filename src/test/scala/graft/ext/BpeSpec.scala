@@ -167,6 +167,26 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainLocal(tie, 2) == Bpe.train(tie, 2))
   }
 
+  test("trainLocal CONTINUATION: training k merges in one run equals " +
+    "training j then extending with k-j from the shipped table — ranks " +
+    "continue, vocab rewritten under the initial merges first") {
+    val wf = lcgWords(500).toDF("word")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val full = Bpe.trainLocal(wf, 12)
+    val base = Bpe.trainLocal(wf, 6)
+    val extended = base ++ Bpe.trainLocal(wf, 6, initialMerges = base)
+    assert(extended == full)
+    // continuation ranks pick up where the base left off
+    assert(extended.map(_.rank) == (1 to 12))
+    // and the extended table encodes identically to the one-shot table
+    val docs = Seq((1L, lcgWords(40).mkString(" "))).toDF("doc_id", "text")
+    val a = Bpe.encodeScalable(docs, "doc_id", "text", full)
+      .as[(Long, Seq[String])].collect().toSeq
+    val b = Bpe.encodeScalable(docs, "doc_id", "text", extended)
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(a == b)
+  }
+
   test("trainLocal guards the driver-state boundary: a vocabulary past " +
     "maxVocabRows is refused, naming the cap") {
     val wf = lcgWords(300).distinct.toSeq.toDF("word")
@@ -205,6 +225,29 @@ class BpeSpec extends SparkSpec {
     val out = Bpe.encodeScalable(docs, "doc_id", "text", big)
       .as[(Long, Seq[String])].collect().toMap
     assert(out(1L) == Seq("a", "b", "x", "1", "y", "1"))
+  }
+
+  test("encodeScalable is streaming-NATIVE too: the stateless " +
+    "mapPartitions projection runs mid-stream and matches the batch " +
+    "scalable encode") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val merges = Seq(Bpe.Merge(1, "a", "b", 5L), Bpe.Merge(2, "a", "ab", 3L))
+    val rows = Seq((1L, "aab ab b"), (2L, "ba aab"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Bpe.encodeScalable(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .writeStream.format("memory").queryName("bpe_enc_scaled")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bpe_enc_scaled").as[(Long, Seq[String])]
+      .collect().toMap
+    val batch = Bpe.encodeScalable(rows.toDF("doc_id", "text"),
+      "doc_id", "text", merges).as[(Long, Seq[String])].collect().toMap
+    assert(got == batch)
+    assert(got(1L) == Seq("aab", "ab", "b"))
   }
 
   // Fixed checked-in merge table + hand-computed encodings — the
