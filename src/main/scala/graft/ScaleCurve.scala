@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * overhead that biases a full fit toward sub-linear), `exp_fit` is the
   * least-squares log-log slope over all distinct sizes.
   *
-  * Emits one JSON line to stdout and SCALECURVE_r11.json.
+  * Emits one JSON line to stdout and SCALECURVE_r12.json.
   */
 object ScaleCurve {
 
@@ -53,7 +53,10 @@ object ScaleCurve {
     "text_contamination_bloom" -> "documents",
     "pipeline_corpus_funnel" -> "documents",
     "pipeline_export_manifest" -> "documents",
-    "train_dpo_pairs" -> "documents")
+    "train_dpo_pairs" -> "documents",
+    "dedup_band_store" -> "documents",
+    "pipeline_bpe_scaled" -> "documents",
+    "text_bpe_pretok" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
@@ -62,7 +65,7 @@ object ScaleCurve {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_CURVE_REPS", "3").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_CURVE_OUT",
-      "SCALECURVE_r11.json")
+      "SCALECURVE_r12.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
