@@ -1006,4 +1006,79 @@ object Dedup {
       .select(col(clusterCol),
         (-col("__w.negid")).as(idCol),
         col("__w.q").as(qualityCol))
+
+  /** C4 CROSS-DOCUMENT span dedup — "discard all but one of any
+    * three-sentence span occurring more than once in the data set"
+    * (Raffel et al. 2020, §2.2; the reference C4 pipeline's exact-dedup
+    * step). Returns one row per input document: `(idCol, n_sentences,
+    * n_dropped, kept_text)` where `kept_text` is the document
+    * reassembled from surviving sentences in original order.
+    *
+    * Semantics: sentences segment via [[TextAnalysis.sentences]];
+    * every run of `spanSents` CONSECUTIVE sentences is a span; spans
+    * are grouped corpus-wide and the occurrence with the smallest
+    * `(doc_id, position)` is the keeper; every sentence covered by a
+    * non-keeper occurrence of a duplicated span is dropped (overlaps
+    * union — C4's own rule is positional too). Documents with fewer
+    * than `spanSents` sentences have no spans and pass through whole.
+    *
+    * Scale shape: sentence explode (map-side) → spans via `lead` over
+    * an id-keyed window (doc_id is the natural high-cardinality
+    * partition key — never a global sort) → ONE corpus-scale keyed
+    * shuffle on the span key → keeper argmin as a struct-min aggregate
+    * (map-side combined) → drop positions explode → anti-join →
+    * id-keyed reassembly. The span key is the PAIR of independent
+    * 31-bit hashes (same double-hash trick as the bloom probes):
+    * ~2^-62 collision odds at any corpus size while shuffling two
+    * longs instead of three-sentence strings; both hashes are the
+    * md5-derived [[TextAnalysis.tokenHash31]], so a SQL oracle replays
+    * every key exactly. All downstream joins are hash-keyed; no
+    * driver state anywhere. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanSents: Int = 3): DataFrame = {
+    require(spanSents >= 2 && spanSents <= 16,
+      s"spanDedup: spanSents in [2,16] ($spanSents)")
+    import org.apache.spark.sql.expressions.Window
+    val sent = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.sentences(col(textCol)))
+        .as(Seq("idx", "s")))
+    val w = Window.partitionBy("id").orderBy("idx")
+    // complete spans only: the (spanSents-1)-ahead lead must exist
+    // (positions are contiguous, so the intermediate leads then do too)
+    val parts = (1 until spanSents)
+      .foldLeft(Seq(col("s"))) { (acc, k) => acc :+ lead("s", k).over(w) }
+    val spans = sent
+      .withColumn("span", concat_ws("\u0001", parts: _*))
+      .withColumn("tail_s", lead("s", spanSents - 1).over(w))
+      .filter(col("tail_s").isNotNull)
+      .select(col("id"), col("idx"),
+        TextAnalysis.tokenHash31(col("span")).as("h1"),
+        TextAnalysis.tokenHash31(concat(col("span"), lit("#")))
+          .as("h2"))
+    val keeper = spans.groupBy("h1", "h2")
+      .agg(min(struct(col("id"), col("idx"))).as("k"),
+        count(lit(1)).as("occ"))
+    val drops = spans.join(keeper, Seq("h1", "h2"))
+      .filter(col("occ") > 1L &&
+        !(col("id") === col("k.id") && col("idx") === col("k.idx")))
+      .select(col("id"), explode(sequence(col("idx"),
+        col("idx") + lit(spanSents - 1))).as("idx"))
+      .distinct()
+    val kept = sent.join(drops, Seq("id", "idx"), "left_anti")
+    val agg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("idx"), col("s")))),
+        x => x.getField("s"))).as("kept_text"))
+    val tot = sent.groupBy("id").agg(
+      count(lit(1)).as("n_sentences"))
+    df.select(col(idCol).as("id"))
+      .join(tot, Seq("id"), "left")
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        (coalesce(col("n_sentences"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

@@ -343,6 +343,80 @@ object DedupQueries {
         .orderBy("probe_id", "cand_id")
     },
 
+    // 3d. C4 CROSS-DOCUMENT span dedup (Raffel et al. 2020 §2.2):
+    // "discard all but one of any three-sentence span occurring more
+    // than once in the data set" — the reference C4 pipeline's exact
+    // dedup step, graded END TO END: hash-planted terminal punctuation
+    // (the text_sentences trick — the raw fixture is period-free),
+    // sentence segmentation, span keys as the double 31-bit hash,
+    // corpus-wide keeper resolution (first (doc_id, position)), drop
+    // union, and per-doc reassembly all replayed in SQL. The fixture's
+    // planted exact-duplicate docs guarantee duplicated spans, and the
+    // within-doc repetition class exercises overlapping drops.
+    QueryDef("text_span_dedup", {
+      val spanExpr = s"array_to_string(l[i:i+2], chr(1))"
+      s"""WITH planted AS (
+         |  SELECT doc_id, array_to_string(list_transform(
+         |    string_split(text, ' '),
+         |    t -> t || CASE WHEN ${sqlH31("t")} % 5 = 0
+         |              THEN '.' ELSE '' END), ' ') AS p
+         |  FROM documents),
+         |ss AS (
+         |  SELECT doc_id, list_filter(list_transform(
+         |    string_split(
+         |      regexp_replace(p,
+         |        '([.!?]+["'')\\]]*)[ \\t\\r\\n\\f]+', '\\1' || chr(1), 'g'),
+         |      chr(1)),
+         |    s -> trim(s)), s -> length(s) > 0) AS l
+         |  FROM planted),
+         |sent AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS idx, l[i] AS s
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+         |        FROM ss)),
+         |spans AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS idx,
+         |    ${sqlH31(spanExpr)} AS h1,
+         |    ${sqlH31(s"$spanExpr || '#'")} AS h2
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+         |        FROM ss)),
+         |occ AS (
+         |  SELECT doc_id, idx,
+         |    COUNT(*) OVER (PARTITION BY h1, h2) AS occ,
+         |    ROW_NUMBER() OVER (PARTITION BY h1, h2
+         |      ORDER BY doc_id, idx) AS rn
+         |  FROM spans),
+         |drops AS (
+         |  SELECT DISTINCT o.doc_id, o.idx + dd.d AS idx
+         |  FROM occ o, (SELECT unnest(range(0, 3)) AS d) dd
+         |  WHERE o.occ > 1 AND o.rn > 1),
+         |kept AS (
+         |  SELECT s.doc_id, s.idx, s.s FROM sent s
+         |  LEFT JOIN drops d ON d.doc_id = s.doc_id AND d.idx = s.idx
+         |  WHERE d.doc_id IS NULL),
+         |ka AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         |    array_to_string(list(s ORDER BY idx), ' ') AS kept_text
+         |  FROM kept GROUP BY doc_id),
+         |ta AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_sentences
+         |       FROM ss)
+         |SELECT t.doc_id, t.n_sentences,
+         |  t.n_sentences - coalesce(k.n_kept, 0) AS n_dropped,
+         |  coalesce(k.kept_text, '') AS kept_text
+         |FROM ta t LEFT JOIN ka k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val planted = array_join(
+        transform(TextAnalysis.tokens(col("text")),
+          t => concat(t,
+            when(TextAnalysis.tokenHash31(t) % 5 === 0, lit("."))
+              .otherwise(lit("")))),
+        " ")
+      Dedup.spanDedup(
+          Tables.documents(s, d).select(col("doc_id"), planted.as("__p")),
+          "doc_id", "__p")
+        .orderBy("doc_id")
+    },
+
     // 4. SimHash: 24-bit bitwise-majority signature; hamming-0 pairs
     QueryDef("dedup_simhash_pairs", {
       val bits = (0 until 24).map { j =>

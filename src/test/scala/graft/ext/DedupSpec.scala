@@ -398,6 +398,39 @@ class DedupSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("C4 span dedup: a duplicated three-sentence span keeps its " +
+    "first (doc, position) occurrence and drops every sentence the " +
+    "other occurrences cover; short docs pass through whole") {
+    val docs = Seq(
+      (1L, "a1. b1. c1. d1."),            // keeper of span (b1,c1,d1)
+      (2L, "x1. b1. c1. d1."),            // duplicate occurrence -> drops 3
+      (3L, "p. q. r. p. q. r. p. q. r."), // within-doc repetition
+      (4L, "u. v."),                       // < 3 sentences: no spans
+      (5L, "solo sentence here.")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 also contains span (a1,b1,c1) — unique — and is the keeper
+    // of (b1,c1,d1): nothing drops
+    assert(got(1L) == ((4L, 0L, "a1. b1. c1. d1.")))
+    // doc 2's (b1,c1,d1) at idx 1 loses to doc 1's idx 1 occurrence
+    assert(got(2L) == ((4L, 3L, "x1.")))
+    // doc 3: spans (p,q,r)@{0,3,6}, (q,r,p)@{1,4}, (r,p,q)@{2,5};
+    // non-keeper drops cover positions 3..8 -> first period survives
+    assert(got(3L) == ((9L, 6L, "p. q. r.")))
+    assert(got(4L) == ((2L, 0L, "u. v.")))
+    assert(got(5L) == ((1L, 0L, "solo sentence here.")))
+    // partition independence: same verdicts at a hostile partitioning
+    val re = Dedup.spanDedup(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(re == got)
+    intercept[IllegalArgumentException] {
+      Dedup.spanDedup(docs, "doc_id", "text", spanSents = 1)
+    }
+  }
+
   test("MinHash band store: signatures written partitioned by band-key " +
     "bucket prune to the probe buckets at serve — measured at file " +
     "listing — and store candidates equal the in-memory band join") {
