@@ -189,6 +189,28 @@ class PlanChecksSpec extends SparkSpec {
     PlanChecks.assertBroadcastJoin(funnel)
   }
 
+  test("round-12 flagships: span dedup is keyed end to end, the band " +
+    "store scan carries a literal bucket IN/INSET, the scalable BPE " +
+    "encode is one map pass plus its output sort") {
+    // C4 span dedup: sentence window and reassembly are doc-keyed,
+    // keeper resolution is span-hash-keyed — never a cartesian
+    PlanChecks.assertNoCartesian(q("text_span_dedup"))
+    // band store: probe-bucket pruning must surface as a literal
+    // IN/INSET predicate on the store scan (the partition-pruning
+    // contract, same as the IVF-PQ serve)
+    val bs = q("dedup_band_store")
+    PlanChecks.assertNoCartesian(bs)
+    val bsPlan = PlanChecks.executedPlan(bs)
+    assert(bsPlan.linesIterator.exists(l => l.contains("bucket") &&
+        (l.contains(" IN (") || l.contains(" INSET "))),
+      s"store scan must carry a literal bucket IN/INSET filter\n$bsPlan")
+    // scalable encode: mapPartitions + the ordered output — exactly
+    // one (range) exchange, nothing else may shuffle
+    val enc = q("pipeline_bpe_scaled")
+    PlanChecks.assertNoCartesian(enc)
+    PlanChecks.assertExchangesAtMost(enc, 1)
+  }
+
   test("rank-cap GATE form: Spark's WindowGroupLimit prunes each map " +
     "partition to k rows per domain BEFORE the shuffle — the 100 TB " +
     "shape of the per-domain cap (the graded query keeps all rows " +
