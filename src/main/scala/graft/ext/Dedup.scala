@@ -1035,19 +1035,50 @@ object Dedup {
     * every key exactly. All downstream joins are hash-keyed; no
     * driver state anywhere. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanSents: Int = 3): DataFrame =
+    spanDedupImpl(df, idCol, textCol, None, spanSents)
+
+  /** [[spanDedup]] against PRE-EXISTING history — the incremental form
+    * a streaming ingest composes (see
+    * `CorpusStream.spanDedupBatches`): any span whose `(h1, h2)` key
+    * appears in `histSpans` drops ALL its occurrences in this frame
+    * (its keeper lives in history); spans new to the frame resolve
+    * their keeper within the frame exactly as [[spanDedup]]. When
+    * document ids increase monotonically across frames, frame-by-frame
+    * application equals one global [[spanDedup]] over the union
+    * (spec-pinned — the first occurrence is then always in the
+    * earliest frame). */
+  def spanDedupAgainst(df: DataFrame, idCol: String, textCol: String,
+      histSpans: DataFrame, spanSents: Int = 3): DataFrame =
+    spanDedupImpl(df, idCol, textCol, Some(histSpans), spanSents)
+
+  /** Span keys `(id, idx, h1, h2)` of a corpus frame — the rows the
+    * streaming span STORE persists. Same double-hash key as
+    * [[spanDedup]] builds internally. */
+  def spanKeys(df: DataFrame, idCol: String, textCol: String,
       spanSents: Int = 3): DataFrame = {
     require(spanSents >= 2 && spanSents <= 16,
-      s"spanDedup: spanSents in [2,16] ($spanSents)")
-    import org.apache.spark.sql.expressions.Window
-    val sent = df.select(col(idCol).as("id"),
+      s"spanKeys: spanSents in [2,16] ($spanSents)")
+    spanTable(sentenceTable(df, idCol, textCol), spanSents)
+  }
+
+  /** Sentence table `(id, idx, s)` (position within document). */
+  private def sentenceTable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
       posexplode(TextAnalysis.sentences(col(textCol)))
         .as(Seq("idx", "s")))
+
+  /** Span keys over a [[sentenceTable]]: complete `spanSents`-runs via
+    * `lead` on the id-keyed window, double-31-bit hash key. */
+  private def spanTable(sent: DataFrame, spanSents: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("idx")
     // complete spans only: the (spanSents-1)-ahead lead must exist
     // (positions are contiguous, so the intermediate leads then do too)
     val parts = (1 until spanSents)
       .foldLeft(Seq(col("s"))) { (acc, k) => acc :+ lead("s", k).over(w) }
-    val spans = sent
+    sent
       .withColumn("span", concat_ws("\u0001", parts: _*))
       .withColumn("tail_s", lead("s", spanSents - 1).over(w))
       .filter(col("tail_s").isNotNull)
@@ -1055,12 +1086,32 @@ object Dedup {
         TextAnalysis.tokenHash31(col("span")).as("h1"),
         TextAnalysis.tokenHash31(concat(col("span"), lit("#")))
           .as("h2"))
+  }
+
+  private def spanDedupImpl(df: DataFrame, idCol: String,
+      textCol: String, histSpans: Option[DataFrame], spanSents: Int)
+      : DataFrame = {
+    require(spanSents >= 2 && spanSents <= 16,
+      s"spanDedup: spanSents in [2,16] ($spanSents)")
+    val sent = sentenceTable(df, idCol, textCol)
+    val spans = spanTable(sent, spanSents)
     val keeper = spans.groupBy("h1", "h2")
       .agg(min(struct(col("id"), col("idx"))).as("k"),
         count(lit(1)).as("occ"))
-    val drops = spans.join(keeper, Seq("h1", "h2"))
-      .filter(col("occ") > 1L &&
-        !(col("id") === col("k.id") && col("idx") === col("k.idx")))
+    // a span occurrence drops when its key is already in HISTORY (the
+    // keeper lives in an earlier frame), or when it is a non-keeper
+    // occurrence of a span duplicated within this frame
+    val withHist = histSpans match {
+      case None => spans.join(keeper, Seq("h1", "h2"))
+        .withColumn("__seen", lit(null).cast("int"))
+      case Some(h) => spans.join(keeper, Seq("h1", "h2"))
+        .join(h.select(col("h1"), col("h2")).distinct()
+          .withColumn("__seen", lit(1)), Seq("h1", "h2"), "left_outer")
+    }
+    val drops = withHist
+      .filter(col("__seen").isNotNull ||
+        (col("occ") > 1L &&
+          !(col("id") === col("k.id") && col("idx") === col("k.idx"))))
       .select(col("id"), explode(sequence(col("idx"),
         col("idx") + lit(spanSents - 1))).as("idx"))
       .distinct()

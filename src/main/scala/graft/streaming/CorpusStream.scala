@@ -552,6 +552,57 @@ object CorpusStream {
       }
   }
 
+  /** Streaming C4 span dedup — [[graft.ext.Dedup.spanDedup]]'s
+    * incremental form: each micro-batch dedups against the accumulated
+    * SPAN STORE (the `(h1, h2)` keys of every span seen so far), then
+    * appends its own new span keys. When document ids increase
+    * monotonically across batches, batch-by-batch output equals one
+    * global `spanDedup` over the union (differential spec) — the
+    * first occurrence of a span is then always in the earliest batch,
+    * which is exactly the batch form's `(doc_id, position)` keeper.
+    *
+    * Replay safety (the band-store contract): the history read
+    * EXCLUDES rows of the current `batch_id` (a crashed attempt's
+    * appended keys are not history), appended keys are anti-joined
+    * against history (the store holds each span key once), and the
+    * cleaned output is a `batch_id` dynamic partition overwrite. Store
+    * growth is the number of DISTINCT spans — the corpus's novel-text
+    * volume, not its raw volume. */
+  def spanDedupBatches(docs: DataFrame, spanStoreDir: String,
+      storeDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      spanSents: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val store = new org.apache.hadoop.fs.Path(spanStoreDir)
+        val fs = store.getFileSystem(conf)
+        val batchKeys = graft.ext.Dedup
+          .spanKeys(batch, idCol, textCol, spanSents)
+          .select("h1", "h2").distinct()
+        val hist =
+          if (fs.exists(store)) spark.read.parquet(spanStoreDir)
+            .filter(col("batch_id") =!= batchId)
+            .select("h1", "h2")
+          else batchKeys.limit(0)
+        graft.ext.Dedup
+          .spanDedupAgainst(batch, idCol, textCol, hist, spanSents)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        batchKeys
+          .join(hist.distinct(), Seq("h1", "h2"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(spanStoreDir)
+        ()
+      }
+      .start()
+
   final case class DomainSpent(cum: Long)
   final case class BudgetDoc(doc_id: Long, domain: String, cost: Long,
       domain_cum: Long)

@@ -596,6 +596,49 @@ class CorpusStreamSpec extends SparkSpec {
     assert(batchKept == got)
   }
 
+  test("streaming C4 span dedup: batches dedup against the span store, " +
+    "within-batch keepers resolve like the batch form, and the union " +
+    "of batch outputs EQUALS one global spanDedup over all docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("span-stream")
+    val spanStore = root.resolve("spans").toString
+    val store = root.resolve("clean").toString
+    val ckpt = root.resolve("ckpt").toString
+    val b1 = Seq((1L, "a1. b1. c1. d1."), (2L, "x1. b1. c1. d1."))
+    val b2 = Seq((3L, "z. b1. c1. d1."), // span seen in batch 1
+      (4L, "u. v."), // short: passes whole
+      (5L, "n1. n2. n3. tail."), // new spans
+      (6L, "m0. n1. n2. n3.")) // dup of doc 5's first span, same batch
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.spanDedupBatches(
+      mem.toDF().toDF("doc_id", "text"), spanStore, store, ckpt)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(store)
+      .select("doc_id", "n_sentences", "n_dropped", "kept_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // cross-batch drop: doc 3 loses the historical span's 3 sentences
+    assert(got(3L) == ((4L, 3L, "z.")))
+    // within-batch keeper: doc 5 keeps, doc 6 drops its covered tail
+    assert(got(5L) == ((4L, 0L, "n1. n2. n3. tail.")))
+    assert(got(6L) == ((4L, 3L, "m0.")))
+    // differential: identical to the batch form over the union (ids
+    // increase across batches, so keepers coincide)
+    val batchForm = graft.ext.Dedup.spanDedup(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == batchForm)
+    // the store holds each span key once (dup span registered by its
+    // keeper batch only)
+    val keys = spark.read.parquet(spanStore).select("h1", "h2")
+      .as[(Long, Long)].collect()
+    assert(keys.length == keys.distinct.length)
+  }
+
   test("streaming per-domain TOKEN budget: inclusive running cost " +
     "continues across batches, an over-budget doc blocks everything " +
     "after it in its domain, and the cut equals the batch window") {
