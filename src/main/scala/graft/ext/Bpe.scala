@@ -306,8 +306,13 @@ object Bpe {
   /** Per-document subword tokenization at PRODUCTION vocab size: one
     * map-only `mapPartitions` pass with the merge table as a broadcast
     * hash index — no join, no shuffle, plan size independent of k.
-    * Token-for-token equal to [[encode]] (differential-tested); `idCol`
-    * must be integral (it rides through as bigint). */
+    * Token-for-token equal to [[encode]] (differential-tested),
+    * INCLUDING null semantics: a null text yields null `tokens` and a
+    * null id rides through as null, exactly like the literal-replace
+    * encode (at corpus scale null rows are expected input — the typed
+    * boundary uses `Option[Long]`/nullable-Seq encoders so neither
+    * side NPEs). `idCol` must be integral (it rides through as
+    * bigint). */
   def encodeScalable(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val spark = df.sparkSession
@@ -315,11 +320,12 @@ object Bpe {
     val bc = spark.sparkContext.broadcast(mergeIndex(merges))
     df.select(col(idCol).cast("long"),
         filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0))
-      .as[(Long, Seq[String])]
+      .as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
         val idx = bc.value
         it.map { case (id, words) =>
-          (id, words.flatMap(w => encodeWordLocal(w, idx)))
+          (id, if (words == null) null
+               else words.flatMap(w => encodeWordLocal(w, idx)))
         }
       }
       .toDF(idCol, "tokens")

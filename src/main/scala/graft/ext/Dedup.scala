@@ -713,31 +713,40 @@ object Dedup {
       meanJ: Double, p50J: Double, p95J: Double, maxJ: Double)
 
   /** Measure background Jaccard on a deterministic hash-sample of the
-    * corpus (same permil-threshold selection as the train/val split —
+    * corpus (same hash-threshold selection as the train/val split —
     * reproducible under any partitioning). All-pairs Jaccard runs on
-    * the SAMPLE only, and the doc-count guard keeps that quadratic
-    * probe driver-bounded by construction (a profiling step, not a
-    * corpus-scale operator: at 100 TB you sample ~2k docs all the
-    * same). Pairs sharing no token count as J=0. */
+    * the SAMPLE only, and the sample is bounded STRUCTURALLY: the ppm
+    * rate gate targets the sample size, and a deterministic
+    * hash-ordered top-`maxSampleDocs` cap bounds it absolutely even
+    * when the rate floor binds (a profiling step, not a corpus-scale
+    * operator: at 100 TB you still sample ~100 docs; the probe
+    * collects ~maxSampleDocs²/2 pair Jaccards at the cap). Pairs
+    * sharing no token count as J=0. */
   def sampleJaccardStats(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 1, samplePermil: Int = 20,
+      n: Int = 1, samplePpm: Long = 20000,
       maxSampleDocs: Long = 2000): JaccardStats = {
-    require(samplePermil >= 1 && samplePermil <= 1000,
-      s"sampleJaccardStats: samplePermil in [1,1000] ($samplePermil)" +
+    require(samplePpm >= 1 && samplePpm <= 1000000L,
+      s"sampleJaccardStats: samplePpm in [1,1000000] ($samplePpm)" +
         " — derive it from the measured corpus count with" +
-        " Similarity.derivedSamplePermil so the probe stays bounded" +
+        " Similarity.derivedSamplePpm so the sample tracks the target" +
         " at any SF")
+    require(maxSampleDocs >= 2 && maxSampleDocs <= 5000,
+      s"sampleJaccardStats: maxSampleDocs in [2,5000]" +
+        s" ($maxSampleDocs) — the probe collects ~maxSampleDocs^2/2" +
+        " pair Jaccards on the driver")
+    val h = TextAnalysis.tokenHash31(col(idCol).cast("string"))
     val sample = df
-      .filter(TextAnalysis.tokenHash31(col(idCol).cast("string"))
-        % 1000L < samplePermil)
+      .filter(h % 1000000L < samplePpm)
+      // deterministic hash-ordered cap — the ABSOLUTE bound on the
+      // quadratic probe (a rate floor alone lets the sample grow with
+      // the corpus once the clamp binds at 1 ppm); total order, so
+      // identical under any partitioning and SQL-replayable
+      .orderBy(h, col(idCol))
+      .limit(maxSampleDocs.toInt)
       .select(col(idCol), col(textCol))
     val nDocs = sample.count()
     require(nDocs >= 2, s"sampleJaccardStats: sample has $nDocs docs; " +
-      "raise samplePermil")
-    require(nDocs <= maxSampleDocs,
-      s"sampleJaccardStats: sample has $nDocs docs (> $maxSampleDocs); " +
-        "lower samplePermil (Similarity.derivedSamplePermil picks one " +
-        "from the measured count) — the probe is quadratic in the sample")
+      "raise samplePpm")
     val shared = jaccardPairs(sample, idCol, textCol, n, threshold = 1e-12)
       .select(col("jaccard"))
       .collect().map(_.getDouble(0)).sorted

@@ -197,47 +197,60 @@ object Similarity {
         (x, y) => (x >= 0L) === (y >= 0L)), b => b))
       .cast("long") * 1000L / size(qa)).cast("long")
 
-  /** Sample permil targeting ~`target` sampled rows out of `total` —
-    * integral and oracle-replayable (`least/greatest` arithmetic),
-    * clamped to [1,1000]. Callers derive the probe's sample rate from
-    * the MEASURED corpus count so the quadratic probe stays bounded at
-    * any SF; a fixed two-point rule aborts on a fixture past its
-    * threshold (the r11 ADVICE finding). The default target of 100
-    * sits 20x under the probes' 2000-row `maxSampleDocs` guard (ample
-    * hash-sampling-variance headroom) and keeps the quadratic pair
+  /** Sample rate in PARTS PER MILLION targeting ~`target` sampled
+    * rows out of `total` — integral and oracle-replayable
+    * (`least/greatest` arithmetic), clamped to [1, 1000000]. Callers
+    * derive the probe's rate from the MEASURED corpus count so the
+    * sample tracks the target at any SF. Granularity matters: the
+    * earlier per-MILLE rate floored at 1/1000, so past 1000·target
+    * rows the sample grew as total/1000 and re-hit the quadratic
+    * guard (the r12 ADVICE finding); per-million granularity holds
+    * the target out to 10^6·target rows, and beyond even that the
+    * probes' deterministic hash-ordered cap bounds the sample
+    * absolutely — "bounded at any SF" is structural, not a rate
+    * promise. The default target of 100 keeps the quadratic pair
     * count at ~5k — a p50/p95 estimate over thousands of pairs is
     * plenty for geometry derivation, and the probe's cost stays flat
     * as the corpus grows. */
-  def derivedSamplePermil(total: Long, target: Long = 100L): Int =
-    math.max(1L, math.min(1000L,
-      target * 1000L / math.max(total, 1L))).toInt
+  def derivedSamplePpm(total: Long, target: Long = 100L): Long =
+    math.max(1L, math.min(1000000L,
+      target * 1000000L / math.max(total, 1L)))
 
   /** Measured sign-agreement profile of a corpus sample — the
     * embedding-side twin of [[Dedup.sampleJaccardStats]]: hash-sampled
     * vectors (deterministic, replayable), ALL sample pairs' agreement
     * permils, and the quantiles [[SimilarityProfile.derive]] consumes.
-    * The probe is quadratic in the sample — `maxSampleDocs` guards it
-    * (same carve-out as the Jaccard probe; the full corpus never
-    * pairs). */
-  def sampleSignAgreeStats(emb: DataFrame, samplePermil: Int = 20,
+    * The probe is quadratic in the sample AND collects every pair's
+    * permil (~maxSampleDocs²/2 longs on the driver — 2000 docs is
+    * already ~2M), so the sample is bounded STRUCTURALLY: the ppm
+    * rate gate targets the sample size, and a deterministic
+    * hash-ordered top-`maxSampleDocs` cap bounds it absolutely even
+    * when the rate floor binds (the full corpus never pairs). */
+  def sampleSignAgreeStats(emb: DataFrame, samplePpm: Long = 20000,
       maxSampleDocs: Long = 2000, idCol: String = "vec_id",
       embCol: String = "embedding"): SignAgreeStats = {
-    require(samplePermil >= 1 && samplePermil <= 1000,
-      s"sampleSignAgreeStats: samplePermil in [1,1000] ($samplePermil)" +
+    require(samplePpm >= 1 && samplePpm <= 1000000L,
+      s"sampleSignAgreeStats: samplePpm in [1,1000000] ($samplePpm)" +
         " — derive it from the measured corpus count with" +
-        " derivedSamplePermil so the probe stays bounded at any SF")
+        " derivedSamplePpm so the sample tracks the target at any SF")
+    require(maxSampleDocs >= 2 && maxSampleDocs <= 5000,
+      s"sampleSignAgreeStats: maxSampleDocs in [2,5000]" +
+        s" ($maxSampleDocs) — the probe collects ~maxSampleDocs^2/2" +
+        " pair permils on the driver")
+    val h = TextAnalysis.tokenHash31(col(idCol).cast("string"))
     val sample = emb
-      .filter(TextAnalysis.tokenHash31(col(idCol).cast("string"))
-        % 1000L < samplePermil)
+      .filter(h % 1000000L < samplePpm)
+      // deterministic hash-ordered cap — the ABSOLUTE bound on the
+      // quadratic probe (a rate floor alone lets the sample grow with
+      // the corpus once the clamp binds at 1 ppm). Top-k by (hash, id)
+      // is a total order: identical under any partitioning, and an
+      // ORDER BY/LIMIT replays it exactly in SQL.
+      .orderBy(h, col(idCol))
+      .limit(maxSampleDocs.toInt)
       .select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
     val nVecs = sample.count()
     require(nVecs >= 2, s"sampleSignAgreeStats: sample has $nVecs " +
-      "vectors; raise samplePermil")
-    require(nVecs <= maxSampleDocs,
-      s"sampleSignAgreeStats: sample has $nVecs vectors (> " +
-        s"$maxSampleDocs); lower samplePermil (derivedSamplePermil " +
-        "picks one from the measured count) — the probe is " +
-        "quadratic in the sample")
+      "vectors; raise samplePpm")
     val a = sample.select(col("id").as("ia"), col("q").as("qa"))
     val b = sample.select(col("id").as("ib"), col("q").as("qb"))
     val agrees = a.join(b, col("ia") < col("ib"))

@@ -153,12 +153,13 @@ object DedupQueries {
           s" __i -> ($x))), (__a, __b) -> __a * __b)"
       val mh32 = (0 until 32).map(sqlMinhash).mkString(", ")
       s"""WITH tot AS (SELECT COUNT(*) AS n FROM documents),
-         |pm AS (SELECT least(1000, greatest(1,
-         |         (100 * 1000) // greatest(n, 1))) AS pm FROM tot),
+         |pm AS (SELECT least(1000000, greatest(1,
+         |         (100 * 1000000) // greatest(n, 1))) AS pm FROM tot),
          |samp AS (
          |  SELECT doc_id, $sqlToks AS toks
          |  FROM documents, pm
-         |  WHERE ${sqlH31("doc_id::VARCHAR")} % 1000 < pm.pm),
+         |  WHERE ${sqlH31("doc_id::VARCHAR")} % 1000000 < pm.pm
+         |  ORDER BY ${sqlH31("doc_id::VARCHAR")}, doc_id LIMIT 2000),
          |sn AS (SELECT COUNT(*)::BIGINT AS nd FROM samp),
          |sp AS (
          |  SELECT len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
@@ -218,11 +219,12 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // count-derived sample rate (targets ~100 sampled docs at ANY
-      // SF — the fixed two-point rule aborted past its threshold)
-      val permil = graft.ext.Similarity.derivedSamplePermil(docs.count())
+      // count-derived PPM sample rate (targets ~100 sampled docs at
+      // ANY SF; the hash-ordered cap inside the probe is the absolute
+      // backstop once the rate floor binds)
+      val ppm = graft.ext.Similarity.derivedSamplePpm(docs.count())
       val stats = Dedup.sampleJaccardStats(docs, "doc_id", "text",
-        n = 1, samplePermil = permil)
+        n = 1, samplePpm = ppm)
       val prof = graft.ext.DedupProfile.derive(k = 32, threshold = 0.95,
         backgroundJ = stats.p50J, minRecall = 0.65, maxBackground = 0.05)
       Dedup.minhashLshPairs(docs, "doc_id", "text", prof,
@@ -296,15 +298,16 @@ object DedupQueries {
         .select(col("id").as("doc_id"),
           explode(Dedup.bandKeyCols(2, 16)).as("band"))
         .withColumn("bucket", col("band") % 64L)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-band-store").resolve("bands").toString
+      // fixed per-fixture path + overwrite: a fresh temp dir per
+      // execution leaked one store copy per bench/verify pass
+      val dir = graft.Scratch.dir("band-store", d) + "/bands"
       // cluster by the partition column before the write: without it
       // every task writes a sliver of every bucket dir (tasks x buckets
       // tiny files — 2048 here, file-open overhead dominated the query);
       // clustered, each bucket is one file — the shape a 100 TB store
       // wants anyway (fewer, larger files per partition)
-      store.repartition(col("bucket")).write.partitionBy("bucket")
-        .parquet(dir)
+      store.repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(dir)
       val stored = s.read.schema(store.schema).parquet(dir)
       // PROBE side: the same token-index signature operators over ONLY
       // the probe slice (the scan prunes on the predicate first, so the

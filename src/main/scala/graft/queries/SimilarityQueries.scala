@@ -299,8 +299,8 @@ object SimilarityQueries {
         s"(1000 * len(list_filter(range(1, 65), " +
           s"i -> ($a.q[i] >= 0) = ($b.q[i] >= 0)))) // 64"
       s"""WITH tot AS (SELECT COUNT(*) AS n FROM embeddings),
-         |pm AS (SELECT least(1000, greatest(1,
-         |         (100 * 1000) // greatest(n, 1))) AS pm
+         |pm AS (SELECT least(1000000, greatest(1,
+         |         (100 * 1000000) // greatest(n, 1))) AS pm
          |       FROM tot),
          |src AS (
          |  SELECT vec_id,
@@ -314,7 +314,8 @@ object SimilarityQueries {
          |e AS (SELECT vec_id, ${sqlQ("emb")} AS q FROM src),
          |samp AS (
          |  SELECT vec_id, q FROM e, pm
-         |  WHERE ${sqlH31("vec_id::VARCHAR")} % 1000 < pm.pm),
+         |  WHERE ${sqlH31("vec_id::VARCHAR")} % 1000000 < pm.pm
+         |  ORDER BY ${sqlH31("vec_id::VARCHAR")}, vec_id LIMIT 2000),
          |sn AS (SELECT COUNT(*)::BIGINT AS nv FROM samp),
          |sp AS (
          |  SELECT ${agree("a", "b")} AS ap
@@ -363,9 +364,10 @@ object SimilarityQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      // count-derived sample rate (targets ~100 sampled vectors at
-      // ANY SF — the fixed two-point rule aborted past its threshold)
-      val pmil = Similarity.derivedSamplePermil(emb.count())
+      // count-derived PPM sample rate (targets ~100 sampled vectors at
+      // ANY SF; the hash-ordered cap inside the probe is the absolute
+      // backstop once the rate floor binds)
+      val ppm = Similarity.derivedSamplePpm(emb.count())
       val par = col("vec_id") % 2
       val planted = transform(sequence(lit(0), lit(63)),
         i => when((i + par) % 7 === 0, lit(-0.5d)).otherwise(lit(0.5d)))
@@ -374,7 +376,7 @@ object SimilarityQueries {
           .otherwise(transform(col("embedding"), x => x.cast("double")))
           .as("embedding"))
       val stats = Similarity.sampleSignAgreeStats(src,
-        samplePermil = pmil)
+        samplePpm = ppm)
       val prof = graft.ext.SimilarityProfile.derive(kBits = 64,
         thresholdPermil = 900, backgroundPermil = stats.p50Permil,
         minRecall = 0.9, maxBackground = 0.05)
@@ -615,9 +617,11 @@ object SimilarityQueries {
     QueryDef("ann_ivfpq_store", sqlIvfPqMultiOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val model = Similarity.ivfPqBuild(emb)
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-store")
-        .resolve("codes").toString
-      model.codes.write.partitionBy("cluster_id").parquet(dir)
+      // fixed per-fixture path + overwrite: a fresh temp dir per
+      // execution leaked one store copy per bench/verify pass
+      val dir = graft.Scratch.dir("ivfpq-store", d) + "/codes"
+      model.codes.write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(dir)
       // explicit schema keeps cluster_id LongType (partition-dir value
       // inference would int-ify it) and preserves the build's column order
       val stored = s.read.schema(model.codes.schema).parquet(dir)

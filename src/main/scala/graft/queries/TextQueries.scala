@@ -1268,14 +1268,15 @@ object TextQueries {
          |SELECT doc_id, n_feat, weight FROM wts
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft-dsir-store")
-        .resolve("counts").toString
+      // fixed per-fixture path + overwrite: a fresh temp dir per
+      // execution leaked one store copy per bench/verify pass
+      val dir = graft.Scratch.dir("dsir-store", d) + "/counts"
       docs.withColumn("batch_id", (col("doc_id") % 2).cast("long"))
         .select(col("batch_id"),
           explode(TextAnalysis.dsirFeatures(col("text"), 256)).as("f"))
         .groupBy("batch_id", "f").agg(count(lit(1)).as("cnt"))
         .select("f", "cnt", "batch_id")
-        .write.partitionBy("batch_id").parquet(dir)
+        .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
       TextAnalysis.dsirScoreAgainstCounts(docs,
           graft.streaming.DsirStream.readCounts(s, dir),
           docs.filter(col("source").isin("src0", "src1")),

@@ -563,9 +563,13 @@ object CorpusStream {
     *
     * Replay safety (the band-store contract): the history read
     * EXCLUDES rows of the current `batch_id` (a crashed attempt's
-    * appended keys are not history), appended keys are anti-joined
-    * against history (the store holds each span key once), and the
-    * cleaned output is a `batch_id` dynamic partition overwrite. Store
+    * written keys are not history), appended keys are anti-joined
+    * against history (the store holds each span key once), and BOTH
+    * writes — the cleaned output and the span keys — are `batch_id`
+    * dynamic partition overwrites, so a re-run of the same batch
+    * replaces its own partition instead of appending a second copy of
+    * its keys (a plain append would double every key of a crashed
+    * attempt; replayed-batch idempotency is spec-pinned). Store
     * growth is the number of DISTINCT spans — the corpus's novel-text
     * volume, not its raw volume. */
   def spanDedupBatches(docs: DataFrame, spanStoreDir: String,
@@ -576,32 +580,47 @@ object CorpusStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val conf = spark.sparkContext.hadoopConfiguration
-        val store = new org.apache.hadoop.fs.Path(spanStoreDir)
-        val fs = store.getFileSystem(conf)
-        val batchKeys = graft.ext.Dedup
-          .spanKeys(batch, idCol, textCol, spanSents)
-          .select("h1", "h2").distinct()
-        val hist =
-          if (fs.exists(store)) spark.read.parquet(spanStoreDir)
-            .filter(col("batch_id") =!= batchId)
-            .select("h1", "h2")
-          else batchKeys.limit(0)
-        graft.ext.Dedup
-          .spanDedupAgainst(batch, idCol, textCol, hist, spanSents)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(storeDir)
-        batchKeys
-          .join(hist.distinct(), Seq("h1", "h2"), "left_anti")
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(spanStoreDir)
-        ()
+        spanDedupBatch(batch, batchId, spanStoreDir, storeDir,
+          idCol, textCol, spanSents)
       }
       .start()
+
+  /** One [[spanDedupBatches]] micro-batch — package-visible so the
+    * crash-replay contract (same `batchId` re-run leaves both stores
+    * byte-identical) is directly testable without faking a checkpoint
+    * crash. */
+  private[graft] def spanDedupBatch(batch: DataFrame, batchId: Long,
+      spanStoreDir: String, storeDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      spanSents: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val store = new org.apache.hadoop.fs.Path(spanStoreDir)
+    val fs = store.getFileSystem(conf)
+    val batchKeys = graft.ext.Dedup
+      .spanKeys(batch, idCol, textCol, spanSents)
+      .select("h1", "h2").distinct()
+    val hist =
+      if (fs.exists(store)) spark.read.parquet(spanStoreDir)
+        .filter(col("batch_id") =!= batchId)
+        .select("h1", "h2")
+      else batchKeys.limit(0)
+    graft.ext.Dedup
+      .spanDedupAgainst(batch, idCol, textCol, hist, spanSents)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+    batchKeys
+      .join(hist.distinct(), Seq("h1", "h2"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(spanStoreDir)
+    ()
+  }
 
   final case class DomainSpent(cum: Long)
   final case class BudgetDoc(doc_id: Long, domain: String, cost: Long,

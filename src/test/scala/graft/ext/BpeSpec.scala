@@ -213,6 +213,31 @@ class BpeSpec extends SparkSpec {
       scaled.queryExecution.executedPlan.toString)
   }
 
+  test("encodeScalable propagates nulls exactly like the literal-" +
+    "replace encode: null text -> null tokens, null id rides through") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "ab ab"), Row(2L, null), Row(null, "ab c")),
+      StructType(Seq(StructField("doc_id", LongType, nullable = true),
+        StructField("text", StringType, nullable = true))))
+    val merges = Seq(Bpe.Merge(1, "a", "b", 5L))
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map { r =>
+        (Option(r.get(0)).map(_.toString.toLong),
+          Option(r.get(1))
+            .map(_.asInstanceOf[scala.collection.Seq[String]].toList))
+      }.toSet
+    val ref = norm(Bpe.encode(df, "doc_id", "text", merges))
+    val scaled = norm(Bpe.encodeScalable(df, "doc_id", "text", merges))
+    assert(scaled == ref)
+    assert(scaled.contains((Some(2L), None)), // null text -> null tokens
+      scaled.toString)
+    assert(scaled.contains((None, Some(List("ab", "c")))), // null id rides
+      scaled.toString)
+  }
+
   test("encodeWord refuses a production-size merge table, naming the " +
     "scale twin; encodeScalable takes it without building a k-deep plan") {
     val big = (1 to 5000).map(i => Bpe.Merge(i, s"x$i", s"y$i", 1L))

@@ -232,7 +232,7 @@ class DedupSpec extends SparkSpec {
     "hand-tuned geometry") {
     val stats = Dedup.sampleJaccardStats(
       graft.Tables.documents(spark, sfDir).filter(col("lang") === "en"),
-      "doc_id", "text", samplePermil = 150)
+      "doc_id", "text", samplePpm = 150000L)
     // typical (median) pair similarity is the documented high fixture
     // background (40-word vocab); the p95 tail holds the planted dups
     assert(stats.p50J > 0.5 && stats.p50J < 0.9, stats.toString)

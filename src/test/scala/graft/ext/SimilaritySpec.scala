@@ -163,25 +163,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("derivedSamplePermil keeps the quadratic probe bounded at ANY " +
-    "corpus size: clamped integral rate, and a 40k-row frame samples " +
-    "under the guard instead of aborting") {
-    assert(Similarity.derivedSamplePermil(50) == 1000) // small: take all
-    assert(Similarity.derivedSamplePermil(500) == 200)
-    assert(Similarity.derivedSamplePermil(1000) == 100)
-    assert(Similarity.derivedSamplePermil(5000) == 20) // == the old rule
-    assert(Similarity.derivedSamplePermil(100000) == 1)
-    assert(Similarity.derivedSamplePermil(100000000) == 1) // floor 1
-    assert(Similarity.derivedSamplePermil(0) == 1000) // degenerate
+  test("derivedSamplePpm keeps the quadratic probe bounded at ANY " +
+    "corpus size: per-million rate tracks the target where the old " +
+    "per-mille rate floored, and the hash-ordered cap bounds the " +
+    "sample absolutely once even the ppm floor binds") {
+    assert(Similarity.derivedSamplePpm(50) == 1000000L) // small: take all
+    assert(Similarity.derivedSamplePpm(500) == 200000L)
+    assert(Similarity.derivedSamplePpm(5000) == 20000L) // == the old rule
+    assert(Similarity.derivedSamplePpm(100000) == 1000L)
+    // the r12 ADVICE case: past target*1000 docs the per-MILLE rate
+    // floored at 1/1000 and the sample grew as total/1000; per-million
+    // still tracks the ~100-doc target here
+    assert(Similarity.derivedSamplePpm(100000000) == 1L)
+    assert(Similarity.derivedSamplePpm(Long.MaxValue / 2) == 1L) // floor
+    assert(Similarity.derivedSamplePpm(0) == 1000000L) // degenerate
     // a frame 40x past the old two-point rule's threshold: the derived
-    // rate lands the sample near the 1000 target, inside maxSampleDocs
+    // rate lands the sample near the 100 target, inside maxSampleDocs
     val big = spark.range(40000).selectExpr("id AS vec_id",
       "transform(sequence(0, 7), i -> CASE WHEN (id + i) % 3 = 0 " +
         "THEN -0.5D ELSE 0.5D END) AS embedding")
-    val p = Similarity.derivedSamplePermil(40000)
-    assert(p == 2)
-    val stats = Similarity.sampleSignAgreeStats(big, samplePermil = p)
+    val p = Similarity.derivedSamplePpm(40000)
+    assert(p == 2500L)
+    val stats = Similarity.sampleSignAgreeStats(big, samplePpm = p)
     assert(stats.nVecs >= 2 && stats.nVecs <= 2000, stats.toString)
+    // floor-bound simulation: rate 1000000 (everything passes the rate
+    // gate, as when the 1-ppm floor binds on a huge corpus) — the
+    // deterministic cap holds the probe at maxSampleDocs instead of
+    // aborting, and the capped set is partition-independent
+    val capped = Similarity.sampleSignAgreeStats(big,
+      samplePpm = 1000000L, maxSampleDocs = 50)
+    assert(capped.nVecs == 50 && capped.nPairs == 50L * 49 / 2,
+      capped.toString)
+    val cappedRepart = Similarity.sampleSignAgreeStats(
+      big.repartition(7), samplePpm = 1000000L, maxSampleDocs = 50)
+    assert(cappedRepart == capped)
   }
 
   test("sampleSignAgreeStats + bandedPairsAgree: measured quantiles " +
@@ -196,7 +211,7 @@ class SimilaritySpec extends SparkSpec {
     val d = vec(_ => -0.5)
     val df = Seq((0L, a), (1L, b), (2L, c), (3L, d))
       .toDF("vec_id", "embedding")
-    val stats = Similarity.sampleSignAgreeStats(df, samplePermil = 1000)
+    val stats = Similarity.sampleSignAgreeStats(df, samplePpm = 1000000L)
     assert(stats.nVecs == 4 && stats.nPairs == 6)
     // pairs: ab=1000, ac=500, ad=0, bc=500, bd=0, cd=500
     // sorted: 0,0,500,500,500,1000 -> p50 idx=min(5,3-1)=2 -> 500

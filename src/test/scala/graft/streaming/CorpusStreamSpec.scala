@@ -639,6 +639,35 @@ class CorpusStreamSpec extends SparkSpec {
     assert(keys.length == keys.distinct.length)
   }
 
+  test("streaming C4 span dedup: re-running a micro-batch under the " +
+    "same batch_id (crash replay) leaves both stores byte-identical — " +
+    "the span store holds each key once") {
+    val root = java.nio.file.Files.createTempDirectory("span-replay")
+    val spanStore = root.resolve("spans").toString
+    val store = root.resolve("clean").toString
+    val b1 = Seq((1L, "a1. b1. c1. d1."), (2L, "x1. b1. c1. d1."))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "z. b1. c1. d1."), (5L, "n1. n2. n3. tail."))
+      .toDF("doc_id", "text")
+    CorpusStream.spanDedupBatch(b1, 0L, spanStore, store)
+    CorpusStream.spanDedupBatch(b2, 1L, spanStore, store)
+    def snap() = (
+      spark.read.parquet(spanStore).select("h1", "h2")
+        .as[(Long, Long)].collect().sorted.toSeq,
+      spark.read.parquet(store).select("doc_id", "kept_text")
+        .as[(Long, String)].collect().sorted.toSeq)
+    val before = snap()
+    // crash between the span-key write and the checkpoint commit:
+    // batch 1 re-runs under its old batch_id. A mode(append) key write
+    // would duplicate every batch-1 key here (the history read excludes
+    // the current batch_id, so the anti-join cannot see the first
+    // attempt); the dynamic partition overwrite replaces the partition.
+    CorpusStream.spanDedupBatch(b2, 1L, spanStore, store)
+    assert(snap() == before)
+    assert(before._1.length == before._1.distinct.length,
+      "span store must hold each (h1, h2) key exactly once")
+  }
+
   test("streaming per-domain TOKEN budget: inclusive running cost " +
     "continues across batches, an over-budget doc blocks everything " +
     "after it in its domain, and the cut equals the batch window") {
