@@ -462,4 +462,162 @@ object Bpe {
     df.select(explode(pretokenize(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  // ------------------------------------------------------------------
+  // BYTE-LEVEL alphabet (GPT-2/Llama parity). Code-point symbols make
+  // the base alphabet unbounded (every distinct character ever seen)
+  // and the merge tables non-interchangeable with production
+  // byte-level tokenizers. GPT-2 instead maps each UTF-8 BYTE to one
+  // visible unicode character through a fixed 256-entry bijection
+  // (Radford et al. 2019, encoder.py `bytes_to_unicode`, public):
+  // printable latin-1 bytes map to themselves; the 68 others (0x00-
+  // 0x20, 0x7F-0xA0, 0xAD) shift to U+0100+n in byte order — 0x20
+  // lands on U+0120, the "G-dot" [[pretokenize]] already plants. On
+  // the mapped form every symbol is ONE BMP char, the base alphabet is
+  // bounded at 256, delimiters never collide (no raw space survives),
+  // and the map is lossless on ARBITRARY bytes — invalid UTF-8
+  // included — because it never interprets them.
+  // ------------------------------------------------------------------
+
+  /** The fixed byte -> unicode-code-point bijection. */
+  val ByteToUnicode: Array[Int] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Int](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = b
+      else { out(b) = 256 + n; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Inverse table (code point -> byte value). */
+  val UnicodeToByte: Map[Int, Int] =
+    ByteToUnicode.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  // the 68 remapped bytes as parallel translate() alphabets; every
+  // entry is a single BMP char, so Column translate is exact
+  private val byteLevelFrom: String =
+    (0 until 256).filter(b => ByteToUnicode(b) != b)
+      .map(_.toChar).mkString
+  private val byteLevelTo: String =
+    (0 until 256).filter(b => ByteToUnicode(b) != b)
+      .map(b => ByteToUnicode(b).toChar).mkString
+
+  /** Byte-level map of a string column: UTF-8 bytes, each rendered as
+    * its [[ByteToUnicode]] char. One codegen'd expression — the
+    * `encode`/`decode('ISO-8859-1')` hop reinterprets each byte as the
+    * latin-1 char of the same value (a bijection on 0x00-0xFF), and a
+    * single `translate` shifts the 68 non-printable bytes; printable
+    * bytes already map to themselves. */
+  def byteLevel(text: Column): Column = {
+    // functions.encode, qualified: Bpe.encode (the document encoder)
+    // shadows it inside this object
+    val F = org.apache.spark.sql.functions
+    translate(F.decode(F.encode(text, "UTF-8"), "ISO-8859-1"),
+      byteLevelFrom, byteLevelTo)
+  }
+
+  /** Decode-side inversion of [[byteLevel]] — shifts the remapped
+    * chars back, reinterprets the latin-1 chars as bytes, decodes
+    * UTF-8. `byteLevelInvert(byteLevel(s)) = s` for every string
+    * (lossless round-trip is spec-pinned on emoji/CJK/control
+    * bytes). */
+  def byteLevelInvert(mapped: Column): Column = {
+    val F = org.apache.spark.sql.functions
+    F.decode(F.encode(translate(mapped, byteLevelTo, byteLevelFrom),
+      "ISO-8859-1"), "UTF-8")
+  }
+
+  /** Local twin of [[byteLevel]] over raw bytes — total on ARBITRARY
+    * byte arrays (invalid UTF-8 included), which is where byte-level
+    * beats code-point-level: the map never decodes. */
+  def byteMapLocal(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(ByteToUnicode(bytes(i) & 0xff).toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Local inverse of [[byteMapLocal]]. */
+  def byteUnmapLocal(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      out(i) = UnicodeToByte(s.charAt(i).toInt).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** GPT-2-style pretokens in BYTE-LEVEL form: the [[PretokPattern]]
+    * scan, then each pretoken byte-mapped — subsumes [[pretokenize]]'s
+    * U+0120 space marker (0x20's table entry IS U+0120). Map-only. */
+  def pretokenizeBytes(text: Column): Column =
+    transform(
+      regexp_extract_all(text, lit(PretokPattern), lit(0)),
+      t => byteLevel(t))
+
+  /** Word-frequency table over byte-level pretokens — the GPT-2-parity
+    * front end for [[train]] / [[trainLocal]]: merge tables learned on
+    * this surface speak the same 256-symbol base alphabet as
+    * production byte-level tokenizers. Same one-pass corpus shape as
+    * [[wordFreq]]. */
+  def wordFreqBytes(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(pretokenizeBytes(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Byte-level document encode, reference form: byte-level pretokens
+    * each run through the rank-order literal-replace chain (pretokens
+    * are already mapped, so [[encodeWord]]'s per-code-point delimit is
+    * per-BYTE here). SQL-replayable; for production vocab sizes use
+    * [[encodeBytesScalable]]. */
+  def encodeBytes(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    df.select(col(idCol),
+      flatten(transform(
+        filter(pretokenizeBytes(col(textCol)), w => length(w) > 0),
+        w => encodeWord(w, merges))).as("tokens"))
+
+  /** Byte-level document encode at PRODUCTION vocab size — the
+    * [[encodeScalable]] twin for the byte-level surface: one map-only
+    * `mapPartitions` pass; per row, java-regex pretokenization (the
+    * same engine `regexp_extract_all` runs on, so pretokens match the
+    * column path exactly), [[byteMapLocal]] over each pretoken's UTF-8
+    * bytes, then the broadcast pair->rank encode. Token-for-token
+    * equal to [[encodeBytes]] (differential-tested) including null
+    * semantics (null text -> null tokens, null id rides through). */
+  def encodeBytesScalable(df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(mergeIndex(merges))
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Option[Long], String)]
+      .mapPartitions { it =>
+        val idx = bc.value
+        val pretok = java.util.regex.Pattern.compile(PretokPattern)
+        it.map { case (id, text) =>
+          if (text == null) (id, null)
+          else {
+            val out = Seq.newBuilder[String]
+            val m = pretok.matcher(text)
+            while (m.find()) {
+              val w = byteMapLocal(m.group().getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              if (w.nonEmpty) out ++= encodeWordLocal(w, idx)
+            }
+            (id, out.result())
+          }
+        }
+      }
+      .toDF(idCol, "tokens")
+  }
 }

@@ -64,6 +64,41 @@ object BpeQueries {
     * symbols feed later merges (rank 12 fuses "jo"+"in"). */
   private val K = 12
 
+  /** GPT-2's byte-to-unicode table as a DuckDB mapping CTE: printable
+    * latin-1 bytes map to themselves, the 68 others shift to 256+n in
+    * byte order (the inclusive running count supplies n+1, hence
+    * 255+). `bl` collects the 256 mapped CHARS as one list so the
+    * per-word lambda can index it. */
+  private val sqlByteMapCtes: String =
+    """bmap AS MATERIALIZED (
+      |  SELECT b, CASE WHEN pr THEN b
+      |    ELSE 255 + SUM(CASE WHEN pr THEN 0 ELSE 1 END)
+      |      OVER (ORDER BY b) END AS m
+      |  FROM (SELECT range AS b,
+      |      (range BETWEEN 33 AND 126) OR (range BETWEEN 161 AND 172)
+      |        OR (range BETWEEN 174 AND 255) AS pr
+      |    FROM range(256))),
+      |bl AS MATERIALIZED (
+      |  SELECT list(chr(m::INT) ORDER BY b) AS l FROM bmap)"""
+      .stripMargin
+
+  /** Byte-level map of one string expression `s` under the `bl` list:
+    * UTF-8 bytes via `hex(encode(..))` split into 2-char chunks, each
+    * indexed into the 256-entry mapped-char list (1-based: byte+1). */
+  private def sqlByteMap(s: String): String =
+    "array_to_string(list_transform(" +
+      s"regexp_extract_all(hex(encode($s)), '..')," +
+      " h -> l[(strpos('0123456789ABCDEF', h[1:1]) - 1) * 16" +
+      " + strpos('0123456789ABCDEF', h[2:2])]), '')"
+
+  /** Byte-level pretokens: the [[sqlPretok]] regex scan, each pretoken
+    * byte-mapped (subsumes the U+0120 marker — 0x20's entry IS 288). */
+  private val sqlPretokBytes: String =
+    "unnest(list_transform(regexp_extract_all(text," +
+      " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
+      " ?[^\\s\\p{L}\\p{N}]+|\\s+')," +
+      s" t -> ${sqlByteMap("t")}))"
+
   /** The GPT-2-family pretokenizer as DuckDB SQL: same RE2-safe
     * pattern as [[graft.ext.Bpe.PretokPattern]] (the `'` doubled for
     * the SQL literal), then the byte-level space marker U+0120
@@ -286,6 +321,62 @@ FROM enc ORDER BY doc_id""") { (s, d) =>
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_tokens"),
           concat_ws("|", slice(col("tokens"), 1, 5)).as("head_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // BYTE-LEVEL alphabet (GPT-2/Llama parity): train over byte-level
+    // pretokens — every initial symbol is ONE mapped UTF-8 byte
+    // through GPT-2's fixed 256-entry bijection, so the base alphabet
+    // is bounded and the merge table is interchangeable with
+    // production byte-level tokenizers. The oracle replays the
+    // MAPPING ITSELF as a 256-row CTE (running-count construction of
+    // the shifted region, hex-chunk byte extraction, list indexing)
+    // ahead of the same 12-stage train chain — a wrong table entry,
+    // a wrong byte split, or a code-point-level symbol anywhere flips
+    // the merge sequence and the hash.
+    QueryDef("text_bpe_bytelevel",
+      "WITH " + sqlByteMapCtes + ",\n" +
+        sqlTrainCtes(K, ", bl WHERE source = 'src0'",
+          wordExpr = sqlPretokBytes) + "\nSELECT * FROM (\n" +
+        (1 to K).map(i =>
+          s"  SELECT $i AS merge_rank, a AS lhs, b AS rhs, f AS freq" +
+            s" FROM m$i").mkString(" UNION ALL\n") +
+        "\n) ORDER BY merge_rank") { (s, d) =>
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreqBytes(
+          Tables.documents(s, d).filter(col("source") === "src0"),
+          "text"), K)
+      Bpe.mergeTable(s, merges).orderBy("merge_rank")
+    },
+
+    // Byte-level LOSSLESSNESS, graded per document: n_bytes is the
+    // cross-engine content check (one mapped char per UTF-8 byte, so
+    // Spark's length(byteLevel(text)) must equal DuckDB's
+    // octet_length(encode(text)) — any mapping that drops, doubles or
+    // decodes a byte breaks the equality), head_mapped replays the
+    // mapped PREFIX through the mapping CTE character for character,
+    // and roundtrip_ok is computed FOR REAL on the Spark side
+    // (byteLevelInvert(byteLevel(text)) = text) against the oracle's
+    // literal TRUE — the lossless contract stated as data: any
+    // non-invertible byte flips the row to false and the hash with it.
+    QueryDef("text_bpe_byte_roundtrip",
+      "WITH " + sqlByteMapCtes + s""",
+mt AS (
+  SELECT doc_id, text, ${sqlByteMap("text")} AS mapped
+  FROM documents, bl)
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  substr(mapped, 1, 24) AS head_mapped,
+  TRUE AS roundtrip_ok
+FROM mt ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          Bpe.byteLevel(col("text")).as("mapped"))
+        .select(col("doc_id"),
+          length(col("mapped")).cast("long").as("n_bytes"),
+          substring(col("mapped"), 1, 24).as("head_mapped"),
+          (Bpe.byteLevelInvert(col("mapped")) === col("text"))
+            .as("roundtrip_ok"))
         .orderBy("doc_id")
     }
   )

@@ -33,7 +33,7 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.rank, m.left, m.right, m.freq)) ==
       Seq((1, "a", "b", 5L), (2, "a", "ab", 3L)))
     // only 2 merges learnable: third iteration finds single-symbol
-    // words only ("aab" -> [a·ab] -> [aab], "ab" -> [ab]) and stops
+    // words only ("aab" -> [a\u00b7ab] -> [aab], "ab" -> [ab]) and stops
     assert(merges.size == 2)
   }
 
@@ -100,7 +100,7 @@ class BpeSpec extends SparkSpec {
     "concatenate back to the word and characters are conserved, for " +
     "merges trained on the same distribution (incl. repeated-char runs)") {
     // deterministic LCG over a tiny alphabet -> dense pair overlap,
-    // repeated runs, shared prefixes/suffixes — the shapes that broke
+    // repeated runs, shared prefixes/suffixes \u2014 the shapes that broke
     // naive delimiter encodings
     var x = 12345L
     def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x >>> 33 }
@@ -168,7 +168,7 @@ class BpeSpec extends SparkSpec {
   }
 
   test("trainLocal CONTINUATION: training k merges in one run equals " +
-    "training j then extending with k-j from the shipped table — ranks " +
+    "training j then extending with k-j from the shipped table \u2014 ranks " +
     "continue, vocab rewritten under the initial merges first") {
     val wf = lcgWords(500).toDF("word")
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -275,12 +275,12 @@ class BpeSpec extends SparkSpec {
     assert(got(1L) == Seq("aab", "ab", "b"))
   }
 
-  // Fixed checked-in merge table + hand-computed encodings — the
+  // Fixed checked-in merge table + hand-computed encodings \u2014 the
   // tokenizer-apply fidelity audit. Every expected array below was
   // derived BY HAND from the rank-order semantics (each merge is one
   // greedy left-to-right non-overlapping pass, ranks ascending, a
   // passed rank never revisited). Rank 1 (x+est) can only ever fire if
-  // "est" already exists, which ranks 2-3 create LATER — the documented
+  // "est" already exists, which ranks 2-3 create LATER \u2014 the documented
   // rank-order vs iterate-lowest-rank divergence class.
   private val fidelityMerges = Seq(
     Bpe.Merge(1, "x", "est", 0L), Bpe.Merge(2, "e", "s", 0L),
@@ -325,7 +325,7 @@ class BpeSpec extends SparkSpec {
     "a" -> Seq("a"))
 
   test("tokenizer-apply fidelity: 30 hand-computed vectors under a " +
-    "fixed merge table — BOTH encoders match, including the rank-order " +
+    "fixed merge table \u2014 BOTH encoders match, including the rank-order " +
     "vs iterate-lowest-rank divergence words") {
     val df = fidelityVectors.map(_._1).toDF("word")
     val viaChain = df.select(col("word"),
@@ -374,6 +374,103 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(wf == Map("it" -> 1L, "'s" -> 2L, "\u0120it" -> 1L,
       "\u0120nice" -> 1L))
+  }
+
+  // ------------------------------------------------------------------
+  // Byte-level alphabet (GPT-2 parity)
+  // ------------------------------------------------------------------
+
+  test("ByteToUnicode is GPT-2's fixed bijection: printable identity, " +
+    "68 bytes shifted in byte order, space lands on U+0120, base " +
+    "alphabet bounded at 256 symbols") {
+    assert(Bpe.ByteToUnicode.length == 256)
+    assert(Bpe.ByteToUnicode.distinct.length == 256) // bijection
+    assert(Bpe.ByteToUnicode(' '.toInt) == 0x120) // the G-dot marker
+    assert(Bpe.ByteToUnicode(0) == 256) // first shifted byte
+    assert(Bpe.ByteToUnicode(0x7f) == 256 + 33) // DEL follows 0x00-0x20
+    assert(Bpe.ByteToUnicode(0xad) == 323) // soft hyphen, last shift
+    assert(Bpe.ByteToUnicode('!'.toInt) == '!'.toInt) // printable id
+    assert(Bpe.ByteToUnicode(0xff) == 0xff)
+    assert(Bpe.ByteToUnicode.max == 323) // bounded alphabet
+    (0 until 256).foreach { b =>
+      assert(Bpe.UnicodeToByte(Bpe.ByteToUnicode(b)) == b)
+    }
+  }
+
+  test("byte-level map is lossless on ARBITRARY bytes (invalid UTF-8 " +
+    "included) via the local twins, and Column map/invert round-trips " +
+    "emoji/CJK/control strings and matches the local twin exactly") {
+    // hostile raw bytes \u2014 mostly NOT valid UTF-8; the map never
+    // decodes, so it must round-trip regardless
+    var s = 12345L
+    (1 to 50).foreach { i =>
+      val bytes = Array.fill(i % 17 + 1) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 33).toByte
+      }
+      val mapped = Bpe.byteMapLocal(bytes)
+      assert(mapped.length == bytes.length) // one char per byte
+      assert(Bpe.byteUnmapLocal(mapped).toSeq == bytes.toSeq)
+    }
+    // Column path: emoji (4-byte UTF-8), CJK (3-byte), accents
+    // (2-byte), combining marks, controls, NBSP/soft hyphen
+    val texts = Seq("hello world", "caf\u00e9 \u4e2d\u6587",
+      "\ud83d\ude00 ok", "a\tb\nc", "\u00a0\u00ad",
+      "mixed \ud83c\udf09\u4e2d e\u0301")
+    val got = texts.toDF("t").select(col("t"),
+        Bpe.byteLevel(col("t")).as("m"),
+        Bpe.byteLevelInvert(Bpe.byteLevel(col("t"))).as("rt"))
+      .as[(String, String, String)].collect()
+    got.foreach { case (t, m, rt) =>
+      assert(rt == t, s"round trip of '$t'")
+      assert(m == Bpe.byteMapLocal(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8)), s"'$t'")
+      assert(!m.contains(' '), "mapped form is delimiter-free")
+    }
+  }
+
+  test("byte-level train + encode: initial symbols are single mapped " +
+    "bytes, multi-byte chars merge from bytes, the scalable encoder " +
+    "is the literal-chain twin incl. nulls, and tokens invert to the " +
+    "original document bytes") {
+    val docs = Seq(
+      (1L, "caf\u00e9 caf\u00e9 \u4e2d\u6587 ok"),
+      (2L, "caf\u00e9 au lait \u4e2d"),
+      (3L, "\ud83d\ude00 caf\u00e9")).toDF("doc_id", "text")
+    val wf = Bpe.wordFreqBytes(docs, "text")
+    val syms = wf.as[(String, Long)].collect()
+      .flatMap(w => Bpe.splitCodePoints(w._1))
+    assert(syms.forall(sym =>
+      sym.length == 1 && Bpe.UnicodeToByte.contains(sym.head.toInt)),
+      syms.mkString(","))
+    val merges = Bpe.trainLocal(wf, 8)
+    assert(merges.nonEmpty)
+    val ref = Bpe.encodeBytes(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val scaled = Bpe.encodeBytesScalable(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(scaled == ref)
+    // decode side: pretokens tile the text, so the token stream
+    // reassembles the byte-mapped form; inverting recovers the
+    // original UTF-8 bytes exactly
+    val originals = docs.as[(Long, String)].collect().toMap
+    ref.foreach { case (id, toks) =>
+      assert(Bpe.byteUnmapLocal(toks.mkString).toSeq ==
+        originals(id).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8).toSeq, s"doc $id")
+    }
+    // null semantics mirror encodeScalable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val withNulls = spark.createDataFrame(
+      java.util.Arrays.asList(Row(9L, null), Row(null, "ok")),
+      StructType(Seq(StructField("doc_id", LongType, nullable = true),
+        StructField("text", StringType, nullable = true))))
+    val nullGot = Bpe.encodeBytesScalable(withNulls, "doc_id", "text",
+        merges).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(nullGot.exists(p => p._1 == Some(9L) && p._2.isEmpty))
+    assert(nullGot.exists(p => p._1.isEmpty && p._2.nonEmpty))
   }
 
   test("merge table round-trips through parquet: the shipped artifact " +
