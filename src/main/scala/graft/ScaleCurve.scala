@@ -56,7 +56,9 @@ object ScaleCurve {
     "train_dpo_pairs" -> "documents",
     "dedup_band_store" -> "documents",
     "pipeline_bpe_scaled" -> "documents",
-    "text_bpe_pretok" -> "documents")
+    "text_bpe_pretok" -> "documents",
+    "text_bpe_bytelevel" -> "documents",
+    "pipeline_bpe_vocab8k" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
@@ -65,7 +67,7 @@ object ScaleCurve {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_CURVE_REPS", "3").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_CURVE_OUT",
-      "SCALECURVE_r12.json")
+      "SCALECURVE_r13.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -352,16 +352,37 @@ object Bpe {
     * without retraining the base vocabulary). */
   def trainLocal(words: DataFrame, numMerges: Int, minFreq: Long = 1L,
       maxVocabRows: Int = 20000000,
+      maxVocabBytes: Long = 4L << 30,
       initialMerges: Seq[Merge] = Nil): Seq[Merge] = {
     require(numMerges >= 1, s"Bpe.trainLocal: numMerges >= 1 ($numMerges)")
     require(minFreq >= 1L, s"Bpe.trainLocal: minFreq >= 1 ($minFreq)")
+    // guard BEFORE collecting, in the unit driver memory actually OOMs
+    // in: one vocab-table-scale aggregation (count + total chars —
+    // cheap next to the numMerges iterations that follow) bounds the
+    // estimated collected footprint. Row estimate: ~150 B/word (Row,
+    // symbol-array header, pair-map entries); char estimate:
+    // ~120 B/char (each char becomes a 1-char String symbol ~48 B
+    // plus its array slot and its share of pair-map keys) —
+    // deliberately conservative so a hostile LONG-WORD vocabulary
+    // (few rows, megabyte words) trips the cap the row count misses.
+    val st = words.agg(count(lit(1)), sum(length(col("word")))).head()
+    val nRows = st.getLong(0)
+    val nChars = if (st.isNullAt(1)) 0L else st.getLong(1)
+    require(nRows <= maxVocabRows,
+      s"Bpe.trainLocal: vocabulary has $nRows rows, exceeds " +
+        s"maxVocabRows=$maxVocabRows — Heaps' law says a real corpus " +
+        "vocab fits (10^6-10^8 rows); raise the cap or pre-filter " +
+        "rare words (minFreq upstream)")
+    val estBytes = nRows * 150L + nChars * 120L
+    require(estBytes <= maxVocabBytes,
+      s"Bpe.trainLocal: estimated driver footprint $estBytes B " +
+        s"($nRows words, $nChars chars) exceeds " +
+        s"maxVocabBytes=$maxVocabBytes — the collected vocab is " +
+        "driver state; raise the cap only with matching driver " +
+        "memory, or pre-filter rare words (minFreq upstream)")
     val rows = words.select(col("word").cast("string"),
         col("freq").cast("long"))
-      .limit(maxVocabRows + 1).collect()
-    require(rows.length <= maxVocabRows,
-      s"Bpe.trainLocal: vocabulary exceeds maxVocabRows=$maxVocabRows —" +
-        " Heaps' law says a real corpus vocab fits (10^6-10^8 rows);" +
-        " raise the cap or pre-filter rare words (minFreq upstream)")
+      .collect()
     val initIdx =
       if (initialMerges.isEmpty) Map.empty[(String, String), Array[Int]]
       else mergeIndex(initialMerges)

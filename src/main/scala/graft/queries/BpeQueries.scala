@@ -110,6 +110,30 @@ object BpeQueries {
       " ?[^\\s\\p{L}\\p{N}]+|\\s+')," +
       " t -> replace(t, ' ', chr(288))))"
 
+  /** Corpus-derived PRODUCTION-SIZE train surface: the fixture's
+    * 31-word vocabulary cannot feed thousands of merges, so every
+    * token gets a per-doc-bucket md5 suffix (128 buckets) — ~4k
+    * distinct word types whose hex tails supply the dense pair
+    * diversity of a Heaps-shaped vocabulary. Deterministic (md5 of
+    * token and bucket), map-only derivation. Returns the `(word,
+    * freq)` table and the salted corpus re-joined as text, so the
+    * encode legs run over exactly the surface the merges were
+    * learned on. */
+  def saltedCorpus(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val salted = Tables.documents(s, d).select(col("doc_id"),
+      transform(
+        filter(TextAnalysis.tokens(col("text")), t => length(t) > 0),
+        t => concat(t, lit("_"), substring(
+          md5(concat(t, lit(":"),
+            (col("doc_id") % 128).cast("string"))), 1, 8))).as("ws"))
+    val words = salted.select(explode(col("ws")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val docs2 = salted.select(col("doc_id"),
+      concat_ws(" ", col("ws")).as("text"))
+    (words, docs2)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // The learn loop itself, graded merge by merge: rank, the fused
@@ -378,6 +402,30 @@ FROM mt ORDER BY doc_id""") { (s, d) =>
           (Bpe.byteLevelInvert(col("mapped")) === col("text"))
             .as("roundtrip_ok"))
         .orderBy("doc_id")
+    },
+
+    // PRODUCTION-VOCAB TIMING DATAPOINT: the full trainLocal loop at
+    // 8192 merges over the [[saltedCorpus]] surface, then the SAME
+    // corpus encoded twice with encodeScalable — under the first 12
+    // merges and under all 8192 (`take(12)` IS the k=12 table: the
+    // continuation invariant is spec-pinned) — so the scaling curve
+    // carries a measured >=8k-merge point and DevBpeK can contrast
+    // encode wall-time in k. Correctness is rows-only (an 8192-stage
+    // DuckDB replay chain is not writable); the summary row's totals
+    // are exact integers, partition-independent, and self-consistent:
+    // more merges always compress further (n_tokens_kbig <
+    // n_tokens_k12 < n_chars).
+    QueryDef.noOracle("pipeline_bpe_vocab8k") { (s, d) =>
+      import s.implicits._
+      val (words, docs2) = saltedCorpus(s, d)
+      val big = Bpe.trainLocal(words, 8192)
+      def total(merges: Seq[Bpe.Merge]): Long =
+        Bpe.encodeScalable(docs2, "doc_id", "text", merges)
+          .agg(sum(size(col("tokens")))).head().getLong(0)
+      Seq((big.size.toLong, words.count(),
+          total(big.take(12)), total(big)))
+        .toDF("merges_learned", "vocab_rows", "n_tokens_k12",
+          "n_tokens_kbig")
     }
   )
 }

@@ -197,6 +197,22 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("maxVocabRows"))
   }
 
+  test("trainLocal guards driver BYTES, not just rows: a hostile " +
+    "long-word vocabulary under the row cap trips the byte cap " +
+    "before anything is collected") {
+    // 4 words x 500k chars: 4 rows (far under any row cap) but a
+    // ~240 MB estimated footprint at 120 B/char
+    val wf = (0 until 4).map(i => ("x" * 500000 + i.toString, 1L))
+      .toDF("word", "freq")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(wf, 1, maxVocabBytes = 64L << 20)
+    }
+    assert(e.getMessage.contains("maxVocabBytes"), e.getMessage)
+    // and a sane vocabulary passes both guards unchanged
+    val ok = Seq(("aab", 3L), ("ab", 2L)).toDF("word", "freq")
+    assert(Bpe.trainLocal(ok, 2, maxVocabBytes = 64L << 20).size == 2)
+  }
+
   test("encodeScalable is token-for-token identical to the literal-" +
     "replace encode over 500 adversarial words, and stays map-only") {
     val words = lcgWords(500)
