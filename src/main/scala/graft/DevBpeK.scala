@@ -61,8 +61,7 @@ object DevBpeK {
     println(f"[devbpek] encodeScalable over $nDocs docs: " +
       f"k=12 ${fm(small)} (med ${med(small)}%.2f s) | " +
       f"k=${big.size} ${fm(bigT)} (med ${med(bigT)}%.2f s, " +
-      f"${med(bigT) / med(small)}%.2fx \u2014 words now merge to " +
-      "completion: real compression work, not table-size cost) | " +
+      f"${med(bigT) / med(small)}%.2fx of k=12) | " +
       f"k=${padded.size} same-work control ${fm(padT)} " +
       f"(med ${med(padT)}%.2f s, ${med(padT) / med(bigT)}%.2fx of " +
       f"k=${big.size} \u2014 flat in table size)")

