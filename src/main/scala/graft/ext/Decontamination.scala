@@ -18,32 +18,41 @@ import org.apache.spark.sql.functions._
 object Decontamination {
 
   /** Double-hash probe positions of one shingle: `(h1 + i·h2) mod m`
-    * for i in [0, k), with `h1 = tokenHash31(s)` and
-    * `h2 = 2·tokenHash31(s ∥ '#') + 1` (odd, so with a power-of-two
-    * `m` the probe sequence walks distinct positions). All integral —
-    * a SQL oracle replays every position. */
+    * for i in [0, k), with `h1 = tokenHash31(salt ∥ s)` and
+    * `h2 = 2·tokenHash31(salt ∥ s ∥ '#') + 1` (odd, so with a
+    * power-of-two `m` the probe sequence walks distinct positions).
+    * All integral — a SQL oracle replays every position. The empty
+    * salt reproduces the unsalted probes bit for bit. */
   private def probeCols(shingle: org.apache.spark.sql.Column,
-      mBits: Int, k: Int) = {
-    val h1 = TextAnalysis.tokenHash31(shingle)
-    val h2 = TextAnalysis.tokenHash31(concat(shingle, lit("#"))) * 2 + 1
+      mBits: Int, k: Int, salt: String) = {
+    val s = concat(lit(salt), shingle)
+    val h1 = TextAnalysis.tokenHash31(s)
+    val h2 = TextAnalysis.tokenHash31(concat(s, lit("#"))) * 2 + 1
     (0 until k).map(i => (h1 + lit(i.toLong) * h2) % mBits)
   }
 
   /** Build the benchmark-side BLOOM BITMAP — the decontamination scale
     * path when the eval shingle set itself is too large to broadcast
     * as rows (billions of benchmark shingles across suites), or when
-    * the shingles should not ship VERBATIM to the corpus side (the
-    * bitmap carries only unsalted 31-bit hash positions — note this is
-    * obfuscation, NOT membership privacy: anyone holding a candidate
-    * shingle can test it by dictionary; if membership privacy is a
-    * real requirement, salt the probe hashes with a secret the corpus
-    * side never sees): `mBits` bits of bounded driver state, built with ONE
-    * distributed distinct-position pass and a ≤(mBits/32)-row collect
-    * (the model-state carve-out — the bitmap, not the shingles, is
-    * what ships to executors). Packed 32 bits per array slot so every
-    * value stays positive and `>>` is logical in any engine. */
+    * the shingles should not ship VERBATIM to the corpus side: `mBits`
+    * bits of bounded driver state, built with ONE distributed
+    * distinct-position pass and a ≤(mBits/32)-row collect (the
+    * model-state carve-out — the bitmap, not the shingles, is what
+    * ships to executors). Packed 32 bits per array slot so every
+    * value stays positive and `>>` is logical in any engine.
+    *
+    * Privacy: with the default empty `salt` the bitmap carries
+    * unsalted 31-bit hash positions — obfuscation only (anyone
+    * holding a candidate shingle can test it by dictionary). With a
+    * caller-supplied SECRET salt the probes are keyed hashes
+    * (`tokenHash31(salt ∥ shingle)`): a holder of the bitmap alone
+    * cannot dictionary-test candidate shingles without the salt, so
+    * membership privacy holds under the salt's secrecy. Build and
+    * probe must share the salt; the guarantee structure is unchanged
+    * (no false negatives, (fill)^k false positives) for EVERY salt —
+    * spec-pinned differentially. */
   def bloomBits(bench: DataFrame, textCol: String, n: Int,
-      mBits: Int, k: Int): Array[Long] = {
+      mBits: Int, k: Int, salt: String = ""): Array[Long] = {
     require(mBits >= 64 && mBits <= (1 << 24) &&
       Integer.bitCount(mBits) == 1,
       s"bloomBits: mBits a power of two in [64, 2^24] ($mBits)")
@@ -52,7 +61,8 @@ object Decontamination {
       .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
       .distinct()
     val positions = sh
-      .select(array(probeCols(col("shingle"), mBits, k): _*).as("ps"))
+      .select(array(probeCols(col("shingle"), mBits, k, salt): _*)
+        .as("ps"))
       .select(explode(col("ps")).as("p"))
       .distinct()
       .collect().map(_.getLong(0))
@@ -72,18 +82,22 @@ object Decontamination {
     * shuffle is the doc-keyed count — corpus rows never join
     * anything. */
   /** The two md5-derived probe hashes of every shingle, computed ONCE
-    * per shingle: `struct(h1, h2)` with `h1 = tokenHash31(s)` and
-    * `h2 = 2·tokenHash31(s ∥ '#') + 1` — exactly [[probeCols]]'s
-    * ingredients. Hoisting them out of the k-probe loop matters: the
-    * shingle filter evaluates as an interpreted higher-order lambda
-    * (CodegenFallback), where the md5 digest is the dominant term —
-    * 2 digests per shingle instead of 2k (measured 8.4 s → 3.0 s on
-    * the graded query at k=3, sf0.1). */
-  private def shingleHashes(sh: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    transform(sh, s => struct(
-      TextAnalysis.tokenHash31(s).as("h1"),
-      (TextAnalysis.tokenHash31(concat(s, lit("#"))) * 2 + 1).as("h2")))
+    * per shingle: `struct(h1, h2)` with `h1 = tokenHash31(salt ∥ s)`
+    * and `h2 = 2·tokenHash31(salt ∥ s ∥ '#') + 1` — exactly
+    * [[probeCols]]'s ingredients. Hoisting them out of the k-probe
+    * loop matters: the shingle filter evaluates as an interpreted
+    * higher-order lambda (CodegenFallback), where the md5 digest is
+    * the dominant term — 2 digests per shingle instead of 2k
+    * (measured 8.4 s → 3.0 s on the graded query at k=3, sf0.1). */
+  private def shingleHashes(sh: org.apache.spark.sql.Column,
+      salt: String): org.apache.spark.sql.Column =
+    transform(sh, s0 => {
+      val s = concat(lit(salt), s0)
+      struct(
+        TextAnalysis.tokenHash31(s).as("h1"),
+        (TextAnalysis.tokenHash31(concat(s, lit("#"))) * 2 + 1)
+          .as("h2"))
+    })
 
   /** Bitmap membership over one [[shingleHashes]] struct: TRUE iff
     * every probe position `(h1 + i·h2) mod m` is set. Pure integer
@@ -104,13 +118,14 @@ object Decontamination {
   }
 
   def bloomFlags(corpus: DataFrame, idCol: String, textCol: String,
-      bits: Array[Long], mBits: Int, k: Int, n: Int): DataFrame = {
+      bits: Array[Long], mBits: Int, k: Int, n: Int,
+      salt: String = ""): DataFrame = {
     val isHit = bloomIsHit(bits, mBits, k)
     corpus
       .select(col(idCol), Dedup.shingles(col(textCol), n).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
-        size(filter(shingleHashes(col("__sh")), isHit)).cast("long")
-          .as("bloom_hits"))
+        size(filter(shingleHashes(col("__sh"), salt), isHit))
+          .cast("long").as("bloom_hits"))
       .withColumn("flagged", col("bloom_hits") > 0L)
   }
 
@@ -122,10 +137,11 @@ object Decontamination {
     * overlap is guaranteed dropped; the price is the (fill)^k
     * false-positive over-drop. */
   def bloomClean(corpus: DataFrame, textCol: String,
-      bits: Array[Long], mBits: Int, k: Int, n: Int): DataFrame = {
+      bits: Array[Long], mBits: Int, k: Int, n: Int,
+      salt: String = ""): DataFrame = {
     val isHit = bloomIsHit(bits, mBits, k)
     corpus.filter(
-      size(filter(shingleHashes(Dedup.shingles(col(textCol), n)),
+      size(filter(shingleHashes(Dedup.shingles(col(textCol), n), salt),
         isHit)) === 0)
   }
 

@@ -251,7 +251,13 @@ object DedupQueries {
     // replays signatures, banding, the probe/index split, collision
     // join and re-rank; bucketing is a superset-safe physical detail
     // the oracle need not model. Pruning itself is metric-asserted in
-    // DedupSpec (files read < files written).
+    // DedupSpec (partitions listed <= probe buckets), and the
+    // LARGE-probe-batch variant — probe side kept as a file-backed
+    // frame, broadcast-joined, dynamic partition pruning cutting the
+    // same directories — is metric-asserted beside it (the
+    // dynamicpruning filter requires a surviving selective predicate,
+    // which a file-backed probe side has and a constant-folded local
+    // relation does not).
     QueryDef("dedup_band_store", {
       val mh = (0 until 32).map(i => s"${sqlMinhash(i)} AS m$i")
         .mkString(",\n    ")

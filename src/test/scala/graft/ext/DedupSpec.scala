@@ -490,4 +490,77 @@ class DedupSpec extends SparkSpec {
         s"probe set touches (${probeBuckets.size})")
     spark.catalog.clearCache()
   }
+
+  test("MinHash band store, LARGE probe batch: the probe side stays a " +
+    "FRAME (no collected bucket literals) — the broadcast join's " +
+    "dynamic partition pruning cuts the store scan to the probe " +
+    "buckets, metric-asserted") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = (0L until 120L).map(i => (i,
+      (0 to 6).map(j => s"tok${(i * 7 + j * 13) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val banded = docs.select(col("doc_id"),
+      explode(Dedup.bandKeys(Dedup.minhashes(col("text"), 32),
+        bands = 2, rowsPerBand = 16)).as("band"))
+      .withColumn("bucket", col("band") % 16L)
+    val root = java.nio.file.Files.createTempDirectory("band-store-dpp")
+    val dir = root.resolve("bands").toString
+    banded.filter(col("doc_id") % 40 =!= 0)
+      .repartition(col("bucket")).write.partitionBy("bucket")
+      .parquet(dir)
+    val storeSchema = banded.schema
+    val stored = spark.read.schema(storeSchema).parquet(dir)
+    val nParts = spark.read.parquet(dir)
+      .select("bucket").distinct().count()
+    // probe side as a FILE-BACKED frame with a selective filter,
+    // keyed by (bucket, band) — the path a LARGE probe batch takes
+    // when collecting its bucket set to an isin literal stops being
+    // bounded driver state. (File-backed matters: a local relation
+    // constant-folds its filter away and DPP's selective-predicate
+    // requirement then declines — exactly why the REAL probe side, a
+    // predicate over the corpus parquet, is the shape that prunes.)
+    val pdir = root.resolve("probes").toString
+    banded.write.parquet(pdir)
+    val probes = spark.read.schema(storeSchema).parquet(pdir)
+      .filter(col("doc_id") % 40 === 0)
+      .select(col("bucket"), col("band"), col("doc_id").as("probe_id"))
+    val served = stored
+      .join(broadcast(probes), Seq("bucket", "band"))
+      .select(col("probe_id"), col("doc_id").as("cand_id"))
+      .distinct()
+    val got = served.as[(Long, Long)].collect().toSet
+    // differential: equals the in-memory band join
+    val mem = banded.filter(col("doc_id") % 40 =!= 0)
+      .select(col("band"), col("doc_id").as("cand_id"))
+      .join(banded.filter(col("doc_id") % 40 === 0)
+        .select(col("band"), col("doc_id").as("probe_id")), Seq("band"))
+      .select("probe_id", "cand_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == mem, s"DPP serve must equal in-memory join: $got / $mem")
+    // DPP must FIRE: the store scan carries a dynamicpruning partition
+    // filter and lists only the probe buckets' directories
+    val plan = served.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(dir))
+        => s
+    }.getOrElse(fail(s"no FileSourceScanExec over $dir in plan"))
+    assert(scan.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")),
+      s"store scan must carry a dynamicpruning partition filter:\n" +
+        scan.partitionFilters.mkString("\n"))
+    val probeBucketCount = probes.select("bucket").distinct().count()
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead <= probeBucketCount,
+      s"DPP must prune the scan to the $probeBucketCount probe " +
+        s"buckets of $nParts, read $partsRead")
+    assert(nParts > probeBucketCount,
+      s"sanity: store buckets ($nParts) must exceed probe buckets " +
+        s"($probeBucketCount)")
+    spark.catalog.clearCache()
+  }
 }
