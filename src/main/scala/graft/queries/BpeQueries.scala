@@ -412,6 +412,45 @@ FROM mt ORDER BY doc_id""") { (s, d) =>
         .orderBy("doc_id")
     },
 
+    // Byte-level corpus ENCODE, end to end: train on src0's byte-level
+    // pretokens with trainLocal, encode the WHOLE corpus with
+    // encodeBytesScalable (map-only: java-regex pretok + byteMapLocal
+    // + the broadcast pair index + the word cache). The oracle
+    // replays the mapping CTE, the pretok split, the byte map AND the
+    // full literal encode chain per pretoken — so this grades the
+    // byte-level twins of everything pipeline_bpe_scaled grades for
+    // the code-point path: one divergent pretoken, byte, merge or
+    // token order flips the hash. Per document: subword count and the
+    // first five tokens (U+0120-marked, multi-byte chars as their
+    // mapped byte chars).
+    QueryDef("pipeline_bpe_byte_tokenize", {
+      val words = "list_filter(list_transform(regexp_extract_all(text," +
+        " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
+        " ?[^\\s\\p{L}\\p{N}]+|\\s+')," +
+        s" t -> ${sqlByteMap("t")}), v -> length(v) > 0)"
+      "WITH " + sqlByteMapCtes + ",\n" +
+        sqlTrainCtes(K, ", bl WHERE source = 'src0'",
+          wordExpr = sqlPretokBytes) + s""",
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform($words,
+      w -> string_split(trim(${sqlEncodeChain(K)}), '  '))) AS toks
+  FROM documents, bl, ${(1 to K).map("m" + _).mkString(", ")})
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  array_to_string(toks[1:5], '|') AS head_tokens
+FROM enc ORDER BY doc_id"""
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
+          "text"), K)
+      Bpe.encodeBytesScalable(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws("|", slice(col("tokens"), 1, 5)).as("head_tokens"))
+        .orderBy("doc_id")
+    },
+
     // PRODUCTION-VOCAB TIMING DATAPOINT: the full trainLocal loop at
     // 8192 merges over the [[saltedCorpus]] surface, then the SAME
     // corpus encoded twice with encodeScalable \u2014 under the first 12

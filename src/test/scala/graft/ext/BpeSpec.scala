@@ -489,6 +489,33 @@ class BpeSpec extends SparkSpec {
     assert(nullGot.exists(p => p._1.isEmpty && p._2.nonEmpty))
   }
 
+  test("encodeBytesScalable is streaming-NATIVE: the stateless " +
+    "byte-level mapPartitions projection runs mid-stream and matches " +
+    "the batch encode") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq((1L, "caf\u00e9 ok caf\u00e9"), (2L, "\u4e2d ok"))
+    val merges = Bpe.trainLocal(
+      Bpe.wordFreqBytes(rows.toDF("doc_id", "text"), "text"), 6)
+    val mem = MemoryStream[(Long, String)]
+    val q = Bpe.encodeBytesScalable(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .writeStream.format("memory").queryName("bpe_enc_bytes")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bpe_enc_bytes").as[(Long, Seq[String])]
+      .collect().toMap
+    val batch = Bpe.encodeBytesScalable(rows.toDF("doc_id", "text"),
+      "doc_id", "text", merges).as[(Long, Seq[String])].collect().toMap
+    assert(got == batch)
+    // tokens invert to the original bytes even mid-stream
+    assert(Bpe.byteUnmapLocal(got(1L).mkString).toSeq ==
+      "caf\u00e9 ok caf\u00e9".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8).toSeq)
+  }
+
   test("merge table round-trips through parquet: the shipped artifact " +
     "reproduces the encoder exactly") {
     val words = Seq(("aab", 3L), ("ab", 2L)).toDF("word", "freq")
