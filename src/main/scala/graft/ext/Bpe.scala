@@ -424,32 +424,60 @@ object Bpe {
     // are exact at all times.
     val counts = mutable.HashMap[(String, String), Long]()
     val where = mutable.HashMap[(String, String), mutable.HashSet[Int]]()
-    def addWord(wi: Int, sign: Long): Unit = {
+    // LAZY-DELETION MAX-HEAP over (count, lhs, rhs) — the argmax was a
+    // full scan of the live pair counts per merge (merges × |pairs|:
+    // at 100k merges over a web-scale vocab's ~10^7 live pairs that
+    // term is 10^12 comparisons and IS the trainer's bottleneck; the
+    // incremental count maintenance was already cheap). Every count
+    // CHANGE pushes a fresh entry; pop discards entries whose count no
+    // longer matches the live map (stale). The top valid entry is the
+    // exact argmax: every live pair's current count was pushed at its
+    // last change, and anything popped above it is stale by
+    // construction. Ordering is count desc then code-point-lex
+    // (lhs, rhs) asc — byte-identical to the linear scan's tie-break
+    // and the distributed ORDER BY (differential specs pin this).
+    val heapOrd = new java.util.Comparator[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+          y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(y._1, x._1) // count desc
+        if (c != 0) c
+        else {
+          val l = cmpCodePoints(x._2, y._2)
+          if (l != 0) l else cmpCodePoints(x._3, y._3)
+        }
+      }
+    }
+    val heap =
+      new java.util.PriorityQueue[(Long, String, String)](1024, heapOrd)
+    def addWord(wi: Int, sign: Long, push: Boolean = true): Unit = {
       val s = syms(wi)
       var j = 0
       while (j + 1 < s.length) {
         val p = (s(j), s(j + 1))
         val nv = counts.getOrElse(p, 0L) + sign * freqs(wi)
         if (nv == 0L) counts.remove(p) else counts(p) = nv
+        if (push && nv != 0L) heap.add((nv, p._1, p._2))
         if (sign > 0) where.getOrElseUpdate(p, mutable.HashSet[Int]()) += wi
         j += 1
       }
     }
+    // initial population: counts first (no per-occurrence stale
+    // entries), then ONE heap entry per distinct live pair
     i = 0
-    while (i < rows.length) { addWord(i, 1L); i += 1 }
+    while (i < rows.length) { addWord(i, 1L, push = false); i += 1 }
+    counts.foreach { case (p, f) => heap.add((f, p._1, p._2)) }
     val out = Seq.newBuilder[Merge]
     var rank = initialMerges.size + 1
     var done = false
     while (rank <= initialMerges.size + numMerges && !done) {
-      // deterministic argmax: freq desc, then (lhs, rhs) ascending in
-      // code-point order — byte-identical to the distributed ORDER BY
+      // pop to the first NON-STALE entry — the deterministic argmax
       var bestP: (String, String) = null
       var bestF = Long.MinValue
-      counts.foreach { case (p, f) =>
-        if (f > bestF || (f == bestF && {
-          val c = cmpCodePoints(p._1, bestP._1)
-          c < 0 || (c == 0 && cmpCodePoints(p._2, bestP._2) < 0)
-        })) { bestP = p; bestF = f }
+      while (bestP == null && !heap.isEmpty) {
+        val top = heap.poll()
+        if (counts.getOrElse((top._2, top._3), Long.MinValue) == top._1) {
+          bestP = (top._2, top._3); bestF = top._1
+        }
       }
       if (bestP == null || bestF < minFreq) done = true
       else {
