@@ -58,7 +58,9 @@ object ScaleCurve {
     "pipeline_bpe_scaled" -> "documents",
     "text_bpe_pretok" -> "documents",
     "text_bpe_bytelevel" -> "documents",
-    "pipeline_bpe_vocab8k" -> "documents")
+    "pipeline_bpe_vocab8k" -> "documents",
+    "pipeline_bpe_byte_tokenize" -> "documents",
+    "pipeline_data_freeze" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

@@ -216,10 +216,21 @@ class PlanChecksSpec extends SparkSpec {
     "cartesian") {
     val df = q("pipeline_data_freeze")
     PlanChecks.assertNoCartesian(df)
+    // post-checkpoint plan (encode -> pack -> manifest): the prefix
+    // sum's range partition + its ordered stitch, the manifest join +
+    // shard agg, and the final sort — five keyed shuffles, frozen
+    // here so a stage regression (e.g. the encode growing a shuffle)
+    // fails CI. The gate/dedup prefix executes before the checkpoint
+    // and carries its own contracts via text_span_dedup's.
+    PlanChecks.assertExchangesAtMost(df, 6)
     // the byte-level roundtrip grade is pure projection + its sort
     val rt = q("text_bpe_byte_roundtrip")
     PlanChecks.assertNoCartesian(rt)
     PlanChecks.assertExchangesAtMost(rt, 1)
+    // byte-level corpus encode: map-only + its output sort
+    val bt = q("pipeline_bpe_byte_tokenize")
+    PlanChecks.assertNoCartesian(bt)
+    PlanChecks.assertExchangesAtMost(bt, 1)
   }
 
   test("rank-cap GATE form: Spark's WindowGroupLimit prunes each map " +
