@@ -751,4 +751,129 @@ object CorpusStream {
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("total_tokens").cast("long").as("total_tokens"),
         sum("checksum").cast("long").as("checksum"))
+
+  /** Streaming DATA FREEZE — the incremental twin of the graded batch
+    * flagship `pipeline_data_freeze`. Per micro-batch: curation GATE
+    * (caller-supplied boolean column — map-only), EXACT dedup against
+    * an accumulated TEXT-KEY store (double 31-bit hash of the full
+    * text; the within-batch keeper is the min id, cross-batch
+    * re-occurrences drop — with monotone ids this equals the batch
+    * min-id keeper over the union), C4 SPAN dedup against the
+    * accumulated span store, map-only BPE encode under a FIXED merge
+    * table (a stream cannot train — ship the table from a batch
+    * train), the frozen-doc store, and the foldable per-(batch,
+    * shard) integrity manifest. Packing is deliberately absent: bins
+    * are a global-prefix-order construct the batch freeze assigns at
+    * export time over the frozen store.
+    *
+    * Replay safety throughout: every store write (text keys, span
+    * keys, frozen docs, manifest rows) is a `batch_id` dynamic
+    * partition overwrite and both history reads EXCLUDE the current
+    * batch_id — a crash-replayed batch replaces its own partitions
+    * byte-identically (spec-pinned). Store growth: text keys ≤
+    * distinct documents, span keys ≤ distinct spans (novel-text
+    * volume), manifest rows = batches × shards.
+    *
+    * With document ids increasing across batches, the union of frozen
+    * outputs EQUALS the batch composition gate → exact dedup → span
+    * dedup → encode over all documents, and the folded manifest
+    * equals the batch `integrityManifest` over that union
+    * (differential spec). */
+  def freezeBatches(docs: DataFrame,
+      gate: org.apache.spark.sql.Column,
+      merges: Seq[graft.ext.Bpe.Merge],
+      textStoreDir: String, spanStoreDir: String, storeDir: String,
+      manifestDir: String, checkpointDir: String,
+      seed: String, numShards: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      spanSents: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        freezeBatch(batch, batchId, gate, merges, textStoreDir,
+          spanStoreDir, storeDir, manifestDir, seed, numShards,
+          idCol, textCol, spanSents)
+      }
+      .start()
+
+  /** One [[freezeBatches]] micro-batch — package-visible so the
+    * crash-replay contract is directly testable. */
+  private[graft] def freezeBatch(batch: DataFrame, batchId: Long,
+      gate: org.apache.spark.sql.Column,
+      merges: Seq[graft.ext.Bpe.Merge],
+      textStoreDir: String, spanStoreDir: String, storeDir: String,
+      manifestDir: String, seed: String, numShards: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      spanSents: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    def existing(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(conf).exists(p)
+    }
+    def writeKeys(keys: DataFrame, dir: String): Unit =
+      keys.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    // 1. curation gate — map-only
+    val gated = batch.filter(gate).select(col(idCol), col(textCol))
+    // 2. exact dedup against the text-key store
+    val keyed = gated
+      .withColumn("h1",
+        graft.ext.TextAnalysis.tokenHash31(col(textCol)))
+      .withColumn("h2",
+        graft.ext.TextAnalysis.tokenHash31(concat(col(textCol),
+          lit("#"))))
+    val textHist =
+      if (existing(textStoreDir)) spark.read.parquet(textStoreDir)
+        .filter(col("batch_id") =!= batchId)
+        .select("h1", "h2")
+      else keyed.select("h1", "h2").limit(0)
+    val keepFirst = keyed.join(
+      keyed.groupBy("h1", "h2").agg(min(col(idCol)).as(idCol)),
+      Seq("h1", "h2", idCol), "left_semi")
+    val exact = keepFirst
+      .join(textHist.distinct(), Seq("h1", "h2"), "left_anti")
+      .select(col(idCol), col(textCol))
+    writeKeys(keyed.select("h1", "h2").distinct()
+      .join(textHist.distinct(), Seq("h1", "h2"), "left_anti"),
+      textStoreDir)
+    // 3. C4 span dedup against the span store
+    val spanKeysB = graft.ext.Dedup
+      .spanKeys(exact, idCol, textCol, spanSents)
+      .select("h1", "h2").distinct()
+    val spanHist =
+      if (existing(spanStoreDir)) spark.read.parquet(spanStoreDir)
+        .filter(col("batch_id") =!= batchId)
+        .select("h1", "h2")
+      else spanKeysB.limit(0)
+    val cleaned = graft.ext.Dedup
+      .spanDedupAgainst(exact, idCol, textCol, spanHist, spanSents)
+    writeKeys(spanKeysB
+      .join(spanHist.distinct(), Seq("h1", "h2"), "left_anti"),
+      spanStoreDir)
+    // 4. frozen docs, encoded under the FIXED merge table (map-only)
+    val frozen = cleaned.filter(length(col("kept_text")) > 0)
+      .select(col(idCol), col("kept_text").as(textCol))
+    val enc = graft.ext.Bpe
+      .encodeScalable(frozen, idCol, textCol, merges)
+      .select(col(idCol),
+        size(col("tokens")).cast("long").as("n_tokens"))
+    val out = frozen.join(enc, Seq(idCol))
+    out.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+    // 5. foldable integrity manifest, token-weighted
+    graft.ops.ShardShuffle.integrityManifest(out, idCol, textCol,
+        col("n_tokens"), seed, numShards)
+      .select(lit(batchId).as("batch_id"), col("shard_id"),
+        col("n_docs"), col("total_tokens"), col("checksum"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(manifestDir)
+    ()
+  }
 }

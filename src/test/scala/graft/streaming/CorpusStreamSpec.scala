@@ -100,7 +100,7 @@ class CorpusStreamSpec extends SparkSpec {
     val q = CorpusStream.upsertBatches(docs, s"$dir/snap", "k", "ver",
       s"$dir/ckpt")
     try {
-      // batch 1: keys 1,2 — key 2 arrives twice, ver 2 must win
+      // batch 1: keys 1,2 \u2014 key 2 arrives twice, ver 2 must win
       mem.addData((1L, 1L, "a1"), (2L, 1L, "b1"), (2L, 2L, "b2"))
       q.processAllAvailable()
       val s1 = spark.read.parquet(s"$dir/snap")
@@ -136,7 +136,7 @@ class CorpusStreamSpec extends SparkSpec {
       val old = new org.apache.hadoop.fs.Path(snapDir + "__old")
       val fs = snap.getFileSystem(conf)
       assert(fs.rename(snap, old) && !fs.exists(snap))
-      // next batch must restore the parked copy as its merge base —
+      // next batch must restore the parked copy as its merge base \u2014
       // key 1 from the 'lost' snapshot must survive
       mem.addData((3L, 1L, "c1"))
       q.processAllAvailable()
@@ -157,7 +157,7 @@ class CorpusStreamSpec extends SparkSpec {
     val q = CorpusStream.upsertBatches(docs, s"$dir/snap", "k", "ver",
       s"$dir/ckpt")
     try {
-      // same key, same version, different payloads — the survivor must
+      // same key, same version, different payloads \u2014 the survivor must
       // be the row the content-hash order picks, independent of arrival
       mem.addData((7L, 5L, "x"), (7L, 5L, "y"))
       q.processAllAvailable()
@@ -214,7 +214,7 @@ class CorpusStreamSpec extends SparkSpec {
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
     // simulate the crash window the ADVICE flagged: batch 0's first
     // attempt appended its bands to the store, then died BEFORE the
-    // streaming checkpoint committed — on restart foreachBatch replays
+    // streaming checkpoint committed \u2014 on restart foreachBatch replays
     // batch 0 against a store that already holds its own keys
     Dedup.minhashSignatures(
         Dedup.tokenIndex(docs0, "doc_id", "text", profile.shingleN),
@@ -251,9 +251,9 @@ class CorpusStreamSpec extends SparkSpec {
       q.processAllAvailable()                       // batch 0
       mem.addData((10L, "kappa lambda mu nu"))
       q.processAllAvailable()                       // batch 1
-      // batch 2: doc 20 repeats batch-0 content — batch 0 is OUTSIDE
+      // batch 2: doc 20 repeats batch-0 content \u2014 batch 0 is OUTSIDE
       // the 1-batch window, so it re-admits; doc 21 repeats batch-1
-      // content — in-window, still suppressed
+      // content \u2014 in-window, still suppressed
       mem.addData((20L, "delta gamma beta alpha"),
         (21L, "nu mu lambda kappa"))
       q.processAllAvailable()
@@ -271,7 +271,7 @@ class CorpusStreamSpec extends SparkSpec {
   }
 
   test("streaming near-dedup: a crash-replay landing EXACTLY on a " +
-    "compaction boundary (batchId % compactEvery == 0) converges — " +
+    "compaction boundary (batchId % compactEvery == 0) converges \u2014 " +
     "compaction keeps the attempt's own rows, replay still excludes them") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.{Dedup, DedupProfile}
@@ -304,7 +304,7 @@ class CorpusStreamSpec extends SparkSpec {
       .distinct().withColumn("batch_id", lit(2L))
       .write.mode("append").parquet(s"$dir/store")
     // restart from the SAME checkpoint: the new data replays as batch 2
-    // — the compaction boundary (2 % 2 == 0) and the replay coincide
+    // \u2014 the compaction boundary (2 % 2 == 0) and the replay coincide
     mem.addData((20L, "zeta eta theta iota"),
       (21L, "delta gamma beta alpha"),
       (22L, "nu mu lambda kappa"))
@@ -462,7 +462,7 @@ class CorpusStreamSpec extends SparkSpec {
     assert(batchKept == Set(1L, 3L))
 
     // HtmlExtract is a pure projection + generator: it plans directly
-    // on a streaming frame (no foreachBatch needed) — the whole
+    // on a streaming frame (no foreachBatch needed) \u2014 the whole
     // extract stage of the crawl ingest runs inside the stream
     val htmlMem = MemoryStream[(Long, String)]
     val extracted = graft.ext.HtmlExtract.extractLines(
@@ -640,7 +640,7 @@ class CorpusStreamSpec extends SparkSpec {
   }
 
   test("streaming C4 span dedup: re-running a micro-batch under the " +
-    "same batch_id (crash replay) leaves both stores byte-identical — " +
+    "same batch_id (crash replay) leaves both stores byte-identical \u2014 " +
     "the span store holds each key once") {
     val root = java.nio.file.Files.createTempDirectory("span-replay")
     val spanStore = root.resolve("spans").toString
@@ -680,14 +680,14 @@ class CorpusStreamSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       // batch 1 (unordered arrival): a.com spends 40+30=70 of 100;
-      // b.org's FIRST doc alone blows the budget (120 > 100) — dropped,
+      // b.org's FIRST doc alone blows the budget (120 > 100) \u2014 dropped,
       // and its cost still counts (the batch window sums all rows)
       mem.addData((12L, "a.com", 30L), (10L, "a.com", 40L),
         (20L, "b.org", 120L))
       q.processAllAvailable()
       // batch 2: a.com doc 13 fits exactly (70+30=100, inclusive cap);
       // doc 14 overflows; b.org doc 21 is small but arrives AFTER the
-      // blown budget — no skip-ahead, stays dropped
+      // blown budget \u2014 no skip-ahead, stays dropped
       mem.addData((14L, "a.com", 1L), (13L, "a.com", 30L),
         (21L, "b.org", 5L))
       q.processAllAvailable()
@@ -720,7 +720,7 @@ class CorpusStreamSpec extends SparkSpec {
 
   test("streaming JSONL ingest: typed rows to the corpus store, " +
     "malformed and identity-less lines to the quarantine with the " +
-    "raw line preserved — never fail, never silently drop") {
+    "raw line preserved \u2014 never fail, never silently drop") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("jsonl-ingest")
     val store = root.resolve("corpus").toString
@@ -748,7 +748,7 @@ class CorpusStreamSpec extends SparkSpec {
   }
 
   test("streaming integrity manifest: per-batch rows FOLD to the " +
-    "batch-side manifest over the union — order-independent checksums " +
+    "batch-side manifest over the union \u2014 order-independent checksums " +
     "compose across batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("manifest")
@@ -773,5 +773,94 @@ class CorpusStreamSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(folded == batchSide, s"folded=$folded batch=$batchSide")
     assert(folded.toSeq.map(_._2).sum == 4L) // every doc accounted for
+  }
+
+  test("streaming DATA FREEZE: gate, exact + span dedup against " +
+    "accumulated stores, fixed-table encode and the folded manifest " +
+    "EQUAL the batch composition over the union; crash replay leaves " +
+    "every store byte-identical") {
+    import graft.ext.{Bpe, Dedup, TextAnalysis}
+    import org.apache.spark.sql.functions.{concat_ws, length, min, size}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("freeze-stream")
+    val textStore = root.resolve("textkeys").toString
+    val spanStore = root.resolve("spankeys").toString
+    val store = root.resolve("frozen").toString
+    val manifest = root.resolve("manifest").toString
+    val ckpt = root.resolve("ckpt").toString
+    val b1 = Seq(
+      (1L, "a1. b1. c1. d1."), // keeper of span (b1,c1,d1)
+      (2L, "bad \ufffd doc. x. y. z."), // gated out up front
+      (3L, "dup text here."))
+    val b2 = Seq(
+      (10L, "dup text here."), // exact dup of doc 3 -> drops whole
+      (11L, "z9. b1. c1. d1."), // historical span -> keeps "z9."
+      (12L, "u. v.")) // short: passes whole
+    val gate = !org.apache.spark.sql.functions.col("text")
+      .contains("\ufffd")
+    // fixed merge table, trained once batch-side (a stream cannot
+    // train) \u2014 both sides encode under the SAME table
+    val merges = Bpe.trainLocal(
+      Bpe.wordFreq((b1 ++ b2).toDF("doc_id", "text"), "text"), 6)
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.freezeBatches(
+      mem.toDF().toDF("doc_id", "text"), gate, merges,
+      textStore, spanStore, store, manifest, ckpt,
+      seed = "fz1", numShards = 4)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def frozenSnap() = spark.read.parquet(store)
+      .select("doc_id", "text", "n_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    val got = frozenSnap()
+    // batch composition over the union
+    val union = (b1 ++ b2).toDF("doc_id", "text")
+    val gated = union.filter(gate)
+    val exact = gated.join(
+      gated.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val frozenB = Dedup.spanDedup(exact, "doc_id", "text")
+      .filter(length(col("kept_text")) > 0)
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val encB = Bpe.encodeScalable(frozenB, "doc_id", "text", merges)
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+    val expect = frozenB.join(encB, Seq("doc_id"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expect, s"got=$got expect=$expect")
+    // the fixture exercised every stage: doc 2 gated, doc 10 exact-
+    // dropped, doc 11 span-trimmed to its novel sentence
+    assert(!got.exists(r => r._1 == 2L || r._1 == 10L))
+    assert(got.find(_._1 == 11L).get._2 == "z9.")
+    // folded manifest equals the batch integrity manifest over the
+    // frozen union, token-weighted
+    val folded = CorpusStream.foldManifest(spark, manifest)
+      .select("shard_id", "n_docs", "total_tokens", "checksum")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchSide = graft.ops.ShardShuffle.integrityManifest(
+        frozenB.join(encB, Seq("doc_id")), "doc_id", "text",
+        col("n_tokens"), "fz1", 4)
+      .select("shard_id", "n_docs", "total_tokens", "checksum")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(folded == batchSide, s"folded=$folded batch=$batchSide")
+    // crash replay: re-run batch 1 under its old batch_id \u2014 every
+    // store partition is replaced byte-identically
+    def keysSnap(dir: String) = spark.read.parquet(dir)
+      .select("h1", "h2").as[(Long, Long)].collect().sorted.toSeq
+    val before = (frozenSnap(), keysSnap(textStore), keysSnap(spanStore),
+      CorpusStream.foldManifest(spark, manifest)
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    CorpusStream.freezeBatch(b2.toDF("doc_id", "text"), 1L, gate,
+      merges, textStore, spanStore, store, manifest, "fz1", 4)
+    val after = (frozenSnap(), keysSnap(textStore), keysSnap(spanStore),
+      CorpusStream.foldManifest(spark, manifest)
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    assert(after == before)
+    assert(before._2.distinct.size == before._2.size,
+      "text-key store holds each key once")
+    assert(before._3.distinct.size == before._3.size,
+      "span-key store holds each key once")
   }
 }
