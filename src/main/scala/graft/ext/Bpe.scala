@@ -303,21 +303,11 @@ object Bpe {
     syms
   }
 
-  /** Per-document subword tokenization at PRODUCTION vocab size: one
-    * map-only `mapPartitions` pass with the merge table as a broadcast
-    * hash index — no join, no shuffle, plan size independent of k.
-    * Token-for-token equal to [[encode]] (differential-tested),
-    * INCLUDING null semantics: a null text yields null `tokens` and a
-    * null id rides through as null, exactly like the literal-replace
-    * encode (at corpus scale null rows are expected input — the typed
-    * boundary uses `Option[Long]`/nullable-Seq encoders so neither
-    * side NPEs). `idCol` must be integral (it rides through as
-    * bigint). */
   /** Per-partition WORD CACHE around [[encodeWordLocal]] — the
     * standard production-tokenizer optimization: natural text is
     * Zipfian, so the same word types encode over and over; memoizing
     * word -> tokens turns the per-occurrence cost into a hash probe
-    * (measured ~10x on the fixture corpus). Bounded at 2^16 entries
+    * (measured ~7x on the fixture corpus). Bounded at 2^16 entries
     * (vocabulary-shaped state, a few MB worst case) so a hostile
     * all-unique stream cannot grow executor memory; pure function, so
     * the cache is invisible to results. */
@@ -335,6 +325,16 @@ object Bpe {
     }
   }
 
+  /** Per-document subword tokenization at PRODUCTION vocab size: one
+    * map-only `mapPartitions` pass with the merge table as a broadcast
+    * hash index — no join, no shuffle, plan size independent of k.
+    * Token-for-token equal to [[encode]] (differential-tested),
+    * INCLUDING null semantics: a null text yields null `tokens` and a
+    * null id rides through as null, exactly like the literal-replace
+    * encode (at corpus scale null rows are expected input — the typed
+    * boundary uses `Option[Long]`/nullable-Seq encoders so neither
+    * side NPEs). `idCol` must be integral (it rides through as
+    * bigint). */
   def encodeScalable(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val spark = df.sparkSession

@@ -600,8 +600,15 @@ object CorpusStream {
     val batchKeys = graft.ext.Dedup
       .spanKeys(batch, idCol, textCol, spanSents)
       .select("h1", "h2").distinct()
+    // explicit schema: a first batch with no spans (all-short docs)
+    // writes a store directory with zero part files, and a
+    // schema-less read of it would throw 'Unable to infer schema' —
+    // permanently wedging the stream, since every checkpoint replay
+    // re-hits it. (Also keeps batch_id LONG: partition-dir inference
+    // would int-ify it.)
     val hist =
-      if (fs.exists(store)) spark.read.parquet(spanStoreDir)
+      if (fs.exists(store)) spark.read
+        .schema("h1 LONG, h2 LONG, batch_id LONG").parquet(spanStoreDir)
         .filter(col("batch_id") =!= batchId)
         .select("h1", "h2")
       else batchKeys.limit(0)
@@ -754,7 +761,10 @@ object CorpusStream {
 
   /** Streaming DATA FREEZE — the incremental twin of the graded batch
     * flagship `pipeline_data_freeze`. Per micro-batch: curation GATE
-    * (caller-supplied boolean column — map-only), EXACT dedup against
+    * (caller-supplied boolean column — map-only; null-text rows drop
+    * here too, explicitly — a text freeze cannot key or encode a
+    * null, and the quarantine ingest is the accounting path for
+    * identity-less rows), EXACT dedup against
     * an accumulated TEXT-KEY store (double 31-bit hash of the full
     * text; the within-batch keeper is the min id, cross-batch
     * re-occurrences drop — with monotone ids this equals the batch
@@ -817,8 +827,13 @@ object CorpusStream {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(dir)
-    // 1. curation gate — map-only
-    val gated = batch.filter(gate).select(col(idCol), col(textCol))
+    // 1. curation gate — map-only. Null-text rows are dropped HERE,
+    // explicitly: a text freeze cannot key, span or encode a null
+    // (null hash keys would otherwise vanish silently in the dedup
+    // equi-join) — route identity-less/parse-failed rows through the
+    // JSONL quarantine upstream if they must be accounted for.
+    val gated = batch.filter(gate && col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
     // 2. exact dedup against the text-key store
     val keyed = gated
       .withColumn("h1",
@@ -826,17 +841,28 @@ object CorpusStream {
       .withColumn("h2",
         graft.ext.TextAnalysis.tokenHash31(concat(col(textCol),
           lit("#"))))
+    // explicit schemas on BOTH history reads: a first batch that is
+    // entirely gated out (text keys) or all-short (span keys) writes
+    // a store with zero part files; a schema-less read of it throws
+    // 'Unable to infer schema' and wedges the stream on every replay
+    val keySchema = "h1 LONG, h2 LONG, batch_id LONG"
     val textHist =
-      if (existing(textStoreDir)) spark.read.parquet(textStoreDir)
+      if (existing(textStoreDir)) spark.read.schema(keySchema)
+        .parquet(textStoreDir)
         .filter(col("batch_id") =!= batchId)
         .select("h1", "h2")
       else keyed.select("h1", "h2").limit(0)
     val keepFirst = keyed.join(
       keyed.groupBy("h1", "h2").agg(min(col(idCol)).as(idCol)),
       Seq("h1", "h2", idCol), "left_semi")
+    // the exact-dedup survivors feed THREE consumers (span keys, span
+    // dedup, and transitively every downstream write) — checkpoint so
+    // the gate + hash + two-anti-join prefix computes once per batch,
+    // mirroring the batch flagship's own checkpoint
     val exact = keepFirst
       .join(textHist.distinct(), Seq("h1", "h2"), "left_anti")
       .select(col(idCol), col(textCol))
+      .localCheckpoint(false)
     writeKeys(keyed.select("h1", "h2").distinct()
       .join(textHist.distinct(), Seq("h1", "h2"), "left_anti"),
       textStoreDir)
@@ -845,7 +871,8 @@ object CorpusStream {
       .spanKeys(exact, idCol, textCol, spanSents)
       .select("h1", "h2").distinct()
     val spanHist =
-      if (existing(spanStoreDir)) spark.read.parquet(spanStoreDir)
+      if (existing(spanStoreDir)) spark.read.schema(keySchema)
+        .parquet(spanStoreDir)
         .filter(col("batch_id") =!= batchId)
         .select("h1", "h2")
       else spanKeysB.limit(0)
@@ -861,7 +888,9 @@ object CorpusStream {
       .encodeScalable(frozen, idCol, textCol, merges)
       .select(col(idCol),
         size(col("tokens")).cast("long").as("n_tokens"))
-    val out = frozen.join(enc, Seq(idCol))
+    // two consumers (frozen-doc write + manifest): checkpoint so the
+    // span-dedup shuffle and the encode run once per batch
+    val out = frozen.join(enc, Seq(idCol)).localCheckpoint(false)
     out.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

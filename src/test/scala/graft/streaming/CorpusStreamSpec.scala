@@ -775,6 +775,39 @@ class CorpusStreamSpec extends SparkSpec {
     assert(folded.toSeq.map(_._2).sum == 4L) // every doc accounted for
   }
 
+  test("streaming stores survive an EMPTY first batch: a batch with " +
+    "no spans (all-short docs) or nothing past the gate writes a " +
+    "part-file-less store, and the next batch's history read must " +
+    "not die on schema inference") {
+    val root = java.nio.file.Files.createTempDirectory("freeze-empty")
+    // span-dedup store: batch 0 all-short (no 3-sentence spans)
+    val spanStore = root.resolve("spans").toString
+    val clean = root.resolve("clean").toString
+    CorpusStream.spanDedupBatch(
+      Seq((1L, "u. v.")).toDF("doc_id", "text"), 0L, spanStore, clean)
+    // would throw 'Unable to infer schema' before the explicit schema
+    CorpusStream.spanDedupBatch(
+      Seq((2L, "a1. b1. c1. d1.")).toDF("doc_id", "text"), 1L,
+      spanStore, clean)
+    assert(spark.read.parquet(clean).count() == 2L)
+    // freeze: batch 0 entirely gated out -> empty text-key AND
+    // span-key stores; batch 1 must proceed and freeze normally
+    val merges = Seq(graft.ext.Bpe.Merge(1, "a", "1", 1L))
+    val dirs = Seq("tk", "sk", "fz", "mf").map(root.resolve(_).toString)
+    val gate = !col("text").contains("drop")
+    CorpusStream.freezeBatch(
+      Seq((1L, "drop me. twice. over. fully.")).toDF("doc_id", "text"),
+      0L, gate, merges, dirs(0), dirs(1), dirs(2), dirs(3), "s", 2)
+    CorpusStream.freezeBatch(
+      Seq((2L, "a1. b2. c3. d4."), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"),
+      1L, gate, merges, dirs(0), dirs(1), dirs(2), dirs(3), "s", 2)
+    val frozen = spark.read.parquet(dirs(2))
+      .select("doc_id").as[Long].collect().toSet
+    // doc 2 froze; the null-text doc dropped at the gate, explicitly
+    assert(frozen == Set(2L), frozen.toString)
+  }
+
   test("streaming DATA FREEZE: gate, exact + span dedup against " +
     "accumulated stores, fixed-table encode and the folded manifest " +
     "EQUAL the batch composition over the union; crash replay leaves " +
