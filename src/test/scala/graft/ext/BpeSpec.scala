@@ -489,6 +489,28 @@ class BpeSpec extends SparkSpec {
     assert(nullGot.exists(p => p._1.isEmpty && p._2.nonEmpty))
   }
 
+  test("byte-level surface composes with continuation training, and " +
+    "byte-level encode is lossless over the WHOLE fixture corpus: " +
+    "every document's token stream inverts to its exact UTF-8 bytes") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val wf = Bpe.wordFreqBytes(docs, "text")
+    // continuation invariant holds on byte-level symbols too
+    val full = Bpe.trainLocal(wf, 10)
+    val base = Bpe.trainLocal(wf, 6)
+    val extended = base ++ Bpe.trainLocal(wf, 4, initialMerges = base)
+    assert(extended == full)
+    // corpus-wide losslessness: pretokens tile the text and the byte
+    // map never decodes, so unmap(concat(tokens)) == original bytes
+    // for every document — checked doc by doc
+    val enc = Bpe.encodeBytesScalable(docs, "doc_id", "text", full)
+      .select(col("doc_id"), concat_ws("", col("tokens")).as("joined"))
+    val bad = docs.select(col("doc_id"), col("text"))
+      .join(enc, Seq("doc_id"))
+      .filter(Bpe.byteLevelInvert(col("joined")) =!= col("text"))
+      .count()
+    assert(bad == 0L, s"$bad documents failed byte-level round-trip")
+  }
+
   test("encodeBytesScalable is streaming-NATIVE: the stateless " +
     "byte-level mapPartitions projection runs mid-stream and matches " +
     "the batch encode") {
