@@ -33,11 +33,21 @@ object Scratch {
     f.delete(); ()
   }
 
+  /** Full md5 hex of the fixture path — not `String.hashCode`: two
+    * distinct fixture dirs must never alias to one scratch dir (a
+    * 32-bit hash collides across the fixture paths a long-lived CI
+    * host accumulates; an md5 collision does not happen by
+    * accident). */
+  private def pathDigest(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sfDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
   def dir(store: String, sfDir: String): String = {
     hook
     val f = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-$store-${java.lang.Integer.toHexString(sfDir.hashCode)}" +
-        s"-$pid")
+      s"graft-$store-${pathDigest(sfDir)}-$pid")
     created.add(f)
     f.getAbsolutePath
   }

@@ -307,19 +307,33 @@ object Bpe {
     * standard production-tokenizer optimization: natural text is
     * Zipfian, so the same word types encode over and over; memoizing
     * word -> tokens turns the per-occurrence cost into a hash probe
-    * (measured ~7x on the fixture corpus). Bounded at 2^16 entries
-    * (vocabulary-shaped state, a few MB worst case) so a hostile
-    * all-unique stream cannot grow executor memory; pure function, so
-    * the cache is invisible to results. */
+    * (measured ~7x on the fixture corpus). Bounded THREE ways so a
+    * hostile stream cannot grow executor memory: 2^16 entries
+    * (vocabulary-shaped state), a per-entry word-length ceiling (a
+    * megabyte "word" is not a word type worth memoizing — and its
+    * tokens array is as large again), and a cumulative cached-char
+    * budget of 2^24 (an entry count alone would admit 65k x 1 MB
+    * words ~ tens of GB; chars bound the real footprint, key + token
+    * copies, to a few hundred MB worst case and ~tens of MB in
+    * practice). Pure function, so the cache is invisible to
+    * results. */
   private def cachedEncoder(idx: Map[(String, String), Array[Int]])
       : String => Seq[String] = {
     val memo = new java.util.HashMap[String, Seq[String]]()
+    val maxEntries = 65536
+    val maxWordLen = 4096
+    val maxChars = 1L << 24
+    var chars = 0L
     w => {
       val hit = memo.get(w)
       if (hit != null) hit
       else {
         val v = encodeWordLocal(w, idx).toSeq
-        if (memo.size < 65536) memo.put(w, v)
+        if (memo.size < maxEntries && w.length <= maxWordLen &&
+            chars + w.length <= maxChars) {
+          memo.put(w, v)
+          chars += w.length
+        }
         v
       }
     }

@@ -589,6 +589,50 @@ object CorpusStream {
     * crash-replay contract (same `batchId` re-run leaves both stores
     * byte-identical) is directly testable without faking a checkpoint
     * crash. */
+  /** STORE-FORMAT guard for the r13 span-store layout change: the
+    * store moved from plain-append part files at the root (batch_id
+    * as a data column) to `batch_id=`-partitioned dynamic overwrite.
+    * A stream resuming against a legacy store would write partition
+    * dirs next to root part files — a mixed layout Spark's partition
+    * discovery rejects, wedging the stream at an opaque point. Fail
+    * FIRST with the upgrade instruction instead: one root listing per
+    * micro-batch, trivial next to the batch itself. */
+  private def requirePartitionedKeyStore(
+      fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path, what: String): Unit = {
+    val legacy = fs.listStatus(store).exists(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
+    require(!legacy,
+      s"$what at $store was written by the pre-r13 plain-append " +
+        "layout (part files at the store root); the current layout " +
+        "is batch_id-partitioned dynamic overwrite and the two " +
+        "cannot mix. Point the stream at a fresh store dir (history " +
+        "restarts empty — already-emitted duplicates stay emitted), " +
+        "or migrate by rewriting the legacy rows partitioned by " +
+        "batch_id.")
+  }
+
+  /** STORE-FORMAT guard for the r14 text-key discriminator: freeze
+    * text-key stores gained a `len` column. A schema-padded read of a
+    * pre-r14 store would surface `len` as null, the history anti-join
+    * would match nothing, and exact dedup would silently re-admit
+    * every historical duplicate — fail loudly instead. Costs one
+    * parquet footer read per micro-batch; an unreadable/empty store
+    * (zero part files) has no history to mis-read and passes. */
+  private def requireTextKeyStoreCurrent(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val schema =
+      try Some(spark.read.parquet(dir).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    schema.foreach { s =>
+      require(s.fieldNames.contains("len"),
+        s"freeze text-key store at $dir predates the r14 `len` " +
+          "discriminator column; resuming against it would silently " +
+          "disable exact-dedup history. Point the freeze at a fresh " +
+          "text-key store dir (or backfill len from the source docs).")
+    }
+  }
+
   private[graft] def spanDedupBatch(batch: DataFrame, batchId: Long,
       spanStoreDir: String, storeDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -607,11 +651,13 @@ object CorpusStream {
     // re-hits it. (Also keeps batch_id LONG: partition-dir inference
     // would int-ify it.)
     val hist =
-      if (fs.exists(store)) spark.read
-        .schema("h1 LONG, h2 LONG, batch_id LONG").parquet(spanStoreDir)
-        .filter(col("batch_id") =!= batchId)
-        .select("h1", "h2")
-      else batchKeys.limit(0)
+      if (fs.exists(store)) {
+        requirePartitionedKeyStore(fs, store, "span-key store")
+        spark.read
+          .schema("h1 LONG, h2 LONG, batch_id LONG").parquet(spanStoreDir)
+          .filter(col("batch_id") =!= batchId)
+          .select("h1", "h2")
+      } else batchKeys.limit(0)
     graft.ext.Dedup
       .spanDedupAgainst(batch, idCol, textCol, hist, spanSents)
       .withColumn("batch_id", lit(batchId))
@@ -766,7 +812,9 @@ object CorpusStream {
     * null, and the quarantine ingest is the accounting path for
     * identity-less rows), EXACT dedup against
     * an accumulated TEXT-KEY store (double 31-bit hash of the full
-    * text; the within-batch keeper is the min id, cross-batch
+    * text PLUS its character length, so a false drop needs a
+    * same-length double-hash collision rather than ~62 colliding
+    * hash bits; the within-batch keeper is the min id, cross-batch
     * re-occurrences drop — with monotone ids this equals the batch
     * min-id keeper over the union), C4 SPAN dedup against the
     * accumulated span store, map-only BPE encode under a FIXED merge
@@ -834,37 +882,51 @@ object CorpusStream {
     // JSONL quarantine upstream if they must be accounted for.
     val gated = batch.filter(gate && col(textCol).isNotNull)
       .select(col(idCol), col(textCol))
-    // 2. exact dedup against the text-key store
+    // 2. exact dedup against the text-key store. The key is the
+    // double 31-bit text hash PLUS the text length: ~62 hash bits
+    // alone silently drop a distinct document per ~2^31 docs
+    // (birthday bound); requiring an equal byte length as well makes
+    // a false drop need a same-length double-hash collision — the
+    // same discriminator cost (one long) as widening the hash, with
+    // independent failure modes. STORE-FORMAT NOTE: `len` was added
+    // in r14 — a text-key store written before it lacks the column
+    // and is detected below (a schema-padded read would null `len`
+    // and silently disable history); resume such a stream against a
+    // fresh store dir.
     val keyed = gated
       .withColumn("h1",
         graft.ext.TextAnalysis.tokenHash31(col(textCol)))
       .withColumn("h2",
         graft.ext.TextAnalysis.tokenHash31(concat(col(textCol),
           lit("#"))))
+      .withColumn("len", length(col(textCol)).cast("long"))
     // explicit schemas on BOTH history reads: a first batch that is
     // entirely gated out (text keys) or all-short (span keys) writes
     // a store with zero part files; a schema-less read of it throws
     // 'Unable to infer schema' and wedges the stream on every replay
+    val textKeySchema = "h1 LONG, h2 LONG, len LONG, batch_id LONG"
     val keySchema = "h1 LONG, h2 LONG, batch_id LONG"
     val textHist =
-      if (existing(textStoreDir)) spark.read.schema(keySchema)
-        .parquet(textStoreDir)
-        .filter(col("batch_id") =!= batchId)
-        .select("h1", "h2")
-      else keyed.select("h1", "h2").limit(0)
+      if (existing(textStoreDir)) {
+        requireTextKeyStoreCurrent(spark, textStoreDir)
+        spark.read.schema(textKeySchema)
+          .parquet(textStoreDir)
+          .filter(col("batch_id") =!= batchId)
+          .select("h1", "h2", "len")
+      } else keyed.select("h1", "h2", "len").limit(0)
     val keepFirst = keyed.join(
-      keyed.groupBy("h1", "h2").agg(min(col(idCol)).as(idCol)),
-      Seq("h1", "h2", idCol), "left_semi")
+      keyed.groupBy("h1", "h2", "len").agg(min(col(idCol)).as(idCol)),
+      Seq("h1", "h2", "len", idCol), "left_semi")
     // the exact-dedup survivors feed THREE consumers (span keys, span
     // dedup, and transitively every downstream write) — checkpoint so
     // the gate + hash + two-anti-join prefix computes once per batch,
     // mirroring the batch flagship's own checkpoint
     val exact = keepFirst
-      .join(textHist.distinct(), Seq("h1", "h2"), "left_anti")
+      .join(textHist.distinct(), Seq("h1", "h2", "len"), "left_anti")
       .select(col(idCol), col(textCol))
       .localCheckpoint(false)
-    writeKeys(keyed.select("h1", "h2").distinct()
-      .join(textHist.distinct(), Seq("h1", "h2"), "left_anti"),
+    writeKeys(keyed.select("h1", "h2", "len").distinct()
+      .join(textHist.distinct(), Seq("h1", "h2", "len"), "left_anti"),
       textStoreDir)
     // 3. C4 span dedup against the span store
     val spanKeysB = graft.ext.Dedup

@@ -668,6 +668,39 @@ class CorpusStreamSpec extends SparkSpec {
       "span store must hold each (h1, h2) key exactly once")
   }
 
+  test("store-format guards: a pre-r13 plain-append span store and a " +
+    "pre-r14 text-key store without `len` are refused with the " +
+    "upgrade instruction instead of wedging the stream or silently " +
+    "re-admitting historical duplicates") {
+    val root = java.nio.file.Files.createTempDirectory("legacy-store")
+    // legacy span store: part files at the store ROOT (batch_id as a
+    // data column) — the pre-r13 plain-append layout
+    val spanStore = root.resolve("spans").toString
+    Seq((1L, 2L, 0L)).toDF("h1", "h2", "batch_id")
+      .write.parquet(spanStore)
+    val clean = root.resolve("clean").toString
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusStream.spanDedupBatch(
+        Seq((9L, "a1. b1. c1. d1.")).toDF("doc_id", "text"),
+        1L, spanStore, clean)
+    }
+    assert(e1.getMessage.contains("pre-r13"), e1.getMessage)
+    // legacy freeze text-key store: partitioned layout but no `len`
+    // column — a schema-padded read would null it and the history
+    // anti-join would match nothing
+    val tk = root.resolve("tk").toString
+    Seq((1L, 2L, 0L)).toDF("h1", "h2", "batch_id")
+      .write.partitionBy("batch_id").parquet(tk)
+    val dirs = Seq("sk", "fz", "mf").map(root.resolve(_).toString)
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStream.freezeBatch(
+        Seq((9L, "a1. b1. c1. d1.")).toDF("doc_id", "text"), 1L,
+        lit(true), Seq(graft.ext.Bpe.Merge(1, "a", "1", 1L)),
+        tk, dirs(0), dirs(1), dirs(2), "s", 2)
+    }
+    assert(e2.getMessage.contains("len"), e2.getMessage)
+  }
+
   test("streaming per-domain TOKEN budget: inclusive running cost " +
     "continues across batches, an over-budget doc blocks everything " +
     "after it in its domain, and the cut equals the batch window") {
