@@ -670,6 +670,112 @@ object Bpe {
         filter(pretokenizeBytes(col(textCol)), w => length(w) > 0),
         w => encodeWord(w, merges))).as("tokens"))
 
+  // ------------------------------------------------------------------
+  // TOKENIZER ARTIFACT STORE. The merge table is the artifact a
+  // training freeze actually SHIPS — encode fleets load it, they never
+  // retrain — so it gets the same graded store round-trip as the other
+  // index families (ann_ivfpq_store, dedup_band_store,
+  // text_dsir_store). Layout: two tiny parquet tables under one
+  // directory — `merges` (rank, lhs, rhs, freq: numMerges rows, the
+  // bounded driver state) and `meta` (format version, byte-level flag,
+  // pretokenizer pattern, merge count). Loads use EXPLICIT schemas
+  // (never inference — the empty-store lesson) and validate version,
+  // merge count and rank contiguity, so a truncated, tampered or
+  // future-version store fails loudly instead of silently encoding
+  // with a shorter table.
+  // ------------------------------------------------------------------
+
+  /** A reloaded tokenizer: the merge table plus the surface metadata
+    * that selects the matching encoder (byte-level GPT-2 pretokens vs
+    * whitespace words). */
+  final case class TokenizerArtifact(merges: Seq[Merge],
+      byteLevel: Boolean, pretokPattern: String)
+
+  /** Artifact format version — bumped on any layout or semantic
+    * change so a reader never misinterprets an older store. */
+  val ArtifactVersion: Int = 1
+
+  private val MergesSchema =
+    "merge_rank INT, lhs STRING, rhs STRING, freq LONG"
+  private val MetaSchema =
+    "version INT, byte_level BOOLEAN, pretok_pattern STRING, n_merges INT"
+
+  /** The pretokenizer pattern an artifact records: byte-level
+    * tokenizers ship [[PretokPattern]]; the whitespace surface has no
+    * regex pretokenizer and records the single-space split. */
+  private def surfacePattern(byteLevel: Boolean): String =
+    if (byteLevel) PretokPattern else " "
+
+  /** Persist a trained tokenizer. Overwrite-mode (the scratch-store
+    * swap protocol: one live copy, replaced atomically per publish);
+    * `coalesce(1)` because both tables are numMerges-or-one rows — one
+    * file per table, not 32 slivers. */
+  def saveTokenizer(spark: org.apache.spark.sql.SparkSession,
+      dir: String, merges: Seq[Merge], byteLevel: Boolean): Unit = {
+    require(merges.nonEmpty, "Bpe.saveTokenizer: empty merge table")
+    require(merges.map(_.rank) == (1 to merges.size),
+      "Bpe.saveTokenizer: merge ranks must be contiguous 1..n in order")
+    import spark.implicits._
+    mergeTable(spark, merges).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/merges")
+    Seq((ArtifactVersion, byteLevel, surfacePattern(byteLevel),
+        merges.size))
+      .toDF("version", "byte_level", "pretok_pattern", "n_merges")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
+  }
+
+  /** Reload a persisted tokenizer, validating everything a consumer
+    * depends on: format version (a future layout must not be
+    * half-read), pretokenizer pattern (this build can only reproduce
+    * the surfaces it compiles — a foreign pattern would silently
+    * change every token boundary), merge count vs `meta` (a truncated
+    * `merges` table would otherwise just encode coarser), and rank
+    * contiguity 1..n (rank-order application is the semantics). */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+      dir: String): TokenizerArtifact = {
+    val metaRows =
+      spark.read.schema(MetaSchema).parquet(dir + "/meta").collect()
+    require(metaRows.length == 1,
+      s"Bpe.loadTokenizer: expected exactly one meta row at $dir/meta," +
+        s" found ${metaRows.length}")
+    val meta = metaRows(0)
+    require(!meta.isNullAt(0) && meta.getInt(0) == ArtifactVersion,
+      s"Bpe.loadTokenizer: artifact at $dir has format version " +
+        s"${if (meta.isNullAt(0)) "null" else meta.getInt(0)}, this " +
+        s"build reads version $ArtifactVersion — re-export the " +
+        "tokenizer or upgrade the reader")
+    val byteLevel = meta.getBoolean(1)
+    val pattern = meta.getString(2)
+    require(pattern == surfacePattern(byteLevel),
+      s"Bpe.loadTokenizer: artifact at $dir records pretokenizer " +
+        s"pattern '$pattern', but this build's " +
+        s"${if (byteLevel) "byte-level" else "whitespace"} encoder " +
+        s"implements '${surfacePattern(byteLevel)}' — encoding would " +
+        "silently move every token boundary; refuse instead")
+    val ms = spark.read.schema(MergesSchema).parquet(dir + "/merges")
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_.rank)
+    require(ms.length == meta.getInt(3),
+      s"Bpe.loadTokenizer: merges table at $dir has ${ms.length} rows," +
+        s" meta says ${meta.getInt(3)} — truncated or mixed store")
+    require(ms.iterator.zipWithIndex
+        .forall { case (m, i) => m.rank == i + 1 },
+      s"Bpe.loadTokenizer: merge ranks at $dir are not contiguous " +
+        "1..n — rank-order application is undefined on gaps/duplicates")
+    TokenizerArtifact(ms.toSeq, byteLevel, pattern)
+  }
+
+  /** Encode under a RELOADED artifact — dispatches to the scalable
+    * encoder matching the artifact's recorded surface. Token-identical
+    * to encoding with the in-memory table (spec-pinned differential:
+    * train → save → load → encode ≡ train → encode). */
+  def encodeWithArtifact(df: DataFrame, idCol: String, textCol: String,
+      art: TokenizerArtifact): DataFrame =
+    if (art.byteLevel) encodeBytesScalable(df, idCol, textCol, art.merges)
+    else encodeScalable(df, idCol, textCol, art.merges)
+
   /** Byte-level document encode at PRODUCTION vocab size — the
     * [[encodeScalable]] twin for the byte-level surface: one map-only
     * `mapPartitions` pass; per row, java-regex pretokenization (the

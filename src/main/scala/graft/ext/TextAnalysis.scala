@@ -35,6 +35,17 @@ object TextAnalysis {
   def tokenHash31(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % 2147483647L
 
+  /** Driver-side twin of [[tokenHash31]] — bit-identical to the column
+    * form on any UTF-8 string. For hashing BOUNDED model state (merge
+    * tables, centroid ids) on the driver without a Spark job; never
+    * for row-scale data. */
+  def tokenHash31Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483647L
+  }
+
   /** Rolling polynomial fingerprint over the ORDERED token stream:
     * h = fold(0, (acc, x31) -> (acc*31 + x31) mod 1e9+7). Order-sensitive
     * (reordered dups get different fingerprints; use MinHash for those). */

@@ -451,6 +451,59 @@ FROM enc ORDER BY doc_id"""
         .orderBy("doc_id")
     },
 
+    // TOKENIZER ARTIFACT STORE round-trip — the artifact a training
+    // freeze ships, graded like every other index store: train
+    // byte-level on src0, PERSIST the merge table + surface metadata
+    // to a parquet store, RELOAD it (explicit schemas, version/count/
+    // rank-contiguity validation), and encode the WHOLE corpus from
+    // the reloaded table. merge_checksum is computed from the
+    // RELOADED rows (rank:lhs:rhs under the 31-bit hash, summed) and
+    // the oracle recomputes it from its own trained m1..m12 CTEs — so
+    // a store that drops, reorders, or corrupts one merge flips the
+    // constant column even if the encode happens to agree; a reloaded
+    // table that ENCODES differently flips every token column.
+    QueryDef("text_bpe_store", {
+      val words = "list_filter(list_transform(regexp_extract_all(text," +
+        " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
+        " ?[^\\s\\p{L}\\p{N}]+|\\s+')," +
+        s" t -> ${sqlByteMap("t")}), v -> length(v) > 0)"
+      val checksum = (1 to K).map(i =>
+        sqlH31(s"CAST($i AS VARCHAR) || ':' || m$i.a || ':' || m$i.b"))
+        .mkString(" + ")
+      "WITH " + sqlByteMapCtes + ",\n" +
+        sqlTrainCtes(K, ", bl WHERE source = 'src0'",
+          wordExpr = sqlPretokBytes) + s""",
+mc AS (
+  SELECT CAST($checksum AS BIGINT) AS merge_checksum
+  FROM ${(1 to K).map("m" + _).mkString(", ")}),
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform($words,
+      w -> string_split(trim(${sqlEncodeChain(K)}), '  '))) AS toks
+  FROM documents, bl, ${(1 to K).map("m" + _).mkString(", ")})
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  array_to_string(toks[1:5], '|') AS head_tokens, merge_checksum
+FROM enc, mc ORDER BY doc_id"""
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val trained = Bpe.trainLocal(
+        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
+          "text"), K)
+      // persist -> reload: the reloaded artifact drives EVERYTHING
+      // below; the in-memory `trained` is never used again
+      val dir = graft.Scratch.dir("bpe-store", d) + "/tokenizer"
+      Bpe.saveTokenizer(s, dir, trained, byteLevel = true)
+      val art = Bpe.loadTokenizer(s, dir)
+      val checksum = art.merges.map(m => TextAnalysis.tokenHash31Local(
+        s"${m.rank}:${m.left}:${m.right}")).sum
+      Bpe.encodeWithArtifact(docs, "doc_id", "text", art)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws("|", slice(col("tokens"), 1, 5)).as("head_tokens"),
+          lit(checksum).as("merge_checksum"))
+        .orderBy("doc_id")
+    },
+
     // PRODUCTION-VOCAB TIMING DATAPOINT: the full trainLocal loop at
     // 8192 merges over the [[saltedCorpus]] surface, then the SAME
     // corpus encoded twice with encodeScalable \u2014 under the first 12

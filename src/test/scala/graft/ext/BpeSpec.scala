@@ -557,4 +557,81 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Seq[String])].collect().toSeq
     assert(a == b)
   }
+
+  test("tokenizer artifact store: save -> load round-trips the merge " +
+    "table, surface flag and pattern exactly, and encoding from the " +
+    "reloaded artifact is token-identical to the in-memory path on " +
+    "BOTH surfaces, nulls included") {
+    val root = java.nio.file.Files.createTempDirectory("bpe-artifact")
+    val docs = Seq((1L, "the café? isn't 42 the answer"),
+      (2L, null.asInstanceOf[String]), (3L, "aab ab b aab"))
+      .toDF("doc_id", "text")
+    // byte-level surface
+    val mB = Bpe.trainLocal(Bpe.wordFreqBytes(docs, "text"), 6)
+    val dirB = root.resolve("byte").toString
+    Bpe.saveTokenizer(spark, dirB, mB, byteLevel = true)
+    val artB = Bpe.loadTokenizer(spark, dirB)
+    assert(artB.merges == mB && artB.byteLevel &&
+      artB.pretokPattern == Bpe.PretokPattern)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[String])].collect().toSet
+    assert(snap(Bpe.encodeWithArtifact(docs, "doc_id", "text", artB)) ==
+      snap(Bpe.encodeBytesScalable(docs, "doc_id", "text", mB)))
+    // whitespace surface
+    val mW = Bpe.trainLocal(Bpe.wordFreq(docs, "text"), 4)
+    val dirW = root.resolve("ws").toString
+    Bpe.saveTokenizer(spark, dirW, mW, byteLevel = false)
+    val artW = Bpe.loadTokenizer(spark, dirW)
+    assert(artW.merges == mW && !artW.byteLevel)
+    assert(snap(Bpe.encodeWithArtifact(docs, "doc_id", "text", artW)) ==
+      snap(Bpe.encodeScalable(docs, "doc_id", "text", mW)))
+    // publish protocol: a re-save OVERWRITES (one live copy), and a
+    // retrained artifact fully replaces the old table
+    Bpe.saveTokenizer(spark, dirB, mB.take(2), byteLevel = true)
+    assert(Bpe.loadTokenizer(spark, dirB).merges == mB.take(2))
+  }
+
+  test("tokenizer artifact store guards: future version, foreign " +
+    "pretokenizer pattern, truncated merges table and non-contiguous " +
+    "ranks are all refused loudly instead of mis-encoding") {
+    val root = java.nio.file.Files.createTempDirectory("bpe-artifact-g")
+    val merges = Seq(Bpe.Merge(1, "a", "b", 3L), Bpe.Merge(2, "a", "ab", 2L))
+    val dir = root.resolve("t").toString
+    Bpe.saveTokenizer(spark, dir, merges, byteLevel = true)
+    assert(Bpe.loadTokenizer(spark, dir).merges == merges)
+    def meta(v: Int, bl: Boolean, pat: String, n: Int): Unit =
+      Seq((v, bl, pat, n))
+        .toDF("version", "byte_level", "pretok_pattern", "n_merges")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
+    // future format version
+    meta(2, true, Bpe.PretokPattern, 2)
+    val e1 = intercept[IllegalArgumentException](
+      Bpe.loadTokenizer(spark, dir))
+    assert(e1.getMessage.contains("version"), e1.getMessage)
+    // pattern this build's encoder does not implement
+    meta(1, true, "\\w+", 2)
+    val e2 = intercept[IllegalArgumentException](
+      Bpe.loadTokenizer(spark, dir))
+    assert(e2.getMessage.contains("pretokenizer"), e2.getMessage)
+    // truncated merges table (meta says 2 rows, table has 1)
+    meta(1, true, Bpe.PretokPattern, 2)
+    Bpe.mergeTable(spark, merges.take(1))
+      .write.mode("overwrite").parquet(dir + "/merges")
+    val e3 = intercept[IllegalArgumentException](
+      Bpe.loadTokenizer(spark, dir))
+    assert(e3.getMessage.contains("truncated"), e3.getMessage)
+    // duplicate rank with an agreeing count: contiguity catches it
+    Bpe.mergeTable(spark,
+        Seq(Bpe.Merge(1, "a", "b", 3L), Bpe.Merge(1, "x", "y", 1L)))
+      .write.mode("overwrite").parquet(dir + "/merges")
+    val e4 = intercept[IllegalArgumentException](
+      Bpe.loadTokenizer(spark, dir))
+    assert(e4.getMessage.contains("contiguous"), e4.getMessage)
+    // save-side guards: empty table, non-contiguous ranks
+    intercept[IllegalArgumentException](
+      Bpe.saveTokenizer(spark, dir, Nil, byteLevel = true))
+    intercept[IllegalArgumentException](
+      Bpe.saveTokenizer(spark, dir,
+        Seq(Bpe.Merge(2, "a", "b", 1L)), byteLevel = true))
+  }
 }
