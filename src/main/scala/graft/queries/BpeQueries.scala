@@ -142,6 +142,115 @@ object BpeQueries {
     (words, docs2)
   }
 
+  /** The full data-freeze replay — gates, keeper resolution, the
+    * sentence/span chain, the 12-stage train chain, the encode chain,
+    * the prefix-sum window, shard keys and every manifest column.
+    * Shared VERBATIM by `pipeline_data_freeze` (the all-batch
+    * flagship) and `pipeline_freeze_export` (the streaming-store
+    * export): the two queries are differential BY CONSTRUCTION — same
+    * oracle, two independent execution paths (one batch plan vs
+    * incremental freezeBatch stores + a store-only export), so a
+    * divergence in either fails exactly one of them. */
+  private def sqlDataFreeze: String = {
+    val spanExpr = "array_to_string(l[i:i+2], chr(1))"
+    val shardH = sqlH31("CAST(doc_id AS VARCHAR) || '#freeze-1'")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, source, text || CASE WHEN doc_id % 13 = 0
+       |    THEN ' ' || chr(65533) ELSE '' END AS text
+       |  FROM documents),
+       |s1 AS (SELECT * FROM d0 WHERE strpos(text, chr(65533)) = 0),
+       |s2 AS MATERIALIZED (
+       |  SELECT * FROM s1
+       |  WHERE len(list_filter(string_split(text, ' '),
+       |      t -> t IN ('slow', 'big'))) * 1000
+       |    <= 100 * len(string_split(text, ' '))),
+       |s3 AS MATERIALIZED (
+       |  SELECT * FROM s2
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY text)),
+       |planted AS (
+       |  SELECT doc_id, source, array_to_string(list_transform(
+       |    string_split(text, ' '),
+       |    t -> t || CASE WHEN ${sqlH31("t")} % 5 = 0
+       |              THEN '.' ELSE '' END), ' ') AS p
+       |  FROM s3),
+       |ss AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split(
+       |      regexp_replace(p,
+       |        '([.!?]+["'')\\]]*)[ \\t\\r\\n\\f]+', '\\1' || chr(1), 'g'),
+       |      chr(1)),
+       |    s -> trim(s)), s -> length(s) > 0) AS l
+       |  FROM planted),
+       |sent AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS idx, l[i] AS s
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+       |        FROM ss)),
+       |spans AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS idx,
+       |    ${sqlH31(spanExpr)} AS h1,
+       |    ${sqlH31(s"$spanExpr || '#'")} AS h2
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+       |        FROM ss)),
+       |occ AS (
+       |  SELECT doc_id, idx,
+       |    COUNT(*) OVER (PARTITION BY h1, h2) AS occ,
+       |    ROW_NUMBER() OVER (PARTITION BY h1, h2
+       |      ORDER BY doc_id, idx) AS rn
+       |  FROM spans),
+       |drops AS (
+       |  SELECT DISTINCT o.doc_id, o.idx + dd.d AS idx
+       |  FROM occ o, (SELECT unnest(range(0, 3)) AS d) dd
+       |  WHERE o.occ > 1 AND o.rn > 1),
+       |kept AS (
+       |  SELECT s.doc_id, s.idx, s.s FROM sent s
+       |  LEFT JOIN drops d ON d.doc_id = s.doc_id AND d.idx = s.idx
+       |  WHERE d.doc_id IS NULL),
+       |ka AS (
+       |  SELECT doc_id,
+       |    array_to_string(list(s ORDER BY idx), ' ') AS kt
+       |  FROM kept GROUP BY doc_id),
+       |frozen AS MATERIALIZED (
+       |  SELECT s3.doc_id, s3.source, ka.kt AS text
+       |  FROM s3 JOIN ka USING (doc_id)),
+       |""".stripMargin +
+      sqlTrainCtes(K, " WHERE source = 'src0'", from = "frozen") +
+      s""",
+       |enc AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(
+       |      list_filter(string_split(text, ' '), v -> length(v) > 0),
+       |      w -> string_split(trim(${sqlEncodeChain(K)}), '  ')))
+       |      AS toks
+       |  FROM frozen, ${(1 to K).map("m" + _).mkString(", ")}),
+       |tc AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM enc),
+       |rr AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS BIGINT) AS start_offset
+       |  FROM tc),
+       |pk AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(FLOOR(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT)
+       |      AS bin
+       |  FROM rr),
+       |sh AS (
+       |  SELECT p.doc_id, p.n_tokens, p.bin, f.text,
+       |    $shardH % 8 AS shard_id,
+       |    $shardH * 10000000 + p.doc_id % 10000000 AS k
+       |  FROM pk p JOIN frozen f USING (doc_id))
+       |SELECT shard_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(bin) AS BIGINT) AS bin_checksum,
+       |  CAST(SUM(${sqlH31("CAST(doc_id AS VARCHAR) || '|' || text")})
+       |    AS BIGINT) AS checksum,
+       |  arg_min(doc_id, k) AS first_doc,
+       |  arg_max(doc_id, k) AS last_doc
+       |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // The learn loop itself, graded merge by merge: rank, the fused
@@ -556,105 +665,7 @@ FROM enc, mc ORDER BY doc_id"""
     // span-hash shuffle, wordFreq, the prefix-sum range partition and
     // the shard groupBy \u2014 each keyed, none quadratic; plan contract
     // (no cartesian) is spec-asserted.
-    QueryDef("pipeline_data_freeze", {
-      val spanExpr = "array_to_string(l[i:i+2], chr(1))"
-      val shardH = sqlH31("CAST(doc_id AS VARCHAR) || '#freeze-1'")
-      s"""WITH d0 AS (
-         |  SELECT doc_id, source, text || CASE WHEN doc_id % 13 = 0
-         |    THEN ' ' || chr(65533) ELSE '' END AS text
-         |  FROM documents),
-         |s1 AS (SELECT * FROM d0 WHERE strpos(text, chr(65533)) = 0),
-         |s2 AS MATERIALIZED (
-         |  SELECT * FROM s1
-         |  WHERE len(list_filter(string_split(text, ' '),
-         |      t -> t IN ('slow', 'big'))) * 1000
-         |    <= 100 * len(string_split(text, ' '))),
-         |s3 AS MATERIALIZED (
-         |  SELECT * FROM s2
-         |  WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY text)),
-         |planted AS (
-         |  SELECT doc_id, source, array_to_string(list_transform(
-         |    string_split(text, ' '),
-         |    t -> t || CASE WHEN ${sqlH31("t")} % 5 = 0
-         |              THEN '.' ELSE '' END), ' ') AS p
-         |  FROM s3),
-         |ss AS (
-         |  SELECT doc_id, list_filter(list_transform(
-         |    string_split(
-         |      regexp_replace(p,
-         |        '([.!?]+["'')\\]]*)[ \\t\\r\\n\\f]+', '\\1' || chr(1), 'g'),
-         |      chr(1)),
-         |    s -> trim(s)), s -> length(s) > 0) AS l
-         |  FROM planted),
-         |sent AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS idx, l[i] AS s
-         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
-         |        FROM ss)),
-         |spans AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS idx,
-         |    ${sqlH31(spanExpr)} AS h1,
-         |    ${sqlH31(s"$spanExpr || '#'")} AS h2
-         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
-         |        FROM ss)),
-         |occ AS (
-         |  SELECT doc_id, idx,
-         |    COUNT(*) OVER (PARTITION BY h1, h2) AS occ,
-         |    ROW_NUMBER() OVER (PARTITION BY h1, h2
-         |      ORDER BY doc_id, idx) AS rn
-         |  FROM spans),
-         |drops AS (
-         |  SELECT DISTINCT o.doc_id, o.idx + dd.d AS idx
-         |  FROM occ o, (SELECT unnest(range(0, 3)) AS d) dd
-         |  WHERE o.occ > 1 AND o.rn > 1),
-         |kept AS (
-         |  SELECT s.doc_id, s.idx, s.s FROM sent s
-         |  LEFT JOIN drops d ON d.doc_id = s.doc_id AND d.idx = s.idx
-         |  WHERE d.doc_id IS NULL),
-         |ka AS (
-         |  SELECT doc_id,
-         |    array_to_string(list(s ORDER BY idx), ' ') AS kt
-         |  FROM kept GROUP BY doc_id),
-         |frozen AS MATERIALIZED (
-         |  SELECT s3.doc_id, s3.source, ka.kt AS text
-         |  FROM s3 JOIN ka USING (doc_id)),
-         |""".stripMargin +
-        sqlTrainCtes(K, " WHERE source = 'src0'", from = "frozen") +
-        s""",
-         |enc AS (
-         |  SELECT doc_id,
-         |    flatten(list_transform(
-         |      list_filter(string_split(text, ' '), v -> length(v) > 0),
-         |      w -> string_split(trim(${sqlEncodeChain(K)}), '  ')))
-         |      AS toks
-         |  FROM frozen, ${(1 to K).map("m" + _).mkString(", ")}),
-         |tc AS (
-         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
-         |  FROM enc),
-         |rr AS (
-         |  SELECT doc_id, n_tokens,
-         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      - n_tokens AS BIGINT) AS start_offset
-         |  FROM tc),
-         |pk AS (
-         |  SELECT doc_id, n_tokens,
-         |    CAST(FLOOR(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT)
-         |      AS bin
-         |  FROM rr),
-         |sh AS (
-         |  SELECT p.doc_id, p.n_tokens, p.bin, f.text,
-         |    $shardH % 8 AS shard_id,
-         |    $shardH * 10000000 + p.doc_id % 10000000 AS k
-         |  FROM pk p JOIN frozen f USING (doc_id))
-         |SELECT shard_id, COUNT(*) AS n_docs,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-         |  CAST(SUM(bin) AS BIGINT) AS bin_checksum,
-         |  CAST(SUM(${sqlH31("CAST(doc_id AS VARCHAR) || '|' || text")})
-         |    AS BIGINT) AS checksum,
-         |  arg_min(doc_id, k) AS first_doc,
-         |  arg_max(doc_id, k) AS last_doc
-         |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
-    }) { (s, d) =>
+    QueryDef("pipeline_data_freeze", sqlDataFreeze) { (s, d) =>
       // stages 1-2: map-only curation gates (funnel semantics)
       val d0 = Tables.documents(s, d).select(col("doc_id"),
         col("source"),
@@ -704,6 +715,130 @@ FROM enc, mc ORDER BY doc_id"""
         concat(col("doc_id").cast("string"), lit("#freeze-1")))
       packed
         .join(frozen.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("shard_id", h % 8)
+        .withColumn("k", h * 10000000L + col("doc_id") % 10000000L)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(col("bin")).cast("long").as("bin_checksum"),
+          sum(TextAnalysis.tokenHash31(concat(
+            col("doc_id").cast("string"), lit("|"), col("text"))))
+            .cast("long").as("checksum"),
+          min_by(col("doc_id"), col("k")).as("first_doc"),
+          max_by(col("doc_id"), col("k")).as("last_doc"))
+        .orderBy("shard_id")
+    },
+
+    // FREEZE EXPORT — the streaming freeze's missing tail, graded:
+    // the corpus flows through THREE incremental freezeBatch
+    // micro-batches (monotone doc_id ranges; gates, exact + span
+    // dedup against the accumulated key stores, fixed-table encode —
+    // every store write a batch_id dynamic overwrite), and the EXPORT
+    // then reads ONLY the frozen-doc store (explicit schema — the
+    // empty-first-batch lesson) and assigns packing bins + shard
+    // manifest over it. The store already carries n_tokens, so the
+    // export never re-reads or re-encodes the corpus: at 100 TB the
+    // freeze is amortized across micro-batches (the stream has been
+    // writing the store all along) and shipping training shards costs
+    // one prefix sum + one shard agg over the frozen store — which is
+    // why the store build here runs ONCE per fixture+JVM (marker-
+    // gated; the construction is deterministic) and re-executions
+    // grade the export plan, the production-shaped cost of this
+    // query. The oracle is pipeline_data_freeze's replay VERBATIM
+    // (same `sqlDataFreeze`): under monotone ids the incremental
+    // stores must compose to exactly the batch flagship's freeze —
+    // one gate evaluated differently on the streaming surface, one
+    // history anti-join off by a batch, one store row lost or doubled
+    // by a replay, and the two queries' shared oracle convicts the
+    // broken one. The fixed merge table the stream ships is trained
+    // batch-side on the frozen src0 slice, exactly the production
+    // recipe ("a stream cannot train").
+    QueryDef("pipeline_freeze_export", sqlDataFreeze) { (s, d) =>
+      val root = graft.Scratch.dir("freeze-export", d)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(root, "_built")
+      val Seq(tk, sk, fz, mf) =
+        Seq("tk", "sk", "fz", "mf").map(n => s"$root/$n")
+      if (!fs.exists(marker)) {
+        // fresh stores for the build: a partial build without the
+        // marker would leave its OWN later batches as history
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        // ---- batch-side freeze prefix, ONLY to train the fixed
+        // merge table the stream ships with (identical to
+        // pipeline_data_freeze stages 1-4; the graded output never
+        // reads these frames) ----
+        val d0 = Tables.documents(s, d).select(col("doc_id"),
+          col("source"),
+          concat(col("text"), when(col("doc_id") % 13 === 0,
+            lit(" �")).otherwise(lit(""))).as("text"))
+        val s1 = d0.filter(!col("text").contains("�"))
+        val s2 = s1.filter(
+          size(filter(TextAnalysis.tokens(col("text")),
+            t => t.isin("slow", "big"))) * 1000 <=
+            lit(100) * size(TextAnalysis.tokens(col("text"))))
+        val s3 = s2.join(
+          s2.groupBy("text").agg(min("doc_id").as("doc_id"))
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+        val plantedCol = array_join(
+          transform(TextAnalysis.tokens(col("text")),
+            t => concat(t,
+              when(TextAnalysis.tokenHash31(t) % 5 === 0, lit("."))
+                .otherwise(lit("")))), " ")
+        val span = graft.ext.Dedup.spanDedup(
+          s3.select(col("doc_id"), plantedCol.as("__p")), "doc_id",
+          "__p")
+        val frozenB = s3.select("doc_id", "source")
+          .join(span.filter(length(col("kept_text")) > 0)
+            .select(col("doc_id"), col("kept_text").as("text")),
+            Seq("doc_id"))
+          .localCheckpoint(false)
+        val merges = Bpe.trainLocal(
+          Bpe.wordFreq(frozenB.filter(col("source") === "src0"),
+            "text"), K)
+        // ---- the STREAM side: the planted corpus through
+        // freezeBatch. Planting happens BEFORE the stream (the stream
+        // ingests final text), so the gate runs on planted tokens: a
+        // wordlist token may carry its planted period — counting both
+        // forms equals the batch gate on raw text (planting is per
+        // token VALUE, and the raw fixture is period-free, so no
+        // other token aliases in).
+        val planted = d0.select(col("doc_id"), plantedCol.as("text"))
+        val toks = TextAnalysis.tokens(col("text"))
+        val gate = !col("text").contains("�") &&
+          (size(filter(toks,
+            t => t.isin("slow", "big", "slow.", "big."))) * 1000 <=
+            lit(100) * size(toks))
+        val maxId = d0.agg(max("doc_id")).head().getLong(0)
+        val cuts = Seq(
+          col("doc_id") <= lit(maxId / 3),
+          col("doc_id") > lit(maxId / 3) &&
+            col("doc_id") <= lit(2 * maxId / 3),
+          col("doc_id") > lit(2 * maxId / 3))
+        cuts.zipWithIndex.foreach { case (pred, bid) =>
+          graft.streaming.CorpusStream.freezeBatch(
+            planted.filter(pred), bid.toLong, gate, merges,
+            tk, sk, fz, mf, seed = "freeze-1", numShards = 8)
+        }
+        fs.create(marker, true).close()
+      }
+      // ---- the EXPORT (the graded plan): frozen store -> packing
+      // bins -> shard manifest. No corpus re-read, no re-encode —
+      // the store's n_tokens is authoritative.
+      val stored = s.read
+        .schema("doc_id LONG, text STRING, n_tokens LONG, batch_id LONG")
+        .parquet(fz)
+        .select("doc_id", "text", "n_tokens")
+      val packed = graft.ops.PrefixSum.packIntoBins(
+          stored.select(col("doc_id"), col("n_tokens")),
+          weight = col("n_tokens"), budget = 2048L,
+          orderBy = Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_tokens"),
+          col("bin").cast("long").as("bin"))
+      val h = TextAnalysis.tokenHash31(
+        concat(col("doc_id").cast("string"), lit("#freeze-1")))
+      packed
+        .join(stored.select(col("doc_id"), col("text")), Seq("doc_id"))
         .withColumn("shard_id", h % 8)
         .withColumn("k", h * 10000000L + col("doc_id") % 10000000L)
         .groupBy("shard_id")
