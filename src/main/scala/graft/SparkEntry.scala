@@ -1,7 +1,8 @@
 package graft
 
 import graft.queries.{AnalyticsQueries, BpeQueries, DedupQueries,
-  MultimodalQueries, RefQueries, SimilarityQueries, TextQueries}
+  MultimodalQueries, RefQueries, SimilarityQueries, TextQueries,
+  UnigramQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +14,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     RefQueries.defs ++ AnalyticsQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++
-      MultimodalQueries.defs ++ BpeQueries.defs
+      MultimodalQueries.defs ++ BpeQueries.defs ++ UnigramQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,132 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vit(w: String, scores: Map[String, Long], l: Int = 4) =
+    Unigram.viterbiLocal(w, scores, l)
+
+  test("Viterbi segmentation: hand-computed example — fewest pieces " +
+    "first, then the largest count sum") {
+    // "abab": 2-piece options are [a,bab]=110 and [ab,ab]=10
+    val s = Map("a" -> 10L, "b" -> 8L, "ab" -> 5L, "bab" -> 100L)
+    assert(vit("abab", s) == Seq("a", "bab"))
+    // fewest pieces beats any sum: [ab] (v=2-BIG) over [a,b] (v=20-2BIG)
+    assert(vit("ab", Map("a" -> 10L, "b" -> 10L, "ab" -> 2L)) ==
+      Seq("ab"))
+  }
+
+  test("Viterbi tie-break: equal piece count and equal sum resolve to " +
+    "the LONGER last piece — the (v, l) argmax key") {
+    // "abc": [ab,c] = 3+2 = 5 and [a,bc] = 1+4 = 5, both 2 pieces;
+    // at the last position l=2 (bc) must win over l=1 (c)
+    val s = Map("a" -> 1L, "ab" -> 3L, "c" -> 2L, "bc" -> 4L)
+    assert(vit("abc", s) == Seq("a", "bc"))
+  }
+
+  test("character fallback: unscored characters segment as themselves " +
+    "with count 0 — encoding is total within the length budget") {
+    val s = Map("ab" -> 5L, "a" -> 3L, "b" -> 2L)
+    assert(vit("axb", s) == Seq("a", "x", "b"))
+    // supplementary-plane char: one code point, one piece
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(vit("a" + emoji + "b", s) == Seq("a", emoji, "b"))
+  }
+
+  test("Viterbi is OPTIMAL under the integer objective: brute-force " +
+    "enumeration over random words agrees on (piece count, count sum)") {
+    val rng = new scala.util.Random(7)
+    val pieces = Seq("a", "b", "c", "ab", "bc", "ca", "abc", "bca")
+    val scores = pieces.zipWithIndex
+      .map { case (p, i) => p -> (i * 7L + 1L) }.toMap
+    def bruteBest(w: String): (Int, Long) = {
+      // all segmentations whose multi-char pieces are scored;
+      // single chars always allowed at count getOrElse 0
+      def segs(s: String): Seq[Seq[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(4, s.length)).flatMap { l =>
+          val p = s.substring(0, l)
+          if (l == 1 || scores.contains(p))
+            segs(s.substring(l)).map(p +: _)
+          else Nil
+        }
+      segs(w).map { seg =>
+        (seg.size, seg.map(p => scores.getOrElse(p, 0L)).sum)
+      }.minBy { case (n, sum) => (n, -sum) }
+    }
+    (1 to 60).foreach { _ =>
+      val w = Seq.fill(2 + rng.nextInt(7))(
+        "abc".charAt(rng.nextInt(3))).mkString
+      val got = vit(w, scores)
+      val (bn, bs) = bruteBest(w)
+      assert(got.size == bn &&
+        got.map(p => scores.getOrElse(p, 0L)).sum == bs,
+        s"word=$w got=$got best=($bn,$bs)")
+    }
+  }
+
+  test("trainLocal: hand-checkable EM — seed counts are per position " +
+    "and freq-weighted, multi-char pieces that lose their counts " +
+    "decay out, the alphabet survives at count 0") {
+    // vocab: "abab" x3, "cd" x1. L=2, seed keeps top multi pieces.
+    val words = Seq(("abab", 3L), ("cd", 1L)).toDF("word", "freq")
+    val out = Unigram.trainLocal(words, maxPieceLen = 2, seedSize = 8,
+      emRounds = 2)
+    val m = out.map(p => p.piece -> p.freq).toMap
+    // seed: ab=6 (two positions x freq 3), ba=3, cd=1, a=6, b=6, c=1,
+    // d=1. round 1: "abab" -> [ab,ab] (2 pieces beats any 3+), so
+    // ab=6; "cd" -> [cd]=1. chars all decay to 0 but stay.
+    assert(m("ab") == 6L && m("cd") == 1L)
+    assert(Seq("a", "b", "c", "d").forall(ch => m(ch) == 0L))
+    // "ba" was seeded (count 3) but never used by a segmentation:
+    // it must have decayed OUT, not lingered at 0
+    assert(!m.contains("ba"))
+    // total order of the output: freq desc, then code-point piece
+    assert(out.map(_.piece) ==
+      out.sortWith((x, y) =>
+        if (x.freq != y.freq) x.freq > y.freq
+        else Bpe.cmpCodePoints(x.piece, y.piece) < 0).map(_.piece))
+  }
+
+  test("trainLocal guards: piece-length range, the driver byte bound, " +
+    "and the word-length exclusion") {
+    val words = Seq(("abcd", 2L)).toDF("word", "freq")
+    intercept[IllegalArgumentException](
+      Unigram.trainLocal(words, maxPieceLen = 1))
+    intercept[IllegalArgumentException](
+      Unigram.trainLocal(words, maxPieceLen = 9))
+    intercept[IllegalArgumentException](
+      Unigram.trainLocal(words, maxVocabBytes = 10L))
+    // a word past maxWordLen contributes nothing (not even alphabet)
+    val out = Unigram.trainLocal(
+      Seq(("ab", 1L), ("x" * 40, 9L)).toDF("word", "freq"),
+      maxPieceLen = 2, maxWordLen = 16)
+    assert(!out.exists(_.piece == "x"))
+  }
+
+  test("encodeScalable: map-only corpus segmentation matches the " +
+    "driver-side Viterbi word by word, null text yields null tokens, " +
+    "over-budget words are excluded") {
+    val words = Seq(("abab", 3L), ("cd", 1L)).toDF("word", "freq")
+    val pieces = Unigram.trainLocal(words, maxPieceLen = 2,
+      seedSize = 8, emRounds = 2)
+    val scores = pieces.map(p => p.piece -> p.freq).toMap
+    val docs = Seq(
+      (1L, "abab cd abab"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "abab " + "y" * 40 + " cd")).toDF("doc_id", "text")
+    val got = Unigram.encodeScalable(docs, "doc_id", "text", pieces,
+        maxPieceLen = 2)
+      .as[(Long, Seq[String])].collect().toMap
+    val ex1 = Seq("abab", "cd", "abab")
+      .flatMap(w => Unigram.viterbiLocal(w, scores, 2))
+    assert(got(1L) == ex1)
+    assert(got(2L) == null)
+    // the 40-char word is excluded; the rest still encode
+    assert(got(3L) ==
+      Seq("abab", "cd").flatMap(w => Unigram.viterbiLocal(w, scores, 2)))
+  }
+}
