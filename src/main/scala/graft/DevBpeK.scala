@@ -11,13 +11,19 @@ import org.apache.spark.sql.functions._
   * measurement behind SCALE.md \u00a714's "encode cost is flat in k"
   * claim (the literal-replace chain would be O(k) per word; the
   * broadcast pair-index encoder touches only merges whose pair is
-  * present). Usage: runMain graft.DevBpeK [reps]. */
+  * present). Usage: runMain graft.DevBpeK [reps] [k] [buckets] —
+  * k defaults to 8192; buckets defaults to 96 (the graded surface)
+  * or 384 when k needs a deeper merge forest (the 32k datapoint:
+  * exhaustion scales ~linearly in buckets, 96 tops out ~11k). */
 object DevBpeK {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val k = args.lift(1).map(_.toInt).getOrElse(8192)
+    val buckets = args.lift(2).map(_.toInt)
+      .getOrElse(if (k > 11000) 384 else 96)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,16 +35,17 @@ object DevBpeK {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val (words, docs2raw) = graft.queries.BpeQueries
-      .saltedCorpus(spark, sfDir)
+      .saltedCorpus(spark, sfDir, buckets)
     // freeze the salted corpus so every encode leg reads identical
     // input without re-deriving the md5 suffixes
     val docs2 = docs2raw.localCheckpoint(true)
     val nDocs = docs2.count()
     val t0 = System.nanoTime()
-    val big = ext.Bpe.trainLocal(words, 8192)
+    val big = ext.Bpe.trainLocal(words, k)
     val trainSec = (System.nanoTime() - t0) / 1e9
-    println(f"[devbpek] trainLocal: ${big.size} merges over " +
-      f"${words.count()} vocab rows in $trainSec%.2f s")
+    println(f"[devbpek] trainLocal: ${big.size} merges (asked $k, " +
+      f"$buckets salt buckets) over ${words.count()} vocab rows in " +
+      f"$trainSec%.2f s")
     def time(merges: Seq[ext.Bpe.Merge]): Seq[Double] =
       (1 to reps).map { _ =>
         val s0 = System.nanoTime()

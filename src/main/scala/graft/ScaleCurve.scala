@@ -60,7 +60,30 @@ object ScaleCurve {
     "text_bpe_bytelevel" -> "documents",
     "pipeline_bpe_vocab8k" -> "documents",
     "pipeline_bpe_byte_tokenize" -> "documents",
-    "pipeline_data_freeze" -> "documents")
+    "pipeline_data_freeze" -> "documents",
+    "text_bpe_store" -> "documents",
+    "pipeline_freeze_export" -> "documents",
+    "text_unigram_train" -> "documents",
+    "pipeline_unigram_encode" -> "documents")
+
+  /** Curve-only PROBES — measured and fitted like Targets but backed
+    * by local fns instead of graded SparkEntry queries, for scale
+    * datapoints too expensive for the per-round Verify/Bench loops.
+    * probe_bpe_train32k: the full trainLocal loop at 32768 merges
+    * over the 384-bucket salted surface (the merge-forest exhaustion
+    * bound scales ~linearly in buckets; 96 tops out ~11k) — the
+    * SCALE.md §14 claim that trainer cost is per-merge flat, measured
+    * 4x past the graded 8192-merge datapoint. */
+  val ProbeTargets: Seq[(String, String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    ("probe_bpe_train32k", "documents", (s, dir) => {
+      import s.implicits._
+      val (words, _) =
+        graft.queries.BpeQueries.saltedCorpus(s, dir, buckets = 384)
+      val big = graft.ext.Bpe.trainLocal(words, 32768)
+      Seq((big.size.toLong, words.count()))
+        .toDF("merges_learned", "vocab_rows")
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
@@ -69,7 +92,7 @@ object ScaleCurve {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_CURVE_REPS", "3").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_CURVE_OUT",
-      "SCALECURVE_r13.json")
+      "SCALECURVE_r14.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -85,17 +108,19 @@ object ScaleCurve {
     val queries = SparkEntry.queries
     val missing = Targets.map(_._1).filterNot(queries.contains)
     require(missing.isEmpty, s"unknown curve queries: $missing")
+    val allTargets: Seq[(String, String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Targets.map { case (n, t) => (n, t, queries(n)) } ++ ProbeTargets
 
     // actual driver-table sizes per sf (the x axis)
     val sizes: Map[(String, String), Long] = (for {
       dir <- sfDirs
-      table <- Targets.map(_._2).distinct
+      table <- allTargets.map(_._2).distinct
     } yield (dir, table) ->
       spark.read.parquet(s"$dir/$table.parquet").count()).toMap
 
     def fmt(v: Double): String = f"$v%.3f"
-    val results = Targets.map { case (name, table) =>
-      val fn = queries(name)
+    val results = allTargets.map { case (name, table, fn) =>
       val times = sfDirs.map { dir =>
         // one unmeasured warm run per (query, sf) so codegen/file
         // listing does not bias the SMALL sf points (where it is the

@@ -116,25 +116,28 @@ object BpeQueries {
 
   /** Corpus-derived PRODUCTION-SIZE train surface: the fixture's
     * 31-word vocabulary cannot feed thousands of merges, so every
-    * token gets a per-doc-bucket md5 suffix (96 buckets) \u2014 ~3k
-    * distinct word types whose hex tails supply the dense pair
+    * token gets a per-doc-bucket md5 suffix (default 96 buckets) \u2014
+    * ~3k distinct word types whose hex tails supply the dense pair
     * diversity of a Heaps-shaped vocabulary (~11k merges learnable to
     * exhaustion \u2014 measured, comfortably past the 8192 the timed
     * datapoint trains; 64 buckets exhausts at ~8.1k, and more buckets
     * only raise trainLocal's argmax cost, merges x live pairs, which
-    * the bench pays 4x per round).
+    * the bench pays 4x per round). The merge-forest exhaustion bound
+    * scales ~linearly in `buckets`: the 32k-merge scale probe
+    * (`ScaleCurve` / `DevBpeK`) passes 384.
     * Deterministic (md5 of token and bucket), map-only derivation.
     * Returns the `(word, freq)` table and the salted corpus re-joined
     * as text, so the encode legs run over exactly the surface the
     * merges were learned on. */
-  def saltedCorpus(s: org.apache.spark.sql.SparkSession, d: String)
+  def saltedCorpus(s: org.apache.spark.sql.SparkSession, d: String,
+      buckets: Int = 96)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val salted = Tables.documents(s, d).select(col("doc_id"),
       transform(
         filter(TextAnalysis.tokens(col("text")), t => length(t) > 0),
         t => concat(t, lit("_"), substring(
           md5(concat(t, lit(":"),
-            (col("doc_id") % 96).cast("string"))), 1, 8))).as("ws"))
+            (col("doc_id") % buckets).cast("string"))), 1, 8))).as("ws"))
     val words = salted.select(explode(col("ws")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val docs2 = salted.select(col("doc_id"),
@@ -249,6 +252,32 @@ object BpeQueries {
        |  arg_min(doc_id, k) AS first_doc,
        |  arg_max(doc_id, k) AS last_doc
        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** In-plan guard for the rows-only 8k-merge datapoint: BPE merging
+    * only ever FUSES symbols, so token totals must be strictly
+    * monotone in merge count — `n_tokens_kbig < n_tokens_k12 <
+    * n_chars` (the zero-merge symbol count). A rows-only grade can't
+    * catch a silently-regressed trainer, so the invariant raises in
+    * the plan itself: the violated branch `raise_error`s with all
+    * three totals. (Strictness is safe on the salted fixture: 8192 >
+    * 12 > 0 merges each strictly compress it.) */
+  private[graft] def compressionGuard(
+      df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ok = col("n_tokens_kbig") < col("n_tokens_k12") &&
+      col("n_tokens_k12") < col("n_chars")
+    df.select(
+      when(ok, col("merges_learned")).otherwise(raise_error(concat(
+        lit("pipeline_bpe_vocab8k: monotone-compression invariant " +
+          "violated (expected n_tokens_kbig < n_tokens_k12 < " +
+          "n_chars, got "),
+        col("n_tokens_kbig").cast("string"), lit(" / "),
+        col("n_tokens_k12").cast("string"), lit(" / "),
+        col("n_chars").cast("string"), lit(")"))))
+        .as("merges_learned"),
+      col("vocab_rows"), col("n_chars"), col("n_tokens_k12"),
+      col("n_tokens_kbig"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -620,21 +649,26 @@ FROM enc, mc ORDER BY doc_id"""
     // continuation invariant is spec-pinned) \u2014 so the scaling curve
     // carries a measured >=8k-merge point and DevBpeK can contrast
     // encode wall-time in k. Correctness is rows-only (an 8192-stage
-    // DuckDB replay chain is not writable); the summary row's totals
-    // are exact integers, partition-independent, and self-consistent:
-    // more merges always compress further (n_tokens_kbig <
-    // n_tokens_k12 < n_chars).
+    // DuckDB replay chain is not writable), so the self-consistency
+    // invariant is MACHINE-CHECKED in the plan instead: more merges
+    // always compress further (n_tokens_kbig < n_tokens_k12 <
+    // n_chars, the zero-merge symbol count) \u2014 [[compressionGuard]]
+    // raise_errors the row if the trainer ever regresses, making the
+    // rows-only grade fail loudly rather than shipping wrong totals.
     QueryDef.noOracle("pipeline_bpe_vocab8k") { (s, d) =>
       import s.implicits._
       val (words, docs2) = saltedCorpus(s, d)
+      val nChars = words
+        .agg(sum(col("freq") * length(col("word")))).head().getLong(0)
       val big = Bpe.trainLocal(words, 8192)
       def total(merges: Seq[Bpe.Merge]): Long =
         Bpe.encodeScalable(docs2, "doc_id", "text", merges)
           .agg(sum(size(col("tokens")))).head().getLong(0)
-      Seq((big.size.toLong, words.count(),
-          total(big.take(12)), total(big)))
-        .toDF("merges_learned", "vocab_rows", "n_tokens_k12",
-          "n_tokens_kbig")
+      compressionGuard(
+        Seq((big.size.toLong, words.count(), nChars,
+            total(big.take(12)), total(big)))
+          .toDF("merges_learned", "vocab_rows", "n_chars",
+            "n_tokens_k12", "n_tokens_kbig"))
     },
 
     // THE DATA FREEZE \u2014 raw corpus to training shards as ONE graded

@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
 class BlueprintsSpec extends SparkSpec {
 
   private def mkSrc(): Path = {
-    val root = Files.createTempDirectory("bp-src")
+    val root = specTempDir("bp-src")
     def w(rel: String): Unit = {
       val p = root.resolve(rel)
       Files.createDirectories(p.getParent)
@@ -29,7 +29,7 @@ class BlueprintsSpec extends SparkSpec {
 
   test("upload: regex multi-match with explicit dest name enumerates 1..n") {
     val src = mkSrc()
-    val dst = Files.createTempDirectory("bp-dst")
+    val dst = specTempDir("bp-dst")
     val r = Blueprints.upload(spark, src.toUri.toString, "in",
       RegexMatch("\\.csv$"), dst.toUri.toString,
       destinationFolderName = "up", destinationFileName = Some("f.csv"))
@@ -39,7 +39,7 @@ class BlueprintsSpec extends SparkSpec {
 
   test("upload: zero matches is a no-op, not an error (ref behavior)") {
     val src = mkSrc()
-    val dst = Files.createTempDirectory("bp-dst")
+    val dst = specTempDir("bp-dst")
     val r = Blueprints.upload(spark, src.toUri.toString, "in",
       RegexMatch("zzz"), dst.toUri.toString)
     assert(r.matched == 0 && ls(dst).isEmpty)
@@ -47,7 +47,7 @@ class BlueprintsSpec extends SparkSpec {
 
   test("download: exact match addresses the file without listing") {
     val src = mkSrc()
-    val dst = Files.createTempDirectory("bp-dst")
+    val dst = specTempDir("bp-dst")
     val r = Blueprints.download(spark, src.toUri.toString, "in",
       ExactMatch("a.csv"), dst.toUri.toString)
     assert(r.matched == 1)
@@ -89,7 +89,7 @@ class BlueprintsSpec extends SparkSpec {
 
   test("manifest-only mode (execute=false) plans without side effects") {
     val src = mkSrc()
-    val dst = Files.createTempDirectory("bp-dst")
+    val dst = specTempDir("bp-dst")
     val r = Blueprints.upload(spark, src.toUri.toString, "in",
       RegexMatch("\\.csv$"), dst.toUri.toString, execute = false)
     assert(r.matched == 2 && ls(dst).isEmpty)

@@ -19,9 +19,35 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** ONE per-JVM root for every spec temp dir, deleted recursively on
+    * JVM exit — the spec suites create ~70 temp dirs per `sbt test`
+    * and per-call `Files.createTempDirectory` leaked them all across
+    * rounds. Suites allocate through [[SparkSpec.specTempDir]]; the
+    * shutdown hook removes the whole tree after the forked test JVM
+    * finishes (afterAll-per-suite would fire while the shared session
+    * still serves later suites reading sibling dirs). */
+  lazy val tempRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-spec")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(del)
+        f.delete(); ()
+      }
+      del(root.toFile)
+    }))
+    root
+  }
 }
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Spec temp dir under the shared per-JVM root ([[TestSpark.tempRoot]])
+    * — same contract as `Files.createTempDirectory(prefix)` but cleaned
+    * up on JVM exit instead of leaking into /tmp. */
+  def specTempDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(TestSpark.tempRoot, prefix)
 }

@@ -20,7 +20,7 @@ class TablesSpec extends SparkSpec {
   private val us1 = us0 + 90L * 60 * 1000000
 
   private def tmp(): String = {
-    val d = Files.createTempDirectory("tables-spec").toFile
+    val d = specTempDir("tables-spec").toFile
     d.deleteOnExit()
     d.getAbsolutePath
   }

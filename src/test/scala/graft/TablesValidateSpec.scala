@@ -18,7 +18,7 @@ class TablesValidateSpec extends SparkSpec {
   }
 
   private def fixtureCopy(): String = {
-    val dir = Files.createTempDirectory("validate-spec")
+    val dir = specTempDir("validate-spec")
     dir.toFile.deleteOnExit()
     Tables.names.foreach { t =>
       Files.createSymbolicLink(

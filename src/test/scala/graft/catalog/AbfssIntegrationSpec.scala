@@ -41,7 +41,7 @@ class AbfssIntegrationSpec extends SparkSpec {
     val remoteBase = c.abfss(container, runId)
 
     // local scratch file to ship
-    val localDir = java.nio.file.Files.createTempDirectory("abfss-it")
+    val localDir = specTempDir("abfss-it")
     val localFile = localDir.resolve("hello.txt")
     java.nio.file.Files.writeString(localFile, "graft abfss round-trip\n")
 

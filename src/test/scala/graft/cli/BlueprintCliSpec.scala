@@ -24,10 +24,10 @@ class BlueprintCliSpec extends SparkSpec {
   }
 
   test("upload via CLI runs end-to-end with exit code 0") {
-    val src = Files.createTempDirectory("cli-src")
+    val src = specTempDir("cli-src")
     Files.createDirectories(src.resolve("in"))
     Files.writeString(src.resolve("in/a.csv"), "x")
-    val dst = Files.createTempDirectory("cli-dst")
+    val dst = specTempDir("cli-dst")
     val code = BlueprintCli.run(spark, BlueprintCli.parse(Array("upload",
       "--local-root", src.toUri.toString,
       "--container-uri", dst.toUri.toString,
@@ -40,7 +40,7 @@ class BlueprintCliSpec extends SparkSpec {
   }
 
   test("zero-match delete exits 200, like the reference") {
-    val c = Files.createTempDirectory("cli-c")
+    val c = specTempDir("cli-c")
     val code = BlueprintCli.run(spark, BlueprintCli.parse(Array("delete",
       "--container-uri", c.toUri.toString,
       "--source-file-name", "nothing-here",
@@ -49,9 +49,9 @@ class BlueprintCliSpec extends SparkSpec {
   }
 
   test("dry run reports matches without side effects") {
-    val src = Files.createTempDirectory("cli-src2")
+    val src = specTempDir("cli-src2")
     Files.writeString(src.resolve("a.csv"), "x")
-    val dst = Files.createTempDirectory("cli-dst2")
+    val dst = specTempDir("cli-dst2")
     val code = BlueprintCli.run(spark, BlueprintCli.parse(Array("upload",
       "--local-root", src.toUri.toString,
       "--container-uri", dst.toUri.toString,

@@ -542,7 +542,7 @@ class BpeSpec extends SparkSpec {
     "reproduces the encoder exactly") {
     val words = Seq(("aab", 3L), ("ab", 2L)).toDF("word", "freq")
     val merges = Bpe.train(words, 2)
-    val dir = java.nio.file.Files.createTempDirectory("bpe-merges")
+    val dir = specTempDir("bpe-merges")
       .resolve("m").toString
     Bpe.mergeTable(spark, merges).write.parquet(dir)
     val loaded = spark.read.parquet(dir)
@@ -562,7 +562,7 @@ class BpeSpec extends SparkSpec {
     "table, surface flag and pattern exactly, and encoding from the " +
     "reloaded artifact is token-identical to the in-memory path on " +
     "BOTH surfaces, nulls included") {
-    val root = java.nio.file.Files.createTempDirectory("bpe-artifact")
+    val root = specTempDir("bpe-artifact")
     val docs = Seq((1L, "the café? isn't 42 the answer"),
       (2L, null.asInstanceOf[String]), (3L, "aab ab b aab"))
       .toDF("doc_id", "text")
@@ -594,7 +594,7 @@ class BpeSpec extends SparkSpec {
   test("tokenizer artifact store guards: future version, foreign " +
     "pretokenizer pattern, truncated merges table and non-contiguous " +
     "ranks are all refused loudly instead of mis-encoding") {
-    val root = java.nio.file.Files.createTempDirectory("bpe-artifact-g")
+    val root = specTempDir("bpe-artifact-g")
     val merges = Seq(Bpe.Merge(1, "a", "b", 3L), Bpe.Merge(2, "a", "ab", 2L))
     val dir = root.resolve("t").toString
     Bpe.saveTokenizer(spark, dir, merges, byteLevel = true)

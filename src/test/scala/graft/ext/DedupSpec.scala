@@ -445,7 +445,7 @@ class DedupSpec extends SparkSpec {
         bands = 2, rowsPerBand = 16)).as("band"))
     val store = banded.filter(col("doc_id") % 40 =!= 0)
       .withColumn("bucket", col("band") % 16L)
-    val dir = java.nio.file.Files.createTempDirectory("band-store")
+    val dir = specTempDir("band-store")
       .resolve("bands").toString
     store.write.partitionBy("bucket").parquet(dir)
     // explicit schema keeps bucket LongType (partition-dir inference
@@ -504,7 +504,7 @@ class DedupSpec extends SparkSpec {
       explode(Dedup.bandKeys(Dedup.minhashes(col("text"), 32),
         bands = 2, rowsPerBand = 16)).as("band"))
       .withColumn("bucket", col("band") % 16L)
-    val root = java.nio.file.Files.createTempDirectory("band-store-dpp")
+    val root = specTempDir("band-store-dpp")
     val dir = root.resolve("bands").toString
     banded.filter(col("doc_id") % 40 =!= 0)
       .repartition(col("bucket")).write.partitionBy("bucket")

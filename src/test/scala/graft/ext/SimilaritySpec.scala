@@ -369,7 +369,7 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val model = Similarity.ivfPqBuild(emb)
-    val dir = java.nio.file.Files.createTempDirectory("ivfpq-store")
+    val dir = specTempDir("ivfpq-store")
       .resolve("codes").toString
     model.codes.write.partitionBy("cluster_id").parquet(dir)
     // explicit schema keeps cluster_id LongType (inference would int-ify

@@ -53,7 +53,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("reliable checkpoint path: same fixpoint, files actually written") {
-    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val dir = specTempDir("cc-ckpt").toString
     try {
       val chain = (1L until 30L).map(i => (i, i + 1))
       val got = ConnectedComponents.components(

@@ -55,7 +55,7 @@ class HitsSpec extends SparkSpec {
       ("a1", "h2", 1L)).toDF("src", "dst", "w")
     val plain = Hits.scores(edges, iters = 3)
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
-    val dir = java.nio.file.Files.createTempDirectory("hits-ck").toString
+    val dir = specTempDir("hits-ck").toString
     try {
       val ck = Hits.scores(edges, iters = 3, checkpointDir = Some(dir))
         .as[(String, Long, Long)].collect().sortBy(_._1).toSeq

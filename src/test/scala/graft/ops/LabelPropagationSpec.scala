@@ -46,7 +46,7 @@ class LabelPropagationSpec extends SparkSpec {
   }
 
   test("reliable checkpoint path: identical communities, files written") {
-    val dir = java.nio.file.Files.createTempDirectory("lp-ckpt").toString
+    val dir = specTempDir("lp-ckpt").toString
     try {
       val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L)
       val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),

@@ -29,7 +29,7 @@ class PageRankSpec extends SparkSpec {
 
   test("reliable checkpoint path: identical ranks, files written, " +
     "both variants") {
-    val dir = java.nio.file.Files.createTempDirectory("pr-ckpt").toString
+    val dir = specTempDir("pr-ckpt").toString
     try {
       // a->b dangling chain exercises the conserving pool too
       val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 2L))

@@ -11,7 +11,7 @@ import java.nio.file.Files
 class PartitionPruningSpec extends SparkSpec {
 
   test("partitionBy write + filtered read prunes to one partition") {
-    val out = Files.createTempDirectory("part-ev").toString
+    val out = specTempDir("part-ev").toString
     graft.Tables.events(spark, sfDir)
       .write.partitionBy("event_type").mode("overwrite").parquet(out)
 

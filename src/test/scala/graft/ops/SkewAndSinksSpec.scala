@@ -24,7 +24,7 @@ class SkewAndSinksSpec extends SparkSpec {
 
   test("sinks: parquet/csv/json round-trip preserves data") {
     val df = graft.Tables.nation(spark, sfDir)
-    val base = Files.createTempDirectory("sinks")
+    val base = specTempDir("sinks")
     df.write.parquet(s"$base/p")
     df.write.option("header", "true").csv(s"$base/c")
     df.write.json(s"$base/j")
@@ -47,8 +47,8 @@ class SkewAndSinksSpec extends SparkSpec {
 
   test("syncPlan finds missing and changed files only") {
     import graft.catalog.FileCatalog
-    val a = Files.createTempDirectory("sync-a")
-    val b = Files.createTempDirectory("sync-b")
+    val a = specTempDir("sync-a")
+    val b = specTempDir("sync-b")
     Files.writeString(a.resolve("same.txt"), "xx")
     Files.writeString(b.resolve("same.txt"), "xx")
     Files.writeString(a.resolve("changed.txt"), "longer content")
@@ -70,7 +70,7 @@ class SkewAndSinksSpec extends SparkSpec {
   }
 
   test("sinks: orc and text round-trips") {
-    val base = Files.createTempDirectory("sinks2")
+    val base = specTempDir("sinks2")
     val df = graft.Tables.region(spark, sfDir)
     df.write.orc(s"$base/o")
     assert(spark.read.orc(s"$base/o").orderBy("r_regionkey")
@@ -87,7 +87,7 @@ class SkewAndSinksSpec extends SparkSpec {
   }
 
   test("compact rewrites a many-file parquet dir preserving data") {
-    val dir = Files.createTempDirectory("compact").resolve("t").toString
+    val dir = specTempDir("compact").resolve("t").toString
     graft.Tables.orders(spark, sfDir).repartition(24).write.parquet(dir)
     val before = graft.Tables.load(spark, sfDir, "orders").count()
     val (nBefore, nAfter) = Transfer.compact(spark, dir, targetBytes = 1L << 30)
@@ -96,9 +96,9 @@ class SkewAndSinksSpec extends SparkSpec {
   }
 
   test("compact: empty dir is a no-op; stale backup aborts") {
-    val empty = Files.createTempDirectory("compact-empty")
+    val empty = specTempDir("compact-empty")
     assert(Transfer.compact(spark, empty.toString) == (0, 0))
-    val dir = Files.createTempDirectory("compact-stale").resolve("t")
+    val dir = specTempDir("compact-stale").resolve("t")
     graft.Tables.region(spark, sfDir).write.parquet(dir.toString)
     Files.createDirectory(dir.getParent.resolve("t__compact_bak"))
     intercept[IllegalStateException] {

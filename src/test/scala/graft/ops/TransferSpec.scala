@@ -16,7 +16,7 @@ class TransferSpec extends SparkSpec {
   import spark.implicits._
 
   private def mkContainer(): Path = {
-    val root = Files.createTempDirectory("graft-container")
+    val root = specTempDir("graft-container")
     def w(rel: String): Unit = {
       val p = root.resolve(rel)
       Files.createDirectories(p.getParent)
@@ -56,7 +56,7 @@ class TransferSpec extends SparkSpec {
 
   test("S4 upload round-trip with enumerated rename, no overwrite") {
     val src = mkContainer()
-    val dst = Files.createTempDirectory("graft-dst")
+    val dst = specTempDir("graft-dst")
     val cat = FileCatalog.list(spark, src.toUri.toString)
       .filter(RegexMatch("data\\.csv").predicate(col("name")))
     val manifest = RenamePlan.planify(

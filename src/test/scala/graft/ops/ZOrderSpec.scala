@@ -110,7 +110,7 @@ class ZOrderSpec extends SparkSpec {
     // row group whose footer min/max on (a, b) inherit the tile bound.
     val grid = (for { a <- 0 until 128; b <- 0 until 128 }
       yield (a.toLong, b.toLong)).toDF("a", "b")
-    val root = java.nio.file.Files.createTempDirectory("zskip").toString
+    val root = specTempDir("zskip").toString
     val zDir = s"$root/z"; val linDir = s"$root/lin"
     // DETERMINISTIC aligned tiling for the measurement: a global sort
     // collapsed to one writer task, cut into exact 1024-row files.

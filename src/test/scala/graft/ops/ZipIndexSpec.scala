@@ -20,7 +20,7 @@ class ZipIndexSpec extends SparkSpec {
   }
 
   test("reliable checkpoint path: same ordinals, files written") {
-    val dir = java.nio.file.Files.createTempDirectory("zip-ckpt").toString
+    val dir = specTempDir("zip-ckpt").toString
     try {
       val df = (1 to 200).map(i => (i * 7 % 1000, i)).toDF("k", "v")
       val plain = ZipIndex.withOrdinal(df, "ord", Seq(col("k"), col("v")))

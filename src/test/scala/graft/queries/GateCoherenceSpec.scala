@@ -35,4 +35,28 @@ class GateCoherenceSpec extends SparkSpec {
     assert(funnel("wordlist")._3 - funnel("wordlist")._4 <=
       marginals("wordlist")._2)
   }
+
+  test("pipeline_bpe_vocab8k's monotone-compression guard: a valid " +
+    "summary row passes through unchanged, a regressed trainer's row " +
+    "raise_errors in the plan with all three totals") {
+    val cols = Seq("merges_learned", "vocab_rows", "n_chars",
+      "n_tokens_k12", "n_tokens_kbig")
+    val good = Seq((8192L, 3000L, 100000L, 60000L, 40000L))
+      .toDF(cols: _*)
+    assert(BpeQueries.compressionGuard(good).collect().map(_.toSeq)
+      .toSeq == Seq(Seq(8192L, 3000L, 100000L, 60000L, 40000L)))
+    // violated: more merges compressed LESS — the invariant a silent
+    // trainer regression would break
+    val bad = Seq((8192L, 3000L, 100000L, 40000L, 60000L))
+      .toDF(cols: _*)
+    val e = intercept[Exception](
+      BpeQueries.compressionGuard(bad).collect())
+    assert(e.getMessage.contains("monotone-compression"), e.getMessage)
+    // also violated: "compression" past the raw symbol count
+    val bad2 = Seq((8192L, 3000L, 50000L, 60000L, 40000L))
+      .toDF(cols: _*)
+    val e2 = intercept[Exception](
+      BpeQueries.compressionGuard(bad2).collect())
+    assert(e2.getMessage.contains("monotone-compression"), e2.getMessage)
+  }
 }

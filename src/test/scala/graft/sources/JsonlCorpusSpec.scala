@@ -7,7 +7,7 @@ import java.nio.file.Files
 class JsonlCorpusSpec extends SparkSpec {
 
   private def write(lines: Seq[String]): String = {
-    val dir = Files.createTempDirectory("graft-jsonl")
+    val dir = specTempDir("graft-jsonl")
     Files.write(dir.resolve("part-0.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"))
     dir.toString

@@ -16,7 +16,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   import spark.implicits._
 
   test("mergeSchema unions batch generations with null backfill") {
-    val dir = Files.createTempDirectory("graft-evo").toString
+    val dir = specTempDir("graft-evo").toString
     Seq((1L, "old doc", "en"))
       .toDF("doc_id", "text", "lang")
       .write.parquet(s"$dir/batch=0")

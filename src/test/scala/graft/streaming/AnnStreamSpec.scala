@@ -19,7 +19,7 @@ class AnnStreamSpec extends SparkSpec {
     val even = emb.filter(col("vec_id") % 2 === 0)
     val odd = emb.filter(col("vec_id") % 2 === 1)
     val model = Similarity.ivfPqBuild(even)
-    val root = java.nio.file.Files.createTempDirectory("ann-stream")
+    val root = specTempDir("ann-stream")
     val storeDir = root.resolve("codes").toString
 
     val oddVecs = odd.select("vec_id", "embedding")
@@ -74,7 +74,7 @@ class AnnStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val emb = graft.Tables.embeddings(spark, sfDir)
     val model = Similarity.ivfPqBuild(emb.filter(col("vec_id") % 2 === 0))
-    val root = java.nio.file.Files.createTempDirectory("ann-reemit")
+    val root = specTempDir("ann-reemit")
     val storeDir = root.resolve("codes").toString
     val v = emb.filter(col("vec_id") === 1L)
       .select("vec_id", "embedding")
@@ -104,7 +104,7 @@ class AnnStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val emb = graft.Tables.embeddings(spark, sfDir)
     val model = Similarity.ivfPqBuild(emb.filter(col("vec_id") % 2 === 0))
-    val root = java.nio.file.Files.createTempDirectory("ann-compact")
+    val root = specTempDir("ann-compact")
     val storeDir = root.resolve("codes").toString
 
     val odd = emb.filter(col("vec_id") % 2 === 1)

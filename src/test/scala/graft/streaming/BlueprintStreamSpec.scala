@@ -12,9 +12,9 @@ class BlueprintStreamSpec extends SparkSpec {
       .map(p => root.relativize(p).toString).toSet
 
   test("continuous upload ships matching files incrementally, exactly once") {
-    val watch = Files.createTempDirectory("bps-watch")
-    val container = Files.createTempDirectory("bps-container")
-    val ckpt = Files.createTempDirectory("bps-ckpt")
+    val watch = specTempDir("bps-watch")
+    val container = specTempDir("bps-container")
+    val ckpt = specTempDir("bps-ckpt")
     Files.writeString(watch.resolve("a.csv"), "a")
     Files.writeString(watch.resolve("skip.log"), "x")
     val q = BlueprintStream.continuousUpload(spark,

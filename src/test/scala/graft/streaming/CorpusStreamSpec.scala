@@ -94,7 +94,7 @@ class CorpusStreamSpec extends SparkSpec {
   test("streaming upsert: micro-batches MERGE into the parquet " +
     "snapshot, in-batch dups keep the highest version") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val dir = specTempDir("upsert").toString
     val mem = MemoryStream[(Long, Long, String)]
     val docs = mem.toDF().toDF("k", "ver", "v")
     val q = CorpusStream.upsertBatches(docs, s"$dir/snap", "k", "ver",
@@ -119,7 +119,7 @@ class CorpusStreamSpec extends SparkSpec {
   test("streaming upsert: crash between the two swap renames is " +
     "recovered from the parked __old copy") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("upsertRec").toString
+    val dir = specTempDir("upsertRec").toString
     val snapDir = s"$dir/snap"
     val mem = MemoryStream[(Long, Long, String)]
     val docs = mem.toDF().toDF("k", "ver", "v")
@@ -151,7 +151,7 @@ class CorpusStreamSpec extends SparkSpec {
   test("streaming upsert: version ties resolve by content hash, not " +
     "partition layout") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("upsertTie").toString
+    val dir = specTempDir("upsertTie").toString
     val mem = MemoryStream[(Long, Long, String)]
     val docs = mem.toDF().toDF("k", "ver", "v")
     val q = CorpusStream.upsertBatches(docs, s"$dir/snap", "k", "ver",
@@ -175,7 +175,7 @@ class CorpusStreamSpec extends SparkSpec {
   test("streaming near-dedup: band keys suppress history dups and " +
     "in-batch dups by min-id claim; store grows by content diversity") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("neardd").toString
+    val dir = specTempDir("neardd").toString
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "text")
     val q = CorpusStream.nearDedupBatches(docs, s"$dir/store",
@@ -208,7 +208,7 @@ class CorpusStreamSpec extends SparkSpec {
     "own first-attempt band append (store rows are batch-stamped)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.{Dedup, DedupProfile}
-    val dir = java.nio.file.Files.createTempDirectory("nearddRep").toString
+    val dir = specTempDir("nearddRep").toString
     val profile = DedupProfile.default
     val docs0 = Seq((1L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
@@ -241,7 +241,7 @@ class CorpusStreamSpec extends SparkSpec {
   test("streaming near-dedup retention window: bands older than the " +
     "window re-admit, in-window dedup unaffected, store compacts") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("nearddTtl").toString
+    val dir = specTempDir("nearddTtl").toString
     val mem = MemoryStream[(Long, String)]
     val q = CorpusStream.nearDedupBatches(mem.toDF().toDF("doc_id", "text"),
       s"$dir/store", s"$dir/out", s"$dir/ckpt",
@@ -275,7 +275,7 @@ class CorpusStreamSpec extends SparkSpec {
     "compaction keeps the attempt's own rows, replay still excludes them") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.{Dedup, DedupProfile}
-    val dir = java.nio.file.Files.createTempDirectory("nearddRepCmp").toString
+    val dir = specTempDir("nearddRepCmp").toString
     val profile = DedupProfile.default
     val mem = MemoryStream[(Long, String)]
     def start() = CorpusStream.nearDedupBatches(
@@ -344,7 +344,7 @@ class CorpusStreamSpec extends SparkSpec {
   test("streaming upsert: orphaned __tmp-* side dirs from a crashed " +
     "batch are swept on the next batch") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("upsertTmp").toString
+    val dir = specTempDir("upsertTmp").toString
     val snapDir = s"$dir/snap"
     // a crash before the rename leaves a fully-written side dir behind
     val orphan = new java.io.File(snapDir + "__tmp-99")
@@ -405,7 +405,7 @@ class CorpusStreamSpec extends SparkSpec {
       .toDF("doc_id", "lang", "text")
     // live lineage on purpose: langIdGateBatches freezes it internally
     val model = TextAnalysis.langIdTrain(train, "text", "lang")
-    val root = java.nio.file.Files.createTempDirectory("langid-gate")
+    val root = specTempDir("langid-gate")
     val storeDir = root.resolve("kept").toString
     // stream: mixed fr/de docs (disjoint ids from the seed corpus)
     val s1 = Seq((200L, mk(fr, "fr", 0L)(3)._3), (201L, mk(de, "de", 0L)(4)._3))
@@ -441,7 +441,7 @@ class CorpusStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.TextAnalysis
     val words = Seq("blocked").toDF("word")
-    val root = java.nio.file.Files.createTempDirectory("wl-gate")
+    val root = specTempDir("wl-gate")
     val storeDir = root.resolve("kept").toString
     val s1 = Seq((1L, "clean text here"), (2L, "very blocked content"))
     val s2 = Seq((3L, "also clean"), (4L, "blocked blocked blocked"))
@@ -489,7 +489,7 @@ class CorpusStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val stop = Seq("the", "a", "of", "and").toDF("word")
     val prose = ("the cat sat of the mat and " * 12).trim
-    val root = java.nio.file.Files.createTempDirectory("jx-stream")
+    val root = specTempDir("jx-stream")
     val storeDir = root.resolve("prose").toString
     val mkDoc = (id: Long) =>
       (id, s"<p>$prose</p><p>caption $id</p><p>$prose</p>" +
@@ -528,7 +528,7 @@ class CorpusStreamSpec extends SparkSpec {
       .toDF("bid", "text")
     val bits = Decontamination.bloomBits(bench, "text", n = 5,
       mBits = 4096, k = 3)
-    val root = java.nio.file.Files.createTempDirectory("bloom-gate")
+    val root = specTempDir("bloom-gate")
     val storeDir = root.resolve("kept").toString
     val s1 = Seq(
       (10L, "a quick brown fox jumps over fences daily"), // 1 real hit
@@ -600,7 +600,7 @@ class CorpusStreamSpec extends SparkSpec {
     "within-batch keepers resolve like the batch form, and the union " +
     "of batch outputs EQUALS one global spanDedup over all docs") {
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("span-stream")
+    val root = specTempDir("span-stream")
     val spanStore = root.resolve("spans").toString
     val store = root.resolve("clean").toString
     val ckpt = root.resolve("ckpt").toString
@@ -642,7 +642,7 @@ class CorpusStreamSpec extends SparkSpec {
   test("streaming C4 span dedup: re-running a micro-batch under the " +
     "same batch_id (crash replay) leaves both stores byte-identical \u2014 " +
     "the span store holds each key once") {
-    val root = java.nio.file.Files.createTempDirectory("span-replay")
+    val root = specTempDir("span-replay")
     val spanStore = root.resolve("spans").toString
     val store = root.resolve("clean").toString
     val b1 = Seq((1L, "a1. b1. c1. d1."), (2L, "x1. b1. c1. d1."))
@@ -672,7 +672,7 @@ class CorpusStreamSpec extends SparkSpec {
     "pre-r14 text-key store without `len` are refused with the " +
     "upgrade instruction instead of wedging the stream or silently " +
     "re-admitting historical duplicates") {
-    val root = java.nio.file.Files.createTempDirectory("legacy-store")
+    val root = specTempDir("legacy-store")
     // legacy span store: part files at the store ROOT (batch_id as a
     // data column) — the pre-r13 plain-append layout
     val spanStore = root.resolve("spans").toString
@@ -755,7 +755,7 @@ class CorpusStreamSpec extends SparkSpec {
     "malformed and identity-less lines to the quarantine with the " +
     "raw line preserved \u2014 never fail, never silently drop") {
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("jsonl-ingest")
+    val root = specTempDir("jsonl-ingest")
     val store = root.resolve("corpus").toString
     val quar = root.resolve("quarantine").toString
     val good1 = """{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s0"}"""
@@ -784,7 +784,7 @@ class CorpusStreamSpec extends SparkSpec {
     "batch-side manifest over the union \u2014 order-independent checksums " +
     "compose across batches") {
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("manifest")
+    val root = specTempDir("manifest")
     val store = root.resolve("m").toString
     val b1 = Seq((1L, "alpha words here"), (2L, "beta text body"))
     val b2 = Seq((3L, "gamma content line"), (4L, "delta tail piece"))
@@ -812,7 +812,7 @@ class CorpusStreamSpec extends SparkSpec {
     "no spans (all-short docs) or nothing past the gate writes a " +
     "part-file-less store, and the next batch's history read must " +
     "not die on schema inference") {
-    val root = java.nio.file.Files.createTempDirectory("freeze-empty")
+    val root = specTempDir("freeze-empty")
     // span-dedup store: batch 0 all-short (no 3-sentence spans)
     val spanStore = root.resolve("spans").toString
     val clean = root.resolve("clean").toString
@@ -848,7 +848,7 @@ class CorpusStreamSpec extends SparkSpec {
     import graft.ext.{Bpe, Dedup, TextAnalysis}
     import org.apache.spark.sql.functions.{concat_ws, length, min, size}
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("freeze-stream")
+    val root = specTempDir("freeze-stream")
     val textStore = root.resolve("textkeys").toString
     val spanStore = root.resolve("spankeys").toString
     val store = root.resolve("frozen").toString

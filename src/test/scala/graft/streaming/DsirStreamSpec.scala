@@ -18,7 +18,7 @@ class DsirStreamSpec extends SparkSpec {
       .select("doc_id", "source", "text")
     val all = docs.as[(Long, String, String)].collect().toSeq.sortBy(_._1)
     val (b1, b2) = all.splitAt(all.length / 2)
-    val root = java.nio.file.Files.createTempDirectory("dsir-stream")
+    val root = specTempDir("dsir-stream")
     val storeDir = root.resolve("counts").toString
 
     // simulate a CRASHED first attempt of batch 0: a partial, WRONG
@@ -69,7 +69,7 @@ class DsirStreamSpec extends SparkSpec {
     val all = docs.as[(Long, String, String)].collect().toSeq.sortBy(_._1)
     val batches = all.grouped(math.max(1, all.length / 5)).toSeq.take(5)
     assert(batches.length == 5)
-    val root = java.nio.file.Files.createTempDirectory("dsir-compact")
+    val root = specTempDir("dsir-compact")
     val storeDir = root.resolve("counts").toString
 
     // crashed FIRST attempt of batch 2: a partial garbage partition

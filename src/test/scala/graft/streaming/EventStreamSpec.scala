@@ -35,7 +35,7 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("file stream discovers new files incrementally") {
-    val dir = Files.createTempDirectory("stream-in")
+    val dir = specTempDir("stream-in")
     val batch1 = Seq(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "b", 1.0))
     batch1.toDF().write.parquet(dir.resolve("f1.parquet").toString)
     val q = fromDirectory(spark, dir.toUri.toString + "/*")

@@ -25,7 +25,7 @@ class StoreCompactionSpec extends SparkSpec {
 
   test("swap atomicity: every reader-visible state is entirely-old, " +
     "entirely-new, or missing-but-recoverable — never a mix") {
-    val root = java.nio.file.Files.createTempDirectory("swap-atomic")
+    val root = specTempDir("swap-atomic")
     val store = root.resolve("store").toString
     val old = Seq((1L, "old"), (2L, "old"))
     val neu = Seq((1L, "new"))
@@ -56,7 +56,7 @@ class StoreCompactionSpec extends SparkSpec {
 
   test("swapRewrite end-to-end: fold applied, stale park and tmp " +
     "removed, content replaced in place") {
-    val root = java.nio.file.Files.createTempDirectory("swap-e2e")
+    val root = specTempDir("swap-e2e")
     val store = root.resolve("store").toString
     writeStore(store, Seq((1L, "keep"), (2L, "drop"), (3L, "keep")))
     // a stale park from an earlier crashed swap must not block this one
@@ -75,7 +75,7 @@ class StoreCompactionSpec extends SparkSpec {
   }
 
   test("swapRewrite is a no-op when the store does not exist yet") {
-    val root = java.nio.file.Files.createTempDirectory("swap-noop")
+    val root = specTempDir("swap-noop")
     val store = root.resolve("absent").toString
     StoreCompaction.swapRewrite(spark, store)(
       read = d => spark.read.parquet(d),

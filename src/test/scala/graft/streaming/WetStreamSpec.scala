@@ -18,7 +18,7 @@ class WetStreamSpec extends SparkSpec {
 
   test("ingest, re-crawl last-write-wins, and compaction-stable read") {
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("wet-stream")
+    val root = specTempDir("wet-stream")
     val store = s"$root/store"; val ckpt = s"$root/ckpt"
     val mem = MemoryStream[(Long, Array[Byte])]
     val q = CorpusStream.wetIngestBatches(
@@ -75,7 +75,7 @@ class WetStreamSpec extends SparkSpec {
       (3L, "junk spam junk spam", false)).toDF("doc_id", "text", "y")
     val model = graft.ext.TextAnalysis.logisticTrain(
       train, "doc_id", "text", "y", dim = 64, iters = 8)
-    val root = java.nio.file.Files.createTempDirectory("qgate")
+    val root = specTempDir("qgate")
     val mem = MemoryStream[(Long, String)]
     val q = CorpusStream.qualityGateBatches(
       mem.toDF().toDF("doc_id", "text"), model,
