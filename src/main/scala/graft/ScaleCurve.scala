@@ -64,7 +64,8 @@ object ScaleCurve {
     "text_bpe_store" -> "documents",
     "pipeline_freeze_export" -> "documents",
     "text_unigram_train" -> "documents",
-    "pipeline_unigram_encode" -> "documents")
+    "pipeline_unigram_encode" -> "documents",
+    "text_unigram_store" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale

@@ -211,6 +211,86 @@ object Unigram {
       .map { case (p, c) => Piece(p, c) }
   }
 
+  // ------------------------------------------------------------------
+  // UNIGRAM ARTIFACT STORE — the [[Bpe.saveTokenizer]] twin for the
+  // second tokenizer family: a trained piece table is what an encode
+  // fleet loads, so it gets the same graded persist/validate/reload
+  // round-trip. Layout: `pieces` (piece, freq) + `meta` (format
+  // version, maxPieceLen, maxWordLen, piece count). Explicit-schema
+  // loads; validation refuses future versions, count mismatches
+  // (truncation) and duplicate pieces (a map built from them would
+  // silently keep one score).
+  // ------------------------------------------------------------------
+
+  /** A reloaded unigram tokenizer: the piece table plus the encoder
+    * geometry it was trained under. */
+  final case class UnigramArtifact(pieces: Seq[Piece],
+      maxPieceLen: Int, maxWordLen: Int)
+
+  /** Artifact format version — bumped on any layout change. */
+  val ArtifactVersion: Int = 1
+
+  private val PiecesSchema = "piece STRING, freq LONG"
+  private val MetaSchema =
+    "version INT, max_piece_len INT, max_word_len INT, n_pieces INT"
+
+  /** Persist a trained piece table (overwrite swap, one file per
+    * table — the pieces are bounded driver state). */
+  def savePieces(spark: org.apache.spark.sql.SparkSession, dir: String,
+      pieces: Seq[Piece], maxPieceLen: Int, maxWordLen: Int): Unit = {
+    require(pieces.nonEmpty, "Unigram.savePieces: empty piece table")
+    require(pieces.map(_.piece).distinct.size == pieces.size,
+      "Unigram.savePieces: duplicate pieces")
+    import spark.implicits._
+    pieces.map(p => (p.piece, p.freq)).toDF("piece", "freq").coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/pieces")
+    Seq((ArtifactVersion, maxPieceLen, maxWordLen, pieces.size))
+      .toDF("version", "max_piece_len", "max_word_len", "n_pieces")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
+  }
+
+  /** Reload a persisted piece table, validating version, count and
+    * piece uniqueness. The returned pieces are re-sorted into the
+    * canonical (freq desc, code-point piece) order — scores are a
+    * set, so the order carries no semantics, but every consumer then
+    * sees one deterministic table. */
+  def loadPieces(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : UnigramArtifact = {
+    val metaRows =
+      spark.read.schema(MetaSchema).parquet(dir + "/meta").collect()
+    require(metaRows.length == 1,
+      s"Unigram.loadPieces: expected one meta row at $dir/meta, " +
+        s"found ${metaRows.length}")
+    val meta = metaRows(0)
+    require(!meta.isNullAt(0) && meta.getInt(0) == ArtifactVersion,
+      s"Unigram.loadPieces: artifact at $dir has format version " +
+        s"${if (meta.isNullAt(0)) "null" else meta.getInt(0)}, this " +
+        s"build reads version $ArtifactVersion")
+    val ps = spark.read.schema(PiecesSchema).parquet(dir + "/pieces")
+      .collect()
+      .map(r => Piece(r.getString(0), r.getLong(1)))
+    require(ps.length == meta.getInt(3),
+      s"Unigram.loadPieces: pieces table at $dir has ${ps.length} " +
+        s"rows, meta says ${meta.getInt(3)} — truncated or mixed store")
+    require(ps.map(_.piece).distinct.length == ps.length,
+      s"Unigram.loadPieces: duplicate pieces at $dir — a score map " +
+        "built from them would silently keep one of the scores")
+    val sorted = ps.sortWith { (a, b) =>
+      if (a.freq != b.freq) a.freq > b.freq
+      else Bpe.cmpCodePoints(a.piece, b.piece) < 0
+    }.toSeq
+    UnigramArtifact(sorted, meta.getInt(1), meta.getInt(2))
+  }
+
+  /** Encode under a RELOADED artifact — the geometry (piece-length
+    * ceiling, word-length budget) travels with the pieces, so an
+    * encode fleet cannot combine a table with the wrong lattice
+    * bounds. Token-identical to the in-memory path (spec-pinned). */
+  def encodeWithArtifact(df: DataFrame, idCol: String, textCol: String,
+      art: UnigramArtifact): DataFrame =
+    encodeScalable(df, idCol, textCol, art.pieces, art.maxPieceLen,
+      art.maxWordLen)
+
   /** Per-document unigram tokenization at corpus scale: one map-only
     * `mapPartitions` pass, the piece table riding a broadcast hash
     * map, a per-partition word memo (natural text is Zipfian — same

@@ -827,9 +827,17 @@ FROM enc, mc ORDER BY doc_id"""
             .select(col("doc_id"), col("kept_text").as("text")),
             Seq("doc_id"))
           .localCheckpoint(false)
-        val merges = Bpe.trainLocal(
+        val trained = Bpe.trainLocal(
           Bpe.wordFreq(frozenB.filter(col("source") === "src0"),
             "text"), K)
+        // the freeze SHIPS its tokenizer: persist the trained table
+        // next to the stores and hand the stream the RELOADED
+        // artifact — the production loop (batch train -> artifact
+        // store -> encode fleets load it), so a store corruption
+        // would flip the graded manifest through the encode
+        Bpe.saveTokenizer(s, s"$root/tokenizer", trained,
+          byteLevel = false)
+        val merges = Bpe.loadTokenizer(s, s"$root/tokenizer").merges
         // ---- the STREAM side: the planted corpus through
         // freezeBatch. Planting happens BEFORE the stream (the stream
         // ingests final text), so the gate runs on planted tokens: a

@@ -126,6 +126,9 @@ s$r AS MATERIALIZED (
        |""".stripMargin +
       (1 to Rounds).map(sqlEmRound).mkString(",\n")
 
+  private def sqlH31(t: String): String =
+    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+
   val defs: Seq[QueryDef] = Seq(
 
     // The trained vocabulary itself, graded piece by piece: seed
@@ -198,6 +201,77 @@ ORDER BY doc_id""") { (s, d) =>
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_pieces"),
           concat_ws("|", slice(col("tokens"), 1, 5)).as("head_pieces"))
+        .orderBy("doc_id")
+    },
+
+    // UNIGRAM ARTIFACT STORE round-trip — the second tokenizer
+    // family's ship-it grade, mirroring text_bpe_store: train on
+    // src0, PERSIST the piece table + encoder geometry, RELOAD
+    // (explicit schemas, version/count/uniqueness validation), and
+    // encode the WHOLE corpus from the reloaded artifact.
+    // piece_checksum is recomputed from the RELOADED rows (and by the
+    // oracle from its own trained s2 CTE), so a store that drops,
+    // duplicates or corrupts one piece or score flips the constant
+    // column; a reloaded table that SEGMENTS differently flips every
+    // token column.
+    QueryDef("text_unigram_store",
+      "WITH " + sqlTrain + s""",
+mc AS (
+  SELECT CAST(SUM(${sqlH31(
+        "piece || ':' || CAST(cnt AS VARCHAR)")}) AS BIGINT)
+    AS piece_checksum
+  FROM s$Rounds),
+cw AS MATERIALIZED (
+  SELECT word, CAST(1 AS BIGINT) AS freq FROM (
+    SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+    FROM documents)
+  WHERE length(word) > 0 AND length(word) <= $MaxWordLen),
+se AS MATERIALIZED (
+  SELECT piece, cnt FROM s$Rounds
+  UNION ALL
+  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece,
+    CAST(0 AS BIGINT) AS cnt
+  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM cw)
+  WHERE substr(word, CAST(i AS INT), 1) NOT IN
+    (SELECT piece FROM s$Rounds)),
+""" + sqlViterbi("cw", "se", "e") + s""",
+dw AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i] AS w
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+    FROM (SELECT doc_id,
+        list_filter(string_split(text, ' '),
+          v -> length(v) > 0 AND length(v) <= $MaxWordLen) AS ws
+      FROM documents))),
+enc AS (
+  SELECT d.doc_id, flatten(list(s.seg ORDER BY d.i)) AS toks
+  FROM dw d JOIN sege s ON s.word = d.w
+  GROUP BY 1)
+SELECT doc_id,
+  CAST(coalesce(len(toks), 0) AS BIGINT) AS n_pieces,
+  coalesce(array_to_string(toks[1:5], '|'), '') AS head_pieces,
+  piece_checksum
+FROM documents LEFT JOIN enc USING (doc_id), mc
+ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val trained = Unigram.trainLocal(
+        graft.ext.Bpe.wordFreq(docs.filter(col("source") === "src0"),
+          "text"),
+        maxPieceLen = L, seedSize = SeedN, emRounds = Rounds,
+        maxWordLen = MaxWordLen)
+      // persist -> reload: the reloaded artifact (pieces + geometry)
+      // drives everything below
+      val dir = graft.Scratch.dir("unigram-store", d) + "/tokenizer"
+      Unigram.savePieces(s, dir, trained, maxPieceLen = L,
+        maxWordLen = MaxWordLen)
+      val art = Unigram.loadPieces(s, dir)
+      val checksum = art.pieces.map(p =>
+        graft.ext.TextAnalysis.tokenHash31Local(
+          s"${p.piece}:${p.freq}")).sum
+      Unigram.encodeWithArtifact(docs, "doc_id", "text", art)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_pieces"),
+          concat_ws("|", slice(col("tokens"), 1, 5)).as("head_pieces"),
+          lit(checksum).as("piece_checksum"))
         .orderBy("doc_id")
     }
   )

@@ -107,6 +107,78 @@ class UnigramSpec extends SparkSpec {
     assert(!out.exists(_.piece == "x"))
   }
 
+  test("artifact store: save -> load round-trips pieces AND geometry, " +
+    "reloaded-artifact encoding is token-identical, and the guards " +
+    "refuse future versions, truncation and duplicate pieces") {
+    val root = specTempDir("unigram-artifact")
+    val words = Seq(("abab", 3L), ("cd", 1L)).toDF("word", "freq")
+    val pieces = Unigram.trainLocal(words, maxPieceLen = 2,
+      seedSize = 8, emRounds = 2)
+    val dir = root.resolve("t").toString
+    Unigram.savePieces(spark, dir, pieces, maxPieceLen = 2,
+      maxWordLen = 16)
+    val art = Unigram.loadPieces(spark, dir)
+    assert(art.pieces == pieces && art.maxPieceLen == 2 &&
+      art.maxWordLen == 16)
+    val docs = Seq((1L, "abab cd"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[String])].collect().toSet
+    assert(snap(Unigram.encodeWithArtifact(docs, "doc_id", "text", art))
+      == snap(Unigram.encodeScalable(docs, "doc_id", "text", pieces,
+        maxPieceLen = 2, maxWordLen = 16)))
+    // guards
+    def meta(v: Int, n: Int): Unit =
+      Seq((v, 2, 16, n))
+        .toDF("version", "max_piece_len", "max_word_len", "n_pieces")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
+    meta(2, pieces.size)
+    val e1 = intercept[IllegalArgumentException](
+      Unigram.loadPieces(spark, dir))
+    assert(e1.getMessage.contains("version"), e1.getMessage)
+    meta(1, pieces.size + 1)
+    val e2 = intercept[IllegalArgumentException](
+      Unigram.loadPieces(spark, dir))
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+    meta(1, 2)
+    Seq(("x", 3L), ("x", 1L)).toDF("piece", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/pieces")
+    val e3 = intercept[IllegalArgumentException](
+      Unigram.loadPieces(spark, dir))
+    assert(e3.getMessage.contains("duplicate"), e3.getMessage)
+    intercept[IllegalArgumentException](
+      Unigram.savePieces(spark, dir, Nil, 2, 16))
+    intercept[IllegalArgumentException](
+      Unigram.savePieces(spark, dir,
+        Seq(Unigram.Piece("x", 1L), Unigram.Piece("x", 2L)), 2, 16))
+  }
+
+  test("encodeScalable is streaming-NATIVE: the stateless map-only " +
+    "mapPartitions pass runs mid-stream unchanged and matches the " +
+    "batch segmentation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val words = Seq(("abab", 3L), ("cd", 1L)).toDF("word", "freq")
+    val pieces = Unigram.trainLocal(words, maxPieceLen = 2,
+      seedSize = 8, emRounds = 2)
+    val rows = Seq((1L, "abab cd"), (2L, "cd cd abab"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Unigram.encodeScalable(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", pieces, maxPieceLen = 2)
+      .writeStream.format("memory").queryName("uni_enc")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("uni_enc").as[(Long, Seq[String])]
+      .collect().toMap
+    val batch = Unigram.encodeScalable(rows.toDF("doc_id", "text"),
+        "doc_id", "text", pieces, maxPieceLen = 2)
+      .as[(Long, Seq[String])].collect().toMap
+    // maxPieceLen=2: "abab" is two "ab" pieces, never one 4-char piece
+    assert(got == batch && got(1L) == Seq("ab", "ab", "cd"))
+  }
+
   test("encodeScalable: map-only corpus segmentation matches the " +
     "driver-side Viterbi word by word, null text yields null tokens, " +
     "over-budget words are excluded") {

@@ -233,6 +233,29 @@ class PlanChecksSpec extends SparkSpec {
     PlanChecks.assertExchangesAtMost(bt, 1)
   }
 
+  test("round-14 additions: the unigram encode and the artifact-store " +
+    "encode are one map pass plus their output sort; the unigram " +
+    "train output is driver state") {
+    // unigram corpus encode: mapPartitions + the ordered output —
+    // exactly one (range) exchange, same budget as pipeline_bpe_scaled
+    val ue = q("pipeline_unigram_encode")
+    PlanChecks.assertNoCartesian(ue)
+    PlanChecks.assertExchangesAtMost(ue, 1)
+    // encode from the RELOADED tokenizer artifact: still map-only —
+    // the store round-trip must not add a join or shuffle
+    val bs = q("text_bpe_store")
+    PlanChecks.assertNoCartesian(bs)
+    PlanChecks.assertExchangesAtMost(bs, 1)
+    val us = q("text_unigram_store")
+    PlanChecks.assertNoCartesian(us)
+    PlanChecks.assertExchangesAtMost(us, 1)
+    // the trained table itself is bounded driver state: its plan is a
+    // local scan + sort, no corpus exchange at all
+    val ut = q("text_unigram_train")
+    PlanChecks.assertNoCartesian(ut)
+    PlanChecks.assertExchangesAtMost(ut, 1)
+  }
+
   test("rank-cap GATE form: Spark's WindowGroupLimit prunes each map " +
     "partition to k rows per domain BEFORE the shuffle — the 100 TB " +
     "shape of the per-domain cap (the graded query keeps all rows " +
