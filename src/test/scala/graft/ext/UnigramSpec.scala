@@ -153,6 +153,30 @@ class UnigramSpec extends SparkSpec {
         Seq(Unigram.Piece("x", 1L), Unigram.Piece("x", 2L)), 2, 16))
   }
 
+  test("scoreScalable: per-doc integer sufficient statistics agree " +
+    "with encode + manual scoring; null text scores as an empty doc") {
+    val words = Seq(("abab", 3L), ("cd", 1L)).toDF("word", "freq")
+    val pieces = Unigram.trainLocal(words, maxPieceLen = 2,
+      seedSize = 8, emRounds = 2)
+    val scores = pieces.map(p => p.piece -> p.freq).toMap
+    val docs = Seq((1L, "abab cd xq"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Unigram.scoreScalable(docs, "doc_id", "text", pieces,
+        maxPieceLen = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // manual: encode doc 1 and fold the same statistics
+    val toks = Unigram.encodeScalable(docs, "doc_id", "text", pieces,
+        maxPieceLen = 2)
+      .as[(Long, Seq[String])].collect().toMap.apply(1L)
+    val expSum = toks.map(p => scores.getOrElse(p, 0L)).sum
+    val expOov = toks.count(p => scores.getOrElse(p, 0L) == 0L)
+    assert(got(1L) == ((toks.size.toLong, expSum, expOov.toLong)))
+    // "xq": x and q are outside the training alphabet -> 2 oov pieces
+    assert(got(1L)._3 >= 2L)
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
+
   test("encodeScalable is streaming-NATIVE: the stateless map-only " +
     "mapPartitions pass runs mid-stream unchanged and matches the " +
     "batch segmentation") {

@@ -36,6 +36,36 @@ class GateCoherenceSpec extends SparkSpec {
       marginals("wordlist")._2)
   }
 
+  test("concat-and-chunk invariants: every chunk but the last fills " +
+    "to exactly the context budget, chunk ids are contiguous from 0, " +
+    "and the fills sum to the corpus token total") {
+    val rows = q("pipeline_bpe_chunks")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // contiguous ids from 0
+    assert(rows.map(_._1).toSeq == (0L until rows.length).toSeq)
+    // full chunks everywhere but the tail
+    rows.init.foreach { case (c, _, _, _, fill) =>
+      assert(fill == 2048L, s"chunk $c fill=$fill")
+    }
+    assert(rows.last._5 >= 1L && rows.last._5 <= 2048L)
+    // doc ranges tile monotonically (tuple: chunk_id, n_docs,
+    // first_doc, last_doc, fill): the next chunk starts at the
+    // previous chunk's last doc (the boundary doc SPANS — the concat
+    // semantics) or, when a doc ends exactly on the boundary, later
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 >= a._4,
+        s"chunk ${b._1} first ${b._3} < chunk ${a._1} last ${a._4}")
+      case _ => ()
+    }
+    // and on this fixture full chunks are the norm, so at least one
+    // boundary doc actually spans two chunks
+    assert(rows.toSeq.sliding(2).exists {
+      case Seq(a, b) => b._3 == a._4
+      case _ => false
+    }, "no document spans any chunk boundary — not concat semantics")
+  }
+
   test("pipeline_bpe_vocab8k's monotone-compression guard: a valid " +
     "summary row passes through unchanged, a regressed trainer's row " +
     "raise_errors in the plan with all three totals") {
