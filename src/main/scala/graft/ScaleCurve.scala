@@ -65,7 +65,10 @@ object ScaleCurve {
     "pipeline_freeze_export" -> "documents",
     "text_unigram_train" -> "documents",
     "pipeline_unigram_encode" -> "documents",
-    "text_unigram_store" -> "documents")
+    "text_unigram_store" -> "documents",
+    "pipeline_bpe_chunks" -> "documents",
+    "text_unigram_score" -> "documents",
+    "pipeline_tokenizer_adapt" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale

@@ -22,18 +22,24 @@ object BpeQueries {
   /** Generated SQL replay of [[Bpe.train]]: `k` chained stages over
     * the word-frequency table of `documents` (optionally filtered).
     * Returns the WITH-clause body; stage `i` leaves CTEs `m{i}` (the
-    * winning merge) and `w{i}` (the vocab after applying it). */
+    * winning merge) and `w{i}` (the vocab after applying it).
+    * `w0Override` replaces the default character-split starting vocab
+    * (the CONTINUATION hook: a domain-adapt chain starts from the
+    * vocabulary rewritten under an earlier merge table). */
   private def sqlTrainCtes(k: Int, srcFilter: String,
       cte: String = "", wordExpr: String =
         "unnest(string_split(text, ' '))",
-      from: String = "documents"): String = {
+      from: String = "documents",
+      w0Override: Option[String] = None): String = {
     val b = Seq.newBuilder[String]
     b += s"""${cte}wf AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT $wordExpr AS word FROM $from$srcFilter)
   WHERE length(word) > 0 GROUP BY 1)"""
     b += s"""${cte}w0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w, freq FROM ${cte}wf)"""
+  ${w0Override.getOrElse(
+        s"SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w," +
+          s" freq FROM ${cte}wf")})"""
     for (i <- 1 to k) {
       b += s"""${cte}p$i AS MATERIALIZED (
   SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS f FROM (
@@ -51,14 +57,22 @@ object BpeQueries {
     b.result().mkString(",\n")
   }
 
+  /** Nested-replace encode chain of one word expression under an
+    * ordered list of one-row merge CTEs (cross-joined) — rank order
+    * IS list order, so a continuation chain is just base tables
+    * followed by the adapt tables. */
+  private def sqlEncodeChainTables(tables: Seq[String],
+      inner: String = "regexp_replace(w, '(.)', ' \\1 ', 'g')")
+      : String =
+    tables.foldLeft(inner) { (acc, t) =>
+      s"replace($acc, ' ' || $t.a || '  ' || $t.b || ' '," +
+        s" ' ' || $t.a || $t.b || ' ')"
+    }
+
   /** Nested-replace encode chain of one word `w` under the oracle's
     * learned merges `m1..mk` (cross-joined one-row CTEs). */
   private def sqlEncodeChain(k: Int): String =
-    (1 to k).foldLeft("regexp_replace(w, '(.)', ' \\1 ', 'g')") {
-      (acc, i) =>
-        s"replace($acc, ' ' || m$i.a || '  ' || m$i.b || ' '," +
-          s" ' ' || m$i.a || m$i.b || ' ')"
-    }
+    sqlEncodeChainTables((1 to k).map("m" + _))
 
   /** Merges used by the graded queries \u2014 small enough that the
     * unrolled oracle stays readable, large enough that multi-char
@@ -699,6 +713,79 @@ FROM enc, mc ORDER BY doc_id"""
       val dir = graft.Scratch.dir("bpe-store", d) + "/tokenizer"
       Bpe.saveTokenizer(s, dir, trained, byteLevel = true)
       val art = Bpe.loadTokenizer(s, dir)
+      val checksum = art.merges.map(m => TextAnalysis.tokenHash31Local(
+        s"${m.rank}:${m.left}:${m.right}")).sum
+      Bpe.encodeWithArtifact(docs, "doc_id", "text", art)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws("|", slice(col("tokens"), 1, 5)).as("head_tokens"),
+          lit(checksum).as("merge_checksum"))
+        .orderBy("doc_id")
+    },
+
+    // TOKENIZER DOMAIN ADAPTATION — the production lifecycle a
+    // shipped tokenizer actually lives: a BASE table trained on the
+    // home domain (src0, 8 merges) is PERSISTED, reloaded, and
+    // CONTINUED on a new domain's vocabulary (src1, 4 more merges —
+    // trainLocal's initialMerges hook: the src1 vocab is first
+    // rewritten under the base table in rank order, new merges take
+    // ranks 9..12), and the ADAPTED artifact is persisted, reloaded
+    // and used to encode the whole corpus. The oracle replays the
+    // full lifecycle: the 8-stage base chain over src0, the src1
+    // vocabulary REWRITTEN through the base nested-replace chain (the
+    // continuation's starting vocab — `w0Override`), 4 more stages,
+    // then the 12-table encode chain in base-then-adapt order and a
+    // checksum over all 12 (rank:lhs:rhs) rows from BOTH stores. A
+    // wrong rewrite, a continuation rank off by one, or either store
+    // corrupting a merge flips the hash.
+    QueryDef("pipeline_tokenizer_adapt", {
+      val baseK = 8
+      val adaptK = 4
+      val baseTables = (1 to baseK).map("xm" + _)
+      val adaptTables = (1 to adaptK).map("ym" + _)
+      val all = baseTables ++ adaptTables
+      val checksum = (baseTables.zipWithIndex.map { case (t, i) =>
+        sqlH31(s"CAST(${i + 1} AS VARCHAR) || ':' || $t.a || ':' || $t.b")
+      } ++ adaptTables.zipWithIndex.map { case (t, i) =>
+        sqlH31(s"CAST(${baseK + i + 1} AS VARCHAR) || ':' || $t.a" +
+          s" || ':' || $t.b")
+      }).mkString(" + ")
+      val yw0 =
+        s"SELECT ${sqlEncodeChainTables(baseTables,
+          "regexp_replace(word, '(.)', ' \\1 ', 'g')")} AS w, freq" +
+          s"\n  FROM ywf, ${baseTables.mkString(", ")}"
+      "WITH " + sqlTrainCtes(baseK, " WHERE source = 'src0'", "x") +
+        ",\n" +
+        sqlTrainCtes(adaptK, " WHERE source = 'src1'", "y",
+          w0Override = Some(yw0)) + s""",
+mc AS (
+  SELECT CAST($checksum AS BIGINT) AS merge_checksum
+  FROM ${all.mkString(", ")}),
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform(
+      list_filter(string_split(text, ' '), v -> length(v) > 0),
+      w -> string_split(trim(${sqlEncodeChainTables(all)}), '  ')))
+      AS toks
+  FROM documents, ${all.mkString(", ")})
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  array_to_string(toks[1:5], '|') AS head_tokens, merge_checksum
+FROM enc, mc ORDER BY doc_id"""
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // base train on the home domain, shipped through the store
+      val base = Bpe.trainLocal(
+        Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), 8)
+      val root = graft.Scratch.dir("bpe-adapt", d)
+      Bpe.saveTokenizer(s, s"$root/base", base, byteLevel = false)
+      val baseArt = Bpe.loadTokenizer(s, s"$root/base")
+      // continuation on the new domain, from the RELOADED base
+      val more = Bpe.trainLocal(
+        Bpe.wordFreq(docs.filter(col("source") === "src1"), "text"), 4,
+        initialMerges = baseArt.merges)
+      Bpe.saveTokenizer(s, s"$root/adapted", baseArt.merges ++ more,
+        byteLevel = false)
+      val art = Bpe.loadTokenizer(s, s"$root/adapted")
       val checksum = art.merges.map(m => TextAnalysis.tokenHash31Local(
         s"${m.rank}:${m.left}:${m.right}")).sum
       Bpe.encodeWithArtifact(docs, "doc_id", "text", art)

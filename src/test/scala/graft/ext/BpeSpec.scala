@@ -591,6 +591,32 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.loadTokenizer(spark, dirB).merges == mB.take(2))
   }
 
+  test("domain-adapt lifecycle: base -> store -> continuation -> " +
+    "store -> encode is identical to the in-memory composition, and " +
+    "adapted ranks extend the base contiguously") {
+    val root = specTempDir("bpe-adapt-spec")
+    val d0 = Seq(("aab", 3L), ("ab", 2L)).toDF("word", "freq")
+    val d1 = Seq(("abb", 4L), ("bb", 1L)).toDF("word", "freq")
+    val base = Bpe.trainLocal(d0, 2)
+    Bpe.saveTokenizer(spark, root.resolve("b").toString, base,
+      byteLevel = false)
+    val loaded = Bpe.loadTokenizer(spark, root.resolve("b").toString)
+    val more = Bpe.trainLocal(d1, 2, initialMerges = loaded.merges)
+    // the store round-trip must not perturb the continuation
+    assert(more == Bpe.trainLocal(d1, 2, initialMerges = base))
+    assert(more.map(_.rank) == (base.size + 1 to base.size + more.size))
+    Bpe.saveTokenizer(spark, root.resolve("a").toString, base ++ more,
+      byteLevel = false)
+    val art = Bpe.loadTokenizer(spark, root.resolve("a").toString)
+    assert(art.merges == base ++ more)
+    val docs = Seq((1L, "aab abb bb ab"), (2L, "b a"))
+      .toDF("doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[String])].collect().toSet
+    assert(snap(Bpe.encodeWithArtifact(docs, "doc_id", "text", art)) ==
+      snap(Bpe.encodeScalable(docs, "doc_id", "text", base ++ more)))
+  }
+
   test("tokenizer artifact store guards: future version, foreign " +
     "pretokenizer pattern, truncated merges table and non-contiguous " +
     "ranks are all refused loudly instead of mis-encoding") {
