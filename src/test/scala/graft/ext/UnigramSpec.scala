@@ -151,6 +151,36 @@ class UnigramSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Unigram.savePieces(spark, dir,
         Seq(Unigram.Piece("x", 1L), Unigram.Piece("x", 2L)), 2, 16))
+    // geometry guards: a zero (or null-read-as-zero) lattice bound
+    // would hang the encode backtrack; a zero word budget silently
+    // encodes everything to nothing — both refuse loudly
+    Seq(("x", 3L)).toDF("piece", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/pieces")
+    Seq((1, 0, 16, 1))
+      .toDF("version", "max_piece_len", "max_word_len", "n_pieces")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
+    val e4 = intercept[IllegalArgumentException](
+      Unigram.loadPieces(spark, dir))
+    assert(e4.getMessage.contains("max_piece_len"), e4.getMessage)
+    Seq((1, 2, 0, 1))
+      .toDF("version", "max_piece_len", "max_word_len", "n_pieces")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/meta")
+    val e5 = intercept[IllegalArgumentException](
+      Unigram.loadPieces(spark, dir))
+    assert(e5.getMessage.contains("max_word_len"), e5.getMessage)
+  }
+
+  test("trainLocal integer-objective bound: a frequency table hot " +
+    "enough that per-word count sums could reach the 2^40 per-piece " +
+    "penalty is refused, naming the down-scale remedy") {
+    val hot = Seq(("ab", Unigram.Big / 8L)).toDF("word", "freq")
+    val e = intercept[IllegalArgumentException](
+      Unigram.trainLocal(hot, maxPieceLen = 2))
+    assert(e.getMessage.contains("down-scale"), e.getMessage)
+    // and the bound is about the SUM, not any single freq: a cool
+    // table of the same shape trains fine
+    val cool = Seq(("ab", 1000000L)).toDF("word", "freq")
+    assert(Unigram.trainLocal(cool, maxPieceLen = 2).nonEmpty)
   }
 
   test("scoreScalable: per-doc integer sufficient statistics agree " +
