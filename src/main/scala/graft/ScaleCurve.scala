@@ -68,7 +68,8 @@ object ScaleCurve {
     "text_unigram_store" -> "documents",
     "pipeline_bpe_chunks" -> "documents",
     "text_unigram_score" -> "documents",
-    "pipeline_tokenizer_adapt" -> "documents")
+    "pipeline_tokenizer_adapt" -> "documents",
+    "pipeline_token_ids" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale

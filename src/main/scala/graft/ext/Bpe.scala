@@ -640,6 +640,27 @@ object Bpe {
     out
   }
 
+  /** GPT-2-style TOKEN-ID vocabulary over the byte-level surface —
+    * corpus-independent by construction: the 256 byte-alphabet chars
+    * take their byte value (the [[ByteToUnicode]] table order), each
+    * merge PRODUCT takes `255 + rank`, and a product string minted by
+    * two different ranks resolves to the FIRST rank. Products are
+    * always >= 2 chars, so they never collide with the alphabet; ids
+    * are therefore dense in [0, 256 + merges) minus duplicate-product
+    * gaps. This is the map a trainer's shards are written in —
+    * integer id streams, not token strings. */
+  def idVocab(merges: Seq[Merge]): Map[String, Long] = {
+    val vocab = mutable.LinkedHashMap[String, Long]()
+    ByteToUnicode.zipWithIndex.foreach { case (cp, b) =>
+      vocab(new String(Character.toChars(cp))) = b.toLong
+    }
+    merges.foreach { m =>
+      val t = m.left + m.right
+      if (!vocab.contains(t)) vocab(t) = 255L + m.rank
+    }
+    vocab.toMap
+  }
+
   /** GPT-2-style pretokens in BYTE-LEVEL form: the [[PretokPattern]]
     * scan, then each pretoken byte-mapped — subsumes [[pretokenize]]'s
     * U+0120 space marker (0x20's table entry IS U+0120). Map-only. */

@@ -723,6 +723,93 @@ FROM enc, mc ORDER BY doc_id"""
         .orderBy("doc_id")
     },
 
+    // TOKEN-ID ASSIGNMENT — the last step before a trainer: shards
+    // ship INTEGER id streams, not token strings. Ids are assigned
+    // the GPT-2 way, corpus-independent: the 256 byte-alphabet chars
+    // take their byte value (the ByteToUnicode table order), merge
+    // PRODUCTS take 256 + rank - 1, and a product string minted by
+    // two different ranks resolves to the FIRST rank (products are
+    // >= 2 chars, so they never collide with the alphabet). The map
+    // rides the plan as a literal map expression (268 entries —
+    // codegen'd element_at, no join, no UDF), so the whole encode +
+    // id-ing stays one map pass. Graded per document: token count,
+    // the integer id sum, and the first five ids — the oracle
+    // rebuilds the vocabulary from its own mapping + train CTEs and
+    // re-derives every id, so one wrong table position, rank offset
+    // or collision resolution flips the hash.
+    QueryDef("pipeline_token_ids", {
+      val words = "list_filter(list_transform(regexp_extract_all(text," +
+        " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
+        " ?[^\\s\\p{L}\\p{N}]+|\\s+')," +
+        s" t -> ${sqlByteMap("t")}), v -> length(v) > 0)"
+      "WITH " + sqlByteMapCtes + ",\n" +
+        sqlTrainCtes(K, ", bl WHERE source = 'src0'",
+          wordExpr = sqlPretokBytes) + s""",
+vocab AS MATERIALIZED (
+  SELECT l[i + 1] AS token, CAST(i AS BIGINT) AS id
+  FROM bl, (SELECT unnest(range(0, 256)) AS i)
+  UNION ALL
+  SELECT token, id FROM (
+    SELECT token, 255 + mr AS id,
+      ROW_NUMBER() OVER (PARTITION BY token ORDER BY mr) AS rn
+    FROM (${(1 to K).map(i =>
+        s"SELECT $i AS mr, a || b AS token FROM m$i")
+        .mkString(" UNION ALL ")}))
+  WHERE rn = 1),
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform($words,
+      w -> string_split(trim(${sqlEncodeChain(K)}), '  '))) AS toks
+  FROM documents, bl, ${(1 to K).map("m" + _).mkString(", ")}),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, toks[i] AS t
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+    FROM enc)),
+tid AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(v.id) AS BIGINT) AS id_sum,
+    array_to_string((list(v.id ORDER BY k.i))[1:5], '|') AS head_ids
+  FROM tok k JOIN vocab v ON v.token = k.t
+  GROUP BY 1)
+SELECT doc_id,
+  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(id_sum, 0) AS BIGINT) AS id_sum,
+  coalesce(head_ids, '') AS head_ids
+FROM documents LEFT JOIN tid USING (doc_id)
+ORDER BY doc_id"""
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
+          "text"), K)
+      // the vocabulary rides a BROADCAST hash map folded inside the
+      // encode's own map pass — NOT a literal-map element_at chain:
+      // Spark's map literals are array-backed, so element_at is a
+      // LINEAR key scan per lookup (~270 string compares x millions
+      // of tokens x duplicated expression copies measured ~9x slower
+      // here). Map lookup throws on an out-of-vocabulary token —
+      // impossible by construction (byte alphabet + products), and
+      // anything else must fail loudly, not null out of the id stream.
+      val bc = s.sparkContext.broadcast(Bpe.idVocab(merges))
+      import s.implicits._
+      Bpe.encodeBytesScalable(docs, "doc_id", "text", merges)
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val v = bc.value
+          it.map { case (id, toks) =>
+            if (toks == null) (id, 0L, 0L, "")
+            else {
+              var sum = 0L
+              toks.foreach(t => sum += v(t))
+              (id, toks.size.toLong, sum,
+                toks.take(5).map(v).mkString("|"))
+            }
+          }
+        }
+        .toDF("doc_id", "n_tokens", "id_sum", "head_ids")
+        .orderBy("doc_id")
+    },
+
     // TOKENIZER DOMAIN ADAPTATION — the production lifecycle a
     // shipped tokenizer actually lives: a BASE table trained on the
     // home domain (src0, 8 merges) is PERSISTED, reloaded, and

@@ -591,6 +591,28 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.loadTokenizer(spark, dirB).merges == mB.take(2))
   }
 
+  test("idVocab: GPT-2 id assignment — alphabet chars take their " +
+    "byte value, merge products take 255 + rank, a duplicate product " +
+    "string keeps the FIRST rank, products never shadow the alphabet") {
+    // two merges minting the same product "abc": (ab,c) at rank 2 and
+    // (a,bc) at rank 3 — the duplicate must keep rank 2's id
+    val merges = Seq(
+      Bpe.Merge(1, "a", "b", 9L),
+      Bpe.Merge(2, "ab", "c", 5L),
+      Bpe.Merge(3, "a", "bc", 4L))
+    val v = Bpe.idVocab(merges)
+    // alphabet: id = byte value, in ByteToUnicode order
+    assert(v("a") == 'a'.toInt.toLong && v("A") == 'A'.toInt.toLong)
+    assert(v(new String(Character.toChars(Bpe.ByteToUnicode(0)))) == 0L)
+    assert(v(new String(Character.toChars(Bpe.ByteToUnicode(32)))) ==
+      32L) // 0x20 -> U+0120, id 32
+    // products
+    assert(v("ab") == 256L && v("abc") == 257L)
+    assert(v.size == 256 + 2) // the rank-3 duplicate minted no entry
+    // ids are unique (an id stream must invert)
+    assert(v.values.toSeq.distinct.size == v.size)
+  }
+
   test("domain-adapt lifecycle: base -> store -> continuation -> " +
     "store -> encode is identical to the in-memory composition, and " +
     "adapted ranks extend the base contiguously") {

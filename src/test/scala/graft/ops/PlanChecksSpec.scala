@@ -254,6 +254,11 @@ class PlanChecksSpec extends SparkSpec {
     val ut = q("text_unigram_train")
     PlanChecks.assertNoCartesian(ut)
     PlanChecks.assertExchangesAtMost(ut, 1)
+    // token-id assignment: the vocabulary rides the plan as a literal
+    // map — encode + id-ing stay one map pass (no join for the ids)
+    val ti = q("pipeline_token_ids")
+    PlanChecks.assertNoCartesian(ti)
+    PlanChecks.assertExchangesAtMost(ti, 1)
   }
 
   test("rank-cap GATE form: Spark's WindowGroupLimit prunes each map " +
