@@ -26,7 +26,7 @@ object BpeQueries {
     * `w0Override` replaces the default character-split starting vocab
     * (the CONTINUATION hook: a domain-adapt chain starts from the
     * vocabulary rewritten under an earlier merge table). */
-  private def sqlTrainCtes(k: Int, srcFilter: String,
+  private[queries] def sqlTrainCtes(k: Int, srcFilter: String,
       cte: String = "", wordExpr: String =
         "unnest(string_split(text, ' '))",
       from: String = "documents",
@@ -61,7 +61,7 @@ object BpeQueries {
     * ordered list of one-row merge CTEs (cross-joined) — rank order
     * IS list order, so a continuation chain is just base tables
     * followed by the adapt tables. */
-  private def sqlEncodeChainTables(tables: Seq[String],
+  private[queries] def sqlEncodeChainTables(tables: Seq[String],
       inner: String = "regexp_replace(w, '(.)', ' \\1 ', 'g')")
       : String =
     tables.foldLeft(inner) { (acc, t) =>
@@ -77,7 +77,7 @@ object BpeQueries {
   /** Merges used by the graded queries \u2014 small enough that the
     * unrolled oracle stays readable, large enough that multi-char
     * symbols feed later merges (rank 12 fuses "jo"+"in"). */
-  private val K = 12
+  private[queries] val K = 12
 
   private def sqlH31(t: String): String =
     s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"

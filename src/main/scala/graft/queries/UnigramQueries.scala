@@ -34,15 +34,15 @@ object UnigramQueries {
     * position. Words longer than this are excluded from training and
     * encoding on BOTH sides (the [[Unigram]] maxWordLen contract;
     * fixture words are <= 8 chars). */
-  private val MaxWordLen = 16
+  private[queries] val MaxWordLen = 16
 
   /** Piece-length ceiling, seed size and EM rounds of the graded
     * tokenizer — small enough that the unrolled oracle stays
     * readable, large enough that multi-char pieces dominate the
     * segmentation. */
-  private val L = 4
-  private val SeedN = 48
-  private val Rounds = 2
+  private[queries] val L = 4
+  private[queries] val SeedN = 48
+  private[queries] val Rounds = 2
 
   private val Big = 1099511627776L // 2^40, Unigram.Big
 
@@ -101,7 +101,7 @@ s$r AS MATERIALIZED (
     * (length-budgeted), the per-position substring seed, the alphabet
     * and the top-N multi-char candidates, and both EM rounds. Leaves
     * `s$Rounds` as the trained piece table. */
-  private def sqlTrain: String =
+  private[queries] def sqlTrain: String =
     s"""wf AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word
@@ -136,7 +136,7 @@ s$r AS MATERIALIZED (
     * character-fallback contract: encoding is total on any text
     * within the budget), the Viterbi DP over them (`sege`), and the
     * per-document word rejoin in position order (`dw`). */
-  private def sqlEncodeOracle: String =
+  private[queries] def sqlEncodeOracle: String =
     s"""cw AS MATERIALIZED (
   SELECT word, CAST(1 AS BIGINT) AS freq FROM (
     SELECT DISTINCT unnest(string_split(text, ' ')) AS word
