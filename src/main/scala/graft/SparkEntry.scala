@@ -2,7 +2,7 @@ package graft
 
 import graft.queries.{AnalyticsQueries, BpeQueries, DedupQueries,
   MultimodalQueries, RefQueries, SimilarityQueries, TextQueries,
-  UnigramQueries, WordPieceQueries}
+  TokenizerEvalQueries, UnigramQueries, WordPieceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,7 @@ object SparkEntry {
     RefQueries.defs ++ AnalyticsQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++
       MultimodalQueries.defs ++ BpeQueries.defs ++ UnigramQueries.defs ++
-      WordPieceQueries.defs
+      WordPieceQueries.defs ++ TokenizerEvalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
