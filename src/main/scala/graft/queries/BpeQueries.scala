@@ -79,8 +79,7 @@ object BpeQueries {
     * symbols feed later merges (rank 12 fuses "jo"+"in"). */
   private[queries] val K = 12
 
-  private def sqlH31(t: String): String =
-    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+  private def sqlH31(t: String): String = OracleSql.h31(t)
 
   /** GPT-2's byte-to-unicode table as a DuckDB mapping CTE: printable
     * latin-1 bytes map to themselves, the 68 others shift to 256+n in

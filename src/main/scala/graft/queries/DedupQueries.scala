@@ -13,8 +13,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** DuckDB fragment: TextAnalysis.tokenHash31. */
-  private def sqlH31(t: String): String =
-    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+  private def sqlH31(t: String): String = OracleSql.h31(t)
 
   private val sqlToks =
     "list_distinct(string_split(text, ' '))"

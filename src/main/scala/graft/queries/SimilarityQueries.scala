@@ -25,8 +25,7 @@ object SimilarityQueries {
        |        * CAST(list_sum(list_transform($qb, x -> x * x)) AS DOUBLE))""".stripMargin
 
   /** DuckDB fragment: TextAnalysis.tokenHash31. */
-  private def sqlH31(t: String): String =
-    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+  private def sqlH31(t: String): String = OracleSql.h31(t)
 
   /** DuckDB fragment: Similarity.signBandKeys band b (8 sign bits). */
   private def sqlBand(b: Int, rowsPerBand: Int = 8): String =

@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private def sqlH31(t: String): String =
-    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+  private def sqlH31(t: String): String = OracleSql.h31(t)
 
   private val sqlStop =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -111,9 +111,15 @@ ORDER BY family"""
     QueryDef("text_tokenizer_eval", oracle) { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val wordsAll = Bpe.wordFreq(docs, "text")
+      // persist both word tables: the three trainers (guard agg +
+      // collect each) and the denominator aggs otherwise re-run the
+      // corpus-wide word-count shuffle ~7 times; cached, the corpus
+      // is worded ONCE per table. Cache lifetime is the caller's
+      // (Verify/Bench clear between queries — the standing contract)
+      val wordsAll = Bpe.wordFreq(docs, "text").persist()
       val wordsSrc0 =
         Bpe.wordFreq(docs.filter(col("source") === "src0"), "text")
+          .persist()
 
       // family denominators (one agg each; the word-frequency shuffle
       // is the only corpus-wide exchange either needs)

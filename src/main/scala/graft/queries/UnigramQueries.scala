@@ -126,16 +126,16 @@ s$r AS MATERIALIZED (
        |""".stripMargin +
       (1 to Rounds).map(sqlEmRound).mkString(",\n")
 
-  private def sqlH31(t: String): String =
-    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+  private def sqlH31(t: String): String = OracleSql.h31(t)
 
   /** The shared corpus-encode oracle front end (used by the encode,
     * score and store grades): the DISTINCT corpus words within the
     * length budget (`cw`), the trained table augmented with
     * zero-count fallback characters of the encode corpus (`se` — the
     * character-fallback contract: encoding is total on any text
-    * within the budget), the Viterbi DP over them (`sege`), and the
-    * per-document word rejoin in position order (`dw`). */
+    * within the budget) and the Viterbi DP over them (`sege`).
+    * Consumers needing the per-document rejoin add
+    * [[OracleSql.docWords]] with [[sqlWordFilter]]. */
   private[queries] def sqlEncodeOracle: String =
     s"""cw AS MATERIALIZED (
   SELECT word, CAST(1 AS BIGINT) AS freq FROM (
@@ -150,22 +150,19 @@ se AS MATERIALIZED (
   FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM cw)
   WHERE substr(word, CAST(i AS INT), 1) NOT IN
     (SELECT piece FROM s$Rounds)),
-""" + sqlViterbi("cw", "se", "e") + s""",
-dw AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i] AS w
-  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
-    FROM (SELECT doc_id,
-        list_filter(string_split(text, ' '),
-          v -> length(v) > 0 AND length(v) <= $MaxWordLen) AS ws
-      FROM documents)))"""
+""" + sqlViterbi("cw", "se", "e")
 
-  /** Per-document token-stream reassembly over [[sqlEncodeOracle]]'s
-    * CTEs — shared by the encode and store grades. */
-  private val sqlEncDoc: String =
-    """enc AS (
-  SELECT d.doc_id, flatten(list(s.seg ORDER BY d.i)) AS toks
-  FROM dw d JOIN sege s ON s.word = d.w
-  GROUP BY 1)"""
+  /** The unigram word contract: non-empty and within the lattice
+    * budget — the filter [[OracleSql.docWords]] takes. */
+  private[queries] def sqlWordFilter: String =
+    s"length(v) > 0 AND length(v) <= $MaxWordLen"
+
+  /** Per-document rejoin + token-stream reassembly over
+    * [[sqlEncodeOracle]]'s CTEs — shared by the encode and store
+    * grades (the score grade composes its own aggregation over
+    * [[OracleSql.docWords]]). */
+  private def sqlEncDoc: String =
+    OracleSql.encDoc("sege", "seg", sqlWordFilter)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -227,7 +224,8 @@ ORDER BY doc_id""") { (s, d) =>
     // pass. The oracle scores each DISTINCT word through the same
     // lattice + augmented score table, then folds per document.
     QueryDef("text_unigram_score",
-      "WITH " + sqlTrain + ",\n" + sqlEncodeOracle + s""",
+      "WITH " + sqlTrain + ",\n" + sqlEncodeOracle + ",\n" +
+        OracleSql.docWords(sqlWordFilter) + s""",
 wp AS (SELECT word, unnest(seg) AS piece FROM sege),
 wsc AS (
   SELECT wp.word, CAST(COUNT(*) AS BIGINT) AS np,

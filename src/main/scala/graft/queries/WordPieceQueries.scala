@@ -35,8 +35,7 @@ object WordPieceQueries {
     * <= 8 chars). */
   private[queries] val MaxWordLen = 16
 
-  private def sqlH31(t: String): String =
-    s"(('0x' || substring(md5($t), 1, 15))::BIGINT % 2147483647)"
+  private def sqlH31(t: String): String = OracleSql.h31(t)
 
   /** `left + strip##(right)` of merge-CTE columns — the fused token. */
   private def sqlFused(a: String, b: String): String =
@@ -153,19 +152,10 @@ object WordPieceQueries {
     b.result().mkString(",\n")
   }
 
-  /** Per-document word rejoin in position order + token-stream
-    * reassembly — the unigram-grade pattern. */
-  private val sqlEncDoc: String =
-    """dw AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i] AS w
-  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
-    FROM (SELECT doc_id,
-        list_filter(string_split(text, ' '), v -> length(v) > 0) AS ws
-      FROM documents))),
-enc AS (
-  SELECT d.doc_id, flatten(list(s.toks ORDER BY d.i)) AS toks
-  FROM dw d JOIN segw s ON s.word = d.w
-  GROUP BY 1)"""
+  /** Per-document word rejoin + token-stream reassembly — the shared
+    * [[OracleSql.encDoc]] algebra; every word participates (the
+    * WordPiece contract — over-budget words arrive as `[UNK]`). */
+  private def sqlEncDoc: String = OracleSql.encDoc("segw", "toks")
 
   /** The shared Spark-side front end: train on src0 with the one
     * word-count shuffle, return the trained tokenizer. */
