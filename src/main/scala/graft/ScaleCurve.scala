@@ -69,7 +69,12 @@ object ScaleCurve {
     "pipeline_bpe_chunks" -> "documents",
     "text_unigram_score" -> "documents",
     "pipeline_tokenizer_adapt" -> "documents",
-    "pipeline_token_ids" -> "documents")
+    "pipeline_token_ids" -> "documents",
+    "text_wordpiece_train" -> "documents",
+    "pipeline_wordpiece_encode" -> "documents",
+    "text_wordpiece_store" -> "documents",
+    "text_tokenizer_eval" -> "documents",
+    "pipeline_length_batches" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale

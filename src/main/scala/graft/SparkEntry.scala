@@ -1,6 +1,7 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, BpeQueries, DedupQueries,
+import graft.queries.{AnalyticsQueries, BatchAssemblyQueries,
+  BpeQueries, DedupQueries,
   MultimodalQueries, RefQueries, SimilarityQueries, TextQueries,
   TokenizerEvalQueries, UnigramQueries, WordPieceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -15,7 +16,8 @@ object SparkEntry {
     RefQueries.defs ++ AnalyticsQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++
       MultimodalQueries.defs ++ BpeQueries.defs ++ UnigramQueries.defs ++
-      WordPieceQueries.defs ++ TokenizerEvalQueries.defs
+      WordPieceQueries.defs ++ TokenizerEvalQueries.defs ++
+      BatchAssemblyQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
