@@ -74,7 +74,8 @@ object ScaleCurve {
     "pipeline_wordpiece_encode" -> "documents",
     "text_wordpiece_store" -> "documents",
     "text_tokenizer_eval" -> "documents",
-    "pipeline_length_batches" -> "documents")
+    "pipeline_length_batches" -> "documents",
+    "pipeline_packing_layout" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale

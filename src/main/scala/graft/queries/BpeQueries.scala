@@ -488,6 +488,87 @@ FROM ch GROUP BY 1 ORDER BY 1""") { (s, d) =>
         .orderBy("chunk_id")
     },
 
+    // PACKED-WINDOW LAYOUT MANIFEST — the per-piece refinement of
+    // pipeline_bpe_chunks, at the granularity a dataloader actually
+    // consumes: one row per (window, document piece) with the
+    // window-local offset, piece length, the piece's position inside
+    // its document and a dense per-window segment id. The segment id
+    // is what masks CROSS-DOCUMENT attention in packed training (two
+    // pieces in one window must not attend to each other), and
+    // doc_tok_start is what stitches a document back together across
+    // windows. Same overlap arithmetic as the chunk grade, so one
+    // off-by-one at any boundary flips the hash; the seg_id window
+    // runs per chunk_id — a BOUNDED group (a window holds at most ctx
+    // one-token pieces), so the partition-by-window row_number is
+    // scale-safe where a corpus-wide one would not be.
+    QueryDef("pipeline_packing_layout",
+      "WITH " + sqlTrainCtes(K, " WHERE source = 'src0'") + s""",
+tc AS (
+  SELECT doc_id,
+    CAST(coalesce(list_sum(list_transform(
+      list_filter(string_split(text, ' '), v -> length(v) > 0),
+      w -> len(string_split(trim(${sqlEncodeChain(K)}), '  ')))), 0)
+      AS BIGINT) AS n_tokens
+  FROM documents, ${(1 to K).map("m" + _).mkString(", ")}),
+rr AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS BIGINT) AS s,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS e
+  FROM tc),
+pc AS (
+  SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+    greatest(s, c * 2048) - c * 2048 AS local_start,
+    least(e, (c + 1) * 2048) - greatest(s, c * 2048) AS piece_len,
+    greatest(s, c * 2048) - s AS doc_tok_start
+  FROM (SELECT doc_id, s, e, unnest(range(s // 2048, (e - 1) // 2048
+      + 1)) AS c
+    FROM rr WHERE n_tokens > 0))
+SELECT chunk_id,
+  CAST(row_number() OVER (PARTITION BY chunk_id ORDER BY local_start)
+    AS BIGINT) AS seg_id,
+  doc_id, CAST(local_start AS BIGINT) AS local_start,
+  CAST(piece_len AS BIGINT) AS piece_len,
+  CAST(doc_tok_start AS BIGINT) AS doc_tok_start
+FROM pc ORDER BY chunk_id, seg_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
+      val counts = Bpe.encodeScalable(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("tokens")).cast("long")
+          .as("n_tokens"))
+      val ctx = 2048L
+      val pieces = graft.ops.PrefixSum.packIntoBins(counts,
+          weight = col("n_tokens"), budget = ctx,
+          orderBy = Seq(col("doc_id")))
+        .filter(col("n_tokens") > 0L)
+        .select(col("doc_id"), col("start_offset").as("s"),
+          (col("start_offset") + col("n_tokens")).as("e"))
+        .select(col("doc_id"), col("s"), col("e"),
+          explode(sequence(expr(s"s div $ctx"),
+            expr(s"(e - 1) div $ctx"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (greatest(col("s"), col("chunk_id") * ctx) -
+            col("chunk_id") * ctx).as("local_start"),
+          (least(col("e"), (col("chunk_id") + 1L) * ctx) -
+            greatest(col("s"), col("chunk_id") * ctx)).as("piece_len"),
+          (greatest(col("s"), col("chunk_id") * ctx) - col("s"))
+            .as("doc_tok_start"))
+      import org.apache.spark.sql.expressions.Window
+      pieces
+        .withColumn("seg_id", row_number().over(
+          Window.partitionBy(col("chunk_id"))
+            .orderBy(col("local_start"))).cast("long"))
+        .select(col("chunk_id"), col("seg_id"), col("doc_id"),
+          col("local_start").cast("long"),
+          col("piece_len").cast("long"),
+          col("doc_tok_start").cast("long"))
+        .orderBy("chunk_id", "seg_id")
+    },
+
     // Tokenizer DRIFT audit \u2014 the governance question after a corpus
     // shift: train the same-geometry tokenizer on two slices (src0 vs
     // src1) and compare merge tables rank by rank. Divergence rank
