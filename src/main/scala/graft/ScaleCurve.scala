@@ -75,7 +75,9 @@ object ScaleCurve {
     "text_wordpiece_store" -> "documents",
     "text_tokenizer_eval" -> "documents",
     "pipeline_length_batches" -> "documents",
-    "pipeline_packing_layout" -> "documents")
+    "pipeline_packing_layout" -> "documents",
+    "text_wordpiece_roundtrip" -> "documents",
+    "mm_interleaved_plan" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale

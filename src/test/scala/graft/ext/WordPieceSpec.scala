@@ -174,6 +174,39 @@ class WordPieceSpec extends SparkSpec {
     assert(e4.getMessage.contains("duplicate"))
   }
 
+  test("decodeTokens inverts the ## algebra: decode(encode(text)) " +
+    "equals the whitespace-normalized original for [UNK]-free text") {
+    val vocab = WordPiece.trainLocal(classicWords, numMerges = 2).vocab
+    val df = Seq(
+      (1L, "hug   pug  hugs"), // runs of spaces normalize away
+      (2L, "bun pun"),
+      (3L, "hug hux bun")      // hux -> [UNK]: lossy by construction
+    ).toDF("id", "text")
+    val got = WordPiece.encodeScalable(df, "id", "text", vocab, 16)
+      .withColumn("rec", WordPiece.decodeTokens(col("tokens")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "hug pug hugs")
+    assert(got(2L) == "bun pun")
+    assert(got(3L) == "hug [UNK] bun")
+    // corpus differential: every [UNK]-free fixture document
+    // round-trips exactly
+    val docs = graft.Tables.documents(spark, sfDir)
+    val fullVocab = WordPiece.trainLocal(
+      Bpe.wordFreq(docs, "text"), numMerges = 8).vocab
+    val rt = WordPiece.encodeScalable(docs, "doc_id", "text",
+        fullVocab, 16)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(
+        coalesce(size(filter(col("tokens"),
+          t => t === WordPiece.Unk)), lit(0)).as("n_unk"),
+        (WordPiece.decodeTokens(col("tokens")) ===
+          array_join(filter(split(col("text"), " "),
+            v => length(v) > 0), " ")).as("ok"))
+      .collect()
+    val unkFree = rt.filter(_.getInt(0) == 0)
+    assert(unkFree.nonEmpty && unkFree.forall(_.getBoolean(1)))
+  }
+
   test("trainLocal guards: row and byte caps name the remedy; " +
     "minFreq stops early when no pair qualifies") {
     val e1 = intercept[IllegalArgumentException](
