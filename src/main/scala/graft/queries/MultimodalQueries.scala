@@ -30,6 +30,25 @@ object MultimodalQueries {
   private def u32be(c: org.apache.spark.sql.Column) =
     concat(lit("0000"), u16be(c))
 
+  /** The mm_png_jpeg_meta / mm_interleaved_plan fixture payload: a
+    * REAL PNG IHDR (even doc_ids) or JPEG SOF0 (odd) header with
+    * doc_id-derived dimensions — ONE definition so the two graded
+    * queries can never diverge on the byte layout. */
+  private def pngJpegPayload: org.apache.spark.sql.Column = {
+    val w = col("doc_id") % 200 + 1
+    val h = col("doc_id") % 100 + 1
+    val colorType = when(col("doc_id") % 4 === 0, lit("06"))
+      .otherwise(lit("02"))
+    val pngHex = concat(lit("89504e470d0a1a0a"), lit("0000000d"),
+      lit("49484452"), u32be(w), u32be(h), lit("08"), colorType,
+      lit("000000"), lit("00000000"))
+    val jpegHex = concat(lit("ffd8"), lit("ffe0"), lit("0004"),
+      lit("0000"), lit("ffc0"), lit("0011"), lit("08"), u16be(h),
+      u16be(w), lit("03"), lit("011100"), lit("021101"),
+      lit("031101"), lit("ffd9"))
+    unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpegHex))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // END-TO-END grade of the codec-free container parsers: every doc
@@ -230,19 +249,7 @@ object MultimodalQueries {
         |  doc_id % 2 = 0 AND doc_id % 4 = 0 AS has_alpha
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val w = col("doc_id") % 200 + 1
-      val h = col("doc_id") % 100 + 1
-      val colorType = when(col("doc_id") % 4 === 0, lit("06"))
-        .otherwise(lit("02"))
-      val pngHex = concat(lit("89504e470d0a1a0a"), lit("0000000d"),
-        lit("49484452"), u32be(w), u32be(h), lit("08"), colorType,
-        lit("000000"), lit("00000000"))
-      val jpegHex = concat(lit("ffd8"), lit("ffe0"), lit("0004"),
-        lit("0000"), lit("ffc0"), lit("0011"), lit("08"), u16be(h),
-        u16be(w), lit("03"), lit("011100"), lit("021101"),
-        lit("031101"), lit("ffd9"))
-      val payload = unhex(
-        when(col("doc_id") % 2 === 0, pngHex).otherwise(jpegHex))
+      val payload = pngJpegPayload
       Multimodal.Decoder.decodeImageContainers(
           Tables.documents(s, d).select(col("doc_id"),
             payload.as("payload")))
@@ -274,8 +281,6 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
-    // modality dispatch: format sniff + per-format counts (the payloads
-    // are all text => 'unknown'; the dispatch expression is the operator)
     // INTERLEAVED image-text sequence plan — the VLM data-prep step:
     // each document contributes its text tokens plus a patch-grid
     // budget for its image (ViT-style ceil(w/14)*ceil(h/14), parsed
@@ -309,19 +314,7 @@ object MultimodalQueries {
         |  CAST(start_offset // 4096 AS BIGINT) AS bin
         |FROM rr ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val w = col("doc_id") % 200 + 1
-      val h = col("doc_id") % 100 + 1
-      val colorType = when(col("doc_id") % 4 === 0, lit("06"))
-        .otherwise(lit("02"))
-      val pngHex = concat(lit("89504e470d0a1a0a"), lit("0000000d"),
-        lit("49484452"), u32be(w), u32be(h), lit("08"), colorType,
-        lit("000000"), lit("00000000"))
-      val jpegHex = concat(lit("ffd8"), lit("ffe0"), lit("0004"),
-        lit("0000"), lit("ffc0"), lit("0011"), lit("08"), u16be(h),
-        u16be(w), lit("03"), lit("011100"), lit("021101"),
-        lit("031101"), lit("ffd9"))
-      val payload = unhex(
-        when(col("doc_id") % 2 === 0, pngHex).otherwise(jpegHex))
+      val payload = pngJpegPayload
       // the dims come back OUT of the bytes via the real parser
       val dims = Multimodal.Decoder.decodeImageContainers(
           docs.select(col("doc_id"), payload.as("payload")))
@@ -345,6 +338,8 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // modality dispatch: format sniff + per-format counts (the payloads
+    // are all text => 'unknown'; the dispatch expression is the operator)
     QueryDef("mm_format_dispatch",
       """SELECT CASE
         |    WHEN substring(hex(encode(text)), 1, 8) LIKE '89504E47%' THEN 'png'

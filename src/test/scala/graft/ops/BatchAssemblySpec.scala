@@ -69,7 +69,7 @@ class BatchAssemblySpec extends SparkSpec {
       Seq("bucket", "batch_idx"))
     val arrival = waste(
       lens.filter(col("n_tokens") > 0)
-        .withColumn("batch_idx", floor((col("doc_id") - 1L) / 16L)),
+        .withColumn("batch_idx", floor(col("doc_id") / 16L)),
       Seq("batch_idx"))
     assert(bucketed < arrival,
       s"bucketed=$bucketed arrival=$arrival")

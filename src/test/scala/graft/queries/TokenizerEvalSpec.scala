@@ -12,13 +12,17 @@ class TokenizerEvalSpec extends SparkSpec {
 
   test("tokenizer eval: three families, shared denominators, " +
     "fertility and OOV bounds hold per family") {
-    val rows = TokenizerEvalQueries.defs.head.fn(spark, sfDir)
-      .collect()
+    // the query persists its word tables and delegates the cache
+    // lifetime to the caller (the Verify/Bench contract) — clear it
+    val rows =
+      try TokenizerEvalQueries.defs.head.fn(spark, sfDir).collect()
+      finally spark.catalog.clearCache()
+    val fams = rows
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    assert(rows.keySet == Set("bpe", "unigram", "wordpiece"))
-    rows.foreach { case (fam, (nWords, nChars, nTokens, nOov)) =>
+    assert(fams.keySet == Set("bpe", "unigram", "wordpiece"))
+    fams.foreach { case (fam, (nWords, nChars, nTokens, nOov)) =>
       assert(nWords > 0 && nChars > nWords, fam)
       // every encoded word emits at least one token ([UNK] included)
       assert(nTokens >= nWords, s"$fam fertility < 1")
@@ -30,8 +34,8 @@ class TokenizerEvalSpec extends SparkSpec {
     }
     // BPE and WordPiece share the all-words contract; the unigram
     // lattice excludes over-budget words, so its denominator is <=
-    assert(rows("bpe")._1 == rows("wordpiece")._1)
-    assert(rows("bpe")._2 == rows("wordpiece")._2)
-    assert(rows("unigram")._1 <= rows("bpe")._1)
+    assert(fams("bpe")._1 == fams("wordpiece")._1)
+    assert(fams("bpe")._2 == fams("wordpiece")._2)
+    assert(fams("unigram")._1 <= fams("bpe")._1)
   }
 }
