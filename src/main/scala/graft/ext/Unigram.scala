@@ -437,4 +437,82 @@ object Unigram {
       }
       .toDF(idCol, "tokens")
   }
+
+  // ------------------------------------------------------------------
+  // SENTENCEPIECE WORD-BOUNDARY CONVENTION (the ▁ meta-symbol, Kudo &
+  // Richardson 2018): every word is prefixed with U+2581 before the
+  // lattice, so the piece inventory carries word-start information
+  // and a token stream DECODES back to text without external word
+  // boundaries — concat pieces, turn ▁ into a space, trim. This is
+  // what makes the unigram family round-trip-gradable like the BPE
+  // byte alphabet and the WordPiece ## algebra.
+  //
+  // MARKER COLLISION (same carve-out as WordPiece's #): words that
+  // CONTAIN a literal ▁ are excluded from the marked surface on both
+  // engines — a content ▁ would decode into a phantom space.
+  // ------------------------------------------------------------------
+
+  /** The SentencePiece word-boundary meta symbol (U+2581). */
+  val Meta: String = "▁"
+
+  /** Mark a `(word, freq)` table for boundary-aware training: drop
+    * ▁-bearing and over-budget words (the marked word must still fit
+    * the `maxWordLen` lattice, so originals are capped one short),
+    * then prefix ▁ — feed the result to [[trainLocal]] unchanged. */
+  def markWords(words: DataFrame, maxWordLen: Int = 16): DataFrame =
+    words
+      .filter(length(col("word")) > 0 &&
+        length(col("word")) <= maxWordLen - 1 &&
+        !col("word").contains(Meta))
+      .select(concat(lit(Meta), col("word")).as("word"), col("freq"))
+
+  /** [[encodeScalable]] under the ▁ convention: the word surface is
+    * filtered exactly like [[markWords]] (non-empty, at most
+    * `maxWordLen - 1` code points, no content ▁) and each word is
+    * ▁-prefixed before its lattice walk. */
+  def encodeMarked(df: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[Piece], maxPieceLen: Int = 4, maxWordLen: Int = 16)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      pieces.map(p => p.piece -> p.freq).toMap)
+    val mpl = maxPieceLen
+    df.select(col(idCol).cast("long"),
+        transform(
+          filter(TextAnalysis.tokens(col(textCol)),
+            w => length(w) > 0 && length(w) <= maxWordLen - 1 &&
+              !w.contains(Meta)),
+          w => concat(lit(Meta), w)))
+      .as[(Option[Long], Seq[String])]
+      .mapPartitions { it =>
+        val scores = bc.value
+        val memo = new java.util.HashMap[String, Seq[String]]()
+        var chars = 0L
+        val enc = (w: String) => {
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            val v = viterbiLocal(w, scores, mpl)
+            if (memo.size < 65536 && chars + w.length <= (1L << 24)) {
+              memo.put(w, v); chars += w.length
+            }
+            v
+          }
+        }
+        it.map { case (id, words) =>
+          (id, if (words == null) null else words.flatMap(enc))
+        }
+      }
+      .toDF(idCol, "tokens")
+  }
+
+  /** DECODE a ▁-convention token stream back to text: concatenate,
+    * turn every ▁ into a space, trim the leading one — the exact
+    * inverse of [[encodeMarked]] on its included-word surface
+    * (graded: `text_unigram_roundtrip`). Pure codegen'd string
+    * expressions — map-only. */
+  def decodePieces(tokens: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    ltrim(translate(concat_ws("", tokens), Meta, " "))
 }

@@ -394,6 +394,7 @@ object WordPiece {
   def decodeTokens(tokens: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     ltrim(concat_ws("", transform(tokens, t =>
-      when(t.startsWith(Marker), substring(t, 3, Int.MaxValue))
+      when(t.startsWith(Marker),
+        substring(t, Marker.length + 1, Int.MaxValue))
         .otherwise(concat(lit(" "), t)))))
 }

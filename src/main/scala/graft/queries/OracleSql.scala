@@ -16,13 +16,17 @@ private[queries] object OracleSql {
     * w). The word filter must match the family's encode contract
     * (the unigram lattice excludes over-budget words; WordPiece
     * takes every word). */
-  def docWords(wordFilter: String = "length(v) > 0"): String =
+  def docWords(wordFilter: String = "length(v) > 0",
+      wordMap: Option[String] = None): String = {
+    val base = s"list_filter(string_split(text, ' '), v -> $wordFilter)"
+    val ws = wordMap.fold(base)(m => s"list_transform($base,\n          v -> $m)")
     s"""dw AS (
   SELECT doc_id, CAST(i AS BIGINT) AS i, ws[i] AS w
   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
     FROM (SELECT doc_id,
-        list_filter(string_split(text, ' '), v -> $wordFilter) AS ws
+        $ws AS ws
       FROM documents)))"""
+  }
 
   /** Token-stream reassembly of `dw` against a per-distinct-word
     * segmentation CTE — CTE `enc` (doc_id, toks). */

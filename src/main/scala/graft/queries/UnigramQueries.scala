@@ -101,14 +101,21 @@ s$r AS MATERIALIZED (
     * (length-budgeted), the per-position substring seed, the alphabet
     * and the top-N multi-char candidates, and both EM rounds. Leaves
     * `s$Rounds` as the trained piece table. */
-  private[queries] def sqlTrain: String =
-    s"""wf AS MATERIALIZED (
+  private[queries] def sqlTrain: String = sqlTrainWf(None)
+
+  /** [[sqlTrain]] with the `wf` word surface overridable — the
+    * ▁-convention roundtrip grade feeds the MARKED surface through
+    * the same seed + EM chain; `None` emits the standard text byte
+    * for byte. */
+  private[queries] def sqlTrainWf(wfOverride: Option[String]): String =
+    wfOverride.getOrElse(
+      s"""wf AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word
        |    FROM documents WHERE source = 'src0')
        |  WHERE length(word) > 0 AND length(word) <= $MaxWordLen
-       |  GROUP BY 1),
-       |sub AS (
+       |  GROUP BY 1)""".stripMargin) + ",\n" +
+    s"""sub AS (
        |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
        |    CAST(SUM(freq) AS BIGINT) AS cnt
        |  FROM (SELECT word, freq,
@@ -136,13 +143,19 @@ s$r AS MATERIALIZED (
     * within the budget) and the Viterbi DP over them (`sege`).
     * Consumers needing the per-document rejoin add
     * [[OracleSql.docWords]] with [[sqlWordFilter]]. */
-  private[queries] def sqlEncodeOracle: String =
-    s"""cw AS MATERIALIZED (
+  private[queries] def sqlEncodeOracle: String = sqlEncodeCw(None)
+
+  /** [[sqlEncodeOracle]] with the `cw` word surface overridable (the
+    * ▁-convention grade marks the DISTINCT corpus words); `None`
+    * emits the standard text byte for byte. */
+  private[queries] def sqlEncodeCw(cwOverride: Option[String]): String =
+    cwOverride.getOrElse(
+      s"""cw AS MATERIALIZED (
   SELECT word, CAST(1 AS BIGINT) AS freq FROM (
     SELECT DISTINCT unnest(string_split(text, ' ')) AS word
     FROM documents)
-  WHERE length(word) > 0 AND length(word) <= $MaxWordLen),
-se AS MATERIALIZED (
+  WHERE length(word) > 0 AND length(word) <= $MaxWordLen)""") + ",\n" +
+    s"""se AS MATERIALIZED (
   SELECT piece, cnt FROM s$Rounds
   UNION ALL
   SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece,
@@ -163,6 +176,31 @@ se AS MATERIALIZED (
     * [[OracleSql.docWords]]). */
   private def sqlEncDoc: String =
     OracleSql.encDoc("sege", "seg", sqlWordFilter)
+
+  /** The ▁-convention surfaces: originals capped one code point
+    * short (the marked word must fit the lattice), content-▁ words
+    * excluded (they would decode into phantom spaces — the WordPiece
+    * `#` carve-out, same shape). */
+  private def sqlWfMarked: String =
+    s"""wf AS MATERIALIZED (
+  SELECT '▁' || word AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE source = 'src0')
+  WHERE length(word) > 0 AND length(word) <= ${MaxWordLen - 1}
+    AND NOT contains(word, '▁')
+  GROUP BY 1)"""
+
+  private def sqlCwMarked: String =
+    s"""cw AS MATERIALIZED (
+  SELECT '▁' || word AS word, CAST(1 AS BIGINT) AS freq FROM (
+    SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+    FROM documents)
+  WHERE length(word) > 0 AND length(word) <= ${MaxWordLen - 1}
+    AND NOT contains(word, '▁'))"""
+
+  private def sqlMarkedFilter: String =
+    s"length(v) > 0 AND length(v) <= ${MaxWordLen - 1}" +
+      " AND NOT contains(v, '▁')"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -299,6 +337,60 @@ ORDER BY doc_id""") { (s, d) =>
           size(col("tokens")).cast("long").as("n_pieces"),
           concat_ws("|", slice(col("tokens"), 1, 5)).as("head_pieces"),
           lit(checksum).as("piece_checksum"))
+        .orderBy("doc_id")
+    },
+
+    // ▁-CONVENTION ROUND-TRIP (SentencePiece's word-boundary meta
+    // symbol): train and encode over the MARKED surface — every word
+    // ▁-prefixed, so the token stream itself carries word boundaries
+    // — then decode (concat pieces, ▁ -> space, trim) and require the
+    // whitespace-normalized original back for EVERY document on the
+    // included-word surface. Unigram encoding is TOTAL (single-char
+    // fallback), so unlike the WordPiece [UNK] grade there is no
+    // lossy escape hatch: the Spark side raise_errors in-plan on any
+    // non-null document that fails to reconstruct; the oracle
+    // recomputes the same booleans from its own lattice walks. This
+    // completes the losslessness triad (BPE byte alphabet, WordPiece
+    // ##, unigram ▁).
+    QueryDef("text_unigram_roundtrip",
+      "WITH " + sqlTrainWf(Some(sqlWfMarked)) + ",\n" +
+        sqlEncodeCw(Some(sqlCwMarked)) + ",\n" +
+        OracleSql.docWords(sqlMarkedFilter, Some("'▁' || v")) + ",\n" +
+        OracleSql.encJoin("sege", "seg") + s"""
+SELECT doc_id,
+  CAST(coalesce(len(toks), 0) AS BIGINT) AS n_pieces,
+  coalesce(
+    ltrim(replace(coalesce(array_to_string(toks, ''), ''), '▁', ' '))
+    = array_to_string(list_filter(string_split(text, ' '),
+        v -> $sqlMarkedFilter), ' '),
+    FALSE) AS lossless
+FROM documents LEFT JOIN enc USING (doc_id)
+ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pieces = Unigram.trainLocal(
+        Unigram.markWords(graft.ext.Bpe.wordFreq(
+          docs.filter(col("source") === "src0"), "text"), MaxWordLen),
+        maxPieceLen = L, seedSize = SeedN, emRounds = Rounds,
+        maxWordLen = MaxWordLen)
+      val enc = Unigram.encodeMarked(docs, "doc_id", "text", pieces,
+        maxPieceLen = L, maxWordLen = MaxWordLen)
+      val joined = docs
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .join(enc, Seq("doc_id"))
+      val norm = array_join(filter(split(col("text"), " "),
+        v => length(v) > 0 && length(v) <= MaxWordLen - 1 &&
+          !v.contains(Unigram.Meta)), " ")
+      val lossInner =
+        coalesce(Unigram.decodePieces(col("tokens")) === norm,
+          lit(false))
+      joined.select(col("doc_id"),
+          coalesce(size(col("tokens")), lit(0)).cast("long")
+            .as("n_pieces"),
+          when(col("text").isNotNull && !lossInner,
+            raise_error(concat(
+              lit("unigram roundtrip violated for doc "),
+              col("doc_id").cast("string"))).cast("boolean"))
+            .otherwise(lossInner).as("lossless"))
         .orderBy("doc_id")
     }
   )

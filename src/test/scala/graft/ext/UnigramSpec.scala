@@ -255,4 +255,45 @@ class UnigramSpec extends SparkSpec {
     assert(got(3L) ==
       Seq("abab", "cd").flatMap(w => Unigram.viterbiLocal(w, scores, 2)))
   }
+
+  test("▁ convention: markWords prefixes and filters, encodeMarked " +
+    "walks the marked lattice, decodePieces inverts exactly") {
+    import spark.implicits._
+    val words = Seq(("abab", 6L), ("cd", 3L), ("x▁y", 9L),
+      ("toolongtoolongxx", 2L)).toDF("word", "freq")
+    // content-▁ and budget-overflow (16 chars vs cap 15) words drop;
+    // survivors arrive ▁-prefixed
+    val marked = Unigram.markWords(words, maxWordLen = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(marked == Set(("▁abab", 6L), ("▁cd", 3L)))
+    val pieces = Unigram.trainLocal(
+      Unigram.markWords(words, maxWordLen = 16),
+      maxPieceLen = 4, seedSize = 16, emRounds = 2, maxWordLen = 16)
+    // the inventory is ▁-aware: word-start pieces carry the marker
+    assert(pieces.exists(p => p.piece.startsWith("▁") &&
+      p.piece.length > 1))
+    val docs = Seq(
+      (1L, "abab cd   abab"),     // runs of spaces normalize away
+      (2L, "cd x▁y abab"),        // content-▁ word drops from surface
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val dec = Unigram.encodeMarked(docs, "doc_id", "text", pieces,
+        maxPieceLen = 4, maxWordLen = 16)
+      .withColumn("rec", Unigram.decodePieces(org.apache.spark.sql
+        .functions.col("tokens")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(dec(1L) == "abab cd abab")
+    assert(dec(2L) == "cd abab")
+    // null text: null tokens ride through, concat_ws folds to ""
+    assert(dec(3L) == "")
+    // totality: a word full of UNSEEN characters still round-trips
+    // (single-char fallback — no [UNK] escape hatch in this family)
+    val unseen = Seq((9L, "zzqq abab")).toDF("doc_id", "text")
+    val rec2 = Unigram.encodeMarked(unseen, "doc_id", "text", pieces,
+        maxPieceLen = 4, maxWordLen = 16)
+      .withColumn("rec", Unigram.decodePieces(org.apache.spark.sql
+        .functions.col("tokens")))
+      .collect().head.getString(2)
+    assert(rec2 == "zzqq abab")
+  }
 }
