@@ -406,15 +406,28 @@ object Unigram {
   def encodeScalable(df: DataFrame, idCol: String, textCol: String,
       pieces: Seq[Piece], maxPieceLen: Int = 4, maxWordLen: Int = 16)
       : DataFrame = {
+    val mwl = maxWordLen
+    encodeWords(df, idCol,
+      filter(TextAnalysis.tokens(col(textCol)),
+        w => length(w) > 0 && length(w) <= mwl),
+      pieces, maxPieceLen)
+  }
+
+  /** The shared lattice-encode kernel: one map-only `mapPartitions`
+    * pass over a prepared (id, words) surface — broadcast score map,
+    * bounded per-partition word memo (the [[Bpe]] encoder-cache
+    * bounds), [[viterbiLocal]] per distinct word type. Both encode
+    * surfaces ([[encodeScalable]], [[encodeMarked]]) delegate here so
+    * the cache accounting and lattice dispatch exist ONCE. */
+  private def encodeWords(df: DataFrame, idCol: String,
+      words: org.apache.spark.sql.Column, pieces: Seq[Piece],
+      maxPieceLen: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
       pieces.map(p => p.piece -> p.freq).toMap)
     val mpl = maxPieceLen
-    val mwl = maxWordLen
-    df.select(col(idCol).cast("long"),
-        filter(TextAnalysis.tokens(col(textCol)),
-          w => length(w) > 0 && length(w) <= mwl))
+    df.select(col(idCol).cast("long"), words)
       .as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
         val scores = bc.value
@@ -431,8 +444,8 @@ object Unigram {
             v
           }
         }
-        it.map { case (id, words) =>
-          (id, if (words == null) null else words.flatMap(enc))
+        it.map { case (id, ws) =>
+          (id, if (ws == null) null else ws.flatMap(enc))
         }
       }
       .toDF(idCol, "tokens")
@@ -455,15 +468,22 @@ object Unigram {
   /** The SentencePiece word-boundary meta symbol (U+2581). */
   val Meta: String = "▁"
 
+  /** The marked-surface word contract, ONE definition for every
+    * Spark-side consumer (train filter, encode filter, the roundtrip
+    * grade's normalization): non-empty, at most `maxWordLen - 1` code
+    * points (the marked word must still fit the lattice), no content
+    * ▁ (it would decode into a phantom space). The SQL twin is
+    * `UnigramQueries.sqlMarkedPred`. */
+  def includedMarked(w: org.apache.spark.sql.Column, maxWordLen: Int)
+      : org.apache.spark.sql.Column =
+    length(w) > 0 && length(w) <= maxWordLen - 1 && !w.contains(Meta)
+
   /** Mark a `(word, freq)` table for boundary-aware training: drop
-    * ▁-bearing and over-budget words (the marked word must still fit
-    * the `maxWordLen` lattice, so originals are capped one short),
-    * then prefix ▁ — feed the result to [[trainLocal]] unchanged. */
+    * words outside [[includedMarked]], then prefix ▁ — feed the
+    * result to [[trainLocal]] unchanged. */
   def markWords(words: DataFrame, maxWordLen: Int = 16): DataFrame =
     words
-      .filter(length(col("word")) > 0 &&
-        length(col("word")) <= maxWordLen - 1 &&
-        !col("word").contains(Meta))
+      .filter(includedMarked(col("word"), maxWordLen))
       .select(concat(lit(Meta), col("word")).as("word"), col("freq"))
 
   /** [[encodeScalable]] under the ▁ convention: the word surface is
@@ -473,38 +493,13 @@ object Unigram {
   def encodeMarked(df: DataFrame, idCol: String, textCol: String,
       pieces: Seq[Piece], maxPieceLen: Int = 4, maxWordLen: Int = 16)
       : DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(
-      pieces.map(p => p.piece -> p.freq).toMap)
-    val mpl = maxPieceLen
-    df.select(col(idCol).cast("long"),
-        transform(
-          filter(TextAnalysis.tokens(col(textCol)),
-            w => length(w) > 0 && length(w) <= maxWordLen - 1 &&
-              !w.contains(Meta)),
-          w => concat(lit(Meta), w)))
-      .as[(Option[Long], Seq[String])]
-      .mapPartitions { it =>
-        val scores = bc.value
-        val memo = new java.util.HashMap[String, Seq[String]]()
-        var chars = 0L
-        val enc = (w: String) => {
-          val hit = memo.get(w)
-          if (hit != null) hit
-          else {
-            val v = viterbiLocal(w, scores, mpl)
-            if (memo.size < 65536 && chars + w.length <= (1L << 24)) {
-              memo.put(w, v); chars += w.length
-            }
-            v
-          }
-        }
-        it.map { case (id, words) =>
-          (id, if (words == null) null else words.flatMap(enc))
-        }
-      }
-      .toDF(idCol, "tokens")
+    val mwl = maxWordLen
+    encodeWords(df, idCol,
+      transform(
+        filter(TextAnalysis.tokens(col(textCol)),
+          w => includedMarked(w, mwl)),
+        w => concat(lit(Meta), w)),
+      pieces, maxPieceLen)
   }
 
   /** DECODE a ▁-convention token stream back to text: concatenate,

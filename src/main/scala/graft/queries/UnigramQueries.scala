@@ -181,13 +181,19 @@ s$r AS MATERIALIZED (
     * short (the marked word must fit the lattice), content-▁ words
     * excluded (they would decode into phantom spaces — the WordPiece
     * `#` carve-out, same shape). */
+  /** The marked-surface word contract in SQL, parameterized by the
+    * binding name — the twin of `Unigram.includedMarked`, ONE
+    * definition for the wf/cw CTEs and the rejoin filter. */
+  private def sqlMarkedPred(v: String): String =
+    s"length($v) > 0 AND length($v) <= ${MaxWordLen - 1}" +
+      s" AND NOT contains($v, '▁')"
+
   private def sqlWfMarked: String =
     s"""wf AS MATERIALIZED (
   SELECT '▁' || word AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS word
     FROM documents WHERE source = 'src0')
-  WHERE length(word) > 0 AND length(word) <= ${MaxWordLen - 1}
-    AND NOT contains(word, '▁')
+  WHERE ${sqlMarkedPred("word")}
   GROUP BY 1)"""
 
   private def sqlCwMarked: String =
@@ -195,12 +201,9 @@ s$r AS MATERIALIZED (
   SELECT '▁' || word AS word, CAST(1 AS BIGINT) AS freq FROM (
     SELECT DISTINCT unnest(string_split(text, ' ')) AS word
     FROM documents)
-  WHERE length(word) > 0 AND length(word) <= ${MaxWordLen - 1}
-    AND NOT contains(word, '▁'))"""
+  WHERE ${sqlMarkedPred("word")})"""
 
-  private def sqlMarkedFilter: String =
-    s"length(v) > 0 AND length(v) <= ${MaxWordLen - 1}" +
-      " AND NOT contains(v, '▁')"
+  private def sqlMarkedFilter: String = sqlMarkedPred("v")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -378,8 +381,7 @@ ORDER BY doc_id""") { (s, d) =>
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .join(enc, Seq("doc_id"))
       val norm = array_join(filter(split(col("text"), " "),
-        v => length(v) > 0 && length(v) <= MaxWordLen - 1 &&
-          !v.contains(Unigram.Meta)), " ")
+        v => Unigram.includedMarked(v, MaxWordLen)), " ")
       val lossInner =
         coalesce(Unigram.decodePieces(col("tokens")) === norm,
           lit(false))
