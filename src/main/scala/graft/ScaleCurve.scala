@@ -78,7 +78,8 @@ object ScaleCurve {
     "pipeline_packing_layout" -> "documents",
     "text_wordpiece_roundtrip" -> "documents",
     "mm_interleaved_plan" -> "documents",
-    "text_unigram_roundtrip" -> "documents")
+    "text_unigram_roundtrip" -> "documents",
+    "pipeline_token_batches" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale
