@@ -41,6 +41,14 @@ object BatchAssembly {
       batchSize: Long, tie: org.apache.spark.sql.Column): DataFrame = {
     require(batchSize >= 1L,
       s"BatchAssembly.lengthBucketedBatches: batchSize >= 1 ($batchSize)")
+    // output + temp column names are RESERVED: withColumn silently
+    // REPLACES an existing column, so a caller frame already carrying
+    // one of these would have it clobbered mid-plan
+    val reserved = Seq("bucket", "seq_in_bucket", "batch_idx", "__len")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      "BatchAssembly.lengthBucketedBatches: input already has reserved " +
+        s"column(s) ${clash.mkString(", ")}")
     val withBucket = df
       .withColumn("__len", len.cast("long"))
       .filter(col("__len") > 0L)

@@ -411,8 +411,12 @@ FROM rr ORDER BY doc_id""") { (s, d) =>
       val merges = Bpe.train(
         Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
       val counts = Bpe.encode(docs, "doc_id", "text", merges)
-        .select(col("doc_id"), size(col("tokens")).cast("long")
-          .as("n_tokens"))
+        // coalesce matches the oracle's coalesce(..., 0): size(null)
+        // is -1 under spark.sql.legacy.sizeOfNull=true, which would
+        // silently shift every downstream prefix-sum offset
+        .select(col("doc_id"),
+          coalesce(size(col("tokens")), lit(0)).cast("long")
+            .as("n_tokens"))
       graft.ops.PrefixSum.packIntoBins(counts,
           weight = col("n_tokens"), budget = 2048L,
           orderBy = Seq(col("doc_id")))
@@ -465,8 +469,12 @@ FROM ch GROUP BY 1 ORDER BY 1""") { (s, d) =>
       val merges = Bpe.trainLocal(
         Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
       val counts = Bpe.encodeScalable(docs, "doc_id", "text", merges)
-        .select(col("doc_id"), size(col("tokens")).cast("long")
-          .as("n_tokens"))
+        // coalesce matches the oracle's coalesce(..., 0): size(null)
+        // is -1 under spark.sql.legacy.sizeOfNull=true, which would
+        // silently shift every downstream prefix-sum offset
+        .select(col("doc_id"),
+          coalesce(size(col("tokens")), lit(0)).cast("long")
+            .as("n_tokens"))
       val ctx = 2048L
       graft.ops.PrefixSum.packIntoBins(counts,
           weight = col("n_tokens"), budget = ctx,
@@ -538,8 +546,12 @@ FROM pc ORDER BY chunk_id, seg_id""") { (s, d) =>
       val merges = Bpe.trainLocal(
         Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
       val counts = Bpe.encodeScalable(docs, "doc_id", "text", merges)
-        .select(col("doc_id"), size(col("tokens")).cast("long")
-          .as("n_tokens"))
+        // coalesce matches the oracle's coalesce(..., 0): size(null)
+        // is -1 under spark.sql.legacy.sizeOfNull=true, which would
+        // silently shift every downstream prefix-sum offset
+        .select(col("doc_id"),
+          coalesce(size(col("tokens")), lit(0)).cast("long")
+            .as("n_tokens"))
       val ctx = 2048L
       val pieces = graft.ops.PrefixSum.packIntoBins(counts,
           weight = col("n_tokens"), budget = ctx,

@@ -160,12 +160,20 @@ object WordPieceQueries {
   /** The shared Spark-side front end: train on src0 with the one
     * word-count shuffle, return the trained tokenizer. */
   private def trained(s: org.apache.spark.sql.SparkSession, d: String)
-      : WordPiece.Trained =
-    WordPiece.trainLocal(
+      : WordPiece.Trained = {
+    val t = WordPiece.trainLocal(
       graft.ext.Bpe.wordFreq(
         Tables.documents(s, d).filter(col("source") === "src0"),
         "text"),
       numMerges = K)
+    // trainLocal stops early when pairs run dry; the K-stage unrolled
+    // oracle would then cross-join an EMPTY m{i} and silently empty
+    // the whole result — fail loudly with a named error instead
+    require(t.merges.size == K,
+      s"WordPieceQueries: corpus yielded ${t.merges.size} merges, " +
+        s"oracle chain requires exactly $K")
+    t
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
