@@ -2,8 +2,8 @@ package graft
 
 import graft.queries.{AnalyticsQueries, BatchAssemblyQueries,
   BpeQueries, DedupQueries,
-  MultimodalQueries, RefQueries, SimilarityQueries, TextQueries,
-  TokenizerEvalQueries, UnigramQueries, WordPieceQueries}
+  MultimodalQueries, RefQueries, SftQueries, SimilarityQueries,
+  TextQueries, TokenizerEvalQueries, UnigramQueries, WordPieceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,7 @@ object SparkEntry {
       SimilarityQueries.defs ++ TextQueries.defs ++
       MultimodalQueries.defs ++ BpeQueries.defs ++ UnigramQueries.defs ++
       WordPieceQueries.defs ++ TokenizerEvalQueries.defs ++
-      BatchAssemblyQueries.defs
+      BatchAssemblyQueries.defs ++ SftQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

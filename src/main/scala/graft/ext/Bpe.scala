@@ -661,6 +661,38 @@ object Bpe {
     vocab.toMap
   }
 
+  /** Reserved special tokens for the SFT/pretrain shard format, in id
+    * order: PAD=0, BOS=1, EOS=2, UNK=3, then the chat-template role
+    * markers USER=4, ASSISTANT=5. Reserving the LOW ids (the
+    * Llama/SentencePiece convention, vs GPT-2's EOS-at-top) keeps
+    * special ids stable as the learned vocabulary grows — a 12-merge
+    * dev tokenizer and a 32k production one agree on every special. */
+  val SftSpecials: Seq[String] = Seq(
+    "<|pad|>", "<|bos|>", "<|eos|>", "<|unk|>",
+    "<|user|>", "<|assistant|>")
+
+  /** [[idVocab]] with `specials` prepended at ids `0..n-1` and every
+    * learned id shifted up by `n`: bytes at `n + byteValue`, merge
+    * products at `n + 255 + rank` (first-rank rule unchanged).
+    * Specials are vocabulary ENTRIES, not encodable surface — the
+    * template injects them structurally, the encoder never emits
+    * them — but they share the map so one lookup table serves both
+    * directions; a learned token string colliding with a special
+    * would silently alias two ids, so it is refused. */
+  def idVocabWithSpecials(merges: Seq[Merge],
+      specials: Seq[String] = SftSpecials): Map[String, Long] = {
+    require(specials.distinct == specials,
+      "Bpe.idVocabWithSpecials: duplicate special token")
+    val learned = idVocab(merges)
+    val clash = specials.filter(learned.contains)
+    require(clash.isEmpty,
+      "Bpe.idVocabWithSpecials: learned token collides with " +
+        s"special(s) ${clash.mkString(", ")}")
+    val off = specials.size.toLong
+    specials.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap ++
+      learned.map { case (t, id) => t -> (id + off) }
+  }
+
   /** GPT-2-style pretokens in BYTE-LEVEL form: the [[PretokPattern]]
     * scan, then each pretoken byte-mapped — subsumes [[pretokenize]]'s
     * U+0120 space marker (0x20's table entry IS U+0120). Map-only. */

@@ -1,0 +1,56 @@
+package graft.ext
+
+/** SFT (supervised fine-tuning) shard format: the chat-template and
+  * loss-mask conventions that turn validated transcripts
+  * (`text_chat_turns`) plus the integer token-id vocabulary
+  * ([[Bpe.idVocabWithSpecials]]) into the (ids, mask) streams a
+  * trainer's dataloader consumes.
+  *
+  * Template, fixed by convention (the Llama/ChatML family shape,
+  * reduced to its load-bearing parts):
+  *
+  * {{{
+  *   conversation = [BOS] message*      // one BOS per conversation
+  *   message      = [USER|ASSISTANT] contentTokens* [EOS]
+  * }}}
+  *
+  * Loss mask (1 = train, 0 = ignore): assistant CONTENT tokens and
+  * the EOS that CLOSES an assistant turn are trained — the model must
+  * learn both the reply and where to stop; everything else (BOS, role
+  * markers, user content, user EOS) is context only. Masks are Long
+  * (not Boolean) so window sums replay exactly in SQL.
+  *
+  * Specials are vocabulary entries injected STRUCTURALLY by the
+  * template — the byte-level encoder can never emit them (reference
+  * behavior note: the reference pipeline at
+  * `/root/reference/azurestorage_blueprints` has no tokenizer surface
+  * at all; this is north-star extension territory).
+  */
+object Sft {
+
+  /** Reserved ids, position-locked to [[Bpe.SftSpecials]]. */
+  val PadId: Long = 0L
+  val BosId: Long = 1L
+  val EosId: Long = 2L
+  val UnkId: Long = 3L
+  val UserId: Long = 4L
+  val AsstId: Long = 5L
+
+  /** One message through the template: (ids, mask). Pure and
+    * per-message — the per-partition unit of the map-only render
+    * pass; conversation assembly (BOS + concat in turn order) is a
+    * conversation-keyed aggregation on top. */
+  def renderMessage(contentIds: Seq[Long], assistant: Boolean)
+      : (Seq[Long], Seq[Long]) = {
+    val marker = if (assistant) AsstId else UserId
+    val m = if (assistant) 1L else 0L
+    (marker +: contentIds :+ EosId,
+      0L +: contentIds.map(_ => m) :+ m)
+  }
+
+  /** Conversation assembly: BOS, then the messages in turn order.
+    * `messages` must already be ordered. */
+  def assembleConversation(messages: Seq[(Seq[Long], Seq[Long])])
+      : (Seq[Long], Seq[Long]) =
+    (BosId +: messages.flatMap(_._1), 0L +: messages.flatMap(_._2))
+}

@@ -71,7 +71,7 @@ object BpeQueries {
 
   /** Nested-replace encode chain of one word `w` under the oracle's
     * learned merges `m1..mk` (cross-joined one-row CTEs). */
-  private def sqlEncodeChain(k: Int): String =
+  private[queries] def sqlEncodeChain(k: Int): String =
     sqlEncodeChainTables((1 to k).map("m" + _))
 
   /** Merges used by the graded queries \u2014 small enough that the
@@ -86,7 +86,7 @@ object BpeQueries {
     * byte order (the inclusive running count supplies n+1, hence
     * 255+). `bl` collects the 256 mapped CHARS as one list so the
     * per-word lambda can index it. */
-  private val sqlByteMapCtes: String =
+  private[queries] val sqlByteMapCtes: String =
     """bmap AS MATERIALIZED (
       |  SELECT b, CASE WHEN pr THEN b
       |    ELSE 255 + SUM(CASE WHEN pr THEN 0 ELSE 1 END)
@@ -102,7 +102,7 @@ object BpeQueries {
   /** Byte-level map of one string expression `s` under the `bl` list:
     * UTF-8 bytes via `hex(encode(..))` split into 2-char chunks, each
     * indexed into the 256-entry mapped-char list (1-based: byte+1). */
-  private def sqlByteMap(s: String): String =
+  private[queries] def sqlByteMap(s: String): String =
     "array_to_string(list_transform(" +
       s"regexp_extract_all(hex(encode($s)), '..')," +
       " h -> l[(strpos('0123456789ABCDEF', h[1:1]) - 1) * 16" +
@@ -110,7 +110,7 @@ object BpeQueries {
 
   /** Byte-level pretokens: the [[sqlPretok]] regex scan, each pretoken
     * byte-mapped (subsumes the U+0120 marker \u2014 0x20's entry IS 288). */
-  private val sqlPretokBytes: String =
+  private[queries] val sqlPretokBytes: String =
     "unnest(list_transform(regexp_extract_all(text," +
       " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
       " ?[^\\s\\p{L}\\p{N}]+|\\s+')," +
