@@ -661,6 +661,20 @@ object Bpe {
     vocab.toMap
   }
 
+  /** Injective inverse of [[idVocab]] — integer ids back to token
+    * strings, the decode side of the shard format. Injectivity is
+    * structural (each rank mints at most one surviving product, byte
+    * ids never collide) but CHECKED, so a future vocab change that
+    * aliases two tokens onto one id fails at build, not as silent
+    * data corruption at decode. */
+  def idVocabInverse(merges: Seq[Merge]): Map[Long, String] = {
+    val v = idVocab(merges)
+    val inv = v.map(_.swap)
+    require(inv.size == v.size,
+      "Bpe.idVocabInverse: id collision — vocabulary not invertible")
+    inv
+  }
+
   /** Reserved special tokens for the SFT/pretrain shard format, in id
     * order: PAD=0, BOS=1, EOS=2, UNK=3, then the chat-template role
     * markers USER=4, ASSISTANT=5. Reserving the LOW ids (the

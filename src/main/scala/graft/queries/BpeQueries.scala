@@ -902,6 +902,107 @@ ORDER BY doc_id"""
         .orderBy("doc_id")
     },
 
+    // ID -> TEXT DECODE ROUND-TRIP — proves the integer shards are
+    // SELF-CONTAINED: the decode path sees ONLY the id stream (the
+    // token strings are forgotten after id assignment), inverts each
+    // id through idVocabInverse (first-rank collision rule respected
+    // by construction: a product string minted by two ranks took the
+    // FIRST rank's id, so the id space is injective — checked, not
+    // assumed), concatenates the byte-level surface and inverts the
+    // GPT-2 byte map back to UTF-8 text, graded per document against
+    // documents.text itself. The oracle rebuilds the inverse
+    // vocabulary from its own train CTEs, precomputes each vocab
+    // entry's byte-hex ONCE (268 entries — not per occurrence), and
+    // re-decodes via from_hex, so a wrong id, a swapped inverse
+    // entry, or a byte-table off-by-one flips round_trip_ok or the
+    // decoded head. Corpus cost: the encode map pass, one id-keyed
+    // map-side lookup, and the doc-keyed compare join.
+    QueryDef("pipeline_token_decode", {
+      val words = "list_filter(list_transform(regexp_extract_all(text," +
+        " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
+        " ?[^\\s\\p{L}\\p{N}]+|\\s+')," +
+        s" t -> ${sqlByteMap("t")}), v -> length(v) > 0)"
+      "WITH " + sqlByteMapCtes + ",\n" +
+        sqlTrainCtes(K, ", bl WHERE source = 'src0'",
+          wordExpr = sqlPretokBytes) + s""",
+vocab AS MATERIALIZED (
+  SELECT l[i + 1] AS token, CAST(i AS BIGINT) AS id
+  FROM bl, (SELECT unnest(range(0, 256)) AS i)
+  UNION ALL
+  SELECT token, id FROM (
+    SELECT token, 255 + mr AS id,
+      ROW_NUMBER() OVER (PARTITION BY token ORDER BY mr) AS rn
+    FROM (${(1 to K).map(i =>
+        s"SELECT $i AS mr, a || b AS token FROM m$i")
+        .mkString(" UNION ALL ")}))
+  WHERE rn = 1),
+bchr AS (SELECT chr(m::INT) AS ch, b FROM bmap),
+vchar AS (
+  SELECT id, CAST(j AS BIGINT) AS j,
+    substr(token, CAST(j AS INT), 1) AS ch
+  FROM (SELECT id, token, unnest(range(1, length(token) + 1)) AS j
+    FROM vocab)),
+vhex AS MATERIALIZED (
+  SELECT id, string_agg(lpad(to_hex(bc.b), 2, '0'), '' ORDER BY j)
+    AS hx
+  FROM vchar JOIN bchr bc ON bc.ch = vchar.ch GROUP BY id),
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform($words,
+      w -> string_split(trim(${sqlEncodeChain(K)}), '  '))) AS toks
+  FROM documents, bl, ${(1 to K).map("m" + _).mkString(", ")}),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, toks[i] AS t
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+    FROM enc)),
+tid AS (
+  SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(v.id) AS BIGINT) AS id_sum,
+    string_agg(h.hx, '' ORDER BY k.i) AS hex
+  FROM tok k JOIN vocab v ON v.token = k.t JOIN vhex h ON h.id = v.id
+  GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(id_sum, 0) AS BIGINT) AS id_sum,
+  decode(from_hex(coalesce(hex, ''))) = coalesce(text, '')
+    AS round_trip_ok,
+  substr(decode(from_hex(coalesce(hex, ''))), 1, 24) AS decoded_head
+FROM documents d LEFT JOIN tid USING (doc_id)
+ORDER BY doc_id"""
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
+          "text"), K)
+      val bcV = s.sparkContext.broadcast(Bpe.idVocab(merges))
+      val bcI = s.sparkContext.broadcast(Bpe.idVocabInverse(merges))
+      import s.implicits._
+      val dec = Bpe.encodeBytesScalable(docs, "doc_id", "text", merges)
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val v = bcV.value
+          val iv = bcI.value
+          it.map { case (id, toks) =>
+            // the shard: integer ids ONLY — token strings forgotten
+            val ids: Seq[Long] =
+              if (toks == null) Seq.empty else toks.map(v)
+            var sum = 0L
+            val sb = new java.lang.StringBuilder
+            ids.foreach { i => sum += i; sb.append(iv(i)) }
+            val decoded = new String(Bpe.byteUnmapLocal(sb.toString),
+              java.nio.charset.StandardCharsets.UTF_8)
+            (id, ids.size.toLong, sum, decoded)
+          }
+        }
+        .toDF("doc_id", "n_tokens", "id_sum", "decoded")
+      dec.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("id_sum"),
+          (col("decoded") === coalesce(col("text"), lit("")))
+            .as("round_trip_ok"),
+          substring(col("decoded"), 1, 24).as("decoded_head"))
+        .orderBy("doc_id")
+    },
+
     // TOKENIZER DOMAIN ADAPTATION — the production lifecycle a
     // shipped tokenizer actually lives: a BASE table trained on the
     // home domain (src0, 8 merges) is PERSISTED, reloaded, and

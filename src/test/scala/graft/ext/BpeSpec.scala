@@ -613,6 +613,31 @@ class BpeSpec extends SparkSpec {
     assert(v.values.toSeq.distinct.size == v.size)
   }
 
+  test("idVocabInverse: the integer shard is self-contained — " +
+    "encode -> ids -> decode reproduces the text, bytes exactly") {
+    import spark.implicits._
+    // multi-byte UTF-8, contractions, digits, punctuation, newline
+    val texts = Seq("naïve re-joins: it's 42°, héllo\nworld  !",
+      "", "ab ab ab abc")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.trainLocal(Bpe.wordFreqBytes(df, "text"), 8)
+    val v = Bpe.idVocab(merges)
+    val inv = Bpe.idVocabInverse(merges)
+    assert(inv.size == v.size)
+    val decoded = Bpe.encodeBytesScalable(df, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+      .map { case (id, toks) =>
+        val ids = toks.map(v) // the shard: ids only
+        id -> new String(
+          Bpe.byteUnmapLocal(ids.map(inv).mkString("")),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(decoded(i.toLong) == t, s"doc $i failed round trip")
+    }
+  }
+
   test("domain-adapt lifecycle: base -> store -> continuation -> " +
     "store -> encode is identical to the in-memory composition, and " +
     "adapted ranks extend the base contiguously") {
