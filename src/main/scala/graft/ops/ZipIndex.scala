@@ -36,7 +36,16 @@ object ZipIndex {
     *                 directory — enumeration survives executor loss
     *                 (the localCheckpoint default fails the job) */
   def withOrdinal(df: DataFrame, ordCol: String, orderBy: Seq[Column],
-      numParts: Int = 0, checkpointDir: Option[String] = None): DataFrame = {
+      numParts: Int = 0, checkpointDir: Option[String] = None): DataFrame =
+    withOrdinalCounted(df, ordCol, orderBy, numParts, checkpointDir)._1
+
+  /** [[withOrdinal]] plus the input's row count — FREE: the ordinal
+    * assignment already collects per-partition counts for the offset
+    * prefix sum, so iterative callers (SuffixArray's termination
+    * test) save one count job per round. */
+  def withOrdinalCounted(df: DataFrame, ordCol: String,
+      orderBy: Seq[Column], numParts: Int = 0,
+      checkpointDir: Option[String] = None): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
       else scala.util.Try(
@@ -90,9 +99,10 @@ object ZipIndex {
       StructField("__offset", LongType, nullable = false)))
     val offsets = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), offSchema)
-    ranged.join(broadcast(offsets), Seq("__pid"))
+    val out = ranged.join(broadcast(offsets), Seq("__pid"))
       .withColumn(ordCol,
         col("__offset") + (col("__mid") - col("__base")) + 1L)
       .drop("__mid", "__pid", "__base", "__offset")
+    (out, acc)
   }
 }

@@ -1030,5 +1030,57 @@ object DedupQueries {
           minTokens = 8)
         .orderBy("doc_id")
     },
+
+    // UNBOUNDED-length exact substring dedup — Lee et al.'s ACTUAL
+    // ExactSubstr construction (suffix array via distributed prefix
+    // doubling + LCP-by-doubling; see graft.ext.SuffixArray) next to
+    // the fixed-L gram approximation above. Reports the EXACT maximal
+    // extent of every substring of >= 20 CHARACTERS occurring at two
+    // or more (doc, offset) positions anywhere in the graded shard
+    // (src0 — ExactSubstr runs per shard in Lee et al.'s own
+    // pipeline; the construction itself is corpus-scale: every step
+    // is a keyed shuffle). The oracle uses the provable equivalence:
+    // the union of repeated-20-gram intervals equals the union of
+    // [pos, pos + longest-repeated-prefix) over positions whose
+    // longest repeated prefix is >= 20 (if a span of length M >= 20
+    // repeats, all M-19 of its 20-gram starts repeat, and
+    // conversely) — so the gram-merge SQL grades the suffix-array
+    // spans exactly, while the Spark side never materializes gram
+    // strings at all. Same interval-merge rule both sides (touching
+    // intervals coalesce), so every span boundary is hash-graded.
+    QueryDef("dedup_suffix_spans",
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i + 1 AS INT), 20) AS gram
+        |  FROM (SELECT doc_id, text,
+        |      unnest(range(0, greatest(coalesce(length(text), 0) - 19,
+        |        0))) AS i
+        |    FROM documents WHERE source = 'src0')),
+        |r AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |p AS (SELECT doc_id, pos FROM g JOIN r USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(MAX(pos + 20) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM p),
+        |g2 AS (
+        |  SELECT doc_id, pos, SUM(brk) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS island
+        |  FROM isl)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos + 20) - MIN(pos) AS BIGINT) AS span_len
+        |FROM g2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      graft.ext.SuffixArray.duplicatedSpans(
+          Tables.documents(s, d).filter(col("source") === "src0"),
+          "doc_id", "text", minLen = 20)
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_len"))
+        .orderBy("doc_id", "span_start")
+    },
   )
 }
