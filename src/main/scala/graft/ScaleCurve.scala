@@ -79,7 +79,10 @@ object ScaleCurve {
     "text_wordpiece_roundtrip" -> "documents",
     "mm_interleaved_plan" -> "documents",
     "text_unigram_roundtrip" -> "documents",
-    "pipeline_token_batches" -> "documents")
+    "pipeline_token_batches" -> "documents",
+    "pipeline_sft_shards" -> "documents",
+    "pipeline_token_decode" -> "documents",
+    "dedup_suffix_spans" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale
@@ -98,6 +101,26 @@ object ScaleCurve {
       val big = graft.ext.Bpe.trainLocal(words, 32768)
       Seq((big.size.toLong, words.count()))
         .toDF("merges_learned", "vocab_rows")
+    }),
+    // the r14 verdict's ask #6: measured depth curves for the OTHER
+    // two tokenizer families at production-ish vocab, same salted
+    // surface as the BPE probes
+    ("probe_wordpiece_train8k", "documents", (s, dir) => {
+      import s.implicits._
+      val (words, _) =
+        graft.queries.BpeQueries.saltedCorpus(s, dir, buckets = 384)
+      val t = graft.ext.WordPiece.trainLocal(words, numMerges = 8192)
+      Seq((t.merges.size.toLong, words.count()))
+        .toDF("merges_learned", "vocab_rows")
+    }),
+    ("probe_unigram_seed8k", "documents", (s, dir) => {
+      import s.implicits._
+      val (words, _) =
+        graft.queries.BpeQueries.saltedCorpus(s, dir, buckets = 384)
+      val pieces = graft.ext.Unigram.trainLocal(words,
+        maxPieceLen = 4, seedSize = 8192, emRounds = 2)
+      Seq((pieces.size.toLong, words.count()))
+        .toDF("pieces_learned", "vocab_rows")
     }))
 
   def main(args: Array[String]): Unit = {
