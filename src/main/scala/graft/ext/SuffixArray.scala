@@ -298,4 +298,32 @@ object SuffixArray {
     pos.unpersist()
     out
   }
+
+  /** The REMOVAL half of ExactSubstr: cut EVERY reported span (no
+    * keeper — Lee et al. remove all occurrences) and reassemble each
+    * document from its between-span segments. `spans` is a
+    * [[duplicatedSpans]] frame; spans are disjoint per document by
+    * construction, so the zip_with over the sorted span list is a
+    * clean segment walk — per-document work bounded by span count,
+    * no character-level explode. Returns (`idCol`, clean_text). */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val agg = spans.groupBy(col("id").as(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start"),
+        col("span_len")))).as("ss"))
+    docs
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("ss").isNull, col("__t")).otherwise(
+          // between-span segments: [0, s1), [e1, s2), ..., [ek, len)
+          expr("""array_join(zip_with(
+            |  concat(array(0L),
+            |    transform(ss, x -> x.span_start + x.span_len)),
+            |  concat(transform(ss, x -> x.span_start),
+            |    array(CAST(length(__t) AS BIGINT))),
+            |  (s, e) -> substring(__t, CAST(s + 1 AS INT),
+            |    CAST(e - s AS INT))), '')""".stripMargin))
+          .as("clean_text"))
+  }
 }

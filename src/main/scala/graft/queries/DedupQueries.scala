@@ -1082,5 +1082,63 @@ object DedupQueries {
           col("span_len"))
         .orderBy("doc_id", "span_start")
     },
+
+    // The REMOVAL half of ExactSubstr: Lee et al. cut EVERY
+    // occurrence of a duplicated span (no keeper — unlike the
+    // gram-dedup's keep-first), so the cleaned corpus contains each
+    // long substring at most implicitly via shorter-than-threshold
+    // remnants. Spark side reassembles each document from the
+    // BETWEEN-span segments of the suffix-array spans (zip_with over
+    // the sorted span list — per-doc work bounded by span count, no
+    // char-level explode); the oracle removes covered CHARACTER
+    // positions derived from repeated grams and reassembles
+    // char-by-char — two different constructions that must agree on
+    // every byte of every cleaned document.
+    QueryDef("dedup_suffix_removal",
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS text
+        |  FROM documents WHERE source = 'src0'),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i + 1 AS INT), 20) AS gram
+        |  FROM (SELECT doc_id, text,
+        |      unnest(range(0, greatest(length(text) - 19, 0))) AS i
+        |    FROM d)),
+        |r AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |p AS (SELECT doc_id, pos FROM g JOIN r USING (gram)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + o AS i
+        |  FROM p, unnest(range(0, 20)) AS t(o)),
+        |ch AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS i,
+        |    substr(text, CAST(j + 1 AS INT), 1) AS c
+        |  FROM (SELECT doc_id, text,
+        |      unnest(range(0, length(text))) AS j FROM d)),
+        |kept AS (
+        |  SELECT ch.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(c, '' ORDER BY ch.i) AS clean_text
+        |  FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id
+        |    AND cov.i = ch.i
+        |  WHERE cov.i IS NULL GROUP BY ch.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM d LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val spans = graft.ext.SuffixArray.duplicatedSpans(
+        docs, "doc_id", "text", minLen = 20)
+      graft.ext.SuffixArray.removeSpans(docs, "doc_id", "text", spans)
+        .join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_chars"),
+          length(col("clean_text")).cast("long").as("n_kept"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    },
   )
 }

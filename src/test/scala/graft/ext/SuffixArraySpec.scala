@@ -84,6 +84,37 @@ class SuffixArraySpec extends SparkSpec {
         s"minLen=$minLen")
   }
 
+  test("removeSpans: segment reassembly equals character-level " +
+    "removal of covered positions, including no-span and " +
+    "all-covered documents") {
+    val docs = Seq[(Long, String)](
+      (1L, "head SHARED-RUN-OF-TEXT-A tail one"),
+      (2L, "pre SHARED-RUN-OF-TEXT-A post two"),
+      (3L, "totally unique content here"),
+      (4L, "ZZYZXQW-ALL-DUP-DOC"),
+      (5L, "ZZYZXQW-ALL-DUP-DOC"),
+      (6L, ""))
+    val minLen = 10
+    val df = docs.toDF("doc_id", "text")
+    val spans = SuffixArray.duplicatedSpans(df, "doc_id", "text",
+      minLen)
+    val cleaned = SuffixArray.removeSpans(df, "doc_id", "text", spans)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // ground truth: drop covered character positions one by one
+    val spanSet = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    docs.foreach { case (id, t) =>
+      val covered = spanSet.filter(_._1 == id)
+        .flatMap(s => s._2 until (s._2 + s._3)).toSet
+      val expect = t.zipWithIndex
+        .collect { case (c, i) if !covered(i.toLong) => c }.mkString
+      assert(cleaned(id) == expect, s"doc $id")
+    }
+    // docs 4/5 duplicate ENTIRELY — removal empties both (no keeper)
+    assert(cleaned(4L) == "" && cleaned(5L) == "")
+    assert(cleaned(3L) == "totally unique content here")
+  }
+
   test("differential vs fixed-L substringDedup: a duplicate of few " +
     "WORDS but many characters is invisible to the 8-token gram " +
     "approximation and exact to the suffix array") {
