@@ -40,7 +40,7 @@ object DevTokK {
     if (family == "wp" || family == "both") depths.foreach { k =>
       val (t, sec) = time(ext.WordPiece.trainLocal(words, k))
       println(f"[devtokk] wordpiece k=$k: ${t.merges.size} merges " +
-        f"in $sec%.2f s (${sec / t.merges.size * 1000}%.3f ms/merge)")
+        f"in $sec%.2f s (${sec / math.max(t.merges.size, 1) * 1000}%.3f ms/merge)")
     }
     if (family == "uni" || family == "both") depths.foreach { k =>
       val (p, sec) = time(ext.Unigram.trainLocal(words,

@@ -93,6 +93,14 @@ object SuffixArray {
     * whose window crosses its document's end is unique). */
   final case class Level(width: Long, ranks: DataFrame)
 
+  /** Per-row array-allocation bound for [[positions]]: the position
+    * explode goes through fixed-size slabs, so one very long document
+    * allocates O(SlabWidth) per generated row, never O(doc length) in
+    * one array (Spark caps array sizes near 2^31 elements and a
+    * gigachar document would otherwise materialize its whole position
+    * list in a single task buffer before exploding). */
+  val SlabWidth: Long = 4096L
+
   /** (id, pos, sub) with `sub` = the [[InitWidth]]-char substring at
     * 0-based character position `pos`, plus per-document sentinel
     * rows (pos = length, sub = null). Persisted — callers unpersist. */
@@ -102,9 +110,18 @@ object SuffixArray {
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .filter(length(col("t")) > 0)
+      // bounded two-level explode: slab index, then positions within
+      // the slab — constant per-row allocation regardless of doc size
       .select(col("id"),
-        explode(sequence(lit(0L),
-          length(col("t")).cast("long") - 1L)).as("pos"),
+        explode(expr(
+          s"sequence(0L, (CAST(length(t) AS BIGINT) - 1L)" +
+            s" div $SlabWidth)")).as("slab"),
+        col("t"))
+      .select(col("id"),
+        explode(expr(
+          s"sequence(slab * $SlabWidth," +
+            s" least(CAST(length(t) AS BIGINT) - 1L," +
+            s" slab * $SlabWidth + ${SlabWidth - 1L}))")).as("pos"),
         col("t"))
       .select(col("id"), col("pos"),
         expr(s"substring(t, CAST(pos + 1 AS INT), $InitWidth)")
@@ -226,8 +243,9 @@ object SuffixArray {
     // remainder < InitWidth: direct common-prefix count over the two
     // InitWidth-char substrings at the running offsets. The level
     // descent guarantees the true remainder is < InitWidth, so the
-    // windowed comparison is exact (prefix equality is downward
-    // closed — the filter counts the maximal equal prefix).
+    // windowed comparison is exact. One linear codegen'd byte walk
+    // per pair (CommonPrefixLength) — not the O(InitWidth²)
+    // filter(sequence(..)) HOF it replaced.
     val suba = pos.select(col("id").as("__ia"), col("pos").as("__pa"),
       col("sub").as("__sa"))
     val subb = pos.select(col("id").as("__ib"), col("pos").as("__pb"),
@@ -241,11 +259,8 @@ object SuffixArray {
         col("__qb") === col("__pb"), "left")
       .withColumn("lcp", col("l") +
         when(col("__sa").isNull || col("__sb").isNull, lit(0L))
-          .otherwise(expr(
-            "CAST(size(filter(sequence(1, least(length(__sa)," +
-              " length(__sb))), i ->" +
-              " substring(__sa, 1, i) = substring(__sb, 1, i)))" +
-              " AS BIGINT)")))
+          .otherwise(graft.functions.CommonPrefixLength(
+            col("__sa"), col("__sb"))))
       .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
         col("lcp")))
     prev.foreach(_.unpersist())
@@ -308,6 +323,14 @@ object SuffixArray {
     * no character-level explode. Returns (`idCol`, clean_text). */
   def removeSpans(docs: DataFrame, idCol: String, textCol: String,
       spans: DataFrame): DataFrame = {
+    // spans must be a duplicatedSpans frame — its key is the literal
+    // column "id" regardless of the docs-side idCol; a differently
+    // keyed frame would join wrong silently, so refuse loudly
+    require(Seq("id", "span_start", "span_len")
+        .forall(spans.columns.contains),
+      "SuffixArray.removeSpans: `spans` must be a duplicatedSpans " +
+        s"frame with columns (id, span_start, span_len); got " +
+        s"(${spans.columns.mkString(", ")})")
     val agg = spans.groupBy(col("id").as(idCol))
       .agg(sort_array(collect_list(struct(col("span_start"),
         col("span_len")))).as("ss"))
