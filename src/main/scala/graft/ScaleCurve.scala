@@ -82,7 +82,9 @@ object ScaleCurve {
     "pipeline_token_batches" -> "documents",
     "pipeline_sft_shards" -> "documents",
     "pipeline_token_decode" -> "documents",
-    "dedup_suffix_spans" -> "documents")
+    "dedup_suffix_spans" -> "documents",
+    "pipeline_freeze_exact" -> "documents",
+    "pipeline_vlm_shards" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale
@@ -121,6 +123,35 @@ object ScaleCurve {
         maxPieceLen = 4, seedSize = 8192, emRounds = 2)
       Seq((pieces.size.toLong, words.count()))
         .toDF("pieces_learned", "vocab_rows")
+    }),
+    // the r15 verdict's ask #5: the suffix array measured at ~16× the
+    // character volume the graded dedup_suffix_spans processes — the
+    // positions() table is one row per character, the one deliberately
+    // per-char operator in the suite, so its capacity claim gets a
+    // datapoint past fixture scale. 16 salted copies of the src0
+    // shard; the per-copy token salt keeps long repeats WITHIN a copy
+    // (two copies disagree on every token suffix), so duplicated-span
+    // volume scales linearly with copies instead of quadratically
+    // across them.
+    ("probe_suffix_chars", "documents", (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val k = 16
+      val rep = graft.Tables.documents(s, dir)
+        .filter(col("source") === "src0")
+        .select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"),
+          explode(sequence(lit(0), lit(k - 1))).as("c"))
+        .select((col("doc_id") * k + col("c")).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("c").cast("string"))))
+            .as("text"))
+      val chars = rep.agg(sum(length(col("text")))).head().getLong(0)
+      val spans = graft.ext.SuffixArray.duplicatedSpans(rep,
+        "doc_id", "text", minLen = 20)
+      val n = spans.count()
+      spans.unpersist()
+      Seq((n, chars)).toDF("spans", "chars")
     }))
 
   def main(args: Array[String]): Unit = {

@@ -1,9 +1,10 @@
 package graft
 
 import graft.queries.{AnalyticsQueries, BatchAssemblyQueries,
-  BpeQueries, DedupQueries,
+  BpeQueries, DedupQueries, FreezeExactQueries,
   MultimodalQueries, RefQueries, SftQueries, SimilarityQueries,
-  TextQueries, TokenizerEvalQueries, UnigramQueries, WordPieceQueries}
+  TextQueries, TokenizerEvalQueries, UnigramQueries, VlmQueries,
+  WordPieceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +18,8 @@ object SparkEntry {
       SimilarityQueries.defs ++ TextQueries.defs ++
       MultimodalQueries.defs ++ BpeQueries.defs ++ UnigramQueries.defs ++
       WordPieceQueries.defs ++ TokenizerEvalQueries.defs ++
-      BatchAssemblyQueries.defs ++ SftQueries.defs
+      BatchAssemblyQueries.defs ++ SftQueries.defs ++
+      FreezeExactQueries.defs ++ VlmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -685,6 +685,15 @@ object Bpe {
     "<|pad|>", "<|bos|>", "<|eos|>", "<|unk|>",
     "<|user|>", "<|assistant|>")
 
+  /** [[SftSpecials]] plus the VLM image-patch placeholder at id 6
+    * ([[graft.ext.Sft.ImgId]]) — the vocabulary a multimodal SFT
+    * shard family reserves. EXTENDING (never reordering) the special
+    * prefix keeps the text-only ids stable: a text-only shard and a
+    * VLM shard agree on ids 0..5; only the learned-id offset differs
+    * (7 vs 6), which is why the two shard formats are distinct
+    * graded queries, never mixed in one store. */
+  val VlmSpecials: Seq[String] = SftSpecials :+ "<|image|>"
+
   /** [[idVocab]] with `specials` prepended at ids `0..n-1` and every
     * learned id shifted up by `n`: bytes at `n + byteValue`, merge
     * products at `n + 255 + rank` (first-rank rule unchanged).

@@ -36,6 +36,14 @@ object Sft {
   val UserId: Long = 4L
   val AsstId: Long = 5L
 
+  /** Image-patch placeholder — the FIRST extension special, present
+    * only in vocabularies built with [[Bpe.VlmSpecials]] (learned ids
+    * shift by 7 there, not 6). A VLM example renders its image as
+    * `n_patches` copies of this id inside a user turn (mask 0
+    * throughout — patch embeddings are substituted at training time,
+    * never predicted), interleaved with ordinary text turns. */
+  val ImgId: Long = 6L
+
   /** One message through the template: (ids, mask). Pure and
     * per-message — the per-partition unit of the map-only render
     * pass; conversation assembly (BOS + concat in turn order) is a

@@ -30,11 +30,11 @@ object MultimodalQueries {
   private def u32be(c: org.apache.spark.sql.Column) =
     concat(lit("0000"), u16be(c))
 
-  /** The mm_png_jpeg_meta / mm_interleaved_plan fixture payload: a
-    * REAL PNG IHDR (even doc_ids) or JPEG SOF0 (odd) header with
-    * doc_id-derived dimensions — ONE definition so the two graded
-    * queries can never diverge on the byte layout. */
-  private def pngJpegPayload: org.apache.spark.sql.Column = {
+  /** The mm_png_jpeg_meta / mm_interleaved_plan / pipeline_vlm_shards
+    * fixture payload: a REAL PNG IHDR (even doc_ids) or JPEG SOF0
+    * (odd) header with doc_id-derived dimensions — ONE definition so
+    * the graded queries can never diverge on the byte layout. */
+  private[queries] def pngJpegPayload: org.apache.spark.sql.Column = {
     val w = col("doc_id") % 200 + 1
     val h = col("doc_id") % 100 + 1
     val colorType = when(col("doc_id") % 4 === 0, lit("06"))

@@ -35,7 +35,7 @@ object SftQueries {
   /** Byte-level pretokens of one string column as a DuckDB list
     * expression (the `pipeline_token_ids` words expression,
     * parameterized over the column). */
-  private def sqlWords(c: String): String =
+  private[queries] def sqlWords(c: String): String =
     s"list_filter(list_transform(regexp_extract_all($c," +
       " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
       " ?[^\\s\\p{L}\\p{N}]+|\\s+')," +
