@@ -84,7 +84,9 @@ object ScaleCurve {
     "pipeline_token_decode" -> "documents",
     "dedup_suffix_spans" -> "documents",
     "pipeline_freeze_exact" -> "documents",
-    "pipeline_vlm_shards" -> "documents")
+    "pipeline_vlm_shards" -> "documents",
+    "pipeline_dpo_shards" -> "documents",
+    "pipeline_sft_windows" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale

@@ -1,7 +1,7 @@
 package graft
 
 import graft.queries.{AnalyticsQueries, BatchAssemblyQueries,
-  BpeQueries, DedupQueries, FreezeExactQueries,
+  BpeQueries, DedupQueries, DpoQueries, FreezeExactQueries,
   MultimodalQueries, RefQueries, SftQueries, SimilarityQueries,
   TextQueries, TokenizerEvalQueries, UnigramQueries, VlmQueries,
   WordPieceQueries}
@@ -19,7 +19,7 @@ object SparkEntry {
       MultimodalQueries.defs ++ BpeQueries.defs ++ UnigramQueries.defs ++
       WordPieceQueries.defs ++ TokenizerEvalQueries.defs ++
       BatchAssemblyQueries.defs ++ SftQueries.defs ++
-      FreezeExactQueries.defs ++ VlmQueries.defs
+      FreezeExactQueries.defs ++ VlmQueries.defs ++ DpoQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
