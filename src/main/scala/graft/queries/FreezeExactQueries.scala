@@ -158,8 +158,12 @@ object FreezeExactQueries {
         // three consumers (train, encode, manifest join) — cut the
         // gate+suffix-array prefix so it computes once
         .localCheckpoint(false)
-      spans.unpersist()
+      // trainLocal's vocab collect is the first action: it forces the
+      // lazy checkpoint of `frozen` WHILE the spans cache is still
+      // live; only then drop it (the Verify/Bench clearCache contract
+      // would catch it anyway, but within-query hygiene is free)
       val merges = Bpe.trainLocal(Bpe.wordFreq(frozen, "text"), K)
+      spans.unpersist()
       val enc = Bpe.encodeScalable(frozen, "doc_id", "text", merges)
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_tokens"))
