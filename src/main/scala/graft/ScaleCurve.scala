@@ -86,7 +86,8 @@ object ScaleCurve {
     "pipeline_freeze_exact" -> "documents",
     "pipeline_vlm_shards" -> "documents",
     "pipeline_dpo_shards" -> "documents",
-    "pipeline_sft_windows" -> "documents")
+    "pipeline_sft_windows" -> "documents",
+    "pipeline_fim_shards" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale

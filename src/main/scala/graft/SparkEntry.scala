@@ -1,7 +1,8 @@
 package graft
 
 import graft.queries.{AnalyticsQueries, BatchAssemblyQueries,
-  BpeQueries, DedupQueries, DpoQueries, FreezeExactQueries,
+  BpeQueries, DedupQueries, DpoQueries, FimQueries,
+  FreezeExactQueries,
   MultimodalQueries, RefQueries, SftQueries, SimilarityQueries,
   TextQueries, TokenizerEvalQueries, UnigramQueries, VlmQueries,
   WordPieceQueries}
@@ -19,7 +20,8 @@ object SparkEntry {
       MultimodalQueries.defs ++ BpeQueries.defs ++ UnigramQueries.defs ++
       WordPieceQueries.defs ++ TokenizerEvalQueries.defs ++
       BatchAssemblyQueries.defs ++ SftQueries.defs ++
-      FreezeExactQueries.defs ++ VlmQueries.defs ++ DpoQueries.defs
+      FreezeExactQueries.defs ++ VlmQueries.defs ++ DpoQueries.defs ++
+      FimQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -694,6 +694,14 @@ object Bpe {
     * graded queries, never mixed in one store. */
   val VlmSpecials: Seq[String] = SftSpecials :+ "<|image|>"
 
+  /** [[SftSpecials]] plus the fill-in-the-middle sentinels at ids
+    * 6/7/8 ([[graft.ext.Sft.FimPreId]]/`FimMidId`/`FimSufId`) — the
+    * vocabulary a FIM pretraining shard family reserves (Bavarian et
+    * al. 2022). Same extension discipline as [[VlmSpecials]]: the
+    * text-only prefix 0..5 never moves; the learned-id offset is 9. */
+  val FimSpecials: Seq[String] = SftSpecials ++
+    Seq("<|fim_pre|>", "<|fim_mid|>", "<|fim_suf|>")
+
   /** [[idVocab]] with `specials` prepended at ids `0..n-1` and every
     * learned id shifted up by `n`: bytes at `n + byteValue`, merge
     * products at `n + 255 + rank` (first-rank rule unchanged).

@@ -44,6 +44,17 @@ object Sft {
     * never predicted), interleaved with ordinary text turns. */
   val ImgId: Long = 6L
 
+  /** Fill-in-the-middle sentinels (Bavarian et al. 2022), present
+    * only in vocabularies built with [[Bpe.FimSpecials]] (learned ids
+    * shift by 9 there). Extension specials are PER FAMILY: a FIM
+    * vocab and a VLM vocab both extend the shared text-only prefix
+    * 0..5 but assign their own ids from 6 up — the two shard formats
+    * are distinct graded queries and never share a store, exactly the
+    * [[Bpe.VlmSpecials]] discipline. */
+  val FimPreId: Long = 6L
+  val FimMidId: Long = 7L
+  val FimSufId: Long = 8L
+
   /** One message through the template: (ids, mask). Pure and
     * per-message — the per-partition unit of the map-only render
     * pass; conversation assembly (BOS + concat in turn order) is a
