@@ -76,6 +76,42 @@ object PlanChecks {
         s"plan contract violated: '$op' not inside WholeStageCodegen\n$plan")
   }
 
+  /** Fails on any `Window` operator NOT keyed by the engine's own
+    * physical-partition id (`__pid`, [[PrefixSum]]'s per-partition
+    * local running totals — numParts parallel window partitions).
+    * Any other WindowExec gives each key ONE task; over a corpus-scale
+    * frame keyed by a low-cardinality column (`source` has a handful
+    * of values) that is a single-task sort funnel at 100 TB. Queries
+    * that replaced such windows with the ZipIndex grouped ordinal
+    * assert this so a refactor cannot silently reintroduce one.
+    * (`WindowGroupLimit` nodes are not windows and don't match.) */
+  def assertNoWideWindow(df: DataFrame): Unit = {
+    val plan = executedPlan(df)
+    val bad = plan.linesIterator
+      .filter(l => l.contains("Window [") && !l.contains("__pid"))
+      .toList
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        "plan contract violated: Window not keyed by __pid — a " +
+          "per-key single-task sort funnel:\n" + bad.mkString("\n") +
+          s"\nfull plan:\n$plan")
+  }
+
+  /** Fails unless the plan carries a `WindowGroupLimit` — Spark 4's
+    * rank-limit pushdown, the ONLY reason a low-cardinality
+    * `row_number ... WHERE rn <= k` window is scale-safe (partial
+    * per-partition limits run before the window exchange, so each
+    * task keeps ≤ k rows per key instead of sorting the whole key).
+    * Asserted on the demo queries that rely on it, so a refactor to a
+    * non-top-k filter (which silently loses the pushdown) fails CI. */
+  def assertWindowGroupLimit(df: DataFrame): Unit = {
+    val plan = executedPlan(df)
+    if (!plan.contains("WindowGroupLimit"))
+      throw new IllegalStateException(
+        "plan contract violated: no WindowGroupLimit — the rank " +
+          s"filter no longer plans as a top-k pushdown\n$plan")
+  }
+
   private implicit class FusionRegex(private val line: String)
       extends AnyVal {
     def matchesRegexForFusion(op: String): Boolean =

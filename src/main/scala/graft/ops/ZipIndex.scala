@@ -105,4 +105,60 @@ object ZipIndex {
       .drop("__mid", "__pid", "__base", "__offset")
     (out, acc)
   }
+
+  /** Per-GROUP 1-based ordinals under `orderBy` — the distributed
+    * replacement for `row_number() OVER (PARTITION BY g ORDER BY ...)`
+    * when `g` has FEW distinct values over a corpus-scale frame.
+    * Spark's WindowExec gives each window partition to ONE task, so a
+    * 3-value key over 100 TB funnels ~corpus/3 rows into a single
+    * sorting task. Here the range partitioner keys on
+    * (groups ++ orderBy), so every group spreads across many
+    * partitions; the global [[withOrdinal]] ordinal is contiguous per
+    * group by construction, and the per-group rank is just
+    * `global − min(global in group) + 1`. The per-group (min, count)
+    * aggregate is a map-side-combined hash agg whose output is
+    * |groups| rows — driver-trivial, broadcast back.
+    *
+    * Optionally also attaches the group's row count (`cntCol`) — the
+    * ntile replay needs it and it is free from the same aggregate.
+    */
+  def withGroupedOrdinal(df: DataFrame, ordCol: String,
+      groupCols: Seq[String], orderBy: Seq[Column],
+      cntCol: Option[String] = None, numParts: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "withGroupedOrdinal: no group columns" +
+      " — use withOrdinal for a global ordinal")
+    val keyed = withOrdinal(df, "__gord",
+      groupCols.map(col) ++ orderBy, numParts)
+      // two consumers (group agg + rejoin) — materialize once so both
+      // read the same enumeration (same rationale as the range frame)
+      .localCheckpoint(false)
+    val mins = keyed.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__gord")).as("__gmin"),
+        count(lit(1)).as("__gcnt"))
+    val joined = keyed.join(broadcast(mins), groupCols)
+      .withColumn(ordCol, col("__gord") - col("__gmin") + 1L)
+    val withCnt = cntCol.fold(joined)(c =>
+      joined.withColumn(c, col("__gcnt")))
+    withCnt.drop("__gord", "__gmin", "__gcnt")
+  }
+
+  /** SQL-standard `ntile(k)` replayed from a per-group (rank, count)
+    * pair — first `n mod k` buckets take the extra row, exactly the
+    * DuckDB/Spark remainder semantics. Integral arithmetic only (the
+    * inputs are LongType ordinals); both CASE branches are lazily
+    * evaluated, so the `q = 0` small-group edge (n < k) never divides
+    * by zero: there `rem·(q+1) = n` and the first branch always wins.
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    require(k > 0, s"ntileFromRank: k must be positive ($k)")
+    // IntegralDivide (`div`), not Column./ (double division) — ordinals
+    // must stay exact past 2^53 rows
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val q = idiv(n, lit(k.toLong))
+    val rem = n % lit(k.toLong)
+    val headSpan = (q + 1L) * rem   // rows in the (q+1)-sized buckets
+    when(rank <= headSpan, idiv(rank + q, q + 1L))
+      .otherwise(rem + idiv(rank - headSpan + q - 1L, q))
+      .cast("int")
+  }
 }

@@ -1,15 +1,15 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ext.{Bpe, Sft, TextAnalysis}
+import graft.ext.{Bpe, Sft}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DPO shard assembly — the preference-tuning sibling of
   * `pipeline_sft_shards`, completing the trainer-shard family
   * (pretrain packing → SFT → VLM → DPO): `train_dpo_pairs`' preference
-  * pairs (bigram-LM verdicts, source-keyed adjacent pairing) rendered
+  * pairs (bigram-LM verdicts, per-source adjacent pairing via the
+  * funnel-free grouped ordinal — [[TextQueries.dpoPairsOf]]) rendered
   * into the PAIRED id streams a DPO trainer consumes — one shared
   * prompt turn and two response branches per pair, each through the
   * chat template with loss masks (1 = response content + closing EOS;
@@ -159,24 +159,10 @@ FROM st ORDER BY source, chosen_id""") { (s, d) =>
           "text"), K)
       val bc = s.sparkContext.broadcast(Bpe.idVocabWithSpecials(merges))
       // pairing — train_dpo_pairs' construction verbatim (the graded
-      // pairing query is the contract; this composes it)
-      val sc0 = TextAnalysis.lmScore(docs, "doc_id", "text",
-          TextAnalysis.bigramModel(docs, "text"))
-        .select(col("doc_id"),
-          expr("lm_sum_micro div n_bigrams").as("avg_mi"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      val pairs = docs.select(col("doc_id"), col("source"))
-        .join(sc0, Seq("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("partner_id", lead("doc_id", 1).over(w))
-        .withColumn("partner_mi", lead("avg_mi", 1).over(w))
-        .filter(col("rn") % 2 === 1 && col("partner_id").isNotNull)
-        .select(col("source"),
-          when(col("partner_mi") > col("avg_mi"), col("partner_id"))
-            .otherwise(col("doc_id")).as("chosen_id"),
-          when(col("partner_mi") > col("avg_mi"), col("doc_id"))
-            .otherwise(col("partner_id")).as("rejected_id"),
-          abs(col("avg_mi") - col("partner_mi")).as("margin"))
+      // pairing query is the contract; this composes it — ONE shared
+      // implementation, so the funnel-free grouped-ordinal pairing
+      // cannot drift between the two queries)
+      val pairs = TextQueries.dpoPairsOf(docs)
         // three unit derivations + the final join read it — cut the
         // LM-scoring prefix so it computes once
         .localCheckpoint(false)

@@ -16,6 +16,46 @@ object TextQueries {
   private val sqlStop =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** `train_dpo_pairs`' pairing, shared verbatim with
+    * `pipeline_dpo_shards` (the graded pairing query is the contract;
+    * the shard query composes it). Semantics: adjacent doc_id pairs
+    * within each source; higher bigram-LM micro-average wins, ties to
+    * the smaller doc_id; odd tails drop. Scale shape: NO source-keyed
+    * window — per-source ordinals come from the range-partitioned
+    * [[graft.ops.ZipIndex.withGroupedOrdinal]] (a 3-value window key
+    * would sort ~corpus/3 rows in one task), and adjacent pairing is
+    * a hash agg on the high-cardinality (source, ordinal div 2) key.
+    * Returns (source, chosen_id, rejected_id, margin). */
+  private[queries] def dpoPairsOf(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sc = TextAnalysis.lmScore(docs, "doc_id", "text",
+        TextAnalysis.bigramModel(docs, "text"))
+      .select(col("doc_id"),
+        expr("lm_sum_micro div n_bigrams").as("avg_mi"))
+    val orded = graft.ops.ZipIndex.withGroupedOrdinal(
+      docs.select(col("doc_id"), col("source")).join(sc, Seq("doc_id")),
+      "__ord", Seq("source"), Seq(col("doc_id")))
+    orded
+      .withColumn("__pair",
+        call_function("div", col("__ord") - 1L, lit(2L)))
+      .groupBy("source", "__pair")
+      .agg(count(lit(1)).as("__c"),
+        // min/max by the struct's leading __ord field = the pair's
+        // first (odd-ordinal) and second member
+        min(struct(col("__ord"), col("doc_id"), col("avg_mi")))
+          .as("__a"),
+        max(struct(col("__ord"), col("doc_id"), col("avg_mi")))
+          .as("__b"))
+      .filter(col("__c") === 2) // odd tail has no partner
+      .select(col("source"),
+        when(col("__b.avg_mi") > col("__a.avg_mi"), col("__b.doc_id"))
+          .otherwise(col("__a.doc_id")).as("chosen_id"),
+        when(col("__b.avg_mi") > col("__a.avg_mi"), col("__a.doc_id"))
+          .otherwise(col("__b.doc_id")).as("rejected_id"),
+        abs(col("__a.avg_mi") - col("__b.avg_mi")).as("margin"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // per-document token statistics
@@ -2724,8 +2764,16 @@ object TextQueries {
     // log-perplexity) and split into head/middle/tail terciles, the
     // groups CCNet keeps/inspects/drops. ntile over a TOTAL order
     // (score desc, then doc_id) — standard remainder-to-first-buckets
-    // semantics in both engines. Source-keyed window, no global sort;
-    // the model table is vocabulary-bounded and broadcastable.
+    // semantics in both engines. The oracle says `ntile OVER
+    // (PARTITION BY source)`, but the engine must NOT plan it that
+    // way: `source` has a handful of values, so a source-keyed
+    // WindowExec sorts ~corpus/|sources| rows in ONE task at 100 TB.
+    // Instead: per-source ranks via the range-partitioned
+    // ZipIndex grouped ordinal (every source spread across all
+    // partitions), then the ntile bucket replayed arithmetically from
+    // (rank, source count) — remainder-to-first-buckets exactly.
+    // Hashes unchanged; the single-task sort funnel gone
+    // (CorpusWindowPlanSpec asserts no low-cardinality WindowExec).
     QueryDef("pipeline_ccnet_buckets",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |           FROM documents),
@@ -2755,16 +2803,18 @@ object TextQueries {
         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket
         |FROM nt ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val sc = TextAnalysis.lmScore(docs, "doc_id", "text",
           TextAnalysis.bigramModel(docs, "text"))
         .select(col("doc_id"),
           expr("lm_sum_micro div n_bigrams").as("avg_mi"))
-      docs.select(col("doc_id"), col("source"))
-        .join(sc, Seq("doc_id"))
-        .withColumn("b", ntile(3).over(Window.partitionBy("source")
-          .orderBy(col("avg_mi").desc, col("doc_id"))))
+      val ranked = graft.ops.ZipIndex.withGroupedOrdinal(
+        docs.select(col("doc_id"), col("source")).join(sc, Seq("doc_id")),
+        "__rank", Seq("source"),
+        Seq(col("avg_mi").desc, col("doc_id")), cntCol = Some("__n"))
+      ranked
+        .withColumn("b",
+          graft.ops.ZipIndex.ntileFromRank(col("__rank"), col("__n"), 3))
         .select(col("doc_id"), col("source"), col("avg_mi"),
           when(col("b") === 1, "head").when(col("b") === 2, "middle")
             .otherwise("tail").as("bucket"))
@@ -3001,13 +3051,19 @@ object TextQueries {
     },
 
     // DPO preference-pair construction — the reward-data assembly
-    // step: adjacent documents within a source pair up (lead window,
-    // source-keyed — no global sort), the higher integral LM score is
-    // 'chosen', ties break to the smaller doc_id, and the margin rides
-    // along for margin-weighted loss variants. Odd tail docs drop
-    // (no partner). The preference signal is the transcendental-free
-    // bigram-LM micro-average, so every pair verdict and margin is
-    // exactly replayable.
+    // step: adjacent documents within a source pair up, the higher
+    // integral LM score is 'chosen', ties break to the smaller doc_id,
+    // and the margin rides along for margin-weighted loss variants.
+    // Odd tail docs drop (no partner). The preference signal is the
+    // transcendental-free bigram-LM micro-average, so every pair
+    // verdict and margin is exactly replayable. The oracle SAYS
+    // `row_number/lead OVER (PARTITION BY source)`, but with a
+    // handful of sources that window funnels ~corpus/|sources| rows
+    // into one sorting task at 100 TB — the engine instead assigns
+    // per-source ordinals with the range-partitioned ZipIndex grouped
+    // ordinal and pairs by `(ordinal-1) div 2` through a keyed agg
+    // (pair keys are high-cardinality, hash-partitioned). Hashes
+    // unchanged; shared with pipeline_dpo_shards via [[dpoPairsOf]].
     QueryDef("train_dpo_pairs",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |           FROM documents),
@@ -3046,25 +3102,7 @@ object TextQueries {
         |FROM r WHERE rn % 2 = 1 AND partner_id IS NOT NULL
         |ORDER BY source, chosen_id, rejected_id""".stripMargin) {
       (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val sc = TextAnalysis.lmScore(docs, "doc_id", "text",
-          TextAnalysis.bigramModel(docs, "text"))
-        .select(col("doc_id"),
-          expr("lm_sum_micro div n_bigrams").as("avg_mi"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      docs.select(col("doc_id"), col("source"))
-        .join(sc, Seq("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("partner_id", lead("doc_id", 1).over(w))
-        .withColumn("partner_mi", lead("avg_mi", 1).over(w))
-        .filter(col("rn") % 2 === 1 && col("partner_id").isNotNull)
-        .select(col("source"),
-          when(col("partner_mi") > col("avg_mi"), col("partner_id"))
-            .otherwise(col("doc_id")).as("chosen_id"),
-          when(col("partner_mi") > col("avg_mi"), col("doc_id"))
-            .otherwise(col("partner_id")).as("rejected_id"),
-          abs(col("avg_mi") - col("partner_mi")).as("margin"))
+      dpoPairsOf(Tables.documents(s, d))
         .orderBy("source", "chosen_id", "rejected_id")
     },
 
