@@ -127,11 +127,13 @@ object ZipIndex {
       cntCol: Option[String] = None, numParts: Int = 0): DataFrame = {
     require(groupCols.nonEmpty, "withGroupedOrdinal: no group columns" +
       " — use withOrdinal for a global ordinal")
+    // two consumers (group agg + rejoin) read `keyed`, but NO second
+    // materialization is needed: withOrdinal already checkpointed the
+    // ranged frame, and everything on top of it (broadcast-join +
+    // ordinal arithmetic) is deterministic — both consumers recompute
+    // the same cheap tail over the same checkpointed partitions.
     val keyed = withOrdinal(df, "__gord",
       groupCols.map(col) ++ orderBy, numParts)
-      // two consumers (group agg + rejoin) — materialize once so both
-      // read the same enumeration (same rationale as the range frame)
-      .localCheckpoint(false)
     val mins = keyed.groupBy(groupCols.map(col): _*)
       .agg(min(col("__gord")).as("__gmin"),
         count(lit(1)).as("__gcnt"))
