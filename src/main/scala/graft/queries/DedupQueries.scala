@@ -1140,5 +1140,158 @@ object DedupQueries {
           col("clean_text"))
         .orderBy("doc_id")
     },
+
+    // CROSS-SHARD ExactSubstr — the honesty grade for Lee et al.'s
+    // per-shard placement (SCALE.md §18/§19): per-shard suffix-array
+    // jobs waive duplicates whose occurrences sit in DIFFERENT
+    // shards, so production composes them with a cross-shard second
+    // stage. Here the src0 slice splits into two shard slices
+    // ((doc_id div 20) % 2 — src0 ids are multiples of 20), and a
+    // passage of eight k-salted tokens (k = doc_id div 40, so the
+    // pair 40k / 40k+20 lands in OPPOSITE shards) is planted on every
+    // even-k pair: within a shard each passage occurs ONCE (the
+    // k-digits interrupt any 20-char repeat across ks), so stage 1 —
+    // one independent suffix-array spans+removal job per shard,
+    // exactly the per-shard placement — must NOT touch it, while
+    // stage 2 — the fixed-L token-gram pass (Dedup.substringDedup,
+    // one corpus-wide keyed gram shuffle) over the union of shard
+    // survivors — must cut it from the non-keeper. The oracle replays
+    // both stages end to end (shard-keyed gram-interval removal via
+    // the LCP ⇔ repeated-20-gram equivalence, then the 8-token
+    // window/keeper/anti-join algebra over the stage-1 survivors):
+    // a stage-1 span leaking across shards, a planted token removed
+    // early, or a missed cross-shard cut flips a document's bytes and
+    // the hash. Scale shape: stage 1 is per-shard (embarrassingly
+    // parallel across shard jobs, each the §18-cost-modeled SA
+    // construction); stage 2 is map-side shingling + one keyed
+    // shuffle on gram hashes — the scale-safe composition.
+    QueryDef("dedup_suffix_cross_shard",
+      """WITH d0 AS (
+        |  SELECT doc_id, (doc_id // 20) % 2 AS shard,
+        |    coalesce(text, '') || CASE WHEN (doc_id // 40) % 2 = 0
+        |      THEN ' xs' || k || 'a xs' || k || 'b xs' || k ||
+        |        'c xs' || k || 'd xs' || k || 'e xs' || k ||
+        |        'f xs' || k || 'g xs' || k || 'h'
+        |      ELSE '' END AS text
+        |  FROM (SELECT doc_id, text,
+        |      CAST(doc_id // 40 AS VARCHAR) AS k
+        |    FROM documents WHERE source = 'src0')),
+        |g AS (
+        |  SELECT shard, doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i + 1 AS INT), 20) AS gram
+        |  FROM (SELECT shard, doc_id, text,
+        |      unnest(range(0, greatest(length(text) - 19, 0))) AS i
+        |    FROM d0)),
+        |r AS (SELECT shard, gram FROM g GROUP BY shard, gram
+        |      HAVING COUNT(*) >= 2),
+        |p AS (SELECT doc_id, pos FROM g JOIN r USING (shard, gram)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + o AS i
+        |  FROM p, unnest(range(0, 20)) AS t(o)),
+        |ch AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS i,
+        |    substr(text, CAST(j + 1 AS INT), 1) AS c
+        |  FROM (SELECT doc_id, text,
+        |      unnest(range(0, length(text))) AS j FROM d0)),
+        |k1 AS (
+        |  SELECT ch.doc_id, string_agg(c, '' ORDER BY ch.i) AS clean1
+        |  FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id
+        |    AND cov.i = ch.i
+        |  WHERE cov.i IS NULL GROUP BY ch.doc_id),
+        |c1 AS (
+        |  SELECT d0.doc_id, d0.shard, length(d0.text) AS n_chars,
+        |    coalesce(k1.clean1, '') AS clean1
+        |  FROM d0 LEFT JOIN k1 ON k1.doc_id = d0.doc_id),
+        |arr AS (SELECT doc_id, string_split(clean1, ' ') AS t FROM c1),
+        |st AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, greatest(len(t) - 7, 0))) AS start
+        |  FROM arr),
+        |sh2 AS (
+        |  SELECT doc_id, start,
+        |    array_to_string(list_slice(t, start + 1, start + 8), ' ')
+        |      AS h
+        |  FROM st),
+        |dup AS (
+        |  SELECT h, MIN(doc_id) AS keeper
+        |  FROM sh2 GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |rm AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT s.doc_id, unnest(range(s.start, s.start + 8)) AS pos
+        |    FROM sh2 s JOIN dup d ON d.h = s.h
+        |      AND s.doc_id <> d.keeper)),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(0, len(t))) AS pos,
+        |    unnest(t) AS tok
+        |  FROM arr),
+        |kept AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY t.pos) AS final_text
+        |  FROM toks t LEFT JOIN rm ON rm.doc_id = t.doc_id
+        |    AND rm.pos = t.pos
+        |  WHERE rm.pos IS NULL GROUP BY t.doc_id)
+        |SELECT c1.doc_id, CAST(c1.shard AS BIGINT) AS shard,
+        |  CAST(c1.n_chars AS BIGINT) AS n_chars,
+        |  CAST(length(c1.clean1) AS BIGINT) AS n_after_sa,
+        |  CAST(len(a.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(k2.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(k2.final_text, '') AS final_text
+        |FROM c1 JOIN arr a ON a.doc_id = c1.doc_id
+        |LEFT JOIN kept k2 ON k2.doc_id = c1.doc_id
+        |ORDER BY c1.doc_id""".stripMargin) { (s, d) =>
+      val k = call_function("div", col("doc_id"), lit(40L))
+        .cast("string")
+      val plant = when(
+        call_function("div", col("doc_id"), lit(40L)) % 2 === 0,
+        concat(Seq("a", "b", "c", "d", "e", "f", "g", "h").map(sfx =>
+          concat(lit(" xs"), k, lit(sfx))): _*))
+        .otherwise(lit(""))
+      val docs = Tables.documents(s, d)
+        .filter(col("source") === "src0")
+        .select(col("doc_id"),
+          (call_function("div", col("doc_id"), lit(20L)) % 2)
+            .as("shard"),
+          concat(coalesce(col("text"), lit("")), plant).as("text"))
+        // read by two per-shard SA jobs + the final stats joins —
+        // materialize the planted corpus once
+        .localCheckpoint(false)
+      // stage 1: one independent ExactSubstr job PER SHARD — Lee et
+      // al.'s placement, composed instead of waived. The shard jobs
+      // share nothing (that IS the placement), so submit them
+      // concurrently: each drives its own prefix-doubling round loop
+      // and the cluster interleaves their stages instead of idling
+      // between one shard's driver round-trips.
+      val survivors = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val jobs = Seq(0L, 1L).map { sh =>
+          Future {
+            val slice = docs.filter(col("shard") === sh)
+              .select("doc_id", "text")
+            val spans = graft.ext.SuffixArray.duplicatedSpans(
+              slice, "doc_id", "text", minLen = 20)
+            graft.ext.SuffixArray.removeSpans(slice, "doc_id", "text",
+              spans)
+          }
+        }
+        jobs.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+          .reduce(_ unionByName _)
+      }
+        // stage 2 + the final join both read it
+        .localCheckpoint(false)
+      // stage 2: cross-shard fixed-L token-gram pass over the union
+      // of shard survivors (keep-first; one keyed gram shuffle)
+      val fin = graft.ext.Dedup.substringDedup(
+        survivors, "doc_id", "clean_text", minTokens = 8)
+      docs.select(col("doc_id"), col("shard").cast("long").as("shard"),
+          length(col("text")).cast("long").as("n_chars"))
+        .join(survivors.select(col("doc_id"),
+          length(col("clean_text")).cast("long").as("n_after_sa")),
+          Seq("doc_id"))
+        .join(fin.select(col("doc_id"), col("n_tokens"),
+          col("n_kept"), col("clean_text").as("final_text")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    },
   )
 }
