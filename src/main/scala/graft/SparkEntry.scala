@@ -1,8 +1,8 @@
 package graft
 
 import graft.queries.{AnalyticsQueries, BatchAssemblyQueries,
-  BpeQueries, DedupQueries, DpoQueries, FimQueries,
-  FreezeExactQueries,
+  BpeQueries, DedupQueries, DpoQueries, FamilyExportQueries,
+  FimQueries, FreezeExactQueries,
   MultimodalQueries, RefQueries, SftQueries, SimilarityQueries,
   TextQueries, TokenizerEvalQueries, UnigramQueries, VlmQueries,
   WordPieceQueries}
@@ -21,7 +21,7 @@ object SparkEntry {
       WordPieceQueries.defs ++ TokenizerEvalQueries.defs ++
       BatchAssemblyQueries.defs ++ SftQueries.defs ++
       FreezeExactQueries.defs ++ VlmQueries.defs ++ DpoQueries.defs ++
-      FimQueries.defs
+      FimQueries.defs ++ FamilyExportQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

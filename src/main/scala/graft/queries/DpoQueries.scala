@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ext.{Bpe, Sft}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** DPO shard assembly — the preference-tuning sibling of
@@ -46,10 +46,10 @@ object DpoQueries {
     s"coalesce(array_to_string(list_filter(string_split(" +
       s"coalesce($c, ''), ' '), v -> length(v) > 0)[1:$n], ' '), '')"
 
-  val defs: Seq[QueryDef] = Seq(
-
-    QueryDef("pipeline_dpo_shards",
-      "WITH " + sqlByteMapCtes + ",\n" +
+  /** Shared verbatim by `pipeline_dpo_shards` and its freeze-store
+    * export (`export_dpo_shards`) — one SQL string, one grade. */
+  private[queries] def sqlDpoShards: String =
+    "WITH " + sqlByteMapCtes + ",\n" +
         sqlTrainCtes(K, ", bl WHERE source = 'src0'",
           wordExpr = sqlPretokBytes) + s""",
 vocab AS MATERIALIZED (
@@ -152,11 +152,14 @@ SELECT source, chosen_id, rejected_id, CAST(margin AS BIGINT) AS margin,
   CAST(len(rs) + 1 AS BIGINT) AS rejected_train,
   CAST(coalesce(list_sum(rids), 0) AS BIGINT) AS rejected_id_sum,
   array_to_string(rids[1:3], '|') AS rejected_head
-FROM st ORDER BY source, chosen_id""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val merges = Bpe.trainLocal(
-        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
-          "text"), K)
+FROM st ORDER BY source, chosen_id"""
+
+  /** The full construction over an already-frozen corpus frame and an
+    * already-trained merge table — `pipeline_dpo_shards` trains
+    * in-query; `export_dpo_shards` feeds it the freeze store and the
+    * reloaded artifact. */
+  private[queries] def dpoShards(s: SparkSession, docs: DataFrame,
+      merges: Seq[Bpe.Merge]): DataFrame = {
       val bc = s.sparkContext.broadcast(Bpe.idVocabWithSpecials(merges))
       // pairing — train_dpo_pairs' construction verbatim (the graded
       // pairing query is the contract; this composes it — ONE shared
@@ -230,5 +233,15 @@ FROM st ORDER BY source, chosen_id""") { (s, d) =>
           array_join(transform(slice(col("rids2"), 1, 3),
             x => x.cast("string")), "|").as("rejected_head"))
         .orderBy("source", "chosen_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("pipeline_dpo_shards", sqlDpoShards) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
+          "text"), K)
+      dpoShards(s, docs, merges)
     })
 }

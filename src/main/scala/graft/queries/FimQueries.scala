@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ext.{Bpe, Sft}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fill-in-the-middle shard assembly (Bavarian et al., "Efficient
@@ -45,10 +45,10 @@ object FimQueries {
   /** Learned-id offset under [[Bpe.FimSpecials]]. */
   private val S = Bpe.FimSpecials.size
 
-  val defs: Seq[QueryDef] = Seq(
-
-    QueryDef("pipeline_fim_shards",
-      "WITH " + sqlByteMapCtes + ",\n" +
+  /** Shared verbatim by `pipeline_fim_shards` and its freeze-store
+    * export (`export_fim_shards`) — one SQL string, one grade. */
+  private[queries] def sqlFimShards: String =
+    "WITH " + sqlByteMapCtes + ",\n" +
         sqlTrainCtes(K, ", bl WHERE source = 'src0'",
           wordExpr = sqlPretokBytes) + s""",
 vocab AS MATERIALIZED (
@@ -133,11 +133,14 @@ SELECT doc_id, mode, CAST(lo AS BIGINT) AS cut_lo,
   CAST(coalesce(list_sum(ids), 0) AS BIGINT) AS id_sum,
   array_to_string(ids[1:3], '|') AS head,
   start_offset, CAST(start_offset // $Ctx AS BIGINT) AS bin
-FROM rr ORDER BY doc_id""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val merges = Bpe.trainLocal(
-        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
-          "text"), K)
+FROM rr ORDER BY doc_id"""
+
+  /** The full construction over an already-frozen corpus frame and an
+    * already-trained merge table — `pipeline_fim_shards` trains
+    * in-query; `export_fim_shards` feeds it the freeze store and the
+    * reloaded artifact. */
+  private[queries] def fimShards(s: SparkSession, docs: DataFrame,
+      merges: Seq[Bpe.Merge]): DataFrame = {
       val bc = s.sparkContext.broadcast(
         Bpe.idVocabWithSpecials(merges, Bpe.FimSpecials))
       val cuts = docs
@@ -210,5 +213,15 @@ FROM rr ORDER BY doc_id""") { (s, d) =>
             x => x.cast("string")), "|").as("head"),
           col("start_offset"), col("bin").cast("long").as("bin"))
         .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("pipeline_fim_shards", sqlFimShards) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
+          "text"), K)
+      fimShards(s, docs, merges)
     })
 }

@@ -145,6 +145,15 @@ pc AS (
     val merges = Bpe.trainLocal(
       Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
         "text"), K)
+    sftPiecesFrom(s, docs, merges)
+  }
+
+  /** [[sftPieces]] parameterized over an ALREADY-frozen corpus and an
+    * ALREADY-trained merge table — the export path
+    * (`export_sft_shards`) feeds it the freeze store and the reloaded
+    * tokenizer artifact; no re-gating, no re-training. */
+  private[queries] def sftPiecesFrom(s: SparkSession, docs: DataFrame,
+      merges: Seq[Bpe.Merge]): DataFrame = {
     // one broadcast table serves id assignment for every message —
     // the map-literal element_at lesson from pipeline_token_ids
     val bc = s.sparkContext.broadcast(Bpe.idVocabWithSpecials(merges))
@@ -220,15 +229,12 @@ pc AS (
           " x -> CAST(x AS STRING)), '|')").as("piece_head"))
   }
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // SFT SHARDS — VERDICT r14's top ask. Graded per (window, piece):
-    // window-local offset, piece length, the mask sum and id sum over
-    // the EXACT slice of the conversation stream the piece covers,
-    // and the piece's first three ids — sums pin the totals, heads
-    // pin the order, and both must agree at every window boundary.
-    // The per-window seg_id ranks a BOUNDED group (<= Ctx pieces).
-    QueryDef("pipeline_sft_shards", sqlSftCtes + s"""
+  /** The per-(window, piece) shards oracle — shared verbatim by
+    * `pipeline_sft_shards` and its freeze-store export
+    * (`export_sft_shards`): the export must reproduce the family
+    * query bit-for-bit from the store, so they grade against ONE
+    * SQL string. */
+  private[queries] def sqlSftShards: String = sqlSftCtes + s"""
 SELECT chunk_id,
   CAST(row_number() OVER (PARTITION BY chunk_id ORDER BY local_start)
     AS BIGINT) AS seg_id,
@@ -238,16 +244,31 @@ SELECT chunk_id,
   CAST(list_sum(ids[o + 1 : o + piece_len]) AS BIGINT) AS piece_id_sum,
   array_to_string(ids[o + 1 : o + least(3, piece_len)], '|')
     AS piece_head
-FROM pc ORDER BY chunk_id, seg_id""") { (s, d) =>
-      sftPieces(s, d)
-        .withColumn("seg_id", row_number().over(
-          Window.partitionBy(col("chunk_id"))
-            .orderBy(col("local_start"))).cast("long"))
-        .select(col("chunk_id"), col("seg_id"), col("doc_id"),
-          col("local_start").cast("long"),
-          col("piece_len").cast("long"),
-          col("train_tokens"), col("piece_id_sum"), col("piece_head"))
-        .orderBy("chunk_id", "seg_id")
+FROM pc ORDER BY chunk_id, seg_id"""
+
+  /** The graded tail over a pieces frame: per-window seg_id rank
+    * (bounded group, <= Ctx pieces) and the final projection. */
+  private[queries] def sftShardTail(pieces: DataFrame): DataFrame =
+    pieces
+      .withColumn("seg_id", row_number().over(
+        Window.partitionBy(col("chunk_id"))
+          .orderBy(col("local_start"))).cast("long"))
+      .select(col("chunk_id"), col("seg_id"), col("doc_id"),
+        col("local_start").cast("long"),
+        col("piece_len").cast("long"),
+        col("train_tokens"), col("piece_id_sum"), col("piece_head"))
+      .orderBy("chunk_id", "seg_id")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // SFT SHARDS — VERDICT r14's top ask. Graded per (window, piece):
+    // window-local offset, piece length, the mask sum and id sum over
+    // the EXACT slice of the conversation stream the piece covers,
+    // and the piece's first three ids — sums pin the totals, heads
+    // pin the order, and both must agree at every window boundary.
+    // The per-window seg_id ranks a BOUNDED group (<= Ctx pieces).
+    QueryDef("pipeline_sft_shards", sqlSftShards) { (s, d) =>
+      sftShardTail(sftPieces(s, d))
     },
 
     // SFT WINDOWS — the fixed-length row a dataloader actually reads:

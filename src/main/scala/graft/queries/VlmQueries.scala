@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ext.{Bpe, Multimodal, Sft}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,10 +40,10 @@ object VlmQueries {
   /** Learned-id offset under [[Bpe.VlmSpecials]]. */
   private val S = Bpe.VlmSpecials.size
 
-  val defs: Seq[QueryDef] = Seq(
-
-    QueryDef("pipeline_vlm_shards",
-      "WITH " + sqlByteMapCtes + ",\n" +
+  /** Shared verbatim by `pipeline_vlm_shards` and its freeze-store
+    * export (`export_vlm_shards`) — one SQL string, one grade. */
+  private[queries] def sqlVlmShards: String =
+    "WITH " + sqlByteMapCtes + ",\n" +
         sqlTrainCtes(K, ", bl WHERE source = 'src0'",
           wordExpr = sqlPretokBytes) + s""",
 vocab AS MATERIALIZED (
@@ -110,15 +111,21 @@ SELECT chunk_id,
   CAST(list_sum(ids[o + 1 : o + piece_len]) AS BIGINT) AS piece_id_sum,
   array_to_string(ids[o + 1 : o + least(3, piece_len)], '|')
     AS piece_head
-FROM pc ORDER BY chunk_id, seg_id""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val merges = Bpe.trainLocal(
-        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
-          "text"), K)
+FROM pc ORDER BY chunk_id, seg_id"""
+
+  /** The full construction over an already-frozen corpus frame and an
+    * already-trained merge table — `pipeline_vlm_shards` trains
+    * in-query; `export_vlm_shards` feeds it the freeze store and the
+    * reloaded artifact. */
+  private[queries] def vlmShards(s: SparkSession, docs: DataFrame,
+      merges: Seq[Bpe.Merge]): DataFrame = {
       val bc = s.sparkContext.broadcast(
         Bpe.idVocabWithSpecials(merges, Bpe.VlmSpecials))
       // patch budget out of the BYTES: the real container parser over
-      // the shared PNG/JPEG fixture payload, ViT ceil(dim/14) grid
+      // the shared PNG/JPEG fixture payload, ViT ceil(dim/14) grid.
+      // LEFT join + in-plan raise_error (not inner): an unparseable
+      // container must NAME its document, not silently drop it into
+      // an opaque hash mismatch (r16 ADVICE)
       val dims = Multimodal.Decoder.decodeImageContainers(
           docs.select(col("doc_id"),
             MultimodalQueries.pngJpegPayload.as("payload")))
@@ -131,7 +138,12 @@ FROM pc ORDER BY chunk_id, seg_id""") { (s, d) =>
           coalesce(col("text"), lit("")).as("text")),
         "doc_id", "text", merges)
       import s.implicits._
-      val conv = enc.join(dims, Seq("doc_id"))
+      val conv = enc.join(dims, Seq("doc_id"), "left")
+        .withColumn("n_patches",
+          when(col("n_patches").isNotNull, col("n_patches"))
+            .otherwise(raise_error(concat(
+              lit("vlm_shards: image container failed to parse for " +
+                "doc_id="), col("doc_id").cast("string")))))
         .select(col("doc_id"), col("n_patches"), col("tokens"))
         .as[(Long, Long, Seq[String])]
         .mapPartitions { it =>
@@ -191,5 +203,15 @@ FROM pc ORDER BY chunk_id, seg_id""") { (s, d) =>
           col("piece_len").cast("long"),
           col("train_tokens"), col("piece_id_sum"), col("piece_head"))
         .orderBy("chunk_id", "seg_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("pipeline_vlm_shards", sqlVlmShards) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
+          "text"), K)
+      vlmShards(s, docs, merges)
     })
 }
