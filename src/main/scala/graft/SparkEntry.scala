@@ -4,8 +4,8 @@ import graft.queries.{AnalyticsQueries, BatchAssemblyQueries,
   BpeQueries, DedupQueries, DpoQueries, FamilyExportQueries,
   FimQueries, FreezeExactQueries,
   MultimodalQueries, RefQueries, SftQueries, SimilarityQueries,
-  TextQueries, TokenizerEvalQueries, UnigramQueries, VlmQueries,
-  WordPieceQueries}
+  TextQueries, TokenizerEvalQueries, ToolQueries, UnigramQueries,
+  VlmQueries, WordPieceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
       WordPieceQueries.defs ++ TokenizerEvalQueries.defs ++
       BatchAssemblyQueries.defs ++ SftQueries.defs ++
       FreezeExactQueries.defs ++ VlmQueries.defs ++ DpoQueries.defs ++
-      FimQueries.defs ++ FamilyExportQueries.defs
+      FimQueries.defs ++ ToolQueries.defs ++ FamilyExportQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

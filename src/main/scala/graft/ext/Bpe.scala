@@ -702,6 +702,14 @@ object Bpe {
   val FimSpecials: Seq[String] = SftSpecials ++
     Seq("<|fim_pre|>", "<|fim_mid|>", "<|fim_suf|>")
 
+  /** [[SftSpecials]] plus the agentic tool-span sentinels at ids 6/7
+    * ([[graft.ext.Sft.ToolCallId]]/`ToolResId`) — the vocabulary a
+    * tool-call SFT shard family reserves. Same extension discipline
+    * as [[VlmSpecials]]/[[FimSpecials]]: the text-only prefix 0..5
+    * never moves; the learned-id offset is 8. */
+  val ToolSpecials: Seq[String] = SftSpecials ++
+    Seq("<|tool_call|>", "<|tool_result|>")
+
   /** [[idVocab]] with `specials` prepended at ids `0..n-1` and every
     * learned id shifted up by `n`: bytes at `n + byteValue`, merge
     * products at `n + 255 + rank` (first-rank rule unchanged).

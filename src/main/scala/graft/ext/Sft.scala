@@ -55,6 +55,12 @@ object Sft {
   val FimMidId: Long = 7L
   val FimSufId: Long = 8L
 
+  /** Agentic tool-span sentinels, present only in vocabularies built
+    * with [[Bpe.ToolSpecials]] (learned ids shift by 8 there). Same
+    * per-family extension discipline as the VLM/FIM ids above. */
+  val ToolCallId: Long = 6L
+  val ToolResId: Long = 7L
+
   /** One message through the template: (ids, mask). Pure and
     * per-message — the per-partition unit of the map-only render
     * pass; conversation assembly (BOS + concat in turn order) is a
@@ -66,6 +72,23 @@ object Sft {
     (marker +: contentIds :+ EosId,
       0L +: contentIds.map(_ => m) :+ m)
   }
+
+  /** Assistant TOOL-CALL turn: `[ASSISTANT] [TOOLCALL] callIds [EOS]`.
+    * Mask 0 on the scaffold (role marker + sentinel), 1 on the call
+    * tokens — the serialized invocation IS assistant output the model
+    * must learn to emit — and 1 on the closing EOS (it must learn to
+    * stop and yield to the tool). Valid only under a
+    * [[Bpe.ToolSpecials]] vocabulary. */
+  def renderToolCall(callIds: Seq[Long]): (Seq[Long], Seq[Long]) =
+    (AsstId +: ToolCallId +: callIds :+ EosId,
+      0L +: 0L +: callIds.map(_ => 1L) :+ 1L)
+
+  /** TOOL-RESULT turn: `[TOOLRES] resultIds [EOS]`, mask 0 throughout
+    * — results are environment observations the model conditions on,
+    * never predicts. */
+  def renderToolResult(resultIds: Seq[Long]): (Seq[Long], Seq[Long]) =
+    (ToolResId +: resultIds :+ EosId,
+      0L +: resultIds.map(_ => 0L) :+ 0L)
 
   /** Conversation assembly: BOS, then the messages in turn order.
     * `messages` must already be ordered. */

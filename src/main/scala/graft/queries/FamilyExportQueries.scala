@@ -80,5 +80,7 @@ object FamilyExportQueries {
     exportDef("export_dpo_shards", DpoQueries.sqlDpoShards)(
       DpoQueries.dpoShards),
     exportDef("export_fim_shards", FimQueries.sqlFimShards)(
-      FimQueries.fimShards))
+      FimQueries.fimShards),
+    exportDef("export_tool_shards", ToolQueries.sqlToolShards)(
+      ToolQueries.toolShards))
 }

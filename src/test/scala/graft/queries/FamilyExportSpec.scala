@@ -23,7 +23,7 @@ class FamilyExportSpec extends SparkSpec {
   private def q(name: String, d: String = sfDir) =
     SparkEntry.queries(name)(spark, d)
 
-  private val families = Seq("sft", "vlm", "dpo", "fim")
+  private val families = Seq("sft", "vlm", "dpo", "fim", "tool")
 
   test("exports run with documents.parquet DELETED once the store " +
     "is built — the tail reads only the freeze store") {
