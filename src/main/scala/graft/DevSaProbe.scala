@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * the manual extension of ScaleCurve's `probe_suffix_chars` for
   * datapoints past the per-round curve budget:
   * `runMain graft.DevSaProbe <k> [sfDir]` builds k salted copies of
-  * the src0 shard (per-copy token salt keeps long repeats within a
-  * copy, so span volume scales linearly) and times
-  * [[ext.SuffixArray.duplicatedSpans]] over it. */
+  * the src0 shard through the SAME [[ScaleCurve.saltedSaCorpus]]
+  * builder the curve probe uses (one implementation — manual
+  * datapoints stay comparable with the curve's; the builder asserts
+  * the max-token-length assumption behind the linear-span-volume
+  * claim) and times [[ext.SuffixArray.duplicatedSpans]] over it. */
 object DevSaProbe {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 16
@@ -23,14 +25,7 @@ object DevSaProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val rep = Tables.documents(spark, dir)
-      .filter(col("source") === "src0")
-      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
-        explode(sequence(lit(0), lit(k - 1))).as("c"))
-      .select((col("doc_id") * k + col("c")).as("doc_id"),
-        concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(t, lit("_"), col("c").cast("string"))))
-          .as("text"))
+    val rep = ScaleCurve.saltedSaCorpus(spark, dir, k)
     val chars = rep.agg(sum(length(col("text")))).head().getLong(0)
     val t0 = System.nanoTime()
     val spans = ext.SuffixArray.duplicatedSpans(rep, "doc_id", "text",

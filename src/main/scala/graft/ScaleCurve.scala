@@ -87,7 +87,13 @@ object ScaleCurve {
     "pipeline_vlm_shards" -> "documents",
     "pipeline_dpo_shards" -> "documents",
     "pipeline_sft_windows" -> "documents",
-    "pipeline_fim_shards" -> "documents")
+    "pipeline_fim_shards" -> "documents",
+    // r16 verdict #6: the removal half is the HEAVIER suffix query —
+    // curve it beside dedup_suffix_spans
+    "dedup_suffix_removal" -> "documents",
+    "pipeline_tool_shards" -> "documents",
+    "dedup_suffix_cross_shard" -> "documents",
+    "export_tool_shards" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale
@@ -97,6 +103,43 @@ object ScaleCurve {
     * bound scales ~linearly in buckets; 96 tops out ~11k) — the
     * SCALE.md §14 claim that trainer cost is per-merge flat, measured
     * 4x past the graded 8192-merge datapoint. */
+  /** k salted copies of the src0 shard for the suffix-array capacity
+    * probes — ONE builder shared by `probe_suffix_chars` and
+    * [[DevSaProbe]] (r16 ADVICE: two verbatim copies could silently
+    * drift and make manual datapoints incomparable with the curve's).
+    *
+    * The per-copy salt is a token SUFFIX ("tok_c"), which de-dups
+    * every 20-char window that touches a token boundary or a salt; a
+    * window can only survive identical across copies by lying wholly
+    * inside one raw token's first 20+ characters. The fixture has no
+    * such token, and that assumption is ASSERTED here (r16 ADVICE:
+    * the linear-span-volume claim was fixture-dependent and
+    * unchecked) — a fixture change fails the probe loudly instead of
+    * silently bending the measured curve quadratic. */
+  private[graft] def saltedSaCorpus(s: SparkSession, dir: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = Tables.documents(s, dir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val maxTok = src
+      .select(array_max(transform(split(col("text"), " "), t => length(t)))
+        .as("m"))
+      .agg(max(col("m"))).head().getInt(0)
+    require(maxTok < 20,
+      s"saltedSaCorpus: fixture has a $maxTok-char token — a raw " +
+        "token >= 20 chars carries an unsalted repeated window " +
+        "across copies, making span volume quadratic in k; interleave " +
+        "the salt before trusting the probe")
+    src
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(k - 1))).as("c"))
+      .select((col("doc_id") * k + col("c")).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("c").cast("string"))))
+          .as("text"))
+  }
+
   val ProbeTargets: Seq[(String, String,
       (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
     ("probe_bpe_train32k", "documents", (s, dir) => {
@@ -139,16 +182,7 @@ object ScaleCurve {
     ("probe_suffix_chars", "documents", (s, dir) => {
       import org.apache.spark.sql.functions._
       import s.implicits._
-      val k = 16
-      val rep = graft.Tables.documents(s, dir)
-        .filter(col("source") === "src0")
-        .select(col("doc_id"),
-          coalesce(col("text"), lit("")).as("text"),
-          explode(sequence(lit(0), lit(k - 1))).as("c"))
-        .select((col("doc_id") * k + col("c")).as("doc_id"),
-          concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(t, lit("_"), col("c").cast("string"))))
-            .as("text"))
+      val rep = saltedSaCorpus(s, dir, k = 16)
       val chars = rep.agg(sum(length(col("text")))).head().getLong(0)
       val spans = graft.ext.SuffixArray.duplicatedSpans(rep,
         "doc_id", "text", minLen = 20)
