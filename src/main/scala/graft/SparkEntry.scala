@@ -3,7 +3,8 @@ package graft
 import graft.queries.{AnalyticsQueries, BatchAssemblyQueries,
   BpeQueries, DedupQueries, DpoQueries, FamilyExportQueries,
   FimQueries, FreezeExactQueries,
-  MultimodalQueries, RefQueries, SftQueries, SimilarityQueries,
+  MixQueries, MultimodalQueries, RefQueries, SftQueries,
+  SimilarityQueries,
   TextQueries, TokenizerEvalQueries, ToolQueries, UnigramQueries,
   VlmQueries, WordPieceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -21,7 +22,8 @@ object SparkEntry {
       WordPieceQueries.defs ++ TokenizerEvalQueries.defs ++
       BatchAssemblyQueries.defs ++ SftQueries.defs ++
       FreezeExactQueries.defs ++ VlmQueries.defs ++ DpoQueries.defs ++
-      FimQueries.defs ++ ToolQueries.defs ++ FamilyExportQueries.defs
+      FimQueries.defs ++ ToolQueries.defs ++
+      FamilyExportQueries.defs ++ MixQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

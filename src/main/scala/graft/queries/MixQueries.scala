@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Training-run data-ORDER and data-MIX planning — the two decisions
+  * every large pretraining run makes between "corpus frozen" and
+  * "first batch":
+  *
+  *  - `pipeline_epoch_shuffle`: the Megatron/tf.data epoch shuffle —
+  *    per epoch, documents are visited in the order of a seeded hash
+  *    (a deterministic pseudorandom permutation: reproducible across
+  *    restarts and resumable mid-epoch WITHOUT materializing a
+  *    permutation table). At 100 TB "sort by hash" is exactly one
+  *    range exchange; the per-EPOCH positions come from the
+  *    range-partitioned grouped ordinal, because `epoch` is a
+  *    low-cardinality key — the same `row_number OVER (PARTITION BY
+  *    epoch)` funnel this round eliminated for `source` windows.
+  *  - `pipeline_mixture_schedule`: a static target-mix plan (the
+  *    DoReMi/Pile-style reweighting surface): per-source natural
+  *    token mass vs a uniform target share, a capped integral
+  *    sampling rate, and the DETERMINISTIC per-document selection a
+  *    fleet can evaluate map-only (hash-threshold, no RNG state) —
+  *    with the realized post-selection mass graded next to the plan.
+  *
+  * Everything is exact integer arithmetic over the 31-bit md5 hash
+  * ([[TextAnalysis.tokenHash31]]), so both queries replay in the
+  * oracle bit-for-bit.
+  */
+object MixQueries {
+
+  private def sqlH31(t: String): String = OracleSql.h31(t)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Three epochs, each a full deterministic permutation of the
+    // corpus: position = rank of h31("ep<e>#<doc_id>") within the
+    // epoch (ties broken by doc_id; the hash is effectively
+    // collision-free at 31 bits but the order must be TOTAL by
+    // construction, not by luck). Batch = position div 64 — the
+    // epoch-order micro-batch id a resumable dataloader seeks to.
+    // Engine side: NO epoch-keyed window (3-value key — the funnel);
+    // grouped ordinals via the range partitioner over (epoch, h,
+    // doc_id). The oracle's window replay is DuckDB's problem — the
+    // oracle is not graded for scale.
+    QueryDef("pipeline_epoch_shuffle",
+      s"""WITH e AS (
+        |  SELECT doc_id, unnest([0, 1, 2]) AS epoch FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |    ${sqlH31("'ep' || CAST(epoch AS VARCHAR) || '#' || " +
+          "CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM e),
+        |p AS (
+        |  SELECT epoch, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY epoch
+        |      ORDER BY h, doc_id) AS BIGINT) AS pos
+        |  FROM h)
+        |SELECT epoch, doc_id, h, pos,
+        |  CAST((pos - 1) // 64 AS BIGINT) AS batch
+        |FROM p ORDER BY epoch, pos""".stripMargin) { (s, d) =>
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(2L))).as("epoch"))
+        .withColumn("h", TextAnalysis.tokenHash31(concat(
+          lit("ep"), col("epoch").cast("string"), lit("#"),
+          col("doc_id").cast("string"))))
+      graft.ops.ZipIndex.withGroupedOrdinal(e, "pos", Seq("epoch"),
+          Seq(col("h"), col("doc_id")))
+        .select(col("epoch"), col("doc_id"), col("h"), col("pos"),
+          call_function("div", col("pos") - 1L, lit(64L)).as("batch"))
+        .orderBy("epoch", "pos")
+    },
+
+    // Static mix plan: per source, natural whitespace-token mass;
+    // target = uniform share (total div n_sources); rate_permil =
+    // min(1000, 1000·target div natural) — DOWN-sampling only
+    // (up-weighting is epoch repetition's job, so the plan never
+    // fabricates mass); selection: keep doc iff
+    // h31("mix#<doc_id>") mod 1000 < rate_permil — map-only,
+    // stateless, fleet-evaluable. The realized kept mass rides along:
+    // the plan AND its execution grade together, so a drifted hash,
+    // a wrong cap, or a biased threshold flips the row.
+    QueryDef("pipeline_mixture_schedule",
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      v -> length(v) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |nat AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS natural_tokens
+        |  FROM t GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(natural_tokens) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM nat),
+        |plan AS (
+        |  SELECT n.source, n.n_docs, n.natural_tokens,
+        |    CAST(tot.total // tot.n_src AS BIGINT) AS target_tokens,
+        |    CAST(least(1000, 1000 * (tot.total // tot.n_src)
+        |      // n.natural_tokens) AS BIGINT) AS rate_permil
+        |  FROM nat n, tot),
+        |sel AS (
+        |  SELECT t.source,
+        |    CAST(COUNT(*) FILTER (
+        |      ${sqlH31("'mix#' || CAST(doc_id AS VARCHAR)")} % 1000
+        |        < p.rate_permil) AS BIGINT) AS kept_docs,
+        |    CAST(COALESCE(SUM(n_tok) FILTER (
+        |      ${sqlH31("'mix#' || CAST(doc_id AS VARCHAR)")} % 1000
+        |        < p.rate_permil), 0) AS BIGINT) AS kept_tokens
+        |  FROM t JOIN plan p ON p.source = t.source
+        |  GROUP BY t.source)
+        |SELECT p.source, p.n_docs, p.natural_tokens, p.target_tokens,
+        |  p.rate_permil, s.kept_docs, s.kept_tokens
+        |FROM plan p JOIN sel s ON s.source = p.source
+        |ORDER BY p.source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(filter(split(coalesce(col("text"), lit("")), " "),
+            w => length(w) > 0)).cast("long").as("n_tok"))
+        // two keyed aggs + the selection read it — one scan
+        .localCheckpoint(false)
+      val nat = t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("natural_tokens"))
+      // the totals frame is ONE row; cross-joining it broadcasts
+      val tot = nat.agg(sum(col("natural_tokens")).as("total"),
+        count(lit(1)).as("n_src"))
+      val plan = nat.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("natural_tokens"),
+          call_function("div", col("total"), col("n_src"))
+            .as("target_tokens"))
+        .withColumn("rate_permil",
+          least(lit(1000L), call_function("div",
+            lit(1000L) * col("target_tokens"),
+            col("natural_tokens"))))
+      val keep = TextAnalysis.tokenHash31(concat(lit("mix#"),
+        col("doc_id").cast("string"))) % 1000L < col("rate_permil")
+      val sel = t.join(broadcast(plan.select("source", "rate_permil")),
+          Seq("source"))
+        .groupBy("source")
+        .agg(count(when(keep, lit(1))).as("kept_docs"),
+          coalesce(sum(when(keep, col("n_tok"))), lit(0L))
+            .as("kept_tokens"))
+      plan.join(sel, Seq("source"))
+        .select(col("source"), col("n_docs"), col("natural_tokens"),
+          col("target_tokens"), col("rate_permil"), col("kept_docs"),
+          col("kept_tokens"))
+        .orderBy("source")
+    })
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import graft.ops.PlanChecks
+
+/** Data-order / data-mix planning contracts. The oracle grades exact
+  * values; this spec pins the PROPERTIES the values must embody. */
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("epoch shuffle: each epoch is a full permutation, epochs " +
+    "disagree on order, and no epoch-keyed window plans") {
+    val df = q("pipeline_epoch_shuffle")
+    PlanChecks.assertNoWideWindow(df)
+    val rows = df.select("epoch", "doc_id", "pos")
+      .as[(Long, Long, Long)].collect()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    val n = byEpoch(0L).size
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to n).toSeq,
+        s"epoch $e positions not a dense permutation")
+      assert(rs.map(_._2).distinct.size == n, s"epoch $e repeats a doc")
+    }
+    // different epochs must order the corpus differently (the hash
+    // seed includes the epoch; identical orders mean a dead seed)
+    val ord = (e: Long) => byEpoch(e).sortBy(_._3).map(_._2).toSeq
+    assert(ord(0L) != ord(1L) && ord(1L) != ord(2L))
+    // and the order must not be the ingest order
+    assert(ord(0L) != ord(0L).sorted)
+  }
+
+  test("mixture schedule: rates capped at 1000 permil, realized " +
+    "mass never exceeds natural, under-natural sources keep all") {
+    val rows = q("pipeline_mixture_schedule")
+      .select("natural_tokens", "target_tokens", "rate_permil",
+        "kept_tokens", "n_docs", "kept_docs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nat, tgt, rate, kept, nd, kd) =>
+      assert(rate >= 0 && rate <= 1000)
+      assert(kept <= nat, "selection fabricated token mass")
+      assert(kd <= nd)
+      if (nat <= tgt)
+        assert(rate == 1000 && kd == nd && kept == nat,
+          "a source already under target must keep everything")
+    }
+    // the plan must actually bite somewhere (fixture sources are not
+    // perfectly uniform)
+    assert(rows.exists(r => r._3 < 1000),
+      "no source downsampled — plan vacuous on this fixture")
+  }
+}
