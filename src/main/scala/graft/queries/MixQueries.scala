@@ -73,6 +73,58 @@ object MixQueries {
         .orderBy("epoch", "pos")
     },
 
+    // Epoch-order TOKEN-BUDGET batches — the composition a trainer
+    // actually consumes: within each epoch's shuffled order (same
+    // seeded hash as pipeline_epoch_shuffle), documents fill
+    // fixed-2048-token micro-batches by cumulative start offset.
+    // `sum(n_tok) OVER (PARTITION BY epoch ORDER BY h)` is the oracle
+    // spelling; the engine uses the grouped PREFIX SUM
+    // (PrefixSum.packIntoGroupedBins — range partition over (epoch,
+    // h, doc_id), per-(pid, epoch) local windows, driver per-group
+    // offset fold) because epoch is a 3-value key and a window would
+    // funnel ~corpus/3 rows into one task. Bins restart at 0 per
+    // epoch; the batch boundary lands mid-document exactly where the
+    // running total says — one token off anywhere shifts every later
+    // bin and flips the hash.
+    QueryDef("pipeline_epoch_batches",
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      v -> length(v) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, n_tok, unnest([0, 1, 2]) AS epoch FROM t),
+        |h AS (
+        |  SELECT doc_id, n_tok, CAST(epoch AS BIGINT) AS epoch,
+        |    ${sqlH31("'ep' || CAST(epoch AS VARCHAR) || '#' || " +
+          "CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM e),
+        |r AS (
+        |  SELECT epoch, doc_id, h, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY epoch
+        |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tok AS BIGINT) AS start_offset
+        |  FROM h)
+        |SELECT epoch, doc_id, h, n_tok, start_offset,
+        |  CAST(start_offset // 2048 AS BIGINT) AS bin
+        |FROM r ORDER BY epoch, start_offset, doc_id""".stripMargin) {
+      (s, d) =>
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(coalesce(col("text"), lit("")), " "),
+            w => length(w) > 0)).cast("long").as("n_tok"),
+          explode(sequence(lit(0L), lit(2L))).as("epoch"))
+        .withColumn("h", TextAnalysis.tokenHash31(concat(
+          lit("ep"), col("epoch").cast("string"), lit("#"),
+          col("doc_id").cast("string"))))
+      graft.ops.PrefixSum.packIntoGroupedBins(e, Seq("epoch"),
+          weight = col("n_tok"), budget = 2048L,
+          orderBy = Seq(col("h"), col("doc_id")))
+        .select(col("epoch"), col("doc_id"), col("h"), col("n_tok"),
+          col("start_offset"), col("bin").cast("long").as("bin"))
+        .orderBy("epoch", "start_offset", "doc_id")
+    },
+
     // Static mix plan: per source, natural whitespace-token mass;
     // target = uniform share (total div n_sources); rate_permil =
     // min(1000, 1000·target div natural) — DOWN-sampling only

@@ -60,4 +60,44 @@ class PrefixSumSpec extends SparkSpec {
     val bins = packed.map(_._4)
     assert(bins.sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("grouped running total equals the per-group window cumsum; " +
+    "only __pid-keyed windows plan") {
+    val rnd = new scala.util.Random(13)
+    // 3 groups, heavy skew: group g0 holds ~90% of the rows
+    val df = (1 to 800).map { i =>
+      val g = if (rnd.nextInt(10) < 9) "g0" else s"g${1 + rnd.nextInt(2)}"
+      (g, i, rnd.nextInt(50).toLong + 1L)
+    }.toDF("g", "k", "w")
+    val want = df.withColumn("run", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("k"))
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding, 0)))
+      .select("k", "run").as[(Int, Long)].collect().toMap
+    val out = PrefixSum.withGroupedRunningTotal(df, "run", Seq("g"),
+      col("w"), Seq(col("k")), numParts = 8)
+    val got = out.select("k", "run").as[(Int, Long)].collect().toMap
+    assert(got == want)
+    val wide = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Window [") && !l.contains("__pid"))
+      .toList
+    assert(wide.isEmpty, s"non-__pid window planned:\n${wide.mkString}")
+  }
+
+  test("grouped bins restart at zero per group and respect budget") {
+    val df = Seq(("a", 1, 600L), ("a", 2, 600L), ("a", 3, 600L),
+      ("b", 1, 100L), ("b", 2, 2000L), ("b", 3, 5L))
+      .toDF("g", "k", "w")
+    val got = PrefixSum.packIntoGroupedBins(df, Seq("g"), col("w"),
+        budget = 1000L, orderBy = Seq(col("k")))
+      .select("g", "k", "start_offset", "bin")
+      .as[(String, Int, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(got == Map(
+      ("a", 1) -> (0L, 0L), ("a", 2) -> (600L, 0L),
+      ("a", 3) -> (1200L, 1L),
+      ("b", 1) -> (0L, 0L), ("b", 2) -> (100L, 0L),
+      ("b", 3) -> (2100L, 2L)))
+  }
 }

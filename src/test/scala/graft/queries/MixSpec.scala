@@ -32,6 +32,25 @@ class MixSpec extends SparkSpec {
     assert(ord(0L) != ord(0L).sorted)
   }
 
+  test("epoch batches: bins restart per epoch, offsets are exact " +
+    "cumulative token mass in shuffle order, no epoch window") {
+    val df = q("pipeline_epoch_batches")
+    PlanChecks.assertNoWideWindow(df)
+    val rows = df.select("epoch", "n_tok", "start_offset", "bin")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (e, rs) =>
+      var run = 0L
+      rs.sortBy(_._3).foreach { case (_, w, start, bin) =>
+        assert(start == run, s"epoch $e offset $start != $run")
+        assert(bin == start / 2048L)
+        run += w
+      }
+    }
+    // all epochs carry the same total mass (same corpus, reshuffled)
+    val totals = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    assert(totals.values.toSet.size == 1)
+  }
+
   test("mixture schedule: rates capped at 1000 permil, realized " +
     "mass never exceeds natural, under-natural sources keep all") {
     val rows = q("pipeline_mixture_schedule")
