@@ -59,9 +59,9 @@ object ToolQueries {
   private def sqlSlice(lo: Int): String =
     s"coalesce(array_to_string(w[$lo:${lo + 3}], ' '), '')"
 
-  /** Shared verbatim by `pipeline_tool_shards` and its freeze-store
-    * export (`export_tool_shards`) — one SQL string, one grade. */
-  private[queries] def sqlToolShards: String =
+  /** The shared oracle CTE chain, ending at `pc` (one row per
+    * (window, piece)) — each graded view appends its own SELECT. */
+  private def sqlToolCtes: String =
     "WITH " + sqlByteMapCtes + ",\n" +
       sqlTrainCtes(K, ", bl WHERE source = 'src0'",
         wordExpr = sqlPretokBytes) + s""",
@@ -154,7 +154,11 @@ pc AS (
     least(e, (c + 1) * $Ctx) - greatest(s, c * $Ctx) AS piece_len,
     greatest(s, c * $Ctx) - s AS o
   FROM (SELECT doc_id, ids, msk, s, e,
-      unnest(range(s // $Ctx, (e - 1) // $Ctx + 1)) AS c FROM rr))
+      unnest(range(s // $Ctx, (e - 1) // $Ctx + 1)) AS c FROM rr))"""
+
+  /** Shared verbatim by `pipeline_tool_shards` and its freeze-store
+    * export (`export_tool_shards`) — one SQL string, one grade. */
+  private[queries] def sqlToolShards: String = sqlToolCtes + s"""
 SELECT chunk_id,
   CAST(row_number() OVER (PARTITION BY chunk_id ORDER BY local_start)
     AS BIGINT) AS seg_id,
@@ -172,6 +176,20 @@ FROM pc ORDER BY chunk_id, seg_id"""
     * in-query; `export_tool_shards` feeds it the freeze store and the
     * reloaded artifact. */
   private[queries] def toolShards(s: SparkSession, docs: DataFrame,
+      merges: Seq[Bpe.Merge]): DataFrame =
+    toolPieces(s, docs, merges)
+      .withColumn("seg_id", row_number().over(
+        Window.partitionBy(col("chunk_id"))
+          .orderBy(col("local_start"))).cast("long"))
+      .select(col("chunk_id"), col("seg_id"), col("doc_id"),
+        (col("doc_id") % 2 + 1).cast("long").as("n_calls"),
+        col("local_start").cast("long"),
+        col("piece_len").cast("long"),
+        col("train_tokens"), col("piece_id_sum"), col("piece_head"))
+      .orderBy("chunk_id", "seg_id")
+
+  /** The shared (window, piece) frame both graded views fold. */
+  private[queries] def toolPieces(s: SparkSession, docs: DataFrame,
       merges: Seq[Bpe.Merge]): DataFrame = {
     val bc = s.sparkContext.broadcast(
       Bpe.idVocabWithSpecials(merges, Bpe.ToolSpecials))
@@ -279,15 +297,6 @@ FROM pc ORDER BY chunk_id, seg_id"""
         expr("array_join(transform(slice(ids, CAST(o + 1 AS INT)," +
           " CAST(least(3, piece_len) AS INT))," +
           " x -> CAST(x AS STRING)), '|')").as("piece_head"))
-      .withColumn("seg_id", row_number().over(
-        Window.partitionBy(col("chunk_id"))
-          .orderBy(col("local_start"))).cast("long"))
-      .select(col("chunk_id"), col("seg_id"), col("doc_id"),
-        (col("doc_id") % 2 + 1).cast("long").as("n_calls"),
-        col("local_start").cast("long"),
-        col("piece_len").cast("long"),
-        col("train_tokens"), col("piece_id_sum"), col("piece_head"))
-      .orderBy("chunk_id", "seg_id")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -298,5 +307,37 @@ FROM pc ORDER BY chunk_id, seg_id"""
         Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
           "text"), K)
       toolShards(s, docs, merges)
+    },
+
+    // The per-WINDOW export (the `pipeline_sft_windows` shape for the
+    // tool family): fill, PAD completion, trained-token mass — for
+    // tool shards the trained mass is the serialized calls + answers
+    // only, so a mask bit leaking onto a result or sentinel anywhere
+    // in the window flips its row — and epoch-order endpoints.
+    QueryDef("pipeline_tool_windows", sqlToolCtes + s"""
+SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+  CAST(SUM(piece_len) AS BIGINT) AS fill,
+  CAST($Ctx - SUM(piece_len) AS BIGINT) AS pad_tokens,
+  CAST(SUM(list_sum(msk[o + 1 : o + piece_len])) AS BIGINT)
+    AS train_tokens,
+  CAST(SUM(list_sum(ids[o + 1 : o + piece_len])) AS BIGINT)
+    AS window_id_sum,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM pc GROUP BY chunk_id ORDER BY chunk_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(
+        Bpe.wordFreqBytes(docs.filter(col("source") === "src0"),
+          "text"), K)
+      toolPieces(s, docs, merges)
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n_pieces"),
+          sum(col("piece_len")).cast("long").as("fill"),
+          (lit(Ctx) - sum(col("piece_len"))).cast("long")
+            .as("pad_tokens"),
+          sum(col("train_tokens")).cast("long").as("train_tokens"),
+          sum(col("piece_id_sum")).cast("long").as("window_id_sum"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("chunk_id")
     })
 }

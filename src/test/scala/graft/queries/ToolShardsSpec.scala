@@ -136,4 +136,29 @@ class ToolShardsSpec extends SparkSpec {
     // fixture: they exist upstream with nonempty text
     assert(raw.exists(r => r._1 % 11 == 0 && r._2.nonEmpty))
   }
+
+  test("tool windows: the export view is exactly the fold of the " +
+    "pieces view; PAD only ever completes the last window") {
+    val pieces = ToolQueries.defs.find(_.name == "pipeline_tool_shards")
+      .get.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    val folded = pieces.groupBy(_._1).map { case (c, ps) =>
+      (c, ps.length.toLong, ps.map(_._3).sum, Ctx - ps.map(_._3).sum,
+        ps.map(_._4).sum, ps.map(_._5).sum,
+        ps.map(_._2).min, ps.map(_._2).max)
+    }.toSet
+    val windows = ToolQueries.defs.find(_.name == "pipeline_tool_windows")
+      .get.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(windows.toSet == folded)
+    val maxChunk = windows.map(_._1).max
+    windows.foreach { w =>
+      if (w._1 < maxChunk)
+        assert(w._4 == 0L, s"interior window ${w._1} leaks pad ${w._4}")
+      else assert(w._4 >= 0L && w._4 < Ctx)
+    }
+  }
 }
