@@ -93,7 +93,10 @@ object ScaleCurve {
     "dedup_suffix_removal" -> "documents",
     "pipeline_tool_shards" -> "documents",
     "dedup_suffix_cross_shard" -> "documents",
-    "export_tool_shards" -> "documents")
+    "export_tool_shards" -> "documents",
+    "pipeline_epoch_shuffle" -> "documents",
+    "pipeline_epoch_batches" -> "documents",
+    "pipeline_mixture_schedule" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale
