@@ -125,6 +125,62 @@ object MixQueries {
         .orderBy("epoch", "start_offset", "doc_id")
     },
 
+    // Rendezvous (highest-random-weight) worker assignment — the
+    // elastic re-sharding step a serving/streaming fleet needs:
+    // document d goes to argmax_w h31("<d>#w<w>"). Graded side by
+    // side at 8 and 9 workers: HRW's defining property is that
+    // scaling 8→9 moves ONLY documents whose new argmax IS the new
+    // worker (an expected 1/9 of the corpus; nothing shuffles between
+    // surviving workers — consistent-hashing's whole point, and the
+    // `moved` column makes a violation a hash mismatch, not a
+    // footnote). Engine: per-doc argmax over a 9-element struct
+    // array (map-only, codegen'd); the oracle replays via per-(doc,
+    // worker) ranks. At 100 TB: one narrow map over the manifest —
+    // assignment is stateless, so any executor recomputes it.
+    QueryDef("pipeline_worker_assign",
+      s"""WITH c AS (
+        |  SELECT doc_id, unnest(range(0, 9)) AS w FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS w,
+        |    ${sqlH31("CAST(doc_id AS VARCHAR) || '#w' || " +
+          "CAST(w AS VARCHAR)")} AS hw
+        |  FROM c),
+        |r8 AS (
+        |  SELECT doc_id, w AS worker8 FROM (
+        |    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hw DESC, w) AS rn
+        |    FROM h WHERE w < 8) WHERE rn = 1),
+        |r9 AS (
+        |  SELECT doc_id, w AS worker9 FROM (
+        |    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hw DESC, w) AS rn
+        |    FROM h) WHERE rn = 1)
+        |SELECT d.doc_id, r8.worker8, r9.worker9,
+        |  r8.worker8 <> r9.worker9 AS moved
+        |FROM documents d
+        |JOIN r8 ON r8.doc_id = d.doc_id
+        |JOIN r9 ON r9.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      def pick(n: Int) =
+        array_max(transform(sequence(lit(0), lit(n - 1)),
+          w => struct(
+            TextAnalysis.tokenHash31(concat(
+              col("doc_id").cast("string"), lit("#w"),
+              w.cast("string"))).as("h"),
+            // argmax by (h, w): ties (h collisions) break to the
+            // LARGER w under struct max — matching the oracle's
+            // `ORDER BY hw DESC, w ... rn = 1`? No: that picks the
+            // SMALLER w on ties. Negate w so both sides agree on
+            // smaller-w-wins, then flip back.
+            (-w).as("nw"))))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (-pick(8).getField("nw")).cast("long").as("worker8"),
+          (-pick(9).getField("nw")).cast("long").as("worker9"))
+        .withColumn("moved", col("worker8") =!= col("worker9"))
+        .orderBy("doc_id")
+    },
+
     // Static mix plan: per source, natural whitespace-token mass;
     // target = uniform share (total div n_sources); rate_permil =
     // min(1000, 1000·target div natural) — DOWN-sampling only

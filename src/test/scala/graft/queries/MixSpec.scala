@@ -51,6 +51,26 @@ class MixSpec extends SparkSpec {
     assert(totals.values.toSet.size == 1)
   }
 
+  test("worker assignment: HRW monotonicity — every doc moved by " +
+    "the 8->9 scale-up moves TO the new worker, at ~1/9 volume") {
+    val rows = q("pipeline_worker_assign")
+      .select("worker8", "worker9")
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val moved = rows.filter(r => r._1 != r._2)
+    moved.foreach { case (_, w9) =>
+      assert(w9 == 8L,
+        "a doc moved between SURVIVING workers — HRW monotonicity " +
+          "violated")
+    }
+    val frac = moved.length.toDouble / rows.length
+    assert(frac > 0.0 && frac < 0.25,
+      s"moved fraction $frac implausible for 1/9 expectation")
+    // both configurations use every worker (balance sanity)
+    assert(rows.map(_._1).distinct.size == 8)
+    assert(rows.map(_._2).distinct.size == 9)
+  }
+
   test("mixture schedule: rates capped at 1000 permil, realized " +
     "mass never exceeds natural, under-natural sources keep all") {
     val rows = q("pipeline_mixture_schedule")
