@@ -257,5 +257,93 @@ object MixQueries {
           col("target_tokens"), col("rate_permil"), col("kept_docs"),
           col("kept_tokens"))
         .orderBy("source")
+    },
+
+    // Curriculum ANNEAL — the mixture schedule unrolled over epochs:
+    // epoch 0 trains the natural distribution (rate 1000 everywhere),
+    // epoch 2 trains the target mix (pipeline_mixture_schedule's
+    // capped rate), epoch 1 the exact integral midpoint —
+    // rate(e) = (1000·(2−e) + target_rate·e) div 2, the linear
+    // anneal a curriculum run walks from "see everything" to "the
+    // mix you want at convergence". Selection re-seeds PER EPOCH
+    // (h31("mix#<e>#<doc>")), so the downsampled subset rotates
+    // across epochs instead of starving the same documents — and the
+    // realized per-(epoch, source) mass grades next to the plan.
+    // Same scale shape as the schedule: one scan, two keyed aggs, a
+    // broadcast |epochs|·|sources| plan, map-only selection.
+    QueryDef("pipeline_mixture_anneal",
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      v -> length(v) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |nat AS (
+        |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS natural_tokens
+        |  FROM t GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(natural_tokens) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM nat),
+        |tgt AS (
+        |  SELECT n.source,
+        |    CAST(least(1000, 1000 * (tot.total // tot.n_src)
+        |      // n.natural_tokens) AS BIGINT) AS target_rate
+        |  FROM nat n, tot),
+        |plan AS (
+        |  SELECT CAST(e AS BIGINT) AS epoch, g.source,
+        |    CAST((1000 * (2 - e) + g.target_rate * e) // 2 AS BIGINT)
+        |      AS rate_permil
+        |  FROM tgt g, (SELECT unnest([0, 1, 2]) AS e)),
+        |sel AS (
+        |  SELECT p.epoch, t.source,
+        |    CAST(COUNT(*) FILTER (
+        |      ${sqlH31("'mix#' || CAST(p.epoch AS VARCHAR) || '#' || " +
+          "CAST(doc_id AS VARCHAR)")} % 1000
+        |        < p.rate_permil) AS BIGINT) AS kept_docs,
+        |    CAST(COALESCE(SUM(n_tok) FILTER (
+        |      ${sqlH31("'mix#' || CAST(p.epoch AS VARCHAR) || '#' || " +
+          "CAST(doc_id AS VARCHAR)")} % 1000
+        |        < p.rate_permil), 0) AS BIGINT) AS kept_tokens
+        |  FROM t JOIN plan p ON p.source = t.source
+        |  GROUP BY p.epoch, t.source)
+        |SELECT p.epoch, p.source, p.rate_permil, s.kept_docs,
+        |  s.kept_tokens
+        |FROM plan p JOIN sel s
+        |  ON s.epoch = p.epoch AND s.source = p.source
+        |ORDER BY p.epoch, p.source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(filter(split(coalesce(col("text"), lit("")), " "),
+            w => length(w) > 0)).cast("long").as("n_tok"))
+        .localCheckpoint(false)
+      val nat = t.groupBy("source")
+        .agg(sum(col("n_tok")).as("natural_tokens"))
+      val tot = nat.agg(sum(col("natural_tokens")).as("total"),
+        count(lit(1)).as("n_src"))
+      val tgt = nat.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(1000L), call_function("div",
+            lit(1000L) * call_function("div", col("total"),
+              col("n_src")),
+            col("natural_tokens"))).as("target_rate"))
+      val plan = tgt
+        .select(col("source"), col("target_rate"),
+          explode(sequence(lit(0L), lit(2L))).as("epoch"))
+        .withColumn("rate_permil", call_function("div",
+          lit(1000L) * (lit(2L) - col("epoch")) +
+            col("target_rate") * col("epoch"), lit(2L)))
+        .select("epoch", "source", "rate_permil")
+      val keep = TextAnalysis.tokenHash31(concat(lit("mix#"),
+        col("epoch").cast("string"), lit("#"),
+        col("doc_id").cast("string"))) % 1000L < col("rate_permil")
+      val sel = t.join(broadcast(plan), Seq("source"))
+        .groupBy("epoch", "source")
+        .agg(count(when(keep, lit(1))).as("kept_docs"),
+          coalesce(sum(when(keep, col("n_tok"))), lit(0L))
+            .as("kept_tokens"))
+      plan.join(sel, Seq("epoch", "source"))
+        .select(col("epoch"), col("source"), col("rate_permil"),
+          col("kept_docs"), col("kept_tokens"))
+        .orderBy("epoch", "source")
     })
 }

