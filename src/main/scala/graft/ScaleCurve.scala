@@ -96,7 +96,9 @@ object ScaleCurve {
     "export_tool_shards" -> "documents",
     "pipeline_epoch_shuffle" -> "documents",
     "pipeline_epoch_batches" -> "documents",
-    "pipeline_mixture_schedule" -> "documents")
+    "pipeline_mixture_schedule" -> "documents",
+    "pipeline_worker_assign" -> "documents",
+    "pipeline_mixture_anneal" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale
