@@ -345,5 +345,256 @@ object MixQueries {
         .select(col("epoch"), col("source"), col("rate_permil"),
           col("kept_docs"), col("kept_tokens"))
         .orderBy("epoch", "source")
+    },
+
+    // DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    // Group-DRO multiplicative weights over MEASURED per-domain excess
+    // loss. The reference model is the corpus bigram LM trained on the
+    // natural mixture (exactly DoReMi's reference; the text_lm_score
+    // machinery, integer micro units — transcendental-free so the
+    // oracle replays bit-for-bit). A domain's loss proxy is its average
+    // per-bigram likelihood mass; its EXCESS is how far BELOW the
+    // corpus average that sits (hard domains have positive excess).
+    // Four multiplicative-weights rounds then upweight hard domains —
+    // u = w·(1000 + 1000·eff div max_excess), renormalized to permil;
+    // normalizing by the max observed excess is DoReMi's own move
+    // (losses are clipped/normalized to [0,1] before the exponent), and
+    // it makes the dynamics scale-free: the hardest domain takes the
+    // full 2× bump per round whether the corpus' domains differ by 50%
+    // or 0.05%. `eff` applies a linear EXPOSURE RESPONSE (excess paid
+    // down proportionally to current weight, fully at 500 permil): the
+    // deterministic stand-in for the per-round proxy-trainer losses
+    // the production loop would measure, and what gives the iteration
+    // an interior fixed point instead of MW's all-weight-on-hardest
+    // degenerate limit. Scale shape: the corpus pays ONE lmScore pass
+    // (generator explode + broadcastable model join + one keyed agg);
+    // the trajectory is exact integer arithmetic over |sources| rows
+    // of driver state (guarded ≤ 256 — the bounded-driver-state
+    // carve-out, same as the grouped ordinal's offset fold), and the
+    // learned weights broadcast to any downstream selection.
+    QueryDef("pipeline_domain_reweight", {
+      val rounds = (1 to 4).map { t =>
+        s"""e$t AS (
+           |  SELECT source, excess_micro,
+           |    CAST(excess_micro * greatest(0, 1000 - 2 * w) // 1000
+           |      AS BIGINT) AS eff, w
+           |  FROM r${t - 1}),
+           |u$t AS (
+           |  SELECT source, excess_micro, eff,
+           |    CAST(w * (1000 + 1000 * eff // greatest(1,
+           |      (SELECT max(excess_micro) FROM ex))) AS BIGINT) AS u
+           |  FROM e$t),
+           |r$t AS (
+           |  SELECT source, excess_micro, eff,
+           |    CAST(1000 * u // greatest(1, (SELECT SUM(u) FROM u$t))
+           |      AS BIGINT) AS w
+           |  FROM u$t)""".stripMargin
+      }.mkString(",\n")
+      val emits = (1 to 4).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS mw_round, source, excess_micro,
+           |  eff AS eff_excess_micro, w AS weight_permil FROM r$t"""
+          .stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM t),
+        |m AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+        |m2 AS (SELECT bigram, cnt, string_split(bigram, ' ')[1] AS w1
+        |       FROM m),
+        |pf AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS prefix_cnt
+        |       FROM m2 GROUP BY w1),
+        |mp AS (SELECT m2.bigram,
+        |         CAST(floor(1000000.0 * cnt / prefix_cnt) AS BIGINT) AS p
+        |       FROM m2 JOIN pf ON pf.w1 = m2.w1),
+        |ds AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |    CAST(SUM(p) AS BIGINT) AS sum_micro
+        |  FROM bg JOIN mp ON mp.bigram = bg.bigram GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(sum_micro) // greatest(1, SUM(n_bg))
+        |      AS BIGINT) AS avg_all,
+        |    CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM ds),
+        |ex AS (
+        |  SELECT source, CAST(greatest(0,
+        |      tot.avg_all - sum_micro // greatest(1, n_bg))
+        |      AS BIGINT) AS excess_micro
+        |  FROM ds, tot),
+        |r0 AS (
+        |  SELECT source, excess_micro,
+        |    CAST(1000 // tot.n_src AS BIGINT) AS w
+        |  FROM ex, tot),
+        |$rounds
+        |SELECT CAST(0 AS BIGINT) AS mw_round, source, excess_micro,
+        |  CAST(0 AS BIGINT) AS eff_excess_micro, w AS weight_permil
+        |FROM r0
+        |UNION ALL $emits
+        |ORDER BY mw_round, source""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.bigramModel(docs, "text")
+      val scored = TextAnalysis.lmScore(docs, "doc_id", "text", model)
+      val bySrc = docs.select("doc_id", "source")
+        .join(scored, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("__docs"),
+          sum("n_bigrams").cast("long").as("n_bg"),
+          sum("lm_sum_micro").cast("long").as("sum_micro"))
+        .select("source", "n_bg", "sum_micro")
+      val st = bySrc.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      require(st.nonEmpty, "domain_reweight: no scoreable documents")
+      require(st.length <= 256, s"domain_reweight: ${st.length} " +
+        "sources — the driver-side trajectory is bounded at 256")
+      val avgAll = st.map(_._3).sum / math.max(1L, st.map(_._2).sum)
+      val excess = st.map { case (src, nBg, sm) =>
+        src -> math.max(0L, avgAll - sm / math.max(1L, nBg))
+      }.toMap
+      val srcs = st.map(_._1)
+      val maxEx = math.max(1L, excess.values.max)
+      var w = srcs.map(_ -> 1000L / srcs.length).toMap
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, Long, Long)]
+      srcs.foreach(x => out += ((0L, x, excess(x), 0L, w(x))))
+      for (t <- 1 to 4) {
+        val eff = srcs.map(x =>
+          x -> excess(x) * math.max(0L, 1000L - 2L * w(x)) / 1000L).toMap
+        val u = srcs.map(x =>
+          x -> w(x) * (1000L + 1000L * eff(x) / maxEx)).toMap
+        val su = math.max(1L, u.values.sum)
+        w = srcs.map(x => x -> 1000L * u(x) / su).toMap
+        srcs.foreach(x => out += ((t.toLong, x, excess(x), eff(x), w(x))))
+      }
+      import s.implicits._
+      out.toSeq.toDF("mw_round", "source", "excess_micro",
+          "eff_excess_micro", "weight_permil")
+        .orderBy("mw_round", "source")
+    },
+
+    // CONTEXT-PARALLEL shard plan (ring attention, Liu et al. 2023;
+    // Megatron context parallelism): when one training sequence is too
+    // long for one device, its context window splits across P ranks —
+    // rank r owns tokens [r·512, (r+1)·512) of each 2048-token chunk
+    // of the concatenated corpus stream, and additionally stages the
+    // H=64 tokens to its LEFT (the neighbor's tail — the KV block a
+    // causal boundary needs resident before the ring pass). The plan
+    // a dataloader executes is exactly this query's output: per
+    // (chunk, rank), which documents the rank must fetch for its core
+    // slice (count, first, last, token fill by overlap arithmetic)
+    // and which for its halo (count, fill). Tail-chunk ranks past the
+    // corpus' final token are not emitted — a rank with no core
+    // tokens has no work. Same grading DNA as pipeline_bpe_chunks:
+    // one boundary off-by-one anywhere flips a fill sum. Cost: the
+    // token-count map pass, the prefix-sum range partition, a bounded
+    // explode (≤ P core + P halo rows per document-chunk piece) and
+    // one (chunk, rank)-keyed agg.
+    QueryDef("pipeline_context_shards",
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      v -> length(v) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |rr AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS s,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        |  FROM tc WHERE n_tok > 0),
+        |pc AS (
+        |  SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |    greatest(s, c * 2048) - c * 2048 AS ls,
+        |    least(e, (c + 1) * 2048) - c * 2048 AS le
+        |  FROM (SELECT doc_id, s, e,
+        |      unnest(range(s // 2048, (e - 1) // 2048 + 1)) AS c
+        |    FROM rr)),
+        |core AS (
+        |  SELECT doc_id, chunk_id, CAST(r AS BIGINT) AS rank,
+        |    least(le, (r + 1) * 512) - greatest(ls, r * 512) AS ov
+        |  FROM (SELECT doc_id, chunk_id, ls, le,
+        |      unnest(range(ls // 512, (le - 1) // 512 + 1)) AS r
+        |    FROM pc)),
+        |halo AS (
+        |  SELECT doc_id, chunk_id, CAST(r AS BIGINT) AS rank,
+        |    least(le, r * 512) - greatest(ls, r * 512 - 64) AS ov
+        |  FROM (SELECT doc_id, chunk_id, ls, le,
+        |      unnest(range(greatest(1, ls // 512 + 1),
+        |        least(3, (le + 63) // 512) + 1)) AS r
+        |    FROM pc)
+        |  WHERE r * 512 > ls AND r * 512 - 64 < le),
+        |ca AS (
+        |  SELECT chunk_id, rank, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |    CAST(SUM(ov) AS BIGINT) AS fill
+        |  FROM core GROUP BY chunk_id, rank),
+        |ha AS (
+        |  SELECT chunk_id, rank, CAST(COUNT(*) AS BIGINT) AS halo_docs,
+        |    CAST(SUM(ov) AS BIGINT) AS halo_fill
+        |  FROM halo GROUP BY chunk_id, rank)
+        |SELECT ca.chunk_id, ca.rank, ca.n_docs, ca.first_doc,
+        |  ca.last_doc, ca.fill,
+        |  CAST(COALESCE(ha.halo_docs, 0) AS BIGINT) AS halo_docs,
+        |  CAST(COALESCE(ha.halo_fill, 0) AS BIGINT) AS halo_fill
+        |FROM ca LEFT JOIN ha
+        |  ON ha.chunk_id = ca.chunk_id AND ha.rank = ca.rank
+        |ORDER BY ca.chunk_id, ca.rank""".stripMargin) { (s, d) =>
+      val ctx = 2048L; val rw = 512L; val hb = 64L
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(coalesce(col("text"), lit("")), " "),
+            w => length(w) > 0)).cast("long").as("n_tok"))
+      val pieces = graft.ops.PrefixSum.packIntoBins(counts,
+          weight = col("n_tok"), budget = ctx,
+          orderBy = Seq(col("doc_id")))
+        .filter(col("n_tok") > 0L)
+        .select(col("doc_id"), col("start_offset").as("s"),
+          (col("start_offset") + col("n_tok")).as("e"))
+        .select(col("doc_id"), col("s"), col("e"),
+          explode(sequence(expr(s"s div $ctx"),
+            expr(s"(e - 1) div $ctx"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (greatest(col("s"), col("chunk_id") * ctx) -
+            col("chunk_id") * ctx).as("ls"),
+          (least(col("e"), (col("chunk_id") + 1L) * ctx) -
+            col("chunk_id") * ctx).as("le"))
+        // the core and halo explodes both read it — one scan
+        .localCheckpoint(false)
+      val core = pieces
+        .select(col("doc_id"), col("chunk_id"), col("ls"), col("le"),
+          explode(sequence(expr(s"ls div $rw"),
+            expr(s"(le - 1) div $rw"))).as("rank"))
+        .groupBy("chunk_id", "rank")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+          sum(least(col("le"), (col("rank") + 1L) * rw) -
+            greatest(col("ls"), col("rank") * rw))
+            .cast("long").as("fill"))
+      val halo = pieces
+        .select(col("doc_id"), col("chunk_id"), col("ls"), col("le"),
+          explode(sequence(
+            greatest(lit(1L), expr(s"ls div $rw") + 1L),
+            least(lit(ctx / rw - 1L), expr(s"(le + ${hb - 1}) div $rw"))
+          )).as("rank"))
+        .filter(col("rank") * rw > col("ls") &&
+          col("rank") * rw - hb < col("le"))
+        .groupBy("chunk_id", "rank")
+        .agg(count(lit(1)).as("halo_docs"),
+          sum(least(col("le"), col("rank") * rw) -
+            greatest(col("ls"), col("rank") * rw - hb))
+            .cast("long").as("halo_fill"))
+      core.join(halo, Seq("chunk_id", "rank"), "left")
+        .select(col("chunk_id"), col("rank"), col("n_docs"),
+          col("first_doc"), col("last_doc"), col("fill"),
+          coalesce(col("halo_docs"), lit(0L)).cast("long")
+            .as("halo_docs"),
+          coalesce(col("halo_fill"), lit(0L)).cast("long")
+            .as("halo_fill"))
+        .orderBy("chunk_id", "rank")
     })
 }

@@ -125,4 +125,94 @@ class MixSpec extends SparkSpec {
     assert(rows.exists(r => r._3 < 1000),
       "no source downsampled — plan vacuous on this fixture")
   }
+
+  test("domain reweight: uniform start, exact multiplicative-weights " +
+    "recurrence between consecutive rounds, permil mass conserved") {
+    val rows = q("pipeline_domain_reweight")
+      .select("mw_round", "source", "excess_micro", "eff_excess_micro",
+        "weight_permil")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val byRound = rows.groupBy(_._1)
+    assert(byRound.keySet == (0L to 4L).toSet)
+    val srcs = byRound(0L).map(_._2).sorted.toSeq
+    val n = srcs.size
+    // excess is a per-source constant across rounds (the measured
+    // input, not the iterated state)
+    rows.groupBy(_._2).foreach { case (s0, rs) =>
+      assert(rs.map(_._3).distinct.size == 1, s"$s0 excess drifts")
+    }
+    // round 0: uniform permil floor, zero effective excess
+    byRound(0L).foreach { case (_, _, _, eff, w) =>
+      assert(eff == 0L && w == 1000L / n)
+    }
+    // rounds 1..4: replay the exact integer recurrence from the
+    // previous round's weights — eff is the exposure-paid excess, u
+    // the multiplicative bump, w the renormalized permil floor
+    val maxEx = math.max(1L, rows.map(_._3).max)
+    for (t <- 1L to 4L) {
+      val prev = byRound(t - 1).map(r => r._2 -> r._5).toMap
+      val cur = byRound(t).map(r => (r._2, r._3, r._4, r._5))
+      val u = cur.map { case (s0, ex, _, _) =>
+        val eff = ex * math.max(0L, 1000L - 2L * prev(s0)) / 1000L
+        s0 -> prev(s0) * (1000L + 1000L * eff / maxEx)
+      }.toMap
+      val su = math.max(1L, u.values.sum)
+      cur.foreach { case (s0, ex, eff, w) =>
+        assert(eff == ex * math.max(0L, 1000L - 2L * prev(s0)) / 1000L,
+          s"round $t $s0 eff mismatch")
+        assert(w == 1000L * u(s0) / su, s"round $t $s0 weight mismatch")
+      }
+      val mass = cur.map(_._4).sum
+      assert(mass > 1000L - n && mass <= 1000L,
+        s"round $t permil mass $mass outside floor envelope")
+    }
+    // the fixture must exercise the dynamics: domains differ under
+    // the reference LM (a positive excess exists) and the
+    // max-normalized update actually moves weights
+    assert(rows.exists(_._3 >= 1L), "no domain with graded excess")
+    val w0 = byRound(0L).map(r => r._2 -> r._5).toMap
+    val w4 = byRound(4L).map(r => r._2 -> r._5).toMap
+    assert(srcs.exists(s0 => w0(s0) != w4(s0)), "weights never moved")
+    // the hardest domain never ends below its uniform start
+    val hardest = byRound(0L).maxBy(_._3)._2
+    assert(w4(hardest) >= w0(hardest))
+  }
+
+  test("context shards: ranks tile each chunk exactly, interior " +
+    "ranks full at 512, halos full at 64 left of every rank > 0") {
+    val rows = q("pipeline_context_shards")
+      .select("chunk_id", "rank", "n_docs", "fill", "halo_docs",
+        "halo_fill")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val lastChunk = rows.map(_._1).max
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      // ranks are contiguous from 0 (tokens fill left to right)
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (0L until ranks.size).toSeq,
+        s"chunk $c ranks $ranks not contiguous from 0")
+      rs.foreach { case (_, r, nd, fill, hd, hf) =>
+        assert(nd >= 1 && fill >= 1 && fill <= 512)
+        if (r == 0L) assert(hd == 0L && hf == 0L,
+          s"chunk $c rank 0 must have no left halo")
+        else {
+          // the stream is contiguous, so a rank with core tokens has
+          // its full 64-token halo resident to the left
+          assert(hf == 64L, s"chunk $c rank $r halo fill $hf")
+          assert(hd >= 1L)
+        }
+      }
+      // every rank but the chunk's last is full; interior chunks tile
+      // to exactly 2048
+      val byRank = rs.sortBy(_._2)
+      byRank.dropRight(1).foreach { case (_, r, _, fill, _, _) =>
+        assert(fill == 512L, s"chunk $c rank $r not full")
+      }
+      if (c < lastChunk)
+        assert(rs.map(_._4).sum == 2048L, s"chunk $c does not tile")
+    }
+    // the plan must exercise a document spanning a rank boundary
+    // somewhere (otherwise the overlap arithmetic went untested)
+    assert(rows.exists(r => r._3 >= 2), "no rank with a doc boundary")
+  }
 }
