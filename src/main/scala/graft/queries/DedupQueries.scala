@@ -137,6 +137,73 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // 3a. SPLIT LEAKAGE — near-duplicate contamination ACROSS the
+    // train/val boundary: the decontamination audit between "corpus
+    // frozen" and "loss curves mean anything". A val document with a
+    // >= 0.95-Jaccard twin in train leaks the held-out signal; this
+    // query names every such val doc, how many train partners it has,
+    // and its worst (highest-Jaccard, ties to the smallest id) train
+    // partner. The split is text_train_split's deterministic
+    // hash-threshold assignment (h31(doc_id) mod 100 < 90 = train) —
+    // stateless, so the leakage audit composes with ANY downstream
+    // export without a split table. Candidates come from the SAME
+    // banded LSH machinery as dedup_minhash_lsh (one hash per (doc,
+    // token), banded candidate join, bitset re-rank — never
+    // all-pairs); the leakage tail adds one filter and one
+    // val-doc-keyed agg. The best-partner argmax rides a struct max
+    // (jaccard, then smaller id), replayed in the oracle as a
+    // row_number — DuckDB's problem, not the plan's.
+    QueryDef("pipeline_split_leakage",
+      s"""WITH $sqlLshCtes,
+         |sp AS (
+         |  SELECT id_a, id_b,
+         |    CAST(inter AS DOUBLE) / un AS jaccard,
+         |    ${sqlH31("CAST(id_a AS VARCHAR)")} % 100 < 90 AS ta,
+         |    ${sqlH31("CAST(id_b AS VARCHAR)")} % 100 < 90 AS tb
+         |  FROM j WHERE CAST(inter AS DOUBLE) / un >= 0.95),
+         |cx AS (
+         |  SELECT CASE WHEN ta THEN id_b ELSE id_a END AS val_doc,
+         |         CASE WHEN ta THEN id_a ELSE id_b END AS train_doc,
+         |         jaccard
+         |  FROM sp WHERE ta <> tb),
+         |r AS (
+         |  SELECT val_doc, train_doc, jaccard,
+         |    row_number() OVER (PARTITION BY val_doc
+         |      ORDER BY jaccard DESC, train_doc) AS rn
+         |  FROM cx),
+         |a AS (
+         |  SELECT val_doc, CAST(COUNT(*) AS BIGINT) AS n_train_partners,
+         |    max(jaccard) AS best_jaccard
+         |  FROM cx GROUP BY val_doc)
+         |SELECT a.val_doc, a.n_train_partners,
+         |  r.train_doc AS best_train_doc, a.best_jaccard
+         |FROM a JOIN r ON r.val_doc = a.val_doc AND r.rn = 1
+         |ORDER BY a.val_doc""".stripMargin) { (s, d) =>
+      def isTrain(c: org.apache.spark.sql.Column) =
+        TextAnalysis.tokenHash31(c.cast("string")) % 100L < 90L
+      val cx = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+          "text", graft.ext.DedupProfile.default, bitsetRerank = true)
+        .withColumn("ta", isTrain(col("id_a")))
+        .withColumn("tb", isTrain(col("id_b")))
+        .filter(col("ta") =!= col("tb"))
+        .select(
+          when(col("ta"), col("id_b")).otherwise(col("id_a"))
+            .as("val_doc"),
+          when(col("ta"), col("id_a")).otherwise(col("id_b"))
+            .as("train_doc"),
+          col("jaccard"))
+      cx.groupBy("val_doc")
+        .agg(count(lit(1)).as("n_train_partners"),
+          max(col("jaccard")).as("best_jaccard"),
+          max(struct(col("jaccard"),
+            (-col("train_doc")).as("nt"))).as("__b"))
+        .select(col("val_doc"), col("n_train_partners"),
+          (-col("__b").getField("nt")).cast("long")
+            .as("best_train_doc"),
+          col("best_jaccard"))
+        .orderBy("val_doc")
+    },
+
     // 3b. the measure -> derive -> dedup loop END TO END: profile the
     // corpus background on a deterministic hash sample (all docs when
     // the corpus is small), derive the (bands, rows) geometry from the
