@@ -32,6 +32,25 @@ object MixQueries {
 
   private def sqlH31(t: String): String = OracleSql.h31(t)
 
+  /** Shared construction: the epoch-shuffled token stream packed into
+    * fixed-2048-token micro-batches (the `pipeline_epoch_batches`
+    * frame — grouped prefix sum, never an epoch-keyed window).
+    * Returns (epoch, doc_id, h, n_tok, start_offset, bin). */
+  private def epochBins(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(coalesce(col("text"), lit("")), " "),
+          w => length(w) > 0)).cast("long").as("n_tok"),
+        explode(sequence(lit(0L), lit(2L))).as("epoch"))
+      .withColumn("h", TextAnalysis.tokenHash31(concat(
+        lit("ep"), col("epoch").cast("string"), lit("#"),
+        col("doc_id").cast("string"))))
+    graft.ops.PrefixSum.packIntoGroupedBins(e, Seq("epoch"),
+      weight = col("n_tok"), budget = 2048L,
+      orderBy = Seq(col("h"), col("doc_id")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Three epochs, each a full deterministic permutation of the
@@ -109,17 +128,7 @@ object MixQueries {
         |  CAST(start_offset // 2048 AS BIGINT) AS bin
         |FROM r ORDER BY epoch, start_offset, doc_id""".stripMargin) {
       (s, d) =>
-      val e = Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(filter(split(coalesce(col("text"), lit("")), " "),
-            w => length(w) > 0)).cast("long").as("n_tok"),
-          explode(sequence(lit(0L), lit(2L))).as("epoch"))
-        .withColumn("h", TextAnalysis.tokenHash31(concat(
-          lit("ep"), col("epoch").cast("string"), lit("#"),
-          col("doc_id").cast("string"))))
-      graft.ops.PrefixSum.packIntoGroupedBins(e, Seq("epoch"),
-          weight = col("n_tok"), budget = 2048L,
-          orderBy = Seq(col("h"), col("doc_id")))
+      epochBins(s, d)
         .select(col("epoch"), col("doc_id"), col("h"), col("n_tok"),
           col("start_offset"), col("bin").cast("long").as("bin"))
         .orderBy("epoch", "start_offset", "doc_id")
@@ -596,5 +605,69 @@ object MixQueries {
           coalesce(col("halo_fill"), lit(0L)).cast("long")
             .as("halo_fill"))
         .orderBy("chunk_id", "rank")
+    },
+
+    // OPTIMIZER-STEP plan — the LAST hop from corpus to gradient: the
+    // epoch-shuffled 2048-token micro-batches (the
+    // pipeline_epoch_batches frame, shared construction) assigned to
+    // (step, data-parallel worker, accumulation slot) under W=4 DP
+    // ranks × A=2 gradient-accumulation passes. The assignment is the
+    // Megatron dataloader's STRIDE: global batch g = bin div 8, rank
+    // w = bin mod 4 — each rank reads every 4th micro-batch, so a
+    // rank's read set is contiguous-in-stride and resumable from a
+    // (step, accum) cursor with pure arithmetic, no manifest. Graded
+    // per (epoch, step, worker): micro-batch count (2 except the tail
+    // step), document count, token mass (the DP load-balance signal a
+    // straggler diagnosis reads), and first/last bin pinning the
+    // stride layout itself. Cost: the epoch-batches construction plus
+    // two keyed aggs; nothing new shuffles at corpus scale.
+    QueryDef("pipeline_train_steps",
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      v -> length(v) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, n_tok, unnest([0, 1, 2]) AS epoch FROM t),
+        |h AS (
+        |  SELECT doc_id, n_tok, CAST(epoch AS BIGINT) AS epoch,
+        |    ${sqlH31("'ep' || CAST(epoch AS VARCHAR) || '#' || " +
+          "CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM e),
+        |r AS (
+        |  SELECT epoch, doc_id, h, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY epoch
+        |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tok AS BIGINT) AS start_offset
+        |  FROM h),
+        |bb AS (
+        |  SELECT epoch, n_tok,
+        |    CAST(start_offset // 2048 AS BIGINT) AS bin
+        |  FROM r),
+        |ba AS (
+        |  SELECT epoch, bin, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tk
+        |  FROM bb GROUP BY epoch, bin)
+        |SELECT epoch, CAST(bin // 8 AS BIGINT) AS step,
+        |  CAST(bin % 4 AS BIGINT) AS worker,
+        |  CAST(COUNT(*) AS BIGINT) AS n_micro,
+        |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tk) AS BIGINT) AS tokens,
+        |  CAST(min(bin) AS BIGINT) AS first_bin,
+        |  CAST(max(bin) AS BIGINT) AS last_bin
+        |FROM ba GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (s, d) =>
+      epochBins(s, d)
+        .groupBy(col("epoch"), col("bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("tk"))
+        .groupBy(col("epoch"),
+          call_function("div", col("bin"), lit(8L)).as("step"),
+          (col("bin") % 4L).as("worker"))
+        .agg(count(lit(1)).as("n_micro"),
+          sum(col("nd")).cast("long").as("n_docs"),
+          sum(col("tk")).cast("long").as("tokens"),
+          min("bin").as("first_bin"),
+          max("bin").as("last_bin"))
+        .orderBy("epoch", "step", "worker")
     })
 }

@@ -180,7 +180,9 @@ class MixSpec extends SparkSpec {
 
   test("context shards: ranks tile each chunk exactly, interior " +
     "ranks full at 512, halos full at 64 left of every rank > 0") {
-    val rows = q("pipeline_context_shards")
+    val df = q("pipeline_context_shards")
+    PlanChecks.assertNoWideWindow(df)
+    val rows = df
       .select("chunk_id", "rank", "n_docs", "fill", "halo_docs",
         "halo_fill")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
@@ -214,5 +216,38 @@ class MixSpec extends SparkSpec {
     // the plan must exercise a document spanning a rank boundary
     // somewhere (otherwise the overlap arithmetic went untested)
     assert(rows.exists(r => r._3 >= 2), "no rank with a doc boundary")
+  }
+
+  test("train steps: strided DP assignment (bin ≡ worker mod 4), " +
+    "full steps carry 2 micro-batches, mass refolds to the batches") {
+    val df = q("pipeline_train_steps")
+    PlanChecks.assertNoWideWindow(df)
+    val rows = df
+      .select("epoch", "step", "worker", "n_micro", "tokens",
+        "first_bin", "last_bin")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, step, w, nm, _, fb, lb) =>
+      assert(w >= 0 && w < 4 && nm >= 1 && nm <= 2)
+      // the stride layout, pinned: a rank's bins are ≡ worker mod 4
+      // inside its step's 8-bin range, 4 apart
+      assert(fb % 4 == w && lb % 4 == w)
+      assert(fb / 8 == step && lb / 8 == step)
+      assert(lb - fb == 4 * (nm - 1))
+    }
+    // all steps but each epoch's last are fully accumulated
+    rows.groupBy(_._1).foreach { case (e, rs) =>
+      val lastStep = rs.map(_._2).max
+      rs.filter(_._2 < lastStep).foreach { r =>
+        assert(r._4 == 2L, s"epoch $e step ${r._2} not full")
+      }
+    }
+    // token mass refolds exactly to the micro-batch frame
+    val batches = q("pipeline_epoch_batches")
+      .select("epoch", "n_tok").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val steps = rows.groupBy(_._1).view
+      .mapValues(_.map(_._5).sum).toMap
+    assert(steps == batches, "per-epoch token mass diverged")
   }
 }

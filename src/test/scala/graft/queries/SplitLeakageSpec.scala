@@ -15,7 +15,9 @@ class SplitLeakageSpec extends SparkSpec {
   test("split leakage: every reported doc is genuinely val-side, its " +
     "partner train-side, and the set matches the LSH pairs' " +
     "cross-split subset exactly") {
-    val rows = q("pipeline_split_leakage")
+    val df = q("pipeline_split_leakage")
+    graft.ops.PlanChecks.assertNoWideWindow(df)
+    val rows = df
       .select("val_doc", "n_train_partners", "best_train_doc",
         "best_jaccard")
       .as[(Long, Long, Long, Double)].collect()
