@@ -108,6 +108,132 @@ tc AS (
           .select(col("doc_id"),
             coalesce(size(col("tokens")), lit(0)).cast("long")
               .as("n_tokens")))
+    },
+
+    // PACKING-EFFICIENCY audit — "measure, don't guess" for the
+    // assembly strategy choice itself: the THREE layouts this repo
+    // ships, accounted over the SAME length frame in exact integers.
+    //   concat_chunk    — documents concatenated and split at 2048
+    //                     (pipeline_bpe_chunks' shape): padding only
+    //                     in the tail chunk, nothing dropped.
+    //   padded_solo     — the naive SFT baseline, one document per
+    //                     2048 slot: padding = slot remainder, and
+    //                     overlong documents TRUNCATE (the only
+    //                     strategy that drops tokens — the audit
+    //                     makes that cost a graded number).
+    //   length_bucketed — pipeline_length_batches' power-of-two
+    //                     banding at 16 seqs/batch: slots = per-batch
+    //                     n_seqs·max_len, pad = the batches' summed
+    //                     padding_waste.
+    // One row per strategy: units, slots, payload, pad, dropped and
+    // integral permil efficiency. Cost: one length map pass feeding
+    // three bounded aggregations (two corpus folds + the bucketed
+    // keyed agg); the comparison table is 3 rows.
+    QueryDef("pipeline_packing_efficiency",
+      s"""WITH dl AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '),
+      v -> length(v) > 0)) AS BIGINT) AS n_tokens
+  FROM documents),
+dp AS (SELECT doc_id, n_tokens FROM dl WHERE n_tokens > 0),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS p,
+    CAST(COUNT(*) AS BIGINT) AS nd
+  FROM dp),
+db AS (
+  SELECT doc_id, n_tokens,
+    CAST(length(bin(n_tokens)) AS INT) AS bucket
+  FROM dp),
+rk AS (
+  SELECT bucket, n_tokens,
+    row_number() OVER (PARTITION BY bucket
+      ORDER BY n_tokens, doc_id) AS seq
+  FROM db),
+ba AS (
+  SELECT bucket, CAST((seq - 1) // $B AS BIGINT) AS batch_idx,
+    n_tokens
+  FROM rk),
+bb AS (
+  SELECT bucket, batch_idx, COUNT(*) AS ns, MAX(n_tokens) AS mx,
+    SUM(n_tokens) AS sl
+  FROM ba GROUP BY 1, 2),
+s1 AS (
+  SELECT 'concat_chunk' AS strategy,
+    CAST((p + 2047) // 2048 AS BIGINT) AS units,
+    CAST(((p + 2047) // 2048) * 2048 AS BIGINT) AS slots,
+    p AS payload_tokens, CAST(0 AS BIGINT) AS dropped_tokens
+  FROM tot),
+s2 AS (
+  SELECT 'padded_solo' AS strategy, tot.nd AS units,
+    CAST(tot.nd * 2048 AS BIGINT) AS slots,
+    CAST((SELECT SUM(least(n_tokens, 2048)) FROM dp) AS BIGINT)
+      AS payload_tokens,
+    CAST((SELECT SUM(greatest(n_tokens - 2048, 0)) FROM dp) AS BIGINT)
+      AS dropped_tokens
+  FROM tot),
+s3 AS (
+  SELECT 'length_bucketed' AS strategy,
+    CAST(COUNT(*) AS BIGINT) AS units,
+    CAST(SUM(ns * mx) AS BIGINT) AS slots,
+    CAST(SUM(sl) AS BIGINT) AS payload_tokens,
+    CAST(0 AS BIGINT) AS dropped_tokens
+  FROM bb),
+u AS (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+  UNION ALL SELECT * FROM s3)
+SELECT strategy, units, slots, payload_tokens,
+  CAST(slots - payload_tokens AS BIGINT) AS pad_tokens,
+  dropped_tokens,
+  CAST(1000 * payload_tokens // slots AS BIGINT) AS eff_permil
+FROM u ORDER BY strategy""") { (s, d) =>
+      val lens = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(graft.ext.TextAnalysis.tokens(col("text")),
+            w => length(w) > 0)).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0L)
+        // three strategies fold the same frame — one scan
+        .localCheckpoint(false)
+      val ctx = 2048L
+      val s1 = lens
+        .agg(sum("n_tokens").as("p"))
+        .select(lit("concat_chunk").as("strategy"),
+          call_function("div", col("p") + (ctx - 1L), lit(ctx))
+            .as("units"),
+          (call_function("div", col("p") + (ctx - 1L), lit(ctx)) * ctx)
+            .as("slots"),
+          col("p").cast("long").as("payload_tokens"),
+          lit(0L).as("dropped_tokens"))
+      val s2 = lens
+        .agg(count(lit(1)).as("nd"),
+          sum(least(col("n_tokens"), lit(ctx))).as("kept"),
+          sum(greatest(col("n_tokens") - ctx, lit(0L))).as("cut"))
+        .select(lit("padded_solo").as("strategy"),
+          col("nd").cast("long").as("units"),
+          (col("nd") * ctx).cast("long").as("slots"),
+          col("kept").cast("long").as("payload_tokens"),
+          col("cut").cast("long").as("dropped_tokens"))
+      val s3 = BatchAssembly.lengthBucketedBatches(lens,
+          col("n_tokens"), B, col("doc_id"))
+        .groupBy(col("bucket"), col("batch_idx"))
+        .agg(count(lit(1)).as("ns"), max("n_tokens").as("mx"),
+          sum("n_tokens").as("sl"))
+        .agg(count(lit(1)).as("units"),
+          sum(col("ns") * col("mx")).as("slots"),
+          sum(col("sl")).as("payload"))
+        .select(lit("length_bucketed").as("strategy"),
+          col("units").cast("long").as("units"),
+          col("slots").cast("long").as("slots"),
+          col("payload").cast("long").as("payload_tokens"),
+          lit(0L).as("dropped_tokens"))
+      s1.unionByName(s2).unionByName(s3)
+        .select(col("strategy"), col("units"), col("slots"),
+          col("payload_tokens"),
+          (col("slots") - col("payload_tokens")).cast("long")
+            .as("pad_tokens"),
+          col("dropped_tokens"),
+          call_function("div", lit(1000L) * col("payload_tokens"),
+            col("slots")).as("eff_permil"))
+        .orderBy("strategy")
     }
   )
 }

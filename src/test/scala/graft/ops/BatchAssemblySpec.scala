@@ -74,4 +74,34 @@ class BatchAssemblySpec extends SparkSpec {
     assert(bucketed < arrival,
       s"bucketed=$bucketed arrival=$arrival")
   }
+
+  test("packing-efficiency audit: consistent accounting across the " +
+    "three strategies, and the ordering the design claims") {
+    val rows = graft.SparkEntry.queries("pipeline_packing_efficiency")(
+        spark, sfDir)
+      .select("strategy", "units", "slots", "payload_tokens",
+        "pad_tokens", "dropped_tokens", "eff_permil")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet ==
+      Set("concat_chunk", "padded_solo", "length_bucketed"))
+    rows.values.foreach { case (st, u, slots, pay, pad, _, eff) =>
+      assert(u > 0 && slots > 0 && pay > 0)
+      assert(pay + pad == slots, s"$st slots don't balance")
+      assert(eff == 1000L * pay / slots, s"$st eff arithmetic")
+    }
+    // every strategy sees the same corpus: payload + dropped is the
+    // same total token mass
+    val masses = rows.values
+      .map(r => r._4 + r._6).toSet
+    assert(masses.size == 1, s"token mass diverged: $masses")
+    // the design claim the audit exists to prove: bucketing beats the
+    // naive padded-solo baseline, and nothing beats concat's slots
+    // except via per-batch max < ctx
+    assert(rows("length_bucketed")._7 > rows("padded_solo")._7)
+    assert(rows("concat_chunk")._7 > rows("padded_solo")._7)
+    // concat drops nothing and pads only the tail chunk (< ctx)
+    assert(rows("concat_chunk")._6 == 0L &&
+      rows("concat_chunk")._5 < 2048L)
+  }
 }
