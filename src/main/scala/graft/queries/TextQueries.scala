@@ -686,6 +686,79 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // QUALITY-THRESHOLD FRONTIER — the curation tradeoff curve a
+    // pipeline team reads before picking a gate: for a sweep of
+    // quality thresholds (500..900 permil), the kept document count,
+    // kept token mass, kept quality mass and the corpus share that
+    // survives. Quality is the composite qualityScore converted to
+    // integral micro units (floor(1e6·q)) so the sweep's sums stay
+    // deterministic under any partitioning — never a float sum over
+    // the corpus. One scan: the score map pass explodes 5 threshold
+    // rows per doc into one small keyed agg; the total-mass row
+    // broadcasts back for the share column.
+    QueryDef("pipeline_quality_frontier",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' '))::BIGINT AS nt,
+         |    len(list_distinct(string_split(text, ' ')))::BIGINT AS nd,
+         |    len(list_filter(string_split(text, ' '),
+         |        t -> list_contains($sqlStop, t)))::BIGINT AS ns
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, nt,
+         |    CAST(floor(1000000.0 * (CAST(nd AS DOUBLE) / nt * 0.5
+         |      + LEAST(1.0, CAST(nt AS DOUBLE) / 100.0) * 0.3
+         |      + LEAST(1.0, CAST(ns AS DOUBLE) / nt * 5.0) * 0.2))
+         |      AS BIGINT) AS qm
+         |  FROM t),
+         |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS tt FROM q),
+         |e AS (
+         |  SELECT doc_id, nt, qm,
+         |    unnest([350, 425, 500, 575, 650]) AS thr
+         |  FROM q),
+         |a AS (
+         |  SELECT CAST(thr AS BIGINT) AS threshold_permil,
+         |    CAST(COUNT(*) FILTER (qm >= thr * 1000) AS BIGINT)
+         |      AS kept_docs,
+         |    CAST(COALESCE(SUM(nt) FILTER (qm >= thr * 1000), 0)
+         |      AS BIGINT) AS kept_tokens,
+         |    CAST(COALESCE(SUM(qm) FILTER (qm >= thr * 1000), 0)
+         |      AS BIGINT) AS kept_q_micro
+         |  FROM e GROUP BY thr)
+         |SELECT a.threshold_permil, a.kept_docs, a.kept_tokens,
+         |  a.kept_q_micro,
+         |  CAST(1000 * a.kept_tokens // tot.tt AS BIGINT)
+         |    AS share_permil
+         |FROM a, tot ORDER BY a.threshold_permil""".stripMargin) {
+      (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).as("nt"),
+          floor(lit(1000000.0) *
+            TextAnalysis.qualityScore(col("text")))
+            .cast("long").as("qm"))
+        // the sweep and the total both fold it — one scan
+        .localCheckpoint(false)
+      val tot = scored.agg(sum("nt").cast("long").as("tt"))
+      val kept = col("qm") >= col("thr") * 1000L
+      scored
+        .select(col("nt"), col("qm"),
+          explode(array(Seq(350L, 425L, 500L, 575L, 650L)
+            .map(lit): _*)).as("thr"))
+        .groupBy(col("thr").as("threshold_permil"))
+        .agg(count(when(kept, lit(1))).as("kept_docs"),
+          coalesce(sum(when(kept, col("nt"))), lit(0L)).cast("long")
+            .as("kept_tokens"),
+          coalesce(sum(when(kept, col("qm"))), lit(0L)).cast("long")
+            .as("kept_q_micro"))
+        .crossJoin(broadcast(tot))
+        .select(col("threshold_permil"), col("kept_docs"),
+          col("kept_tokens"), col("kept_q_micro"),
+          call_function("div", lit(1000L) * col("kept_tokens"),
+            col("tt")).as("share_permil"))
+        .orderBy("threshold_permil")
+    },
+
     // duplicated 8-gram spans across documents: the exact-substring
     // duplication signal (boilerplate/template detection) — one shingle
     // pass per doc, one hash-agg keyed on the span; shuffle bounded by

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{SparkSpec, SparkEntry}
 import graft.ops.PlanChecks
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Data-order / data-mix planning contracts. The oracle grades exact
   * values; this spec pins the PROPERTIES the values must embody. */
@@ -249,5 +250,32 @@ class MixSpec extends SparkSpec {
     val steps = rows.groupBy(_._1).view
       .mapValues(_.map(_._5).sum).toMap
     assert(steps == batches, "per-epoch token mass diverged")
+  }
+
+  test("quality frontier: monotone in the threshold, rising kept " +
+    "mean, share arithmetic exact, sweep actually cuts the corpus") {
+    val rows = q("pipeline_quality_frontier")
+      .select("threshold_permil", "kept_docs", "kept_tokens",
+        "kept_q_micro", "share_permil")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 5)
+    val total = graft.Tables.documents(spark, sfDir)
+      .select(graft.ext.TextAnalysis.nTokens(col("text")).as("nt"))
+      .agg(sum("nt")).as[Long].head()
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3 && hi._5 <= lo._5,
+        "frontier not monotone")
+      // a stricter gate never lowers the kept set's mean quality
+      if (lo._2 > 0 && hi._2 > 0)
+        assert(hi._4 * lo._2 >= lo._4 * hi._2,
+          s"kept mean fell from ${lo._1} to ${hi._1}")
+    }
+    // the sweep must separate: not all thresholds keep everything,
+    // not all keep nothing
+    assert(rows.head._2 > rows.last._2 && rows.head._2 > 0)
+    rows.foreach { r =>
+      assert(r._5 == 1000L * r._3 / total,
+        s"share arithmetic at ${r._1}")
+    }
   }
 }
