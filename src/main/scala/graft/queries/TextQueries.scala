@@ -759,6 +759,68 @@ object TextQueries {
         .orderBy("threshold_permil")
     },
 
+    // TOKEN-BUDGET selection — the frontier's EXACT-CUT sibling: keep
+    // the best documents by composite quality until HALF the corpus'
+    // token mass is spent (the greedy a "train on the best N tokens"
+    // directive executes; the boundary document that crosses the
+    // budget is included, the textbook greedy convention). The global
+    // quality order runs through the range-partitioned PrefixSum —
+    // (quality DESC, doc_id) is a corpus-scale total order and a
+    // window over it would funnel the corpus into one task; the
+    // running total costs one range exchange + per-partition windows
+    // + a driver offset fold, the same machinery as every other
+    // global enumeration here. Graded per source: how many documents
+    // and tokens survive and the worst quality admitted — the
+    // selection's whole observable effect, one keyed agg over the
+    // selected set.
+    QueryDef("pipeline_budget_select",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(text, ' '))::BIGINT AS nt,
+         |    len(list_distinct(string_split(text, ' ')))::BIGINT AS nd,
+         |    len(list_filter(string_split(text, ' '),
+         |        t -> list_contains($sqlStop, t)))::BIGINT AS ns
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, nt,
+         |    CAST(floor(1000000.0 * (CAST(nd AS DOUBLE) / nt * 0.5
+         |      + LEAST(1.0, CAST(nt AS DOUBLE) / 100.0) * 0.3
+         |      + LEAST(1.0, CAST(ns AS DOUBLE) / nt * 5.0) * 0.2))
+         |      AS BIGINT) AS qm
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, source, nt, qm,
+         |    CAST(SUM(nt) OVER (ORDER BY qm DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+         |  FROM q),
+         |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS tt FROM q),
+         |sel AS (
+         |  SELECT r.* FROM r, tot WHERE r.running - r.nt < tot.tt // 2)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sel,
+         |  CAST(SUM(nt) AS BIGINT) AS sel_tokens,
+         |  CAST(MIN(qm) AS BIGINT) AS worst_q_micro
+         |FROM sel GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.nTokens(col("text")).as("nt"),
+          floor(lit(1000000.0) *
+            TextAnalysis.qualityScore(col("text")))
+            .cast("long").as("qm"))
+      val tot = scored.agg(sum("nt").cast("long").as("tt"))
+      graft.ops.PrefixSum.withRunningTotal(scored, "running",
+          weight = col("nt"),
+          orderBy = Seq(col("qm").desc, col("doc_id")))
+        .crossJoin(broadcast(tot))
+        .filter(col("running") - col("nt") <
+          call_function("div", col("tt"), lit(2L)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sel"),
+          sum("nt").cast("long").as("sel_tokens"),
+          min("qm").cast("long").as("worst_q_micro"))
+        .orderBy("source")
+    },
+
     // duplicated 8-gram spans across documents: the exact-substring
     // duplication signal (boilerplate/template detection) — one shingle
     // pass per doc, one hash-agg keyed on the span; shuffle bounded by

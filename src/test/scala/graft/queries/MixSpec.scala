@@ -278,4 +278,36 @@ class MixSpec extends SparkSpec {
         s"share arithmetic at ${r._1}")
     }
   }
+
+  test("budget select: differential against an in-memory greedy, " +
+    "half-budget boundary semantics, no corpus-scale window") {
+    val df = q("pipeline_budget_select")
+    PlanChecks.assertNoWideWindow(df)
+    val got = df.select("source", "n_sel", "sel_tokens",
+        "worst_q_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // independent greedy over the same scored frame
+    val scored = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.ext.TextAnalysis.nTokens(col("text")).as("nt"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.lit(1000000.0) *
+            graft.ext.TextAnalysis.qualityScore(col("text")))
+          .cast("long").as("qm"))
+      .as[(Long, String, Long, Long)].collect()
+    val budget = scored.map(_._3).sum / 2
+    var run = 0L
+    val sel = scored.sortBy(r => (-r._4, r._1)).takeWhile { r =>
+      val before = run; run += r._3; before < budget
+    }
+    val want = sel.groupBy(_._2).map { case (src, rs) =>
+      src -> ((rs.length.toLong, rs.map(_._3).sum, rs.map(_._4).min))
+    }
+    assert(got == want, "selection diverged from the greedy")
+    // boundary semantics: the selection spends at least the budget
+    // (boundary doc included) but stops within one document of it
+    val spent = sel.map(_._3).sum
+    assert(spent >= budget && spent - budget < sel.map(_._3).max)
+  }
 }
