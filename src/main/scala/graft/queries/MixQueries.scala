@@ -669,5 +669,116 @@ object MixQueries {
           min("bin").as("first_bin"),
           max("bin").as("last_bin"))
         .orderBy("epoch", "step", "worker")
+    },
+
+    // DATALOADER-PLAN FLAGSHIP — the round's planning layer composed
+    // into ONE lineage, the way a run actually consumes it: the
+    // mixture schedule's stateless hash-threshold selection decides
+    // WHICH documents train; the seeded epoch shuffle decides their
+    // ORDER; the grouped token prefix sum packs them into 2048-token
+    // micro-batches; the stride maps micro-batches onto (step, DP
+    // worker). Every stage is the corresponding graded query's exact
+    // construction — selection from pipeline_mixture_schedule (same
+    // seed, same capped integral rates), order and bins the
+    // pipeline_epoch_batches way over the SELECTED subset, the
+    // assignment pipeline_train_steps' arithmetic — so the flagship
+    // is differential-by-construction against its stage queries, and
+    // one drifted rate, hash seed, offset or stride anywhere flips a
+    // hash here. Scale shape: two keyed aggs + a broadcast plan
+    // (selection), one range exchange + driver folds per enumeration
+    // (grouped ordinal/prefix sum), two keyed aggs (steps) — no new
+    // shuffle class, no corpus-scale window.
+    QueryDef("pipeline_loader_plan",
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      v -> length(v) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |nat AS (
+        |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS natural_tokens
+        |  FROM t GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(natural_tokens) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM nat),
+        |plan AS (
+        |  SELECT n.source,
+        |    CAST(least(1000, 1000 * (tot.total // tot.n_src)
+        |      // n.natural_tokens) AS BIGINT) AS rate_permil
+        |  FROM nat n, tot),
+        |sel AS (
+        |  SELECT t.doc_id, t.source, t.n_tok
+        |  FROM t JOIN plan p ON p.source = t.source
+        |  WHERE ${sqlH31("'mix#' || CAST(doc_id AS VARCHAR)")} % 1000
+        |    < p.rate_permil),
+        |e AS (
+        |  SELECT doc_id, n_tok, unnest([0, 1, 2]) AS epoch FROM sel),
+        |h AS (
+        |  SELECT doc_id, n_tok, CAST(epoch AS BIGINT) AS epoch,
+        |    ${sqlH31("'ep' || CAST(epoch AS VARCHAR) || '#' || " +
+          "CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM e),
+        |r AS (
+        |  SELECT epoch, doc_id, h, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY epoch
+        |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tok AS BIGINT) AS start_offset
+        |  FROM h),
+        |bb AS (
+        |  SELECT epoch, n_tok,
+        |    CAST(start_offset // 2048 AS BIGINT) AS bin
+        |  FROM r),
+        |ba AS (
+        |  SELECT epoch, bin, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tk
+        |  FROM bb GROUP BY epoch, bin)
+        |SELECT epoch, CAST(bin // 8 AS BIGINT) AS step,
+        |  CAST(bin % 4 AS BIGINT) AS worker,
+        |  CAST(COUNT(*) AS BIGINT) AS n_micro,
+        |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tk) AS BIGINT) AS tokens,
+        |  CAST(min(bin) AS BIGINT) AS first_bin,
+        |  CAST(max(bin) AS BIGINT) AS last_bin
+        |FROM ba GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(filter(split(coalesce(col("text"), lit("")), " "),
+            w => length(w) > 0)).cast("long").as("n_tok"))
+        .localCheckpoint(false)
+      val nat = t.groupBy("source")
+        .agg(sum(col("n_tok")).as("natural_tokens"))
+      val tot = nat.agg(sum(col("natural_tokens")).as("total"),
+        count(lit(1)).as("n_src"))
+      val plan = nat.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(1000L), call_function("div",
+            lit(1000L) * call_function("div", col("total"),
+              col("n_src")),
+            col("natural_tokens"))).as("rate_permil"))
+      val sel = t.join(broadcast(plan), Seq("source"))
+        .filter(TextAnalysis.tokenHash31(concat(lit("mix#"),
+          col("doc_id").cast("string"))) % 1000L < col("rate_permil"))
+        .select("doc_id", "n_tok")
+      val e = sel
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0L), lit(2L))).as("epoch"))
+        .withColumn("h", TextAnalysis.tokenHash31(concat(
+          lit("ep"), col("epoch").cast("string"), lit("#"),
+          col("doc_id").cast("string"))))
+      graft.ops.PrefixSum.packIntoGroupedBins(e, Seq("epoch"),
+          weight = col("n_tok"), budget = 2048L,
+          orderBy = Seq(col("h"), col("doc_id")))
+        .groupBy(col("epoch"), col("bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("tk"))
+        .groupBy(col("epoch"),
+          call_function("div", col("bin"), lit(8L)).as("step"),
+          (col("bin") % 4L).as("worker"))
+        .agg(count(lit(1)).as("n_micro"),
+          sum(col("nd")).cast("long").as("n_docs"),
+          sum(col("tk")).cast("long").as("tokens"),
+          min("bin").as("first_bin"),
+          max("bin").as("last_bin"))
+        .orderBy("epoch", "step", "worker")
     })
 }

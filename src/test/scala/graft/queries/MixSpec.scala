@@ -310,4 +310,33 @@ class MixSpec extends SparkSpec {
     val spent = sel.map(_._3).sum
     assert(spent >= budget && spent - budget < sel.map(_._3).max)
   }
+
+  test("loader plan flagship: per-epoch mass equals the mixture " +
+    "schedule's kept mass, stride invariants hold, selection bites") {
+    val df = q("pipeline_loader_plan")
+    PlanChecks.assertNoWideWindow(df)
+    val rows = df
+      .select("epoch", "step", "worker", "n_micro", "tokens",
+        "first_bin", "last_bin")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, step, w, nm, _, fb, lb) =>
+      assert(w >= 0 && w < 4 && nm >= 1 && nm <= 2)
+      assert(fb % 4 == w && lb % 4 == w)
+      assert(fb / 8 == step && lb / 8 == step)
+      assert(lb - fb == 4 * (nm - 1))
+    }
+    // cross-query differential: every epoch trains exactly the
+    // mixture schedule's kept token mass
+    val keptTotal = q("pipeline_mixture_schedule")
+      .select("kept_tokens").as[Long].collect().sum
+    rows.groupBy(_._1).foreach { case (e, rs) =>
+      assert(rs.map(_._5).sum == keptTotal,
+        s"epoch $e mass != schedule's kept mass")
+    }
+    // and the selection actually removed mass vs the unselected plan
+    val unselected = q("pipeline_train_steps")
+      .select("tokens").as[Long].collect().sum
+    assert(rows.map(_._5).sum < unselected, "selection vacuous")
+  }
 }
