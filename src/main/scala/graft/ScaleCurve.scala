@@ -98,7 +98,15 @@ object ScaleCurve {
     "pipeline_epoch_batches" -> "documents",
     "pipeline_mixture_schedule" -> "documents",
     "pipeline_worker_assign" -> "documents",
-    "pipeline_mixture_anneal" -> "documents")
+    "pipeline_mixture_anneal" -> "documents",
+    "pipeline_domain_reweight" -> "documents",
+    "pipeline_context_shards" -> "documents",
+    "pipeline_split_leakage" -> "documents",
+    "pipeline_train_steps" -> "documents",
+    "pipeline_packing_efficiency" -> "documents",
+    "pipeline_quality_frontier" -> "documents",
+    "pipeline_budget_select" -> "documents",
+    "pipeline_loader_plan" -> "documents")
 
   /** Curve-only PROBES — measured and fitted like Targets but backed
     * by local fns instead of graded SparkEntry queries, for scale

@@ -513,6 +513,49 @@ object CorpusStream {
       .start()
   }
 
+  /** Streaming mixture gate — `pipeline_mixture_schedule`'s selection
+    * as a stream: each micro-batch keeps a document iff
+    * h31("mix#<id>") mod 1000 < the plan's rate for its source. The
+    * rate PLAN is computed batch-side and frozen here (the "a stream
+    * cannot train" discipline — rates need corpus-wide token masses a
+    * stream never has; one eager checkpoint makes the |sources|-row
+    * plan a stable snapshot for the stream's lifetime), and the
+    * selection itself is a STATELESS map-only predicate — the same
+    * expression a 1000-executor batch fleet evaluates, so stream and
+    * batch keep literally identical document sets (differential
+    * spec). Output partitions by `batch_id` with dynamic overwrite:
+    * a replayed batch replaces its own partition (the store
+    * idempotency contract shared with every other streaming store
+    * here). */
+  def mixtureGateBatches(docs: DataFrame, plan: DataFrame,
+      storeDir: String, checkpointDir: String,
+      idCol: String = "doc_id", sourceCol: String = "source")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val frozen = plan.localCheckpoint(true)
+    require(frozen.columns.contains(sourceCol) &&
+      frozen.columns.contains("rate_permil"),
+      s"mixtureGateBatches: plan needs ($sourceCol, rate_permil)")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keep = graft.ext.TextAnalysis.tokenHash31(
+          concat(lit("mix#"), col(idCol).cast("string"))) % 1000L <
+          col("rate_permil")
+        batch
+          .join(broadcast(frozen.select(col(sourceCol),
+            col("rate_permil"))), Seq(sourceCol))
+          .filter(keep)
+          .drop("rate_permil")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+        ()
+      }
+      .start()
+  }
+
   final case class DomainSeen(n: Long)
   final case class QuotaDoc(doc_id: Long, domain: String,
       domain_rank: Long)

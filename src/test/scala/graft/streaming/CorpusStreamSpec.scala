@@ -929,4 +929,55 @@ class CorpusStreamSpec extends SparkSpec {
     assert(before._3.distinct.size == before._3.size,
       "span-key store holds each key once")
   }
+
+  test("streaming mixture gate: frozen rate plan, stateless selection " +
+    "equals the batch predicate, replayed batch stays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.TextAnalysis
+    // plan: src0 keeps ~40%, src1 everything
+    val plan = Seq(("src0", 400L), ("src1", 1000L))
+      .toDF("source", "rate_permil")
+    val root = specTempDir("mix-gate")
+    val storeDir = root.resolve("kept").toString
+    val s1 = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "src0" else "src1", s"doc number $i"))
+    val s2 = (40L until 80L).map(i =>
+      (i, if (i % 2 == 0) "src0" else "src1", s"doc number $i"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.CorpusStream.mixtureGateBatches(
+      mem.toDF().toDF("doc_id", "source", "text"), plan,
+      storeDir, root.resolve("ckpt").toString)
+    try {
+      mem.addData(s1: _*); q.processAllAvailable()
+      mem.addData(s2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(storeDir)
+    assert(kept.columns.toSet ==
+      Set("doc_id", "source", "text", "batch_id"))
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    // differential: the stream's union equals the batch predicate
+    val all = (s1 ++ s2).toDF("doc_id", "source", "text")
+    val batchIds = all.join(plan, Seq("source"))
+      .filter(TextAnalysis.tokenHash31(
+        org.apache.spark.sql.functions.concat(lit("mix#"),
+          col("doc_id").cast("string"))) % 1000L < col("rate_permil"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == batchIds && ids.nonEmpty && ids.size < 80)
+    // src1 keeps everything, src0 genuinely thins
+    val bySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("src1") == 40L && bySrc.getOrElse("src0", 0L) < 40L)
+    // replay idempotency: re-running batch 1's content as a NEW query
+    // instance with the same store overwrites its partition, not
+    // appends (dynamic overwrite contract)
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = graft.streaming.CorpusStream.mixtureGateBatches(
+      mem2.toDF().toDF("doc_id", "source", "text"), plan,
+      storeDir, root.resolve("ckpt2").toString)
+    try { mem2.addData(s1: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val after = spark.read.parquet(storeDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == ids, "replay changed the kept set")
+  }
 }
