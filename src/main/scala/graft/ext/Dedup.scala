@@ -197,7 +197,11 @@ object Dedup {
     val idx = tokenIndex(df, idCol, textCol, profile.shingleN)
     val cand = lshCandidatesFromIndex(idx, profile)
     val reranked =
-      if (bitsetRerank) candidateJaccardBitset(cand, tokenMasks(idx))
+      // masks feed both the id_a and id_b sides of the re-rank join —
+      // materialize once so the vocab + mask pipeline doesn't plan and
+      // run once per side (same dedup as jaccardPairsBitset)
+      if (bitsetRerank)
+        candidateJaccardBitset(cand, tokenMasks(idx).localCheckpoint(true))
       else candidateJaccard(cand, idx)
     reranked.filter(col("jaccard") >= profile.threshold)
   }
@@ -486,18 +490,39 @@ object Dedup {
     val vocab = distinctSh.withColumn("bit",
       row_number().over(Window.orderBy("shingle")) - 1)
     val numWords = ((nVocab + 63) / 64).toInt
-    index.join(broadcast(vocab), Seq("shingle"))
-      .withColumn("word", (col("bit") / 64).cast("int"))
-      .withColumn("wbit", col("bit") % 64)
-      .groupBy("id", "n_sh", "word")
-      .agg(bit_or(expr("shiftleft(1L, cast(wbit AS int))")).as("bits"))
-      .groupBy("id", "n_sh")
-      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
-        .as("wordmap"))
-      .withColumn("mask", transform(
-        sequence(lit(0), lit(numWords - 1)),
-        w => coalesce(element_at(col("wordmap"), w), lit(0L))))
-      .drop("wordmap")
+    val joined = index.join(broadcast(vocab), Seq("shingle"))
+    if (numWords <= 64) {
+      // ONE keyed exchange instead of two: numWords is driver-known and
+      // small, so the dense mask builds as per-word conditional bit_or
+      // aggregates in a single hash aggregate keyed on the doc — the
+      // (id, n_sh, word) pre-aggregation exchange and the interpreted
+      // map_from_entries/transform tail disappear from every consumer's
+      // plan. Word w of a doc with no tokens in that slice bit_ors only
+      // zeros, which equals the old path's coalesce(missing, 0).
+      val aggs = (0 until numWords).map { w =>
+        bit_or(when((col("bit") / 64).cast("int") === w,
+          expr("shiftleft(1L, cast(bit % 64 AS int))")).otherwise(0L))
+          .as(s"__w$w")
+      }
+      joined.groupBy("id", "n_sh").agg(aggs.head, aggs.tail: _*)
+        .select(col("id"), col("n_sh"),
+          array((0 until numWords).map(w => col(s"__w$w")): _*).as("mask"))
+    } else {
+      // wide-vocab fallback: numWords conditional aggregates would blow
+      // up the generated code, keep the two-level (word-keyed) aggregate
+      joined
+        .withColumn("word", (col("bit") / 64).cast("int"))
+        .withColumn("wbit", col("bit") % 64)
+        .groupBy("id", "n_sh", "word")
+        .agg(bit_or(expr("shiftleft(1L, cast(wbit AS int))")).as("bits"))
+        .groupBy("id", "n_sh")
+        .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+          .as("wordmap"))
+        .withColumn("mask", transform(
+          sequence(lit(0), lit(numWords - 1)),
+          w => coalesce(element_at(col("wordmap"), w), lit(0L))))
+        .drop("wordmap")
+    }
   }
 
   /** EXACT all-pairs Jaccard >= threshold via bitmask block-nested join.
@@ -507,13 +532,25 @@ object Dedup {
   def jaccardPairsBitset(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 1, threshold: Double = 0.9): DataFrame = {
+    // masks feed BOTH sides of the pair join: materialize once (the
+    // vocab + mask aggregate pipeline otherwise plans and runs twice —
+    // once streamed, once through the broadcast build), and spread the
+    // stream side across the executors BEFORE the checkpoint. The
+    // pair compare is the Θ(candidates) hot loop of this operator, and
+    // the mask aggregate's post-AQE output is a single tiny partition —
+    // without the explicit repartition the whole O(n²/blocks) popcount
+    // stream would run in ONE task regardless of cluster size (the
+    // work here scales with PAIRS, not with the input bytes AQE sizes
+    // partitions by).
     val masks = tokenMasks(tokenIndex(df, idCol, textCol, n))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     val a = masks.select(col("id").as("id_a"), col("n_sh").as("na"),
       col("mask").as("mask_a"))
     val b = masks.select(col("id").as("id_b"), col("n_sh").as("nb"),
       col("mask").as("mask_b"))
     val tNum = math.floor(threshold * 10000).toLong
-    a.join(b,
+    a.join(broadcast(b),
         col("id_a") < col("id_b") &&
         col("na") * tNum <= col("nb") * 10000L &&
         col("nb") * tNum <= col("na") * 10000L)
@@ -523,6 +560,14 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("un"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "un", "jaccard")
+      // the ≥threshold filter is very selective, so the surviving pair
+      // list is far smaller than the wide popcount stream above it —
+      // hand the OUTPUT partitioning back to AQE (rebalance = advisory-
+      // sized, coalescible) so iterative consumers (connected
+      // components, label prop, k-core) that checkpoint this frame
+      // don't inherit defaultParallelism near-empty blocks and re-scan
+      // them every round
+      .hint("rebalance")
   }
 
   /** Exact Jaccard for candidate pairs via bitmasks (popcount re-rank —

@@ -71,8 +71,16 @@ object Triangles {
       broadcastClosure: Boolean): DataFrame = {
     // oriented edges feed the wedge self-join (both sides) AND the
     // closure side — materialize once so the degree+orientation joins
-    // run once, not three times (twice through broadcast builds)
-    val dir = orient(edges, aCol, bCol).localCheckpoint(true)
+    // run once, not three times (twice through broadcast builds).
+    // Repartition BEFORE the checkpoint: this stage's work is
+    // Θ(wedges) = Θ(triangle volume), not Θ(m bytes), so the stream
+    // side must carry enough partitions to spread the fan-out — the
+    // post-AQE orientation output is sized by its tiny byte volume
+    // (one partition at fixture scale) and would otherwise run the
+    // whole enumerate→close→count pipeline in ONE task.
+    val dir = orient(edges, aCol, bCol)
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     val e1 = dir.select(col("src").as("x"), col("dst").as("y"),
       col("dstKey").as("yk"))
     val e2 = dir.select(col("src").as("x"), col("dst").as("z"),
