@@ -386,7 +386,8 @@ object Multimodal {
         binCol: String = "payload"): Dataset[WavMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      df.select(col(idCol).cast("long"), col(binCol))
+      graft.ops.Spread.forCompute(df, col(idCol))
+        .select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           parseWavMeta(id, payload) })
@@ -550,7 +551,8 @@ object Multimodal {
         binCol: String = "payload"): Dataset[VideoMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      df.select(col(idCol).cast("long"), col(binCol))
+      graft.ops.Spread.forCompute(df, col(idCol))
+        .select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           parseMp4Meta(id, payload) })
@@ -774,7 +776,8 @@ object Multimodal {
         binCol: String = "payload"): Dataset[ImageContainerMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      df.select(col(idCol).cast("long"), col(binCol))
+      graft.ops.Spread.forCompute(df, col(idCol))
+        .select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           sniffOne(payload) match {
@@ -799,7 +802,8 @@ object Multimodal {
         binCol: String = "payload"): Dataset[AudioMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      df.select(col(idCol).cast("long"), col(binCol))
+      graft.ops.Spread.forCompute(df, col(idCol))
+        .select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           sniffOne(payload) match {
@@ -819,7 +823,8 @@ object Multimodal {
         binCol: String = "payload"): Dataset[DecodedMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      df.select(col(idCol).cast("long"), col(binCol))
+      graft.ops.Spread.forCompute(df, col(idCol))
+        .select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           // per-partition decoder setup would happen HERE (once), then

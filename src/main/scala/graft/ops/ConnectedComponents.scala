@@ -84,23 +84,31 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val hooked = sym
+      // one union-min aggregate instead of hook-groupBy + two left joins:
+      // the new label is min over {current, hook candidates, jump
+      // candidate}, so pour all three into ONE keyed aggregate. The
+      // current row rides along tagged so the SAME aggregate also yields
+      // the pre-round label for the convergence probe — this drops two
+      // id-keyed join exchanges per round from every consumer's plan.
+      // (hook/jump rows can't be absent for a vertex: sym covers both
+      // endpoints of every edge and labels contains every vertex id, so
+      // the old left-join coalesces were never exercised; min over the
+      // union is the same least().)
+      val hook = sym
         .join(labels.select(col("id").as("b"), col("p")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("p")).as("pe"))
-      val jumped = labels
+        .select(col("a").as("id"), col("p"), lit(false).as("__cur"))
+      val jump = labels
         .join(labels.select(col("id").as("p"), col("p").as("pj")), Seq("p"))
-        .select(col("id"), col("pj"))
-      val prev = labels
-      // keep the pre-round label alongside the new one so the SAME lazy
-      // checkpoint serves both the convergence probe and the next round —
-      // still exactly one job per round
+        .select(col("id"), col("pj").as("p"), lit(false).as("__cur"))
+      // lazy checkpoint as before: the convergence aggregate right after
+      // is the one action that materializes it — one job per round
       val stepped = persistStep(
-        prev
-          .join(hooked, Seq("id"), "left")
-          .join(jumped, Seq("id"), "left")
-          .select(col("id"), col("p").as("__pold"),
-            least(col("p"), coalesce(col("pe"), col("p")),
-              coalesce(col("pj"), col("p"))).as("p")),
+        hook.unionByName(jump)
+          .unionByName(labels.select(col("id"), col("p"),
+            lit(true).as("__cur")))
+          .groupBy("id")
+          .agg(min(col("p")).as("p"),
+            max(when(col("__cur"), col("p"))).as("__pold")),
         eager = false, reliable)
       // labels only decrease => zero strict decreases is a fixpoint;
       // a count can't overflow/alias the way a Σ-labels probe could

@@ -65,6 +65,14 @@ object Hits {
       col(wCol).cast("long").as("w")), reliable)
     val nodes = step(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(), reliable)
+    // SPARSE state: after each normalization a node absent from the raw
+    // aggregate would carry 0, and a zero score contributes exactly 0 to
+    // the next round's weighted sums — so the per-round frames keep only
+    // the aggregated rows and the nodes-side zero-fill join happens ONCE
+    // at the end instead of twice per round (two fewer keyed exchanges
+    // and one fewer full recompute per half-round: the raw aggregate is
+    // checkpointed eagerly and the scalar max reads the materialized
+    // blocks instead of re-running the join+agg pipeline).
     var h = nodes.withColumn("h", lit(scale))
     var a = nodes.withColumn("a", lit(0L))
     // Each round's normalizer is COLLECTED as a 1-row scalar and
@@ -78,28 +86,26 @@ object Hits {
     // quadratic-in-iters cost on node-sized aggregates that stays
     // negligible for the small fixed iteration counts HITS needs.
     for (_ <- 1 to iters) {
-      val araw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), (col("h") * col("w")).as("x"))
-        .groupBy("node").agg(sum("x").as("ar"))
+      val araw = step(
+        e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("h") * col("w")).as("x"))
+          .groupBy("node").agg(sum("x").as("ar")),
+        reliable)
       val amx = math.max(1L,
         araw.agg(coalesce(max("ar"), lit(0L))).head().getLong(0))
-      a = step(
-        nodes.join(araw, Seq("node"), "left_outer")
-          .select(col("node"),
-            coalesce(expr(s"(ar * $scale) div $amx"), lit(0L)).as("a")),
+      a = araw.select(col("node"), expr(s"(ar * $scale) div $amx").as("a"))
+      val hraw = step(
+        e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), (col("a") * col("w")).as("x"))
+          .groupBy("node").agg(sum("x").as("hr")),
         reliable)
-      val hraw = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), (col("a") * col("w")).as("x"))
-        .groupBy("node").agg(sum("x").as("hr"))
       val hmx = math.max(1L,
         hraw.agg(coalesce(max("hr"), lit(0L))).head().getLong(0))
-      h = step(
-        nodes.join(hraw, Seq("node"), "left_outer")
-          .select(col("node"),
-            coalesce(expr(s"(hr * $scale) div $hmx"), lit(0L)).as("h")),
-        reliable)
+      h = hraw.select(col("node"), expr(s"(hr * $scale) div $hmx").as("h"))
     }
-    nodes.join(a, Seq("node")).join(h, Seq("node"))
-      .select(col("node"), col("a").as("auth_fp"), col("h").as("hub_fp"))
+    nodes.join(a, Seq("node"), "left_outer")
+      .join(h, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth_fp"),
+        coalesce(col("h"), lit(0L)).as("hub_fp"))
   }
 }
