@@ -354,10 +354,7 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(mergeIndex(merges))
-    // encode cost is µs-to-ms per document (merge walk per word) —
-    // spread the pass by compute, not by upstream byte-sized splits
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).cast("long"),
+    df.select(col(idCol).cast("long"),
         filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0))
       .as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
@@ -884,9 +881,7 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(mergeIndex(merges))
-    // java-regex pretok + byte-level merge walk per doc: compute-bound
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Option[Long], String)]
       .mapPartitions { it =>
         val enc = cachedEncoder(bc.value)

@@ -242,11 +242,7 @@ object Dedup {
     * [[TextAnalysis.tokenHash31]], computed once per (doc, shingle). */
   def tokenIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int = 1): DataFrame =
-    // shingling + one md5-derived hash per (doc, shingle) is the
-    // compute-heavy leaf of every signature pipeline — spread it by
-    // compute rather than inheriting byte-sized upstream splits
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .withColumn("h", TextAnalysis.tokenHash31(col("shingle")))

@@ -386,8 +386,7 @@ object Multimodal {
         binCol: String = "payload"): Dataset[WavMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      graft.ops.Spread.forCompute(df, col(idCol))
-        .select(col(idCol).cast("long"), col(binCol))
+      df.select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           parseWavMeta(id, payload) })
@@ -551,8 +550,7 @@ object Multimodal {
         binCol: String = "payload"): Dataset[VideoMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      graft.ops.Spread.forCompute(df, col(idCol))
-        .select(col(idCol).cast("long"), col(binCol))
+      df.select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           parseMp4Meta(id, payload) })
@@ -776,8 +774,7 @@ object Multimodal {
         binCol: String = "payload"): Dataset[ImageContainerMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      graft.ops.Spread.forCompute(df, col(idCol))
-        .select(col(idCol).cast("long"), col(binCol))
+      df.select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           sniffOne(payload) match {
@@ -802,8 +799,7 @@ object Multimodal {
         binCol: String = "payload"): Dataset[AudioMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      graft.ops.Spread.forCompute(df, col(idCol))
-        .select(col(idCol).cast("long"), col(binCol))
+      df.select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, payload) =>
           sniffOne(payload) match {
@@ -823,8 +819,7 @@ object Multimodal {
         binCol: String = "payload"): Dataset[DecodedMeta] = {
       val spark = df.sparkSession
       import spark.implicits._
-      graft.ops.Spread.forCompute(df, col(idCol))
-        .select(col(idCol).cast("long"), col(binCol))
+      df.select(col(idCol).cast("long"), col(binCol))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           // per-partition decoder setup would happen HERE (once), then

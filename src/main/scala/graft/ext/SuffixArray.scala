@@ -106,7 +106,7 @@ object SuffixArray {
     * rows (pos = length, sub = null). Persisted — callers unpersist. */
   private def positions(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val chars = graft.ops.Spread.forCompute(df, col(idCol))
+    val chars = df
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .filter(length(col("t")) > 0)

@@ -288,9 +288,7 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
-    // per-word merge segmentation is compute-bound — spread by compute
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).cast("long"), col(textCol))
+    df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val ranks = bc.value
@@ -1162,10 +1160,7 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     val y = labelCol.map(c => col(c).cast("int")).getOrElse(lit(0))
       .as("y")
-    // tokenize + md5-derived bucket hash per token is the expensive
-    // half of gate training — spread it by compute (Spread scaladoc)
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).as("id"), y,
+    df.select(col(idCol).as("id"), y,
         size(tokens(col(textCol))).cast("long").as("len"),
         explode(tokens(col(textCol))).as("tok"))
       .select(col("id"), col("y"), col("len"),
@@ -1351,10 +1346,7 @@ object TextAnalysis {
       s"compressionSignals: level in [1,9] ($level)")
     val spark = df.sparkSession
     import spark.implicits._
-    // zlib deflate costs ~10-30 MB/s/core — far below shuffle
-    // throughput — so parallelism must follow compute, not input bytes
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level, true)

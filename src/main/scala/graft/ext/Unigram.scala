@@ -353,9 +353,7 @@ object Unigram {
       pieces.map(p => p.piece -> p.freq).toMap)
     val mpl = maxPieceLen
     val mwl = maxWordLen
-    // lattice scoring per word type: compute-bound, spread accordingly
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).cast("long"),
+    df.select(col(idCol).cast("long"),
         filter(TextAnalysis.tokens(col(textCol)),
           w => length(w) > 0 && length(w) <= mwl))
       .as[(Option[Long], Seq[String])]
@@ -429,10 +427,7 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(
       pieces.map(p => p.piece -> p.freq).toMap)
     val mpl = maxPieceLen
-    // the Viterbi lattice walk is compute-bound per word type — spread
-    // by compute, not by upstream byte-sized splits (Spread scaladoc)
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).cast("long"), words)
+    df.select(col(idCol).cast("long"), words)
       .as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
         val scores = bc.value

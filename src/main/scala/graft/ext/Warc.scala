@@ -158,10 +158,7 @@ object Warc {
       binCol: String = "payload"): Dataset[WetRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    // record framing + header parsing per blob is compute-bound —
-    // spread by compute, not by upstream byte-sized splits
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).cast("long"), col(binCol))
+    df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) => parseWet(id, blob) })
   }
@@ -206,10 +203,7 @@ object Warc {
       : Dataset[WetRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    // gunzip + framing per blob: compute-bound (and gzip members are
-    // unsplittable — upstream splits can't parallelize this anyway)
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).cast("long"), col(binCol))
+    df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
         val bytes =
@@ -280,8 +274,7 @@ object Warc {
       binCol: String = "payload"): Dataset[GzipMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    graft.ops.Spread.forCompute(df, col(idCol))
-      .select(col(idCol).cast("long"), col(binCol))
+    df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) => parseGzipMeta(id, b) })
   }
