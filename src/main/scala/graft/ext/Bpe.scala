@@ -354,7 +354,10 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(mergeIndex(merges))
-    df.select(col(idCol).cast("long"),
+    // encode cost is µs-to-ms per document (merge walk per word) —
+    // spread the pass by compute, not by upstream byte-sized splits
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).cast("long"),
         filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0))
       .as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
@@ -881,7 +884,9 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(mergeIndex(merges))
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // java-regex pretok + byte-level merge walk per doc: compute-bound
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Option[Long], String)]
       .mapPartitions { it =>
         val enc = cachedEncoder(bc.value)

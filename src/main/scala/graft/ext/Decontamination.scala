@@ -121,7 +121,10 @@ object Decontamination {
       bits: Array[Long], mBits: Int, k: Int, n: Int,
       salt: String = ""): DataFrame = {
     val isHit = bloomIsHit(bits, mBits, k)
-    corpus
+    // two md5 digests per shingle dominate the probe — spread the pass
+    // by compute when the scan under-parallelizes it (identity at scale
+    // and on the tiny map-only-contract fixtures, Spread scaladoc)
+    graft.ops.Spread.forCompute(corpus, col(idCol))
       .select(col(idCol), Dedup.shingles(col(textCol), n).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
         size(filter(shingleHashes(col("__sh"), salt), isHit))
@@ -154,7 +157,10 @@ object Decontamination {
     val benchShingles = bench
       .select(explode(Dedup.shingles(col(benchTextCol), n)).as("shingle"))
       .distinct()
-    corpus
+    // corpus-side shingling is the expensive half (split + slice per
+    // n-gram); the broadcast join keeps the pass shuffle-free, so buy
+    // its parallelism explicitly when the scan under-delivers
+    graft.ops.Spread.forCompute(corpus, col(idCol))
       .select(col(idCol), Dedup.shingles(col(textCol), n).as("__sh"))
       .withColumn("n_sh", size(col("__sh")).cast("long"))
       .select(col(idCol), col("n_sh"), explode(col("__sh")).as("shingle"))

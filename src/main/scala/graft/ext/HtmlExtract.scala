@@ -111,7 +111,13 @@ object HtmlExtract {
   def extractLines(df: DataFrame, idCol: String, htmlCol: String)
       : DataFrame = {
     val lines = split(blockLines(stripNoise(col(htmlCol))), "\n")
-    df.select(col(idCol), posexplode(lines).as(Seq("line_no", "raw")))
+    // the strip/extract regex chain costs µs per byte — orders beyond
+    // what the exchange below costs — so buy compute-proportional
+    // parallelism instead of inheriting byte-sized splits (Spread
+    // scaladoc; the stage is otherwise map-only and fuses with the
+    // repartition's read side)
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol), posexplode(lines).as(Seq("line_no", "raw")))
       .withColumn("line", visibleText(col("raw")))
       .withColumn("__noa", visibleText(anchorStripped(col("raw"))))
       .filter(length(col("line")) > 0)

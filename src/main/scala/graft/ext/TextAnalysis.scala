@@ -288,7 +288,9 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
-    df.select(col(idCol).cast("long"), col(textCol))
+    // per-word merge segmentation is compute-bound — spread by compute
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val ranks = bc.value
@@ -623,7 +625,10 @@ object TextAnalysis {
     * Returns (idCol, n_bigrams, lm_sum_micro, lm_avg_micro). */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame =
-    df.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+    // the bigram generator's split+slice per token dominates; spread
+    // the scoring pass when the scan under-parallelizes it
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
       .join(model.select(col("bigram"),
         floor(lit(1000000.0) * col("cnt") / col("prefix_cnt"))
           .cast("long").as("__p")), Seq("bigram"), "left")
@@ -671,8 +676,12 @@ object TextAnalysis {
     // join — persist it or the corpus tokenizes twice per execution
     // (at 100 TB that is the difference between one and two full
     // corpus scans). Lifetime is caller-owned (Bench/Verify clearCache)
-    val rawF = raw.select(col(idCol),
-      explode(dsirFeatures(col(textCol), B)).as("f"))
+    // one md5 per token plus one per bigram: the featurizer is the
+    // expensive leaf — spread it by compute before persisting, so the
+    // cached blocks are also evenly placed
+    val rawF = graft.ops.Spread.forCompute(raw, col(idCol))
+      .select(col(idCol),
+        explode(dsirFeatures(col(textCol), B)).as("f"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgtCnt = target
       .select(explode(dsirFeatures(col(textCol), B)).as("f"))
@@ -724,7 +733,8 @@ object TextAnalysis {
           .cast("double") /
           ((col("rcnt") + lit(1L)) * (col("nt") + lit(B.toLong)))
             .cast("double")).as("term"))
-    docs.select(col(idCol),
+    graft.ops.Spread.forCompute(docs, col(idCol))
+      .select(col(idCol),
         explode(dsirFeatures(col(textCol), B)).as("f"))
       .join(broadcast(ratio), Seq("f"))
       .groupBy(col(idCol))
@@ -1160,7 +1170,10 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     val y = labelCol.map(c => col(c).cast("int")).getOrElse(lit(0))
       .as("y")
-    df.select(col(idCol).as("id"), y,
+    // tokenize + md5-derived bucket hash per token is the expensive
+    // half of gate training — spread it by compute (Spread scaladoc)
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).as("id"), y,
         size(tokens(col(textCol))).cast("long").as("len"),
         explode(tokens(col(textCol))).as("tok"))
       .select(col("id"), col("y"), col("len"),

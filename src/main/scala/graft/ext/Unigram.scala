@@ -353,7 +353,9 @@ object Unigram {
       pieces.map(p => p.piece -> p.freq).toMap)
     val mpl = maxPieceLen
     val mwl = maxWordLen
-    df.select(col(idCol).cast("long"),
+    // lattice scoring per word type: compute-bound, spread accordingly
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).cast("long"),
         filter(TextAnalysis.tokens(col(textCol)),
           w => length(w) > 0 && length(w) <= mwl))
       .as[(Option[Long], Seq[String])]
@@ -427,7 +429,10 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(
       pieces.map(p => p.piece -> p.freq).toMap)
     val mpl = maxPieceLen
-    df.select(col(idCol).cast("long"), words)
+    // the Viterbi lattice walk is compute-bound per word type — spread
+    // by compute, not by upstream byte-sized splits (Spread scaladoc)
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).cast("long"), words)
       .as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
         val scores = bc.value

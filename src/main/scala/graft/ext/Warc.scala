@@ -158,7 +158,10 @@ object Warc {
       binCol: String = "payload"): Dataset[WetRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    // record framing + header parsing per blob is compute-bound —
+    // spread by compute, not by upstream byte-sized splits
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) => parseWet(id, blob) })
   }
@@ -203,7 +206,10 @@ object Warc {
       : Dataset[WetRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    // gunzip + framing per blob: compute-bound (and gzip members are
+    // unsplittable — upstream splits can't parallelize this anyway)
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
         val bytes =
@@ -274,7 +280,8 @@ object Warc {
       binCol: String = "payload"): Dataset[GzipMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) => parseGzipMeta(id, b) })
   }

@@ -276,7 +276,10 @@ object WordPiece {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab.toSet)
     val mwl = maxWordLen
-    df.select(col(idCol).cast("long"),
+    // greedy longest-match walk per word type: compute-bound, spread
+    // by compute rather than upstream byte-sized splits
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).cast("long"),
         filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0))
       .as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
