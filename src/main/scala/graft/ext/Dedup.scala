@@ -242,7 +242,11 @@ object Dedup {
     * [[TextAnalysis.tokenHash31]], computed once per (doc, shingle). */
   def tokenIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int = 1): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // shingling + one md5-derived hash per (doc, shingle) is the
+    // compute-heavy leaf of every signature pipeline — spread it by
+    // compute rather than inheriting byte-sized upstream splits
+    graft.ops.Spread.forCompute(df, col(idCol))
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .withColumn("h", TextAnalysis.tokenHash31(col("shingle")))
@@ -476,19 +480,25 @@ object Dedup {
     * vocabulary slice. The one driver-side action (vocab count) is the
     * stats inspection that justifies choosing this path at all. */
   def tokenMasks(index: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val distinctSh = index.select("shingle").distinct()
-    val nVocab = distinctSh.count() // the stats inspection (scaladoc above)
+    // vocabulary ordinal via the range-partitioned ZipIndex, NOT a
+    // row_number() over an unpartitioned window: WindowExec gives the
+    // whole vocabulary to ONE sort task (fine at the fixture's ~40
+    // words, a serial 2^20-row sort at this path's upper bound), and
+    // the ordinal's stats pass returns the vocabulary count for free —
+    // replacing the separate distinct().count() inspection job.
+    val (vocabOrd, nVocab) = graft.ops.ZipIndex.withOrdinalCounted(
+      distinctSh, "__ord", Seq(col("shingle")))
     // this whole code path only exists for SMALL vocabularies (dense
     // O(vocab/64) masks per doc + a broadcast of the vocab — both blow
-    // up long before the single-partition numbering window would); big
-    // vocabularies belong on the posting-list path, so enforce the
-    // contract rather than half-scaling one step of it
+    // up long before the numbering would); big vocabularies belong on
+    // the posting-list path, so enforce the contract rather than
+    // half-scaling one step of it
     require(nVocab <= (1L << 20),
       s"tokenMasks is the small-vocabulary fast path (got $nVocab distinct " +
         "shingles); use jaccardPairs / candidateJaccard for large vocabularies")
-    val vocab = distinctSh.withColumn("bit",
-      row_number().over(Window.orderBy("shingle")) - 1)
+    val vocab = vocabOrd.select(col("shingle"),
+      (col("__ord") - 1L).as("bit"))
     val numWords = ((nVocab + 63) / 64).toInt
     val joined = index.join(broadcast(vocab), Seq("shingle"))
     if (numWords <= 64) {
@@ -509,19 +519,18 @@ object Dedup {
           array((0 until numWords).map(w => col(s"__w$w")): _*).as("mask"))
     } else {
       // wide-vocab fallback: numWords conditional aggregates would blow
-      // up the generated code, keep the two-level (word-keyed) aggregate
+      // up the generated code. ONE id-keyed aggregate collects the
+      // doc's bit positions and a codegen'd expression densifies them —
+      // this replaces the old two-level (word-keyed exchange + id-keyed
+      // exchange) aggregate whose `transform(sequence...)` tail was
+      // CodegenFallback (interpreted per word, 16384 closure dispatches
+      // per doc at the 2^20 vocab bound).
       joined
-        .withColumn("word", (col("bit") / 64).cast("int"))
-        .withColumn("wbit", col("bit") % 64)
-        .groupBy("id", "n_sh", "word")
-        .agg(bit_or(expr("shiftleft(1L, cast(wbit AS int))")).as("bits"))
         .groupBy("id", "n_sh")
-        .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
-          .as("wordmap"))
-        .withColumn("mask", transform(
-          sequence(lit(0), lit(numWords - 1)),
-          w => coalesce(element_at(col("wordmap"), w), lit(0L))))
-        .drop("wordmap")
+        .agg(collect_list(col("bit")).as("__bits"))
+        .select(col("id"), col("n_sh"),
+          graft.functions.LongBitsetFromPositions(col("__bits"), numWords)
+            .as("mask"))
     }
   }
 
@@ -550,7 +559,23 @@ object Dedup {
     val b = masks.select(col("id").as("id_b"), col("n_sh").as("nb"),
       col("mask").as("mask_b"))
     val tNum = math.floor(threshold * 10000).toLong
-    a.join(broadcast(b),
+    // size-gate the forced broadcast of the mask table: one row per doc,
+    // numWords longs each — fine for the blocked/small-n corpora this
+    // exact all-pairs operator is contracted for, fatal (driver/executor
+    // OOM, 8 GB relation cap) if a large-n caller ever reaches it. The
+    // count is a cheap action over the just-checkpointed blocks and the
+    // width comes from one row; past the bound the hint is dropped and
+    // the planner degrades to its own non-equi strategy (cartesian —
+    // slow but memory-safe) instead of OOMing.
+    val maxBcastBytes = scala.util.Try(df.sparkSession.conf
+      .get("spark.graft.bitsetBroadcast.maxBytes").toLong)
+      .getOrElse(256L * 1024L * 1024L)
+    val nDocs = masks.count()
+    val maskWords = masks.select(size(col("mask")).cast("long"))
+      .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val estBytes = nDocs * (maskWords * 8L + 48L)
+    val bSide = if (estBytes <= maxBcastBytes) broadcast(b) else b
+    a.join(bSide,
         col("id_a") < col("id_b") &&
         col("na") * tNum <= col("nb") * 10000L &&
         col("nb") * tNum <= col("na") * 10000L)

@@ -563,4 +563,57 @@ class DedupSpec extends SparkSpec {
         s"($probeBucketCount)")
     spark.catalog.clearCache()
   }
+
+  test("tokenMasks numbers the vocabulary without an unpartitioned " +
+    "window (ZipIndex ordinal, no one-task sort funnel)") {
+    val masks = Dedup.tokenMasks(Dedup.tokenIndex(docs, "doc_id", "text", 1))
+    graft.ops.PlanChecks.assertNoWideWindow(masks)
+    // and the ordinal preserves the sorted-order bit assignment: doc 0
+    // and its reordering (doc 2) must pack to the SAME mask
+    val m = masks.select(col("id"), col("mask"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(m(0L) == m(2L) && m(0L) != m(4L))
+  }
+
+  test("wide-vocab (>4096 shingles) mask fallback equals the " +
+    "posting-list join") {
+    // 5000-token vocabulary => numWords > 64 => the collect_list +
+    // long_bitset_from_positions path (not the conditional-agg fast
+    // path). Deterministic coverage: 100 docs of 50 disjoint tokens
+    // each put every vocabulary word in play exactly once, so the only
+    // qualifying pair is the planted one.
+    val wide = ((0 until 100).map { i =>
+      (i.toLong, (0 until 50).map(j => s"v${i * 50 + j}").mkString(" "))
+    } ++ Seq((1000L, "v1 v2 v3"), (1001L, "v3 v2 v1"))) // planted dup pair
+      .toDF("doc_id", "text")
+    // force every distinct token into the vocabulary ordinal
+    val allToks = wide.select(explode(split(col("text"), " ")))
+      .distinct().count()
+    assert(allToks > 4096L, s"fixture must exceed the fast path ($allToks)")
+    val a = Dedup.jaccardPairs(wide, "doc_id", "text", 1, 0.5)
+      .select("id_a", "id_b", "inter", "un")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Dedup.jaccardPairsBitset(wide, "doc_id", "text", 1, 0.5)
+      .select("id_a", "id_b", "inter", "un")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b && b.contains((1000L, 1001L, 3L, 3L)))
+  }
+
+  test("bitset pair join beyond the broadcast bound falls back to an " +
+    "unhinted join with identical results") {
+    val key = "spark.graft.bitsetBroadcast.maxBytes"
+    val hinted = Dedup.jaccardPairsBitset(docs, "doc_id", "text", 1, 0.7)
+      .select("id_a", "id_b", "inter", "un")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    spark.conf.set(key, "1")
+    try {
+      // the planner may still pick its own broadcast for a tiny side —
+      // the gate's contract is only that the FORCED hint is gone and
+      // results are unchanged (memory safety is the planner's call now)
+      val unhinted = Dedup.jaccardPairsBitset(docs, "doc_id", "text", 1, 0.7)
+        .select("id_a", "id_b", "inter", "un")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(unhinted == hinted && hinted.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
 }

@@ -15,12 +15,12 @@ class SplitLeakageSpec extends SparkSpec {
   test("split leakage: every reported doc is genuinely val-side, its " +
     "partner train-side, and the set matches the LSH pairs' " +
     "cross-split subset exactly") {
-    // no assertNoWideWindow here: the LSH machinery's bitset re-rank
-    // deliberately numbers the shingle VOCABULARY with an
-    // unpartitioned window — the small-vocab fast path whose <= 2^20
-    // contract is require()-enforced in Dedup.tokenMasks (the same
-    // bound that keeps the dense masks themselves viable), so the
-    // window is bounded by construction, not corpus-scale
+    // the LSH bitset re-rank's vocabulary numbering is now the
+    // range-partitioned ZipIndex ordinal (no unpartitioned window
+    // anywhere in the machinery); the masks stage runs behind an eager
+    // localCheckpoint so the final plan can't witness it — the no-wide-
+    // window contract is asserted on the tokenMasks frame itself in
+    // DedupSpec ("tokenMasks numbers the vocabulary without ...")
     val df = q("pipeline_split_leakage")
     val rows = df
       .select("val_doc", "n_train_partners", "best_train_doc",
