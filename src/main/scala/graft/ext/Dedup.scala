@@ -479,16 +479,18 @@ object Dedup {
     * for empty words) so element i of any two masks refers to the same
     * vocabulary slice. The one driver-side action (vocab count) is the
     * stats inspection that justifies choosing this path at all. */
-  def tokenMasks(index: DataFrame): DataFrame = {
+  def tokenMasks(index: DataFrame): DataFrame =
+    tokenMasksWithWidth(index)._1
+
+  /** [[tokenMasks]] plus the driver-known mask width in 64-bit words —
+    * callers that size the mask relation (the broadcast gate in
+    * [[jaccardPairsBitset]]) read the width here instead of probing a
+    * mask row with an extra job. */
+  private[ext] def tokenMasksWithWidth(index: DataFrame)
+      : (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
     val distinctSh = index.select("shingle").distinct()
-    // vocabulary ordinal via the range-partitioned ZipIndex, NOT a
-    // row_number() over an unpartitioned window: WindowExec gives the
-    // whole vocabulary to ONE sort task (fine at the fixture's ~40
-    // words, a serial 2^20-row sort at this path's upper bound), and
-    // the ordinal's stats pass returns the vocabulary count for free —
-    // replacing the separate distinct().count() inspection job.
-    val (vocabOrd, nVocab) = graft.ops.ZipIndex.withOrdinalCounted(
-      distinctSh, "__ord", Seq(col("shingle")))
+    val nVocab = distinctSh.count() // the stats inspection (scaladoc)
     // this whole code path only exists for SMALL vocabularies (dense
     // O(vocab/64) masks per doc + a broadcast of the vocab — both blow
     // up long before the numbering would); big vocabularies belong on
@@ -497,11 +499,26 @@ object Dedup {
     require(nVocab <= (1L << 20),
       s"tokenMasks is the small-vocabulary fast path (got $nVocab distinct " +
         "shingles); use jaccardPairs / candidateJaccard for large vocabularies")
-    val vocab = vocabOrd.select(col("shingle"),
-      (col("__ord") - 1L).as("bit"))
+    // vocabulary ordinal, sized by the count just taken: at <= 4096
+    // rows a row_number() window is ONE task over a trivially bounded
+    // input (constant work at ANY corpus scale — the vocabulary, not
+    // the corpus, is what's sorted) and costs one exchange; above that
+    // the range-partitioned ZipIndex ordinal takes over so the sort
+    // never funnels — 2^20 rows on one task is real serial time and
+    // the exact shape WindowExec warns about. Both assign bit =
+    // sorted position - 1, so masks are byte-identical either way.
+    val vocab =
+      if (nVocab <= 4096L)
+        distinctSh.withColumn("bit",
+          row_number().over(Window.orderBy("shingle")) - 1)
+          .select(col("shingle"), col("bit").cast("long").as("bit"))
+      else
+        graft.ops.ZipIndex.withOrdinal(distinctSh, "__ord",
+            Seq(col("shingle")))
+          .select(col("shingle"), (col("__ord") - 1L).as("bit"))
     val numWords = ((nVocab + 63) / 64).toInt
     val joined = index.join(broadcast(vocab), Seq("shingle"))
-    if (numWords <= 64) {
+    val masks = if (numWords <= 64) {
       // ONE keyed exchange instead of two: numWords is driver-known and
       // small, so the dense mask builds as per-word conditional bit_or
       // aggregates in a single hash aggregate keyed on the doc — the
@@ -532,6 +549,7 @@ object Dedup {
           graft.functions.LongBitsetFromPositions(col("__bits"), numWords)
             .as("mask"))
     }
+    (masks, numWords)
   }
 
   /** EXACT all-pairs Jaccard >= threshold via bitmask block-nested join.
@@ -551,7 +569,9 @@ object Dedup {
     // stream would run in ONE task regardless of cluster size (the
     // work here scales with PAIRS, not with the input bytes AQE sizes
     // partitions by).
-    val masks = tokenMasks(tokenIndex(df, idCol, textCol, n))
+    val (rawMasks, maskWords) =
+      tokenMasksWithWidth(tokenIndex(df, idCol, textCol, n))
+    val masks = rawMasks
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val a = masks.select(col("id").as("id_a"), col("n_sh").as("na"),
@@ -564,16 +584,14 @@ object Dedup {
     // exact all-pairs operator is contracted for, fatal (driver/executor
     // OOM, 8 GB relation cap) if a large-n caller ever reaches it. The
     // count is a cheap action over the just-checkpointed blocks and the
-    // width comes from one row; past the bound the hint is dropped and
-    // the planner degrades to its own non-equi strategy (cartesian —
-    // slow but memory-safe) instead of OOMing.
+    // width is driver-known from the mask build; past the bound the
+    // hint is dropped and the planner degrades to its own non-equi
+    // strategy (cartesian — slow but memory-safe) instead of OOMing.
     val maxBcastBytes = scala.util.Try(df.sparkSession.conf
       .get("spark.graft.bitsetBroadcast.maxBytes").toLong)
       .getOrElse(256L * 1024L * 1024L)
     val nDocs = masks.count()
-    val maskWords = masks.select(size(col("mask")).cast("long"))
-      .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
-    val estBytes = nDocs * (maskWords * 8L + 48L)
+    val estBytes = nDocs * (maskWords.toLong * 8L + 48L)
     val bSide = if (estBytes <= maxBcastBytes) broadcast(b) else b
     a.join(bSide,
         col("id_a") < col("id_b") &&

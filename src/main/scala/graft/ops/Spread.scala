@@ -62,12 +62,18 @@ object Spread {
     // micro-batch parallelism is the source's business) — identity, so
     // the encode paths stay streaming-native stateless projections
     if (df.isStreaming) df
+    // identity for any upstream that contains a wide operator: (a) it
+    // already carries >= shuffle-partitions partitions under this
+    // repo's sessions, and (b) — the sharp edge — probing such a
+    // frame's RDD below would EXECUTE its query stages under AQE
+    // (AdaptiveSparkPlanExec materializes every non-final stage to
+    // answer getNumPartitions), silently running the whole join/agg
+    // prefix an extra time for a thrown-away probe. Only a provably
+    // narrow plan (scan/project/filter/generate/union/sample over
+    // leaves) is probed, where toRdd plans but executes nothing.
+    else if (!isNarrow(df.queryExecution.optimizedPlan)) df
     // planned (pre-AQE) partition count: exact for file scans and local
-    // relations — the two shapes this helper exists to rebalance; a
-    // post-exchange upstream reports the static shuffle-partition conf,
-    // which is >= p under this repo's sessions, correctly disabling the
-    // spread there (post-aggregate rebalancing is its own decision, see
-    // e.g. Dedup.jaccardPairsBitset)
+    // relations — the two shapes this helper exists to rebalance
     else if (df.rdd.getNumPartitions >= p) df
     else {
       val minBytes = scala.util.Try(
@@ -77,6 +83,25 @@ object Spread {
       if (estBytes < minBytes) df
       else if (keys.isEmpty) df.repartition(p)
       else df.repartition(p, keys: _*)
+    }
+  }
+
+  /** True iff the logical plan is exchange-free by construction — only
+    * narrow operators over leaf relations, so its RDD can be probed
+    * without materializing any AQE query stage. Whitelist, not
+    * blacklist: an unrecognized operator is treated as wide (identity
+    * — the safe direction for both correctness and cost). */
+  private def isNarrow(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    !plan.exists {
+      case _: LeafNode => false
+      case _: Project | _: Filter | _: Generate | _: Union |
+           _: SubqueryAlias | _: Sample | _: Expand |
+           _: DeserializeToObject | _: SerializeFromObject |
+           _: MapPartitions | _: MapElements | _: TypedFilter => false
+      case _ => true
     }
   }
 }

@@ -564,20 +564,21 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("tokenMasks numbers the vocabulary without an unpartitioned " +
-    "window (ZipIndex ordinal, no one-task sort funnel)") {
+  test("tokenMasks bit assignment is identical across the small-vocab " +
+    "window and the sorted-order contract (reorderings pack equal)") {
+    // <= 4096 distinct shingles: the numbering stays a one-task window
+    // over the require()-bounded vocabulary (constant work at any
+    // corpus scale — the vocabulary is what's sorted, not the corpus)
     val masks = Dedup.tokenMasks(Dedup.tokenIndex(docs, "doc_id", "text", 1))
-    graft.ops.PlanChecks.assertNoWideWindow(masks)
-    // and the ordinal preserves the sorted-order bit assignment: doc 0
-    // and its reordering (doc 2) must pack to the SAME mask
     val m = masks.select(col("id"), col("mask"))
       .as[(Long, Seq[Long])].collect().toMap
     assert(m(0L) == m(2L) && m(0L) != m(4L))
   }
 
-  test("wide-vocab (>4096 shingles) mask fallback equals the " +
-    "posting-list join") {
-    // 5000-token vocabulary => numWords > 64 => the collect_list +
+  test("wide-vocab (>4096 shingles) masks: vocabulary numbered without " +
+    "an unpartitioned window, fallback equals the posting-list join") {
+    // 5000-token vocabulary => the range-partitioned ZipIndex ordinal
+    // (no one-task sort funnel) and numWords > 64 => the collect_list +
     // long_bitset_from_positions path (not the conditional-agg fast
     // path). Deterministic coverage: 100 docs of 50 disjoint tokens
     // each put every vocabulary word in play exactly once, so the only
@@ -590,6 +591,9 @@ class DedupSpec extends SparkSpec {
     val allToks = wide.select(explode(split(col("text"), " ")))
       .distinct().count()
     assert(allToks > 4096L, s"fixture must exceed the fast path ($allToks)")
+    val wideMasks = Dedup.tokenMasks(
+      Dedup.tokenIndex(wide, "doc_id", "text", 1))
+    graft.ops.PlanChecks.assertNoWideWindow(wideMasks)
     val a = Dedup.jaccardPairs(wide, "doc_id", "text", 1, 0.5)
       .select("id_a", "id_b", "inter", "un")
       .as[(Long, Long, Long, Long)].collect().toSet

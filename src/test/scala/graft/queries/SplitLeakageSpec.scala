@@ -15,12 +15,14 @@ class SplitLeakageSpec extends SparkSpec {
   test("split leakage: every reported doc is genuinely val-side, its " +
     "partner train-side, and the set matches the LSH pairs' " +
     "cross-split subset exactly") {
-    // the LSH bitset re-rank's vocabulary numbering is now the
-    // range-partitioned ZipIndex ordinal (no unpartitioned window
-    // anywhere in the machinery); the masks stage runs behind an eager
-    // localCheckpoint so the final plan can't witness it — the no-wide-
-    // window contract is asserted on the tokenMasks frame itself in
-    // DedupSpec ("tokenMasks numbers the vocabulary without ...")
+    // the LSH bitset re-rank's vocabulary numbering is size-adaptive:
+    // a one-task window only while the vocabulary is <= 4096 rows
+    // (constant work at any corpus scale), the range-partitioned
+    // ZipIndex ordinal above that — so no corpus-scale sort ever
+    // funnels. The masks stage runs behind an eager localCheckpoint so
+    // the final plan can't witness it; the no-wide-window contract is
+    // asserted on the tokenMasks frame itself in DedupSpec
+    // ("wide-vocab (>4096 shingles) masks: vocabulary numbered ...")
     val df = q("pipeline_split_leakage")
     val rows = df
       .select("val_doc", "n_train_partners", "best_train_doc",
