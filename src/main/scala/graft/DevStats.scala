@@ -29,6 +29,12 @@ object DevStats {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // one shared monitor for BOTH the listener increments and the
+    // between-pass reset: the listener's own `synchronized` and the
+    // main body's `synchronized` were two different locks (listener
+    // instance vs this object), so a reset could interleave with an
+    // in-flight increment
+    val lock = new Object
     @volatile var jobs = 0L
     @volatile var stages = 0L
     @volatile var tasks = 0L
@@ -36,14 +42,14 @@ object DevStats {
     @volatile var shWrite = 0L
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        lock.synchronized { jobs += 1 }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        synchronized {
+        lock.synchronized {
           stages += 1
           tasks += s.stageInfo.numTasks
         }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        synchronized {
+        lock.synchronized {
           val m = t.taskMetrics
           if (m != null) {
             shRead += m.shuffleReadMetrics.totalBytesRead
@@ -62,7 +68,8 @@ object DevStats {
       // settle listener events from the cold pass (listenerBus is
       // private[spark]; a short sleep is fine for a dev tool)
       Thread.sleep(400)
-      synchronized { jobs = 0; stages = 0; tasks = 0; shRead = 0; shWrite = 0 }
+      lock.synchronized {
+        jobs = 0; stages = 0; tasks = 0; shRead = 0; shWrite = 0 }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
