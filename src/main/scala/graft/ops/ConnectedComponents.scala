@@ -72,6 +72,35 @@ object ConnectedComponents {
     val once = persistStep(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b")),
       eager = true, reliable)
+    // SIZE-ADAPTIVE: a near-dup pair list is a FILTERED artifact (high
+    // similarity threshold), not a corpus-scale frame — after LSH even a
+    // web-scale corpus usually yields a graph whose edge list fits the
+    // driver with room to spare. Below the bound, exact union-find on
+    // the driver replaces the whole iterative loop (each round of which
+    // is several shuffles + one action): the component-minimum fixpoint
+    // is UNIQUE, so both paths return byte-identical labels
+    // (differential spec in ConnectedComponentsSpec). Above the bound —
+    // or if any endpoint is null — the distributed loop below is the
+    // 100 TB path, unchanged. The count() is served from the checkpoint
+    // just materialized and replaces the old labels.isEmpty probe job.
+    val spark = edges.sparkSession
+    val localMax =
+      spark.conf.getOption("spark.graft.cc.localMaxEdges")
+        .map(_.toLong).getOrElse(1000000L)
+    val nEdges = once.count()
+    if (nEdges == 0L) {
+      // edgeless graph (the common clean-corpus case): nothing to do;
+      // preserve the distributed path's output schema exactly
+      val sym0 =
+        once.union(once.select(col("b").as("a"), col("a").as("b")))
+      return sym0.groupBy(col("a").as("id"))
+        .agg(least(min(col("b")), col("a")).as("comp"))
+    }
+    if (nEdges <= localMax) {
+      val local = localComponents(once)
+      if (local.isDefined) return local.get
+      // fall through (null endpoint seen): distributed loop below
+    }
     val sym = once.union(once.select(col("b").as("a"), col("a").as("b")))
     // lazy checkpoints: the convergence aggregate right after is the one
     // action that materializes them — one job per round, not two
@@ -79,8 +108,6 @@ object ConnectedComponents {
       sym.groupBy(col("a").as("id"))
         .agg(least(min(col("b")), col("a")).as("p")),
       eager = false, reliable)
-    // edgeless graph (the common clean-corpus case): nothing to iterate
-    if (labels.isEmpty) return labels.withColumnRenamed("p", "comp")
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -121,6 +148,76 @@ object ConnectedComponents {
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
     labels.withColumnRenamed("p", "comp")
+  }
+
+  /** Exact union-find over a driver-collected edge list — the
+    * small-graph leg of [[components]]. The component-minimum labeling
+    * is the unique fixpoint of the distributed loop, so this returns
+    * the SAME (id, comp) rows, cast to the same union-widened endpoint
+    * type the distributed `sym.groupBy(a).agg(least(min(b), a))` would
+    * produce. Returns None when any endpoint is null (only the
+    * distributed aggregate's null-group semantics handle that). */
+  private def localComponents(once: DataFrame): Option[DataFrame] = {
+    val spark = once.sparkSession
+    // analysis-only: the EXACT schema (types AND nullability) the
+    // distributed loop's labels frame would carry — the loop's final
+    // comp comes out of the per-round min() aggregate, so it is
+    // nullable even though the seed's least(min(b), a) is not
+    val seed = once
+      .union(once.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), col("a")).as("comp"))
+      .schema
+    val distSchema = org.apache.spark.sql.types.StructType(
+      Seq(seed.head, seed(1).copy(nullable = true)))
+    val toId = integralWriter(distSchema.head.dataType)
+      .getOrElse(return None) // non-integral ids: distributed loop only
+    val rows = once
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+    var i = 0
+    while (i < rows.length) {
+      if (rows(i).isNullAt(0) || rows(i).isNullAt(1)) return None
+      i += 1
+    }
+    // union by MIN id (the root is always the smallest id seen, so the
+    // final find(v) IS the component minimum) + path halving
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.getOrElseUpdate(x, x)
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    i = 0
+    while (i < rows.length) {
+      val ra = find(rows(i).getLong(0))
+      val rb = find(rows(i).getLong(1))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      i += 1
+    }
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(parent.keysIterator.toArray.sorted
+        .map(v => org.apache.spark.sql.Row(toId(v), toId(find(v)))): _*)
+    Some(spark.createDataFrame(out, distSchema))
+  }
+
+  /** Long -> the integral runtime value of `dt`; None for non-integral
+    * id types (those stay on the distributed legs). */
+  private[ops] def integralWriter(
+      dt: org.apache.spark.sql.types.DataType): Option[Long => Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(v => v)
+      case IntegerType => Some(v => v.toInt)
+      case ShortType => Some(v => v.toShort)
+      case ByteType => Some(v => v.toByte)
+      case _ => None
+    }
   }
 
   /** Cluster assignment for a corpus: every `idCol` row of `entities`

@@ -77,6 +77,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("forced distributed loop equals the driver union-find leg, " +
+    "values and schema") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400).map(_ =>
+      (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(e => e._1 != e._2)
+    val localGot = cc(edges) // default bound: local union-find leg
+    val localSchema = ConnectedComponents
+      .components(edges.toDF("u", "v"), "u", "v").schema
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try {
+      assert(cc(edges) == localGot,
+        "distributed and local legs must agree on the fixpoint")
+      assert(ConnectedComponents
+        .components(edges.toDF("u", "v"), "u", "v").schema == localSchema,
+        "the two legs must expose identical output schemas")
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
+  test("int-typed ids: local leg preserves the union-widened type") {
+    val df = Seq((1, 2), (2, 3), (7, 9)).toDF("u", "v")
+    val local = ConnectedComponents.components(df, "u", "v")
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try {
+      val dist = ConnectedComponents.components(df, "u", "v")
+      assert(local.schema == dist.schema, s"${local.schema} vs ${dist.schema}")
+      assert(local.collect().toSet == dist.collect().toSet)
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
   test("assignClusters covers singletons and sizes") {
     val entities = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -52,6 +52,29 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  test("forced distributed loop equals the driver peel leg, values, " +
+    "schema and round budget") {
+    val c1 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val c2 = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val g = c1 ++ c2 :+ (4L, 5L)
+    val path8 = (1L until 8L).map(i => (i, i + 1))
+    val localGot = coreMap(g, 3)
+    val localSchema = KCore.core(g.toDF("a", "b"), "a", "b", 3).schema
+    spark.conf.set("spark.graft.kcore.localMaxEdges", "0")
+    try {
+      assert(coreMap(g, 3) == localGot,
+        "distributed and local legs must agree on the core")
+      assert(KCore.core(g.toDF("a", "b"), "a", "b", 3).schema
+        == localSchema,
+        "the two legs must expose identical output schemas")
+      // the round-budget contract must hold identically on both legs
+      assert(coreMap(path8, 2, maxRounds = 4).isEmpty)
+      intercept[IllegalArgumentException] {
+        coreMap(path8, 2, maxRounds = 3)
+      }
+    } finally spark.conf.unset("spark.graft.kcore.localMaxEdges")
+  }
+
   test("insufficient round budget fails loudly instead of returning a " +
     "partial peel") {
     val longPath = (1L until 40L).map(i => (i, i + 1))
