@@ -403,7 +403,11 @@ object Bpe {
     // plus its array slot and its share of pair-map keys) —
     // deliberately conservative so a hostile LONG-WORD vocabulary
     // (few rows, megabyte words) trips the cap the row count misses.
-    val st = words.agg(count(lit(1)), sum(length(col("word")))).head()
+    // Materialize the (vocab-scale) table first: its lineage is usually
+    // a corpus-scale tokenize + groupBy, and BOTH the guard aggregate
+    // and the collect below would otherwise re-run it end to end.
+    val w = words.localCheckpoint(true)
+    val st = w.agg(count(lit(1)), sum(length(col("word")))).head()
     val nRows = st.getLong(0)
     val nChars = if (st.isNullAt(1)) 0L else st.getLong(1)
     require(nRows <= maxVocabRows,
@@ -418,9 +422,10 @@ object Bpe {
         s"maxVocabBytes=$maxVocabBytes — the collected vocab is " +
         "driver state; raise the cap only with matching driver " +
         "memory, or pre-filter rare words (minFreq upstream)")
-    val rows = words.select(col("word").cast("string"),
+    val rows = w.select(col("word").cast("string"),
         col("freq").cast("long"))
       .collect()
+    w.unpersist()
     val initIdx =
       if (initialMerges.isEmpty) Map.empty[(String, String), Array[Int]]
       else mergeIndex(initialMerges)

@@ -146,9 +146,13 @@ object Unigram {
         "tie-break key packs it under one multiplier of 32")
     require(seedSize >= 1 && emRounds >= 1 && maxWordLen >= 1,
       "Unigram.trainLocal: seedSize, emRounds, maxWordLen >= 1")
+    // materialize once (vocab-scale rows, corpus-scale lineage): the
+    // guard aggregate AND the collect below both consume it — same
+    // discipline as Bpe.trainLocal
     val eligible = words
       .filter(length(col("word")) > 0 &&
         length(col("word")) <= maxWordLen)
+      .localCheckpoint(true)
     // the same pre-collect driver guard as Bpe.trainLocal: bound the
     // estimated footprint in the unit the driver OOMs in
     val st = eligible
@@ -186,6 +190,7 @@ object Unigram {
       .select(col("word").cast("string"), col("freq").cast("long"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    eligible.unpersist()
     // 2. seed: per-position substring occurrence counts
     val sub = mutable.HashMap[String, Long]()
     rows.foreach { case (w, f) =>

@@ -135,8 +135,12 @@ object WordPiece {
       s"WordPiece.trainLocal: numMerges >= 1 ($numMerges)")
     require(minFreq >= 1L,
       s"WordPiece.trainLocal: minFreq >= 1 ($minFreq)")
+    // materialize once (vocab-scale rows, corpus-scale lineage): the
+    // guard aggregate AND the collect below both consume it — same
+    // discipline as Bpe.trainLocal
     val eligible = words.filter(length(col("word")) > 0 &&
       !col("word").contains(Marker.substring(0, 1)))
+      .localCheckpoint(true)
     // the same pre-collect driver guard as Bpe/Unigram.trainLocal:
     // bound the estimated footprint in the unit the driver OOMs in
     val st = eligible
@@ -158,6 +162,7 @@ object WordPiece {
       .select(col("word").cast("string"), col("freq").cast("long"))
       .collect()
       .map(r => (initialSymbols(r.getString(0)), r.getLong(1)))
+    eligible.unpersist()
 
     val pairCnt = mutable.HashMap[(String, String), Long]()
     val symCnt = mutable.HashMap[String, Long]()

@@ -1091,18 +1091,30 @@ FROM enc, mc ORDER BY doc_id"""
     // rows-only grade fail loudly rather than shipping wrong totals.
     QueryDef.noOracle("pipeline_bpe_vocab8k") { (s, d) =>
       import s.implicits._
-      val (words, docs2) = saltedCorpus(s, d)
+      val (words0, docs20) = saltedCorpus(s, d)
+      // the word table is vocab-scale (Heaps' law) but its lineage is a
+      // corpus-scale tokenize + per-token md5 salt; FOUR actions consume
+      // it (the n_chars aggregate, trainLocal's footprint guard,
+      // trainLocal's collect, the vocab_rows count) — materialize it
+      // once so the salted tokenize runs one time, not four. Same for
+      // the salted document surface: TWO encode passes (k=12, k=8192)
+      // would each re-run the per-token md5 transform
+      val words = words0.localCheckpoint(true)
+      val docs2 = docs20.localCheckpoint(true)
       val nChars = words
         .agg(sum(col("freq") * length(col("word")))).head().getLong(0)
       val big = Bpe.trainLocal(words, 8192)
       def total(merges: Seq[Bpe.Merge]): Long =
         Bpe.encodeScalable(docs2, "doc_id", "text", merges)
           .agg(sum(size(col("tokens")))).head().getLong(0)
-      compressionGuard(
+      val out = compressionGuard(
         Seq((big.size.toLong, words.count(), nChars,
             total(big.take(12)), total(big)))
           .toDF("merges_learned", "vocab_rows", "n_chars",
             "n_tokens_k12", "n_tokens_kbig"))
+      words.unpersist()
+      docs2.unpersist()
+      out
     },
 
     // THE DATA FREEZE \u2014 raw corpus to training shards as ONE graded
