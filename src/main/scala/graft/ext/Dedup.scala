@@ -175,10 +175,17 @@ object Dedup {
   def lshCandidatesFromIndex(index: DataFrame,
       profile: DedupProfile = DedupProfile.default): DataFrame = {
     val sig = minhashSignatures(index, profile.k)
+    // banded feeds BOTH sides of the band self-join below — without the
+    // materialization the whole signature pipeline (a k-min aggregate
+    // over the corpus-scale token index) plans and runs twice. The
+    // frame is tiny (docs × bands rows of two longs), the cheapest
+    // point in the pipeline to cut. Cache lifetime is caller-owned
+    // (Bench/Verify clearCache), the module convention.
     val banded = sig
       .withColumn("band",
         explode(bandKeyCols(profile.bands, profile.rowsPerBand)))
       .select("id", "band")
+      .localCheckpoint(true)
     banded.select(col("band"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -194,7 +201,12 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       profile: DedupProfile = DedupProfile.default,
       bitsetRerank: Boolean = true): DataFrame = {
+    // the token index (corpus tokenize + shingle explode + one md5 per
+    // (doc, shingle)) feeds the banded-candidate pass AND both stages of
+    // the mask build (vocabulary count, mask aggregate) — materialize it
+    // once instead of re-running the shingling per consumer
     val idx = tokenIndex(df, idCol, textCol, profile.shingleN)
+      .localCheckpoint(true)
     val cand = lshCandidatesFromIndex(idx, profile)
     val reranked =
       // masks feed both the id_a and id_b sides of the re-rank join —
@@ -569,8 +581,11 @@ object Dedup {
     // stream would run in ONE task regardless of cluster size (the
     // work here scales with PAIRS, not with the input bytes AQE sizes
     // partitions by).
-    val (rawMasks, maskWords) =
-      tokenMasksWithWidth(tokenIndex(df, idCol, textCol, n))
+    // the token index feeds both mask-build stages (vocabulary count +
+    // mask aggregate) — materialize once, same rationale as
+    // minhashLshPairs
+    val idx = tokenIndex(df, idCol, textCol, n).localCheckpoint(true)
+    val (rawMasks, maskWords) = tokenMasksWithWidth(idx)
     val masks = rawMasks
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
