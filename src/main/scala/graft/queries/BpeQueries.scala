@@ -600,10 +600,21 @@ FROM pc ORDER BY chunk_id, seg_id""") { (s, d) =>
           |  lhs_a = lhs_b AND rhs_a = rhs_b AS agree
           |FROM m ORDER BY merge_rank""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val a = Bpe.train(
-        Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K)
-      val b = Bpe.train(
-        Bpe.wordFreq(docs.filter(col("source") === "src1"), "text"), K)
+      // the two source-slice trains share nothing — submit their
+      // (inherently sequential, one-job-per-merge) loops concurrently
+      // so the cluster interleaves their tiny argmax stages instead of
+      // idling between one loop's driver round-trips (the
+      // dedup_suffix_cross_shard per-shard placement, applied here)
+      val (a, b) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fa = Future(Bpe.train(
+          Bpe.wordFreq(docs.filter(col("source") === "src0"), "text"), K))
+        val fb = Future(Bpe.train(
+          Bpe.wordFreq(docs.filter(col("source") === "src1"), "text"), K))
+        (Await.result(fa, scala.concurrent.duration.Duration.Inf),
+          Await.result(fb, scala.concurrent.duration.Duration.Inf))
+      }
       Bpe.mergeTable(s, a)
         .select(col("merge_rank"), col("lhs").as("lhs_a"),
           col("rhs").as("rhs_a"))
@@ -1107,9 +1118,19 @@ FROM enc, mc ORDER BY doc_id"""
       def total(merges: Seq[Bpe.Merge]): Long =
         Bpe.encodeScalable(docs2, "doc_id", "text", merges)
           .agg(sum(size(col("tokens")))).head().getLong(0)
+      // the k=12 and k=8192 encode passes are independent actions over
+      // the checkpointed surface — submit them concurrently (the
+      // dedup_suffix_cross_shard placement)
+      val (t12, tBig) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val f12 = Future(total(big.take(12)))
+        val fBig = Future(total(big))
+        (Await.result(f12, scala.concurrent.duration.Duration.Inf),
+          Await.result(fBig, scala.concurrent.duration.Duration.Inf))
+      }
       val out = compressionGuard(
-        Seq((big.size.toLong, words.count(), nChars,
-            total(big.take(12)), total(big)))
+        Seq((big.size.toLong, words.count(), nChars, t12, tBig))
           .toDF("merges_learned", "vocab_rows", "n_chars",
             "n_tokens_k12", "n_tokens_kbig"))
       words.unpersist()
